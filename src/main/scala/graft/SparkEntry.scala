@@ -1,13 +1,576 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Cross-engine determinism rules used by every query/oracle pair:
+  *  - integer outputs are BIGINT on both sides (DuckDB defaults);
+  *  - double aggregations go through DECIMAL(18,s) per-row casts so
+  *    the sum is exact/order-independent, then cast back to DOUBLE;
+  *  - event timestamps surface as epoch milliseconds (BIGINT): the
+  *    events table is ns-precision parquet which Spark reads at us
+  *    precision — ms floors identically from both;
+  *  - every query and oracle carries a total ORDER BY.
+  */
 object SparkEntry {
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 reactive transformation / filtering ----
+    "rx_map" -> ((s, d) => Reactive.rxMap(ev(s, d)).orderBy("event_id")),
+    "rx_filter" -> ((s, d) => Reactive.rxFilter(ev(s, d)).orderBy("event_id")),
+    "rx_flatmap" -> ((s, d) =>
+      Reactive.rxFlatMap(ev(s, d)).orderBy("event_id", "rep")),
+    "rx_scan" -> ((s, d) =>
+      Reactive.rxScan(ev(s, d))
+        .withColumn("running_value", col("running_value").cast("double"))
+        .orderBy("event_id")),
+    "rx_distinct" -> ((s, d) =>
+      Reactive.rxDistinct(ev(s, d)).orderBy("user_id", "event_type")),
+    "rx_distinct_until_changed" -> ((s, d) =>
+      Reactive.rxDistinctUntilChanged(ev(s, d)).orderBy("event_id")),
+    "rx_take" -> ((s, d) =>
+      Reactive.rxTake(ev(s, d)).withColumn("rn", col("rn").cast("long"))
+        .orderBy("event_id")),
+    "rx_skip" -> ((s, d) =>
+      Reactive.rxSkip(ev(s, d)).withColumn("rn", col("rn").cast("long"))
+        .orderBy("event_id")),
+    "rx_take_while" -> ((s, d) =>
+      Reactive.rxTakeWhile(ev(s, d)).orderBy("event_id")),
+    "rx_first_last" -> ((s, d) =>
+      Reactive.rxFirstLast(ev(s, d)).orderBy("user_id")),
+    "rx_pairwise" -> ((s, d) =>
+      Reactive.rxPairwise(ev(s, d)).orderBy("event_id")),
+    "rx_start_with" -> ((s, d) =>
+      Reactive.rxStartWith(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_default_if_empty" -> ((s, d) =>
+      Reactive.rxDefaultIfEmpty(ev(s, d)).orderBy("user_id", "event_id")),
+    // ---- §2.2 reactive combination ----
+    "rx_merge" -> ((s, d) => Reactive.rxMerge(ev(s, d)).orderBy("event_id")),
+    "rx_concat" -> ((s, d) =>
+      Reactive.rxConcat(ev(s, d)).orderBy("src_order", "event_id")),
+    "rx_zip" -> ((s, d) =>
+      Reactive.rxZip(ev(s, d)).withColumn("idx", col("idx").cast("long"))
+        .orderBy("user_id", "idx")),
+    "rx_with_latest_from" -> ((s, d) =>
+      Reactive.rxWithLatestFrom(ev(s, d)).orderBy("event_id")),
+    "rx_combine_latest" -> ((s, d) =>
+      Reactive.rxCombineLatest(ev(s, d)).orderBy("event_id")),
+    "rx_amb" -> ((s, d) => Reactive.rxAmb(ev(s, d)).orderBy("event_id")),
+    // ---- §2.3 reactive time-based ----
+    "rx_buffer_count" -> ((s, d) =>
+      Reactive.rxBufferCount(ev(s, d))
+        .withColumn("batch_sum", col("batch_sum").cast("double"))
+        .orderBy("user_id", "batch_id")),
+    "rx_window_tumbling" -> ((s, d) =>
+      Reactive.rxWindowTumbling(ev(s, d))
+        .withColumn("win_sum", col("win_sum").cast("double"))
+        .orderBy("win_start_ms", "event_type")),
+    "rx_window_sliding" -> ((s, d) =>
+      Reactive.rxWindowSliding(ev(s, d))
+        .withColumn("win_sum", col("win_sum").cast("double"))
+        .orderBy("win_start_ms")),
+    "rx_window_session" -> ((s, d) =>
+      Reactive.rxWindowSession(ev(s, d))
+        .withColumn("sess_sum", col("sess_sum").cast("double"))
+        .orderBy("user_id", "sess_start_ms")),
+    "rx_debounce" -> ((s, d) =>
+      Reactive.rxDebounce(ev(s, d)).orderBy("event_id")),
+    "rx_throttle_first" -> ((s, d) =>
+      Reactive.rxThrottleFirst(ev(s, d)).orderBy("event_id")),
+    "rx_sample" -> ((s, d) => Reactive.rxSample(ev(s, d)).orderBy("event_id")),
+    "rx_delay" -> ((s, d) => Reactive.rxDelay(ev(s, d)).orderBy("event_id")),
+    "rx_time_interval" -> ((s, d) =>
+      Reactive.rxTimeInterval(ev(s, d)).orderBy("event_id")),
+    "rx_timeout" -> ((s, d) => Reactive.rxTimeout(ev(s, d)).orderBy("event_id")),
+    // ---- §2.4 reactive aggregation / error handling ----
+    "rx_reduce" -> ((s, d) =>
+      Reactive.rxReduce(ev(s, d)).withColumn("total", col("total").cast("double"))
+        .orderBy("event_type")),
+    "rx_agg_suite" -> ((s, d) =>
+      Reactive.rxAggSuite(ev(s, d)).withColumn("total", col("total").cast("double"))
+        .orderBy("user_id")),
+    "rx_group_by" -> ((s, d) =>
+      Reactive.rxGroupBy(ev(s, d)).withColumn("total", col("total").cast("double"))
+        .orderBy("event_type")),
+    "rx_on_error_resume" -> ((s, d) =>
+      Reactive.rxOnErrorResume(ev(s, d))
+        .orderBy("user_id", "event_id", "event_type")),
+    "rx_on_error_return" -> ((s, d) =>
+      Reactive.rxOnErrorReturn(ev(s, d)).orderBy("event_id")),
+    "rx_materialize" -> ((s, d) =>
+      Reactive.rxMaterialize(ev(s, d)).orderBy("user_id", "event_id", "kind")),
+    // ---- §2.5 relational / OLAP ----
+    "q1_pricing_summary" -> ((s, d) =>
+      Relational.q1PricingSummary(s, d)
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .withColumn("sum_base_price", col("sum_base_price").cast("double"))
+        .withColumn("sum_disc_price", col("sum_disc_price").cast("double"))
+        .withColumn("sum_charge", col("sum_charge").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q6_revenue" -> ((s, d) =>
+      Relational.q6Revenue(s, d)
+        .withColumn("revenue", col("revenue").cast("double"))),
+    "q3_shipping_priority" -> ((s, d) =>
+      Relational.q3ShippingPriority(s, d)
+        .withColumn("revenue", col("revenue").cast("double"))),
+    "q5_local_supplier" -> ((s, d) =>
+      Relational.q5LocalSupplier(s, d)
+        .withColumn("revenue", col("revenue").cast("double"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+    "q_semi_anti" -> ((s, d) =>
+      Relational.qSemiAnti(s, d).orderBy("c_custkey")),
+    "q_topk_per_group" -> ((s, d) =>
+      Relational.qTopkPerGroup(s, d).withColumn("rn", col("rn").cast("long"))
+        .orderBy("p_brand", "rn")),
+    "q_rollup" -> ((s, d) =>
+      Relational.qRollup(s, d).withColumn("sum_qty", col("sum_qty").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_cube" -> ((s, d) =>
+      Relational.qCube(s, d)
+        .withColumn("sum_price", col("sum_price").cast("double"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+    "q_groupwise_max" -> ((s, d) =>
+      Relational.qGroupwiseMax(s, d).orderBy("s_nationkey")),
+    // ---- §2.6 dedup ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("content_hash")),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d)).orderBy("doc1", "doc2")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), maxHamming = 8).orderBy("doc1", "doc2")),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(embs(s, d), planes = 6, minCosine = 0.25)
+        .orderBy("id1", "id2")),
+    // ---- §2.7 similarity search ----
+    "ann_bruteforce" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_lsh" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    // ---- §2.8 text analysis + multimodal ----
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.textQuality(docs(s, d)).orderBy("doc_id")),
+    "text_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(docs(s, d)).orderBy("doc_id")),
+    "text_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id"))
+  )
+
+  /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
+    * (lsh/simhash/embedding dedup, ann_lsh, lang_id) are not
+    * ANSI-SQL-expressible; they get the rows-only check + ScalaTest. */
+  def oracleSql: Map[String, String] = Map(
+    "rx_map" ->
+      """SELECT event_id, user_id, value*2.5 AS scaled,
+        | upper(event_type) AS tag,
+        | concat_ws(':', user_id, event_type) AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rx_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 100.0
+        |ORDER BY event_id""".stripMargin,
+    "rx_flatmap" ->
+      """SELECT event_id, u.rep, user_id, value/(u.rep+1) AS split_value
+        |FROM events,
+        | unnest(generate_series(0, greatest(0, least(CAST(floor(value/100) AS BIGINT), 3)))) AS u(rep)
+        |ORDER BY event_id, rep""".stripMargin,
+    "rx_scan" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+        | count(*) OVER w AS running_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "rx_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "rx_distinct_until_changed" ->
+      """SELECT event_id, user_id, event_type FROM (
+        | SELECT event_id, user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        | FROM events)
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |ORDER BY event_id""".stripMargin,
+    "rx_take" ->
+      """SELECT event_id, user_id, rn FROM (
+        | SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        | FROM events)
+        |WHERE rn <= 5 ORDER BY event_id""".stripMargin,
+    "rx_skip" ->
+      """SELECT event_id, user_id, rn FROM (
+        | SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        | FROM events)
+        |WHERE rn > 5 ORDER BY event_id""".stripMargin,
+    "rx_take_while" ->
+      """SELECT event_id, user_id, value FROM (
+        | SELECT event_id, user_id, value,
+        |  sum(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS violations
+        | FROM events)
+        |WHERE violations = 0 ORDER BY event_id""".stripMargin,
+    "rx_first_last" ->
+      """SELECT user_id, min(event_id) AS first_event_id,
+        | min_by(value, event_id) AS first_value,
+        | max(event_id) AS last_event_id,
+        | max_by(value, event_id) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_pairwise" ->
+      """SELECT event_id, user_id, prev_value, value AS cur_value FROM (
+        | SELECT event_id, user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        | FROM events)
+        |WHERE prev_value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "rx_start_with" ->
+      """SELECT * FROM (
+        | SELECT CAST(-1 AS BIGINT) AS event_id, user_id,
+        |  'seed' AS event_type, 0.0 AS value
+        | FROM (SELECT DISTINCT user_id FROM events)
+        | UNION ALL
+        | SELECT event_id, user_id, event_type, value FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "rx_default_if_empty" ->
+      """SELECT * FROM (
+        | SELECT user_id, event_id, value FROM events WHERE event_type = 'error'
+        | UNION ALL
+        | SELECT user_id, CAST(-1 AS BIGINT) AS event_id, 0.0 AS value
+        | FROM (SELECT DISTINCT user_id FROM events) u
+        | WHERE NOT EXISTS (SELECT 1 FROM events e
+        |   WHERE e.user_id = u.user_id AND e.event_type = 'error'))
+        |ORDER BY user_id, event_id""".stripMargin,
+    "rx_merge" ->
+      """SELECT * FROM (
+        | SELECT event_id, user_id, value, 'A' AS src FROM events
+        |  WHERE event_type = 'purchase'
+        | UNION ALL
+        | SELECT event_id, user_id, value, 'B' AS src FROM events
+        |  WHERE event_type = 'click')
+        |ORDER BY event_id""".stripMargin,
+    "rx_concat" ->
+      """SELECT * FROM (
+        | SELECT 0 AS src_order, event_id, user_id FROM events
+        |  WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT 1 AS src_order, event_id, user_id FROM events
+        |  WHERE event_type = 'error')
+        |ORDER BY src_order, event_id""".stripMargin,
+    "rx_zip" ->
+      """WITH p AS (
+        | SELECT user_id, event_id AS purchase_event_id, value AS purchase_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT user_id, event_id AS click_event_id, value AS click_value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx
+        | FROM events WHERE event_type = 'click')
+        |SELECT user_id, idx, purchase_event_id, purchase_value,
+        | click_event_id, click_value
+        |FROM p JOIN c USING (user_id, idx)
+        |ORDER BY user_id, idx""".stripMargin,
+    "rx_with_latest_from" ->
+      """SELECT event_id, user_id, value AS click_value, latest_purchase FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_purchase
+        | FROM events WHERE event_type IN ('click','purchase'))
+        |WHERE event_type = 'click' AND latest_purchase IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "rx_combine_latest" ->
+      """SELECT event_id, user_id, latest_purchase, latest_click FROM (
+        | SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER w AS latest_purchase,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER w AS latest_click
+        | FROM events WHERE event_type IN ('click','purchase')
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE latest_purchase IS NOT NULL AND latest_click IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "rx_amb" ->
+      """WITH cv AS (
+        | SELECT * FROM events WHERE event_type IN ('click','view')),
+        |w AS (
+        | SELECT user_id, min_by(event_type, event_id) AS event_type
+        | FROM cv GROUP BY user_id)
+        |SELECT cv.event_id, cv.user_id, cv.event_type, cv.value
+        |FROM cv JOIN w USING (user_id, event_type)
+        |ORDER BY event_id""".stripMargin,
+    "rx_buffer_count" ->
+      """SELECT user_id, batch_id, count(*) AS batch_n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_sum,
+        | min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        |FROM (
+        | SELECT user_id, event_id, value,
+        |  CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)/10.0) AS BIGINT) AS batch_id
+        | FROM events)
+        |GROUP BY user_id, batch_id ORDER BY user_id, batch_id""".stripMargin,
+    "rx_window_tumbling" ->
+      """SELECT (epoch_ms(ts)//3600000)*3600000 AS win_start_ms, event_type,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_sum
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_ms, event_type""".stripMargin,
+    "rx_window_sliding" ->
+      """WITH assigned AS (
+        | SELECT (epoch_ms(ts)//1800000)*1800000 AS win_start_ms, value FROM events
+        | UNION ALL
+        | SELECT (epoch_ms(ts)//1800000)*1800000 - 1800000 AS win_start_ms, value
+        | FROM events)
+        |SELECT win_start_ms, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_sum
+        |FROM assigned GROUP BY win_start_ms ORDER BY win_start_ms""".stripMargin,
+    "rx_window_session" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+        |        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        | FROM events),
+        |s AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        | FROM g)
+        |SELECT user_id, epoch_ms(min(ts)) AS sess_start_ms, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sess_sum
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start_ms""".stripMargin,
+    "rx_debounce" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        | SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ms,
+        |  lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS next_ms
+        | FROM events)
+        |WHERE next_ms IS NULL OR next_ms - ms >= 600000
+        |ORDER BY event_id""".stripMargin,
+    "rx_throttle_first" ->
+      """SELECT event_id, user_id, bucket_ms, value FROM (
+        | SELECT event_id, user_id, value,
+        |  epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY event_id) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "rx_sample" ->
+      """SELECT event_id, user_id, bucket_ms, value FROM (
+        | SELECT event_id, user_id, value,
+        |  epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY event_id DESC) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "rx_delay" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        | epoch_ms(ts + INTERVAL 5 MINUTE) AS delayed_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rx_time_interval" ->
+      """SELECT event_id, user_id, gap_ms FROM (
+        | SELECT event_id, user_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts))
+        |   OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+        | FROM events)
+        |WHERE gap_ms IS NOT NULL ORDER BY event_id""".stripMargin,
+    "rx_timeout" ->
+      """SELECT event_id, user_id, gap_ms FROM (
+        | SELECT event_id, user_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts))
+        |   OVER (PARTITION BY user_id ORDER BY event_id) AS gap_ms
+        | FROM events)
+        |WHERE gap_ms > 3600000 ORDER BY event_id""".stripMargin,
+    "rx_reduce" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rx_agg_suite" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | min(value) AS min_value, max(value) AS max_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_value,
+        | count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_group_by" ->
+      """SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        | array_to_string(list_transform(
+        |   list_slice(list_sort(list(event_id)), 1, 20),
+        |   x -> CAST(x AS VARCHAR)), ',') AS first_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rx_on_error_resume" ->
+      """WITH fe AS (
+        | SELECT user_id, min(event_id) AS err_id FROM events
+        | WHERE event_type = 'error' GROUP BY user_id)
+        |SELECT * FROM (
+        | SELECT e.event_id, e.user_id, e.event_type, e.value
+        | FROM events e LEFT JOIN fe ON e.user_id = fe.user_id
+        | WHERE fe.err_id IS NULL OR e.event_id < fe.err_id
+        | UNION ALL
+        | SELECT err_id AS event_id, user_id, 'fallback' AS event_type,
+        |  0.0 AS value FROM fe)
+        |ORDER BY user_id, event_id, event_type""".stripMargin,
+    "rx_on_error_return" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_type = 'error' THEN 'recovered' ELSE event_type END AS event_type,
+        | CASE WHEN event_type = 'error' THEN 0.0 ELSE value END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rx_materialize" ->
+      """SELECT * FROM (
+        | SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'error' THEN 'OnError' ELSE 'OnNext' END AS kind,
+        |  value FROM events
+        | UNION ALL
+        | SELECT user_id, max(event_id)+1 AS event_id, 'OnCompleted' AS kind,
+        |  0.0 AS value FROM events GROUP BY user_id)
+        |ORDER BY user_id, event_id, kind""".stripMargin,
+    // ---- relational ----
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07
+        | AND l_quantity < 24""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey
+        | AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey,
+        | CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  THEN 1 ELSE 0 END AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey) AS rn
+        | FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_groupwise_max" ->
+      """SELECT s_nationkey, s_suppkey, s_name, s_acctbal FROM (
+        | SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+        |  row_number() OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        | FROM supplier)
+        |WHERE rn = 1 ORDER BY s_nationkey""".stripMargin,
+    // ---- pipeline ops ----
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos_sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        | FROM s)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, length(text) AS len,
+        | len(string_split(lower(text), ' ')) AS n_tokens,
+        | len(list_filter(string_split(lower(text), ' '),
+        |   t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS n_stop,
+        | len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+        | CAST(n_stop AS DOUBLE)/n_tokens AS stop_ratio,
+        | CAST(n_uniq AS DOUBLE)/n_tokens AS uniq_ratio,
+        | (CAST(n_uniq AS DOUBLE)/n_tokens)*0.6
+        |  + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.4 AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        | len(string_split(lower(text), ' ')) AS ws_tokens,
+        | CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |   t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) AS subword_pieces,
+        | CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |   t -> length(t))) AS DOUBLE)
+        |  / len(string_split(lower(text), ' ')) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(
+        |   string_split(lower(text), ' '))), ' ')) AS content_fp,
+        | md5(lower(trim(text))) AS exact_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | u.frame_id,
+        | u.frame_id*256 AS frame_offset
+        |FROM documents,
+        | unnest(generate_series(0,
+        |   greatest(1, CAST(octet_length(encode(text)) AS BIGINT)//256) - 1)) AS u(frame_id)
+        |ORDER BY media_id, frame_id""".stripMargin
+  )
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for the training-data pipeline.
+  *
+  * Scale design: none of the near-dup paths ever forms an O(n^2)
+  * cross product. Candidate generation is always "shuffle by a
+  * bucket key, pair within bucket":
+  *  - MinHash-LSH: band-hash buckets (b bands of r rows; catches
+  *    Jaccard >= ~(1/b)^(1/r) with high prob).
+  *  - SimHash: 4x16-bit chunk keys (pigeonhole: hamming<=3 pairs
+  *    share at least one chunk).
+  *  - Embeddings: random-hyperplane bucket key.
+  * Over-full buckets (degenerate content) are handled by AQE skew
+  * splitting; for adversarial data add a salt on the bucket key.
+  */
+object Dedup {
+  /** Lowercased whitespace tokens. */
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** 3-token shingles of a token array (empty if < 3 tokens).
+    * Single-pass codegen expression — see Kernels.shingles for why
+    * the compose-first HOF form is quadratic after CollapseProject. */
+  private def shingles(t: Column): Column = GraftFunctions.text_shingles(t, 3)
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature as k seeded xxhash64 minima over the shingle
+    * set — composed from built-ins. Kept as the compose-first
+    * reference; the production path below uses the single-pass
+    * custom expression (Spark's higher-order functions are
+    * CodegenFallback, so a k-deep transform stack interprets k
+    * array traversals per row). */
+  def minhashSig(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+
+  /** MinHash + LSH near-duplicate pairs with exact n-gram-Jaccard
+    * verification of the candidates.
+    *
+    * @param bands LSH bands; @param rows rows per band (k = bands*rows)
+    * @param threshold exact Jaccard cutoff applied to candidates
+    */
+  def minhashLsh(docs: DataFrame, bands: Int = 16, rows: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    // candidate generation on (band, bucket-hash, id) ONLY — the
+    // shingle arrays must NOT ride through the explode/shuffle/join
+    // (at 100 TB that multiplies the payload bands-x); they are
+    // re-joined just for the final verify over the (tiny) candidate
+    // pair set. Band keys come from the single-pass codegen kernel.
+    val buckets = docs
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.minhash_bands(col("sh"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val pairs = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
+      .join(buckets.select(col("band"), col("bh"), col("doc_id").as("doc2")),
+        Seq("band", "bh"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val sets = docs
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    pairs
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash (custom codegen
+    * expression), candidate join on 16-bit chunk equality, exact
+    * hamming verify via bit_count(xor). */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      GraftFunctions.simhash64(toks(col("text"))).as("sig"))
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_id"),
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+          .as("chunk"))
+    }
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk_id"), col("ck.chunk"))
+    val l = chunks.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc1"), col("sig").as("sig1"))
+    val r = chunks.select(col("chunk_id"), col("chunk"),
+      col("doc_id").as("doc2"), col("sig").as("sig2"))
+    l.join(r, Seq("chunk_id", "chunk"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
+    * (custom codegen expression) within bucket. */
+  def embeddingNearDup(embs: DataFrame, planes: Int = 8,
+                       minCosine: Double = 0.95): DataFrame = {
+    val withBucket = embs.select(col("vec_id"), col("embedding"),
+      GraftFunctions.rhp_lsh(col("embedding"), planes).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos_sim", GraftFunctions.cosine_sim(col("e1"), col("e2")))
+      .filter(col("cos_sim") >= minCosine)
+      .select("id1", "id2", "cos_sim")
+  }
+}

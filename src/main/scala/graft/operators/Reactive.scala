@@ -1,0 +1,361 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reactive (Rx-style) operator algebra, re-expressed as
+  * declarative Spark plans over a keyed, timestamped event stream
+  * (`events`: event_id, ts, user_id, event_type, value, props).
+  *
+  * Reference surface: the Observable operator algebra exercised by
+  * pietro909/scala-reactivex (ReactiveX coursework). Semantics are
+  * the batch (bounded-stream) form; `graft.streaming` carries the
+  * unbounded Structured Streaming twins.
+  *
+  * Scale notes:
+  *  - Every per-key operator is a single shuffle on `user_id`
+  *    followed by in-partition window evaluation; chained operators
+  *    reuse the Exchange (same partitioning expression).
+  *  - `event_id` is the deterministic per-stream sequence number
+  *    (monotone in event time), used as window order key so results
+  *    are reproducible under any physical row order.
+  *  - Combination operators (withLatestFrom / combineLatest) use the
+  *    union-tag + running-last-value lattice: ONE shuffle total,
+  *    never a per-key join and never a cross product — this is the
+  *    shape that survives 100 TB.
+  *  - Monetary/double aggregation goes through DecimalType so sums
+  *    are exact and order-independent (bit-stable across cluster
+  *    sizes and vs. external oracles).
+  */
+object Reactive {
+  private val byUser = Window.partitionBy("user_id").orderBy("event_id")
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Rx `map`: pure projection — narrow, codegen'd, no shuffle. */
+  def rxMap(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("user_id"),
+      (col("value") * lit(2.5)).as("scaled"),
+      upper(col("event_type")).as("tag"),
+      concat_ws(":", col("user_id"), col("event_type")).as("route"))
+
+  /** Rx `filter`: predicate reaches the parquet scan (PushedFilters). */
+  def rxFilter(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase" && col("value") > 100.0)
+      .select("event_id", "user_id", "value")
+
+  /** Rx `flatMap`: one event fans out into 1+floor(value/100) rows. */
+  def rxFlatMap(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            least(floor(col("value") / 100).cast("long"), lit(3L))))).as("rep"))
+      .select(col("event_id"), col("rep"), col("user_id"),
+        (col("value") / (col("rep") + 1)).as("split_value"))
+
+  /** Rx `scan`: running fold (cumulative sum) per key, exact decimal. */
+  def rxScan(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      sum(dec(col("value")))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+        .as("running_value"),
+      count(lit(1))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+        .as("running_n"))
+
+  /** Rx `distinct` on a derived key. */
+  def rxDistinct(events: DataFrame): DataFrame =
+    events.select("user_id", "event_type").distinct()
+
+  /** Rx `distinctUntilChanged`: drop consecutive repeats per key. */
+  def rxDistinctUntilChanged(events: DataFrame): DataFrame =
+    events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select("event_id", "user_id", "event_type")
+
+  /** Rx `take(n)` per key stream. */
+  def rxTake(events: DataFrame, n: Int = 5): DataFrame =
+    events
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= n)
+      .select("event_id", "user_id", "rn")
+
+  /** Rx `skip(n)` per key stream. */
+  def rxSkip(events: DataFrame, n: Int = 5): DataFrame =
+    events
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") > n)
+      .select("event_id", "user_id", "rn")
+
+  /** Rx `takeWhile(value < limit)` per key: stop at first violation. */
+  def rxTakeWhile(events: DataFrame, limit: Double = 150.0): DataFrame =
+    events
+      .withColumn("violations",
+        sum(when(col("value") >= limit, 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("violations") === 0)
+      .select("event_id", "user_id", "value")
+
+  /** Rx `first`/`last` per key (min_by/max_by: single partial-aggregable pass). */
+  def rxFirstLast(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(
+      min("event_id").as("first_event_id"),
+      min_by(col("value"), col("event_id")).as("first_value"),
+      max("event_id").as("last_event_id"),
+      max_by(col("value"), col("event_id")).as("last_value"))
+
+  /** Rx `pairwise`: sliding pairs per key. */
+  def rxPairwise(events: DataFrame): DataFrame =
+    events
+      .withColumn("prev_value", lag("value", 1).over(byUser))
+      .filter(col("prev_value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("prev_value"),
+        col("value").as("cur_value"))
+
+  /** Rx `startWith`: prepend a seed element to every key's stream. */
+  def rxStartWith(events: DataFrame): DataFrame = {
+    val seeds = events.select("user_id").distinct()
+      .select(lit(-1L).as("event_id"), col("user_id"),
+        lit("seed").as("event_type"), lit(0.0).as("value"))
+    seeds.unionByName(
+      events.select("event_id", "user_id", "event_type", "value"))
+  }
+
+  /** Rx `defaultIfEmpty`: keys whose filtered stream is empty emit a default. */
+  def rxDefaultIfEmpty(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val allUsers = events.select("user_id").distinct()
+    val empties = allUsers.join(errors.select("user_id").distinct(),
+        Seq("user_id"), "left_anti")
+      .select(col("user_id"), lit(-1L).as("event_id"), lit(0.0).as("value"))
+    errors.unionByName(empties)
+  }
+
+  /** Rx `merge`: interleave two streams (unionByName — no shuffle). */
+  def rxMerge(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), lit("A").as("src"))
+    val b = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"), lit("B").as("src"))
+    a.unionByName(b)
+  }
+
+  /** Rx `concat`: stream A fully before stream B (explicit order key). */
+  def rxConcat(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_type") === "signup")
+      .select(lit(0).as("src_order"), col("event_id"), col("user_id"))
+    val b = events.filter(col("event_type") === "error")
+      .select(lit(1).as("src_order"), col("event_id"), col("user_id"))
+    a.unionByName(b)
+  }
+
+  /** Rx `zip`: pair the i-th purchase with the i-th click per key.
+    * Sort-merge join on (user_id, occurrence index); inner join
+    * truncates to the shorter stream, exactly like Rx zip. */
+  def rxZip(events: DataFrame): DataFrame = {
+    def indexed(t: String, idCol: String, vCol: String) =
+      events.filter(col("event_type") === t)
+        .withColumn("idx", row_number().over(byUser))
+        .select(col("user_id"), col("idx"), col("event_id").as(idCol),
+          col("value").as(vCol))
+    indexed("purchase", "purchase_event_id", "purchase_value")
+      .join(indexed("click", "click_event_id", "click_value"),
+        Seq("user_id", "idx"))
+  }
+
+  /** Rx `withLatestFrom`: each click sees the latest purchase value
+    * at-or-before it. Union-tag + running last_value(ignoreNulls):
+    * ONE shuffle on user_id, no join. */
+  def rxWithLatestFrom(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("latest_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("event_type") === "click" && col("latest_purchase").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value").as("click_value"),
+        col("latest_purchase"))
+
+  /** Rx `combineLatest`: on every element of either stream, emit the
+    * pair of latest values once both sides have fired. Same
+    * single-shuffle lattice as withLatestFrom. */
+  def rxCombineLatest(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("latest_purchase",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("latest_click",
+        last(when(col("event_type") === "click", col("value")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("latest_purchase").isNotNull && col("latest_click").isNotNull)
+      .select("event_id", "user_id", "latest_purchase", "latest_click")
+
+  /** Rx `amb`: per key, the stream (click vs view) that fires first
+    * wins; only its elements are emitted. */
+  def rxAmb(events: DataFrame): DataFrame = {
+    val cv = events.filter(col("event_type").isin("click", "view"))
+    val winner = cv.groupBy("user_id")
+      .agg(min_by(col("event_type"), col("event_id")).as("event_type"))
+    cv.join(winner, Seq("user_id", "event_type"))
+      .select("event_id", "user_id", "event_type", "value")
+  }
+
+  /** Rx `buffer(count)`: fixed-size batches per key. */
+  def rxBufferCount(events: DataFrame, n: Int = 10): DataFrame =
+    events
+      .withColumn("batch_id", ((row_number().over(byUser) - 1) / n).cast("long"))
+      .groupBy("user_id", "batch_id")
+      .agg(count(lit(1)).as("batch_n"),
+        sum(dec(col("value"))).as("batch_sum"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+
+  /** Rx `window(time)`: tumbling event-time windows + aggregate. */
+  def rxWindowTumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("win_sum"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("win_sum"))
+
+  /** Rx sliding window: 1h windows hopping every 30min. */
+  def rxWindowSliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("win_sum"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("n"), col("win_sum"))
+
+  /** Session windows: 30-minute inactivity gap per key. */
+  def rxWindowSession(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sess_sum"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("sess_start_ms"),
+        col("n"), col("sess_sum"))
+
+  /** Rx `debounce(gap)`: keep an event only if the key then stays
+    * silent for >= gap (or the stream ends). */
+  def rxDebounce(events: DataFrame, gapMs: Long = 600000L): DataFrame =
+    events
+      .withColumn("next_ms", lead(unix_millis(col("ts")), 1).over(byUser))
+      .filter(col("next_ms").isNull ||
+        col("next_ms") - unix_millis(col("ts")) >= gapMs)
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** Rx `throttleFirst(interval)`: first event per key per interval. */
+  def rxThrottleFirst(events: DataFrame): DataFrame =
+    events
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "bucket").orderBy("event_id")))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("bucket")).as("bucket_ms"), col("value"))
+
+  /** Rx `sample(interval)`: last event per key per interval. */
+  def rxSample(events: DataFrame): DataFrame =
+    events
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "bucket").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("bucket")).as("bucket_ms"), col("value"))
+
+  /** Rx `delay`: shift event time by a constant interval. */
+  def rxDelay(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      unix_millis(col("ts") + expr("INTERVAL 5 MINUTES")).as("delayed_ms"))
+
+  /** Rx `timeInterval`: elapsed ms between consecutive events per key. */
+  def rxTimeInterval(events: DataFrame): DataFrame =
+    events
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser))
+      .filter(col("gap_ms").isNotNull)
+      .select("event_id", "user_id", "gap_ms")
+
+  /** Rx `timeout`: flag events arriving after > T of key silence. */
+  def rxTimeout(events: DataFrame, timeoutMs: Long = 3600000L): DataFrame =
+    events
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser))
+      .filter(col("gap_ms") > timeoutMs)
+      .select("event_id", "user_id", "gap_ms")
+
+  /** Rx `reduce`: terminal fold over each event_type stream
+    * (partial aggregation map-side, single shuffle). */
+  def rxReduce(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("value"))).as("total"),
+      min("value").as("min_value"),
+      max("value").as("max_value"))
+
+  /** Rx aggregate suite per key (incl. exact distinct + stable avg). */
+  def rxAggSuite(events: DataFrame): DataFrame =
+    events.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("value"))).as("total"),
+      min("value").as("min_value"),
+      max("value").as("max_value"),
+      (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
+      countDistinct("event_type").as("n_types"))
+
+  /** Rx `groupBy` materializing each group's element sequence. */
+  def rxGroupBy(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      countDistinct("user_id").as("n_users"),
+      sum(dec(col("value"))).as("total"),
+      concat_ws(",",
+        slice(array_sort(collect_list(col("event_id"))), 1, 20))
+        .as("first_ids"))
+
+  /** Rx `onErrorResumeNext`: truncate each key's stream at its first
+    * error and splice in a fallback element. */
+  def rxOnErrorResume(events: DataFrame): DataFrame = {
+    val firstErr = events.filter(col("event_type") === "error")
+      .groupBy("user_id").agg(min("event_id").as("err_id"))
+    val main = events.join(firstErr, Seq("user_id"), "left")
+      .filter(col("err_id").isNull || col("event_id") < col("err_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val fallback = firstErr.select(col("err_id").as("event_id"),
+      col("user_id"), lit("fallback").as("event_type"), lit(0.0).as("value"))
+    main.unionByName(fallback)
+  }
+
+  /** Rx `onErrorReturn`: map error elements to a recovery value. */
+  def rxOnErrorReturn(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      when(col("event_type") === "error", lit("recovered"))
+        .otherwise(col("event_type")).as("event_type"),
+      when(col("event_type") === "error", lit(0.0))
+        .otherwise(col("value")).as("value"))
+
+  /** Rx `materialize`: reify elements into Next/Error/Completed
+    * notifications (terminal notification synthesized per key). */
+  def rxMaterialize(events: DataFrame): DataFrame = {
+    val notes = events.select(col("user_id"), col("event_id"),
+      when(col("event_type") === "error", lit("OnError"))
+        .otherwise(lit("OnNext")).as("kind"),
+      col("value"))
+    val completed = events.groupBy("user_id")
+      .agg(max("event_id").as("last_id"))
+      .select(col("user_id"), (col("last_id") + 1).as("event_id"),
+        lit("OnCompleted").as("kind"), lit(0.0).as("value"))
+    notes.unionByName(completed)
+  }
+}

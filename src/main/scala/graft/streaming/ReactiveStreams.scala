@@ -1,0 +1,179 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the reactive operator algebra: the
+  * genuinely *unbounded* semantics (watermarks, per-key state,
+  * event-time timeouts) that the batch twins in
+  * [[graft.operators.Reactive]] can't carry.
+  *
+  * Input contract: any streaming DataFrame with the `events` schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double). Tests drive these with MemoryStream; production
+  * would use kafka/file sources — the plans are source-agnostic.
+  *
+  * Scale design: all stateful operators key state by `user_id`, so
+  * state is sharded across executors by the same single shuffle the
+  * batch forms use; watermark + state timeouts bound state size to
+  * O(active keys). Output modes chosen so sinks see append-only
+  * streams (no unbounded result re-emission).
+  */
+object ReactiveStreams {
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  /** Windowed aggregate with watermark (Rx window/buffer-by-time):
+    * append-mode tumbling windows finalize once the watermark passes. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("win_sum"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("win_sum"))
+
+  /** Session windows (gap-close semantics) with watermark. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sess_sum"))
+      .select(col("session_window.start").as("sess_start"), col("user_id"),
+        col("n"), col("sess_sum"))
+
+  /** Streaming distinctUntilChanged: emit only elements whose
+    * event_type differs from the key's previous element. Per-key
+    * last-value state via flatMapGroupsWithState. */
+  def distinctUntilChanged(spark: SparkSession, events: DataFrame)
+      : Dataset[Ev] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Ev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Ev], state: GroupState[String]) =>
+          // micro-batch arrival order is not event order — sort by seq
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val out = scala.collection.mutable.ArrayBuffer[Ev]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            if (!last.contains(e.event_type)) { out += e; last = Some(e.event_type) }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming throttleFirst: at most one element per key per
+    * `intervalMs`, state = end of current throttle window. */
+  def throttleFirst(spark: SparkSession, events: DataFrame,
+                    intervalMs: Long = 3600000L): Dataset[Ev] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Ev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val out = scala.collection.mutable.ArrayBuffer[Ev]()
+          var windowEnd = state.getOption.getOrElse(Long.MinValue)
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (t >= windowEnd) { out += e; windowEnd = t + intervalMs }
+          }
+          state.update(windowEnd)
+          out.iterator
+      }
+  }
+
+  /** Streaming debounce: an element is emitted only once its key has
+    * been silent for `gapMs` (event-time timeout flushes the last
+    * pending element; a newer element replaces the pending one). */
+  case class Pending(ev: Ev, deadlineMs: Long)
+  def debounce(spark: SparkSession, events: DataFrame,
+               gapMs: Long = 600000L): Dataset[Ev] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Pending, Ev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[Ev], state: GroupState[Pending]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(_.ev)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_id)
+            val out = scala.collection.mutable.ArrayBuffer[Ev]()
+            var pending = state.getOption
+            sorted.foreach { e =>
+              pending.foreach { p =>
+                if (e.ts.getTime - p.ev.ts.getTime >= gapMs) out += p.ev
+              }
+              pending = Some(Pending(e, e.ts.getTime + gapMs))
+            }
+            pending.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp(p.deadlineMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming scan: running per-key fold emitted per element. */
+  case class Scanned(event_id: Long, user_id: Long, running_value: Double,
+                     running_n: Long)
+  def scan(spark: SparkSession, events: DataFrame): Dataset[Scanned] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Double, Long), Scanned](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[(Double, Long)]) =>
+          var (acc, n) = state.getOption.getOrElse((0.0, 0L))
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            acc += e.value; n += 1
+            Scanned(e.event_id, uid, acc, n)
+          }
+          state.update((acc, n))
+          out.iterator
+      }
+  }
+
+  /** Stream-static enrichment join: stream fact against a broadcast
+    * static dimension (no stream-side shuffle). */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Stream-stream join: purchases joined to clicks of the same user
+    * within +-30 minutes, both sides watermarked so join state is
+    * bounded and evicted. */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("p_id", "c_id", "user_id", "p_value")
+  }
+}

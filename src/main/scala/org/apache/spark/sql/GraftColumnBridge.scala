@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column <-> Expression converters
+  * (Spark 4.x Columns are ColumnNode-backed; this is the supported
+  * classic-mode conversion point). Lives in the sql package solely
+  * to satisfy the access qualifier — no Spark internals are modified.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ReactiveStreams
+import graft.streaming.ReactiveStreams.Ev
+
+/** Structured Streaming operators driven by MemoryStream; where a
+  * batch twin exists the streaming result must agree with it. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Ev(0, ts(0), 1, "click", 10.0),
+    Ev(1, ts(1), 1, "click", 11.0),
+    Ev(2, ts(2), 1, "view", 12.0),
+    Ev(3, ts(65), 1, "click", 13.0),   // > 1h gap => new throttle window
+    Ev(4, ts(80), 1, "click", 14.0),
+    Ev(5, ts(0), 2, "purchase", 20.0),
+    Ev(6, ts(30), 2, "click", 21.0),
+    Ev(7, ts(200), 2, "purchase", 22.0))
+
+  /** Run a streaming transform over the sample and collect results. */
+  private def run(f: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    mem.addData(sample)
+    val qName = s"out_${System.nanoTime()}"
+    val q = f(mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance watermark past all events, then flush timed-out state
+      mem.addData(Ev(99, ts(100000), 99, "tick", 0.0))
+      q.processAllAvailable()
+      spark.table(qName).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg matches batch window aggregation") {
+    val got = run(df => ReactiveStreams.windowedAgg(df, "1 hour", "2 hours"))
+      .filter(_.getAs[Long]("n") > 0)
+      .map(r => (r.getAs[Timestamp]("win_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .toSet
+    import spark.implicits._
+    val batch = sample.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    // the watermark tick row itself is excluded from comparison
+    assert(batch.subsetOf(got))
+  }
+
+  test("streaming distinctUntilChanged matches batch twin") {
+    import spark.implicits._
+    val got = run(df =>
+        ReactiveStreams.distinctUntilChanged(spark, df).toDF())
+      .map(_.getAs[Long]("event_id")).toSet - 99L
+    val batch = graft.operators.Reactive
+      .rxDistinctUntilChanged(sample.toDF())
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got === batch)
+  }
+
+  test("streaming throttleFirst emits first event per hour window") {
+    val got = run(df =>
+        ReactiveStreams.throttleFirst(spark, df, 3600000L).toDF())
+      .map(_.getAs[Long]("event_id")).toSet - 99L
+    // user 1: ev0 opens window (0-60min) => ev3 at 65min opens next, ev4 suppressed
+    // user 2: ev5 opens window, ev6 suppressed, ev7 at 200min opens next
+    assert(got === Set(0L, 3L, 5L, 7L))
+  }
+
+  test("streaming debounce emits only events followed by silence") {
+    val got = run(df =>
+        ReactiveStreams.debounce(spark, df, 600000L).toDF())
+      .map(_.getAs[Long]("event_id")).toSet - 99L
+    // user 1: gaps after ev2 (63min) and ev3? ev4-ev3=15min>=10min => ev2, ev3, ev4(last, flushed by timeout)
+    // user 2: ev5->ev6 30min => ev5; ev6->ev7 170min => ev6; ev7 last
+    assert(got === Set(2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("streaming scan accumulates per key like the batch twin") {
+    import spark.implicits._
+    val got = run(df => ReactiveStreams.scan(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("running_value")))
+      .toMap
+    assert(got(1L) === 21.0)
+    assert(got(4L) === 60.0)
+    assert(got(7L) === 63.0)
+  }
+
+  test("stream-stream join pairs purchases with clicks in the window") {
+    val got = run(ReactiveStreams.streamStreamJoin)
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    // user 2: purchase ev5 at 0min, click ev6 at 30min => within 30min window
+    assert(got === Set((5L, 6L)))
+  }
+}
