@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Physical-plan quality gates: these are the properties that decide
+  * whether a plan survives a 100x scale-up, asserted so refactors
+  * can't silently regress them. */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes its choices
+    // AQE's toString carries both final and initial plans; assert on final
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q6: filters and column pruning reach the parquet scan") {
+    val p = plan(Relational.q6Revenue(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // only the 4 needed columns are read, not all 11
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q3/q5: dimension joins broadcast; no shuffle joins, no cartesian") {
+    for (df <- Seq(Relational.q3ShippingPriority(spark, sf),
+                   Relational.q5LocalSupplier(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("SortMergeJoin"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("per-key window ops shuffle exactly once (hash on user_id)") {
+    for (df <- Seq(Reactive.rxScan(Tables.events(spark, sf)),
+                   Reactive.rxWithLatestFrom(Tables.events(spark, sf)),
+                   Reactive.rxDistinctUntilChanged(Tables.events(spark, sf)))) {
+      val p = plan(df)
+      val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(hashExchanges === 1, s"expected 1 user_id exchange:\n$p")
+    }
+  }
+
+  test("chained per-key ops reuse the user_id partitioning (no extra shuffle)") {
+    // debounce then per-key aggregate: the groupBy must reuse the
+    // window's hashpartitioning(user_id) instead of re-shuffling
+    val chained = Reactive.rxDebounce(Tables.events(spark, sf))
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+    val p = plan(chained)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("per-document text scoring is shuffle-free (pure scan pipeline)") {
+    for (df <- Seq(TextAnalysis.textQuality(Tables.documents(spark, sf)),
+                   TextAnalysis.tokenCount(Tables.documents(spark, sf)),
+                   TextAnalysis.fingerprint(Tables.documents(spark, sf)))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    }
+  }
+
+  test("LSH dedup paths never form a cartesian product") {
+    for (df <- Seq(Dedup.minhashLsh(Tables.documents(spark, sf)),
+                   Dedup.simhash(Tables.documents(spark, sf)),
+                   Dedup.embeddingNearDup(Tables.embeddings(spark, sf),
+                     planes = 6, minCosine = 0.25))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side (corpus never shuffles)") {
+    val e = Tables.embeddings(spark, sf)
+    val p = plan(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("custom expressions run inside whole-stage codegen") {
+    val p = plan(Tables.documents(spark, sf).select(
+      graft.functions.GraftFunctions.simhash64(split(lower(col("text")), " "))))
+    // "*(n)" prefixes mark WholeStageCodegen stages; the projection
+    // evaluating the custom expression must carry one
+    assert(p.linesIterator.exists(l =>
+      l.contains("simhash64expr") && l.trim.matches(""".*\*\(\d+\) Project.*""")),
+      s"custom expr not inside a codegen stage:\n$p")
+  }
+}
