@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Subscription surface (Rx `subscribe`/observers), Spark-first:
+  * batch writers with layout control and streaming sinks.
+  *
+  * Scale notes: `partitionBy` columns become directory partitions —
+  * choose low-cardinality keys (date, event_type), never user_id;
+  * `maxRecordsPerFile` bounds file sizes; sorting within partitions
+  * gives min/max zone-map pruning for downstream readers.
+  */
+object Sinks {
+  /** Parquet with directory partitioning + bounded file sizes. */
+  def parquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+              maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Streaming append sink to parquet with checkpointing. */
+  def streamToParquet(df: DataFrame, path: String, checkpoint: String,
+                      intervalMs: Long = 1000L): StreamingQuery =
+    df.writeStream.outputMode("append")
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", path).start()
+
+  /** Rx `subscribe(onNext)`: per-micro-batch callback with exactly
+    * the batch DataFrame + batch id (foreachBatch). */
+  def subscribe(df: DataFrame, name: String)
+               (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream.outputMode("append").queryName(name)
+      .foreachBatch(onBatch).start()
+}

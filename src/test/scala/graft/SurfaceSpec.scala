@@ -1,0 +1,98 @@
+package graft
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Async
+import graft.sources.{Sinks, Sources, Tables}
+
+/** The non-DataFrame API surfaces: SQL registration, sources/sinks,
+  * async composition. */
+class SurfaceSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("custom functions + views are reachable from pure SQL") {
+    val df = GraftSql.sql(spark, sf,
+      """SELECT doc_id,
+        |  simhash64(split(lower(text), ' ')) AS sig,
+        |  text_shingles(split(lower(text), ' '), 3) AS sh
+        |FROM documents WHERE doc_id < 3""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[Seq[String]]("sh").nonEmpty))
+    // SQL and DataFrame paths agree
+    val viaDf = Tables.documents(spark, sf).filter(col("doc_id") < 3)
+      .select(graft.functions.GraftFunctions
+        .simhash64(split(lower(col("text")), " ")).as("sig"))
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("sig")).toSet === viaDf)
+  }
+
+  test("sql cosine_sim matches DataFrame cosine_sim") {
+    val viaSql = GraftSql.sql(spark, sf,
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 5 ORDER BY a.vec_id""".stripMargin)
+      .collect().map(_.getDouble(1))
+    assert(viaSql.length === 5)
+    assert(viaSql.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("range source is distributed and exact") {
+    assert(Sources.range(spark, 5, 1000).count() === 1000)
+    assert(Sources.range(spark, 5, 1000).agg(min("event_id"), max("event_id"))
+      .head.toSeq === Seq(5L, 1004L))
+  }
+
+  test("parquet sink round-trips with partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ev = Tables.events(spark, sf)
+    Sinks.parquet(ev, s"$dir/out", partitionCols = Seq("event_type"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === ev.count())
+    // partition layout materialized as directories
+    assert(new java.io.File(s"$dir/out").listFiles()
+      .exists(_.getName.startsWith("event_type=")))
+  }
+
+  test("csv sink/source round-trip preserves values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Tables.nation(spark, sf)
+    Sinks.csv(df, s"$dir/nation")
+    val back = Sources.csv(spark, s"$dir/nation", df.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      df.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("async all/any/timeout/retry compose Spark actions") {
+    val ev = Tables.events(spark, sf)
+    val Seq(a, b) = Async.countAll(Seq(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase")))
+    assert(a > 0 && b > 0)
+    assert(Async.any(Seq(() => 42, () => { Thread.sleep(5000); 1 })) === 42)
+    assert(Async.withTimeout(30.seconds)(ev.limit(1).count()).isSuccess)
+    var calls = 0
+    val got = Async.retry(3) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(got === "ok" && calls === 3)
+  }
+
+  test("file-backed event stream feeds streaming ops incrementally") {
+    val q = graft.streaming.ReactiveStreams
+      .windowedAgg(Sources.eventStream(spark, sf))
+      .writeStream.format("memory").queryName("src_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // bounded file => watermark never passes; append emits nothing,
+      // but the stream must run and register state without error
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+}
