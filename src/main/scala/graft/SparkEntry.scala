@@ -144,6 +144,8 @@ object SparkEntry {
         .orderBy("o_orderstatus", "o_orderpriority")),
     "q_groupwise_max" -> ((s, d) =>
       Relational.qGroupwiseMax(s, d).orderBy("s_nationkey")),
+    "q_percentiles" -> ((s, d) =>
+      Relational.qPercentiles(s, d).orderBy("l_returnflag")),
     // ---- §2.6 dedup ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("content_hash")),
@@ -517,6 +519,13 @@ object SparkEntry {
         |    ORDER BY s_acctbal DESC, s_suppkey) AS rn
         | FROM supplier)
         |WHERE rn = 1 ORDER BY s_nationkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.95) AS p95,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     // ---- pipeline ops ----
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_hash,

@@ -137,6 +137,17 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("o_totalprice"))).as("sum_price"))
 
+  /** Exact percentiles (continuous interpolation) per group — the
+    * single-pass sort-based form; at very large scale swap for
+    * approx_percentile (t-digest) at the caller's accuracy budget. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
   /** Group-wise max (correlated-subquery shape done with a window). */
   def qGroupwiseMax(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir)
