@@ -146,6 +146,18 @@ object SparkEntry {
       Relational.qGroupwiseMax(s, d).orderBy("s_nationkey")),
     "q_percentiles" -> ((s, d) =>
       Relational.qPercentiles(s, d).orderBy("l_returnflag")),
+    // same semantics as q_topk_per_group, via the custom heap-based
+    // physical operator (graft.plans.TopKPerGroupExec)
+    "q_topk_custom" -> ((s, d) => {
+      // pre-project: a custom logical node sits outside Catalyst's
+      // column pruning, so trim the scan explicitly
+      val p = Tables.part(s, d).select("p_brand", "p_partkey", "p_retailprice")
+      graft.plans.TopK.topKPerGroup(p, Seq(col("p_brand")),
+          struct(negate(col("p_retailprice")), col("p_partkey")), 3,
+          ascending = true)
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    }),
     // ---- §2.6 dedup ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("content_hash")),
@@ -519,6 +531,13 @@ object SparkEntry {
         |    ORDER BY s_acctbal DESC, s_suppkey) AS rn
         | FROM supplier)
         |WHERE rn = 1 ORDER BY s_nationkey""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY p_retailprice DESC, p_partkey) AS rn
+        | FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS p50,
