@@ -69,6 +69,8 @@ object SparkEntry {
     "rx_combine_latest" -> ((s, d) =>
       Reactive.rxCombineLatest(ev(s, d)).orderBy("event_id")),
     "rx_amb" -> ((s, d) => Reactive.rxAmb(ev(s, d)).orderBy("event_id")),
+    "rx_switch_map" -> ((s, d) =>
+      Reactive.rxSwitchMap(ev(s, d)).orderBy("event_id")),
     // ---- §2.3 reactive time-based ----
     "rx_buffer_count" -> ((s, d) =>
       Reactive.rxBufferCount(ev(s, d))
@@ -190,6 +192,9 @@ object SparkEntry {
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "text_ngram_jaccard" -> ((s, d) =>
+      TextAnalysis.ngramJaccard(docs(s, d))
+        .orderBy("source", "doc1", "doc2")),
     "multimodal_features" -> ((s, d) =>
       Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id"))
   )
@@ -337,6 +342,15 @@ object SparkEntry {
         | FROM cv GROUP BY user_id)
         |SELECT cv.event_id, cv.user_id, cv.event_type, cv.value
         |FROM cv JOIN w USING (user_id, event_type)
+        |ORDER BY event_id""".stripMargin,
+    "rx_switch_map" ->
+      """SELECT stream_id, event_id, user_id, event_type, value FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stream_id
+        | FROM events)
+        |WHERE stream_id IS NOT NULL AND event_type <> 'signup'
         |ORDER BY event_id""".stripMargin,
     "rx_buffer_count" ->
       """SELECT user_id, batch_id, count(*) AS batch_n,
@@ -591,6 +605,51 @@ object SparkEntry {
         |   string_split(lower(text), ' '))), ' ')) AS content_fp,
         | md5(lower(trim(text))) AS exact_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3)
+        |SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
+        |ORDER BY a.source, doc1, doc2""".stripMargin,
+    "text_lang_id" ->
+      """SELECT doc_id, labeled_lang, predicted_lang,
+        | greatest(s_de, s_en, s_es, s_fr, s_zh) AS confidence
+        |FROM (
+        | SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['der','die','und','das'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_de,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['the','and','of','is'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_en,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['el','la','y','de'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_es,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['le','la','et','de'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_fr,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['de','shi','le','he'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_zh,
+        |  CASE
+        |   WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |   ELSE 'de' END AS predicted_lang
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -209,6 +209,20 @@ object Reactive {
       .select("event_id", "user_id", "event_type", "value")
   }
 
+  /** Rx `switchMap`: each signup opens a new inner stream of the
+    * user's subsequent activity; a later signup switches to a new
+    * inner stream, implicitly unsubscribing the old one. In bounded
+    * replay each event belongs to the then-latest signup: a running
+    * last_value — single shuffle, no join. */
+  def rxSwitchMap(events: DataFrame): DataFrame =
+    events
+      .withColumn("stream_id",
+        last(when(col("event_type") === "signup", col("event_id")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("stream_id").isNotNull && col("event_type") =!= "signup")
+      .select("stream_id", "event_id", "user_id", "event_type", "value")
+
   /** Rx `buffer(count)`: fixed-size batches per key. */
   def rxBufferCount(events: DataFrame, n: Int = 10): DataFrame =
     events

@@ -77,6 +77,26 @@ object TextAnalysis {
       array_max(array(scores: _*)).getField("score").as("confidence"))
   }
 
+  /** Exact n-gram Jaccard similarity for all document pairs within a
+    * `source` group (deterministic candidate set — the LSH paths use
+    * hash-dependent candidates instead). Distinct 3-gram shingle
+    * sets; |A n B| / |A u B|. */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+    val withSh = docs.select(col("doc_id"), col("source"),
+      array_distinct(graft.functions.GraftFunctions
+        .text_shingles(tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    withSh.select(col("source"), col("doc_id").as("doc1"), col("sh").as("sh1"))
+      .join(withSh.select(col("source"), col("doc_id").as("doc2"),
+        col("sh").as("sh2")), Seq("source"))
+      .filter(col("doc1") < col("doc2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("source", "doc1", "doc2", "jaccard")
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * whitespace/word-order-insensitive document identity. */
   def fingerprint(docs: DataFrame): DataFrame =
