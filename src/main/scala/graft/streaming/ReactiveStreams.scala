@@ -153,6 +153,14 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id,
+    * with watermark-bounded state (the unbounded-input form of
+    * Dedup.exact). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-static enrichment join: stream fact against a broadcast
     * static dimension (no stream-side shuffle). */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
