@@ -21,6 +21,18 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Bucketed managed table: co-locates rows by key so later joins
+    * and aggregations on that key need NO shuffle at all — the
+    * pre-partitioning that makes repeated fact-fact joins viable at
+    * 100 TB (pay one shuffle at write time, never again). */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -83,6 +83,29 @@ class SurfaceSpec extends AnyFunSuite {
     assert(got === "ok" && calls === 3)
   }
 
+  test("bucketed tables join and aggregate with zero shuffles") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    Sinks.bucketedTable(ev, "ev_bucketed", "user_id", 4, Seq("user_id"))
+    Sinks.bucketedTable(ev.groupBy("user_id").agg(count(lit(1)).as("n")),
+      "users_bucketed", "user_id", 4, Seq("user_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("users_bucketed"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      val agg = spark.table("ev_bucketed").groupBy("user_id")
+        .agg(sum("value"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg shuffled:\n$aggPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("file-backed event stream feeds streaming ops incrementally") {
     val q = graft.streaming.ReactiveStreams
       .windowedAgg(Sources.eventStream(spark, sf))
