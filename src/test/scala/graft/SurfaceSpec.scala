@@ -84,6 +84,16 @@ class SurfaceSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join and aggregate with zero shuffles") {
+    // the in-memory catalog forgets tables across JVMs but the
+    // warehouse directory persists; clear both
+    for (t <- Seq("ev_bucketed", "users_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     Sinks.bucketedTable(ev, "ev_bucketed", "user_id", 4, Seq("user_id"))
     Sinks.bucketedTable(ev.groupBy("user_id").agg(count(lit(1)).as("n")),
