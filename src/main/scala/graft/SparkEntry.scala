@@ -76,6 +76,10 @@ object SparkEntry {
       Reactive.rxBufferCount(ev(s, d))
         .withColumn("batch_sum", col("batch_sum").cast("double"))
         .orderBy("user_id", "batch_id")),
+    "rx_sliding_count_window" -> ((s, d) =>
+      Reactive.rxSlidingCountWindow(ev(s, d))
+        .withColumn("window_sum", col("window_sum").cast("double"))
+        .orderBy("event_id")),
     "rx_window_tumbling" -> ((s, d) =>
       Reactive.rxWindowTumbling(ev(s, d))
         .withColumn("win_sum", col("win_sum").cast("double"))
@@ -361,6 +365,15 @@ object SparkEntry {
         |  CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)/10.0) AS BIGINT) AS batch_id
         | FROM events)
         |GROUP BY user_id, batch_id ORDER BY user_id, batch_id""".stripMargin,
+    "rx_sliding_count_window" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS window_sum,
+        | count(*) OVER w AS window_n,
+        | max(value) OVER w AS window_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "rx_window_tumbling" ->
       """SELECT (epoch_ms(ts)//3600000)*3600000 AS win_start_ms, event_type,
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_sum

@@ -233,6 +233,16 @@ object Reactive {
         min("event_id").as("first_event_id"),
         max("event_id").as("last_event_id"))
 
+  /** Count-based sliding window: aggregate over the last n elements
+    * per key at every element (rowsBetween frame — no extra shuffle
+    * beyond the per-key one). */
+  def rxSlidingCountWindow(events: DataFrame, n: Int = 10): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      sum(dec(col("value")))
+        .over(byUser.rowsBetween(-(n - 1), 0)).as("window_sum"),
+      count(lit(1)).over(byUser.rowsBetween(-(n - 1), 0)).as("window_n"),
+      max(col("value")).over(byUser.rowsBetween(-(n - 1), 0)).as("window_max"))
+
   /** Rx `window(time)`: tumbling event-time windows + aggregate. */
   def rxWindowTumbling(events: DataFrame): DataFrame =
     events
