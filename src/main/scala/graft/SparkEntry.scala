@@ -152,6 +152,8 @@ object SparkEntry {
       Relational.qGroupwiseMax(s, d).orderBy("s_nationkey")),
     "q_percentiles" -> ((s, d) =>
       Relational.qPercentiles(s, d).orderBy("l_returnflag")),
+    "q4_late_orders" -> ((s, d) =>
+      Relational.q4LateOrders(s, d).orderBy("o_orderpriority")),
     // same semantics as q_topk_per_group, via the custom heap-based
     // physical operator (graft.plans.TopKPerGroupExec)
     "q_topk_custom" -> ((s, d) => {
@@ -565,6 +567,15 @@ object SparkEntry {
         |    ORDER BY p_retailprice DESC, p_partkey) AS rn
         | FROM part)
         |WHERE rn <= 3 ORDER BY p_brand, p_partkey""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |   AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS p50,

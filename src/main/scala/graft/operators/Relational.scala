@@ -137,6 +137,23 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("o_totalprice"))).as("sum_price"))
 
+  /** TPC-H Q4 shape: correlated EXISTS with an inequality — orders
+    * having at least one lineitem shipped >90 days after the order
+    * date, counted by priority. Semi join keeps the probe side
+    * unduplicated (no distinct needed). */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** Exact percentiles (continuous interpolation) per group — the
     * single-pass sort-based form; at very large scale swap for
     * approx_percentile (t-digest) at the caller's accuracy budget. */
