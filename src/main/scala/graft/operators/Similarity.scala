@@ -33,13 +33,20 @@ object Similarity {
   }
 
   /** Approximate top-k: candidates restricted to the query's
-    * random-hyperplane LSH bucket. Recall grows with fewer planes /
-    * multi-probe; cost drops ~2^planes-fold vs. brute force. */
+    * random-hyperplane LSH bucket plus every bucket within hamming
+    * distance 1 (multi-probe: planes+1 probes per query — the
+    * standard recall/cost lever; the corpus side stays single-bucket
+    * so the index is built once). */
   def lshTopK(embs: DataFrame, queries: DataFrame, planes: Int = 6,
               k: Int = 5): DataFrame = {
+    val probeBuckets = array(
+      (col("_b") +: (0 until planes).map(j =>
+        col("_b").bitwiseXOR(lit(1L << j)))): _*)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
-      GraftFunctions.rhp_lsh(col("embedding"), planes).as("bucket"))
+      GraftFunctions.rhp_lsh(col("embedding"), planes).as("_b"))
+      .withColumn("bucket", explode(probeBuckets))
+      .drop("_b")
     val cand = embs.select(col("vec_id").as("neighbor_id"), col("embedding"),
       GraftFunctions.rhp_lsh(col("embedding"), planes).as("bucket"))
     cand.join(broadcast(q), Seq("bucket"))

@@ -58,6 +58,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("LSH ANN recall against brute force is meaningful and its hits are real") {
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val qs = embs.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(embs, qs, 5))
+    val lsh = pairs(Similarity.lshTopK(embs, qs, planes = 4, k = 5))
+    // every LSH hit must be a real corpus neighbor of that query
+    assert(lsh.nonEmpty)
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.2, s"recall $recall too low for 4-plane LSH")
+  }
+
   test("brute-force topk ranks the nearest vector first") {
     import spark.implicits._
     val q = Array.tabulate(16)(_.toFloat)
