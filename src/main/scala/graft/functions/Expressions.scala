@@ -132,6 +132,23 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Jaccard similarity of two SORTED distinct string arrays via a
+    * single merge pass — no per-pair hash sets (array_intersect/
+    * array_union allocate and hash both sides for every row, which
+    * dominates all-pairs similarity joins). */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Deterministic pseudo-random +-1 hyperplane component for plane j,
     * dimension d (hash-derived; no RNG state to ship to executors). */
   @inline private def planeSign(j: Int, d: Int): Double =
@@ -207,6 +224,19 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
     copy(child = c)
 }
 
+/** Merge-based Jaccard of two sorted distinct array<string> columns. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : SortedJaccardExpr = copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket signature of an array<float> column. */
 case class RhpLshExpr(child: Expression, planes: Int) extends UnaryExpression {
   require(planes > 0 && planes <= 64, "planes must be in 1..64")
@@ -242,4 +272,8 @@ object GraftFunctions {
   /** Word n-gram shingles (space-joined) of a token array. */
   def text_shingles(tokens: Column, n: Int): Column =
     toCol(ShinglesExpr(toExpr(tokens), n))
+
+  /** Merge-based Jaccard of two sorted distinct string arrays. */
+  def sorted_jaccard(a: Column, b: Column): Column =
+    toCol(SortedJaccardExpr(toExpr(a), toExpr(b)))
 }

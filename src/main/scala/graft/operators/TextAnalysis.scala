@@ -82,17 +82,18 @@ object TextAnalysis {
     * hash-dependent candidates instead). Distinct 3-gram shingle
     * sets; |A n B| / |A u B|. */
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.05): DataFrame = {
+    // sorted distinct shingles once per doc -> the per-pair Jaccard
+    // is a single merge pass (no per-pair hash sets)
     val withSh = docs.select(col("doc_id"), col("source"),
-      array_distinct(graft.functions.GraftFunctions
-        .text_shingles(tokens(col("text")), 3)).as("sh"))
+      array_sort(array_distinct(graft.functions.GraftFunctions
+        .text_shingles(tokens(col("text")), 3))).as("sh"))
       .filter(size(col("sh")) > 0)
     withSh.select(col("source"), col("doc_id").as("doc1"), col("sh").as("sh1"))
       .join(withSh.select(col("source"), col("doc_id").as("doc2"),
         col("sh").as("sh2")), Seq("source"))
       .filter(col("doc1") < col("doc2"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", graft.functions.GraftFunctions
+        .sorted_jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= minJaccard)
       .select("source", "doc1", "doc2", "jaccard")
   }
