@@ -145,11 +145,14 @@ object Relational {
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
-    ord.join(li,
-        col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-        "left_semi")
+    // EXISTS(l_shipdate > X) === max(l_shipdate) > X: pre-aggregate
+    // the fact side map-side (6B rows -> one row per order at scale)
+    // instead of semi-joining against the raw fact, which would
+    // build/broadcast the big side.
+    val lateBound = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("max_ship"))
+    ord.join(lateBound, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("max_ship") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
   }
