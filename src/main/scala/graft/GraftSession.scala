@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // The events table carries INT64(TIMESTAMP(NANOS)) which Spark 4
+      // rejects by default; session-wide opt-in (see Tables.events,
+      // which converts the raw nanos to native us precision).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

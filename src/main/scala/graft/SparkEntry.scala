@@ -171,8 +171,10 @@ object SparkEntry {
       Dedup.exact(docs(s, d)).orderBy("content_hash")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d)).orderBy("doc1", "doc2")),
+    // maxHamming=3: the largest radius at which 64-bit chunked simhash
+    // keeps sub-quadratic candidate selectivity (see Dedup.simhash)
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(docs(s, d), maxHamming = 8).orderBy("doc1", "doc2")),
+      Dedup.simhash(docs(s, d), maxHamming = 3).orderBy("doc1", "doc2")),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(embs(s, d), planes = 6, minCosine = 0.25)
         .orderBy("id1", "id2")),

@@ -12,8 +12,8 @@ import graft.functions.GraftFunctions
   * bucket key, pair within bucket":
   *  - MinHash-LSH: band-hash buckets (b bands of r rows; catches
   *    Jaccard >= ~(1/b)^(1/r) with high prob).
-  *  - SimHash: 4x16-bit chunk keys (pigeonhole: hamming<=3 pairs
-  *    share at least one chunk).
+  *  - SimHash: c equal-width chunk keys, c > maxHamming (pigeonhole:
+  *    hamming<=maxHamming pairs share at least one chunk).
   *  - Embeddings: random-hyperplane bucket key.
   * Over-full buckets (degenerate content) are handled by AQE skew
   * splitting; for adversarial data add a salt on the bucket key.
@@ -81,14 +81,32 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 64-bit simhash (custom codegen
-    * expression), candidate join on 16-bit chunk equality, exact
-    * hamming verify via bit_count(xor). */
+    * expression), candidate join on chunk equality, exact hamming
+    * verify via bit_count(xor).
+    *
+    * Recall guarantee (pigeonhole): a pair at hamming distance d
+    * shares at least one of c chunks iff d < c, so the chunk count
+    * is derived from `maxHamming` (4 chunks of 16 bits for d<=3,
+    * 8x8 for d<=7, 16x4 for d<=15). maxHamming must be < 16.
+    *
+    * Selectivity warning: bucket-key cardinality is 2^(64/c), so
+    * candidate volume grows as c x n^2 / 2^(64/c) — at 4-bit chunks
+    * (maxHamming 8..15) buckets have only 16 distinct values and
+    * candidate generation degenerates toward quadratic. For corpora
+    * at scale keep maxHamming <= 3 (the radius the published 64-bit
+    * simhash dedup design targets, cf. Manku et al. WWW'07); larger
+    * radii need a longer signature, not more chunks. */
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 16,
+      s"maxHamming=$maxHamming: 4-bit chunks only guarantee recall to 15")
+    val numChunks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
+    val width = 64 / numChunks
+    val mask = (1L << width) - 1
     val sigs = docs.select(col("doc_id"),
       GraftFunctions.simhash64(toks(col("text"))).as("sig"))
-    val chunkStructs = (0 until 4).map { c =>
+    val chunkStructs = (0 until numChunks).map { c =>
       struct(lit(c).as("chunk_id"),
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+        shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
           .as("chunk"))
     }
     val chunks = sigs.select(col("doc_id"), col("sig"),

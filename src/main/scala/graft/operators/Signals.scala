@@ -21,10 +21,16 @@ object Signals {
       s"cyclic signal dependency: ${cycle.mkString(" -> ")}")
 
   /** Column names referenced by a SQL expression, restricted to the
-    * candidate signal names (dependency edges). */
+    * candidate signal names (dependency edges). Parses with the real
+    * Catalyst parser and collects attribute references only, so
+    * function names (`abs(x)`) and words inside string literals never
+    * create spurious dependency edges. */
   private def refs(sql: String, candidates: Set[String]): Set[String] = {
-    val ident = "[A-Za-z_][A-Za-z0-9_]*".r
-    ident.findAllIn(sql).toSet.intersect(candidates)
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    CatalystSqlParser.parseExpression(sql).collect {
+      case a: UnresolvedAttribute => a.nameParts.last
+    }.toSet.intersect(candidates)
   }
 
   /** Topological order of signal definitions; throws on cycles with

@@ -98,7 +98,14 @@ object TopK {
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
   }
 
-  /** Top-k rows per group, ascending=false for "largest first". */
+  /** Top-k rows per group, ascending=false for "largest first".
+    *
+    * `orderCol` MUST be a total order over each group's rows (e.g.
+    * include a unique id as the final tiebreak, as the row_number
+    * reference form would): at the k-boundary the heap keeps the
+    * first-arrived row among order-ties, so a non-total ordering
+    * produces run-dependent output across partitionings/retries.
+    * Wrap compound orders as `struct(primary, tiebreak)`. */
   def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column,
                    k: Int, ascending: Boolean = false): DataFrame = {
     val spark = df.sparkSession

@@ -46,9 +46,17 @@ object Tables {
   /** events.parquet carries ns-precision timestamps, which Spark 4
     * rejects by default; read them as raw nanos and floor to the
     * engine's native us precision (integer `div`, no double rounding).
-    */
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which
+    * GraftSession sets at construction. It is session-wide (it changes
+    * how ANY ns-precision parquet column in the session is surfaced,
+    * long instead of error), so it is deliberately NOT mutated here as
+    * a read side effect; sessions built elsewhere must opt in
+    * themselves. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is ns-precision: build the session with " +
+        "GraftSession.builder() or set spark.sql.legacy.parquet.nanosAsLong=true")
     load(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
