@@ -111,6 +111,20 @@ object SparkEntry {
     "rx_group_by" -> ((s, d) =>
       Reactive.rxGroupBy(ev(s, d)).withColumn("total", col("total").cast("double"))
         .orderBy("event_type")),
+    "rx_buffer_time" -> ((s, d) =>
+      Reactive.rxBufferTime(ev(s, d))
+        .withColumn("buf_sum", col("buf_sum").cast("double"))
+        .orderBy("user_id", "bucket_ms")),
+    "rx_repeat" -> ((s, d) =>
+      Reactive.rxRepeat(ev(s, d)).orderBy("iteration", "event_id")),
+    "rx_retry" -> ((s, d) => Reactive.rxRetry(ev(s, d)).orderBy("event_id")),
+    "rx_sequence_equal" -> ((s, d) =>
+      Reactive.rxSequenceEqual(ev(s, d)).orderBy("user_id")),
+    "rx_interval_join" -> ((s, d) =>
+      Reactive.rxIntervalJoin(ev(s, d))
+        .orderBy("purchase_event_id", "click_event_id")),
+    "asof_join" -> ((s, d) =>
+      AsOf.purchasesWithLatestClick(ev(s, d)).orderBy("event_id")),
     "rx_on_error_resume" -> ((s, d) =>
       Reactive.rxOnErrorResume(ev(s, d))
         .orderBy("user_id", "event_id", "event_type")),
@@ -154,6 +168,26 @@ object SparkEntry {
       Relational.qPercentiles(s, d).orderBy("l_returnflag")),
     "q4_late_orders" -> ((s, d) =>
       Relational.q4LateOrders(s, d).orderBy("o_orderpriority")),
+    "q7_volume_shipping" -> ((s, d) =>
+      Relational.q7VolumeShipping(s, d)
+        .withColumn("revenue", col("revenue").cast("double"))
+        .orderBy("supp_nation", "cust_nation", "l_year")),
+    "q8_market_share" -> ((s, d) =>
+      Relational.q8MarketShare(s, d).orderBy("o_year")),
+    "q9_profit" -> ((s, d) =>
+      Relational.q9Profit(s, d)
+        .withColumn("sum_profit", col("sum_profit").cast("double"))
+        .orderBy("n_name", "o_year")),
+    "q10_returned_items" -> ((s, d) =>
+      Relational.q10ReturnedItems(s, d)
+        .withColumn("revenue", col("revenue").cast("double"))),
+    "q12_priority_share" -> ((s, d) =>
+      Relational.q12PriorityShare(s, d).orderBy("l_linestatus")),
+    "q14_promo" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q22_idle_customers" -> ((s, d) =>
+      Relational.q22IdleCustomers(s, d).orderBy("c_nationkey")),
     // same semantics as q_topk_per_group, via the custom heap-based
     // physical operator (graft.plans.TopKPerGroupExec)
     "q_topk_custom" -> ((s, d) => {
@@ -191,6 +225,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     // ---- §2.8 text analysis + multimodal ----
     "text_quality" -> ((s, d) =>
       TextAnalysis.textQuality(docs(s, d)).orderBy("doc_id")),
@@ -203,6 +243,8 @@ object SparkEntry {
     "text_ngram_jaccard" -> ((s, d) =>
       TextAnalysis.ngramJaccard(docs(s, d))
         .orderBy("source", "doc1", "doc2")),
+    "pipeline_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilterPipeline(docs(s, d)).orderBy("doc_id")),
     "multimodal_features" -> ((s, d) =>
       Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id"))
   )
@@ -466,6 +508,63 @@ object SparkEntry {
         |   list_slice(list_sort(list(event_id)), 1, 20),
         |   x -> CAST(x AS VARCHAR)), ',') AS first_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rx_buffer_time" ->
+      """SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        | count(*) AS buf_n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS buf_sum,
+        | min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_ms""".stripMargin,
+    "rx_repeat" ->
+      """SELECT u.iteration, event_id, user_id, value
+        |FROM events, unnest(generate_series(0, 2)) AS u(iteration)
+        |ORDER BY iteration, event_id""".stripMargin,
+    "rx_retry" ->
+      """SELECT event_id, user_id, event_type, value,
+        | CAST(n_errors AS BIGINT) AS n_errors FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_errors
+        | FROM events)
+        |WHERE n_errors <= 2 OR (n_errors = 3 AND event_type = 'error')
+        |ORDER BY event_id""".stripMargin,
+    "rx_sequence_equal" ->
+      """WITH a AS (
+        | SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx,
+        |  CAST(floor(value/50) AS BIGINT) AS bucket_a
+        | FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        | SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS idx,
+        |  CAST(floor(value/50) AS BIGINT) AS bucket_b
+        | FROM events WHERE event_type = 'view')
+        |SELECT user_id, count(bucket_a) AS n_a, count(bucket_b) AS n_b,
+        | bool_and(bucket_a IS NOT NULL AND bucket_b IS NOT NULL
+        |          AND bucket_a = bucket_b) AS seq_equal
+        |FROM a FULL JOIN b USING (user_id, idx)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_event_id,
+        | c.event_id AS click_event_id,
+        | epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000
+        | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+        |ORDER BY purchase_event_id, click_event_id""".stripMargin,
+    "asof_join" ->
+      """SELECT event_id, user_id, purchase_value, click_event_id, click_value
+        |FROM (
+        | SELECT event_id, user_id, event_type, value AS purchase_value,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |   OVER w AS click_event_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER w AS click_value
+        | FROM events WHERE event_type IN ('click','purchase')
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "rx_on_error_resume" ->
       """WITH fe AS (
         | SELECT user_id, min(event_id) AS err_id FROM events
@@ -578,6 +677,117 @@ object SparkEntry {
         |   WHERE l_orderkey = o_orderkey
         |   AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        | AND l_suppkey = s_suppkey
+        | AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        | AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+        |FROM (
+        | SELECT o_orderdate, l_extendedprice, l_discount,
+        |  n1.n_name AS supp_nation
+        | FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+        | WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |   - p_retailprice*l_quantity*0.5 AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem, orders, supplier, part, nation
+        |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        | AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+        | AND p_type = 'STANDARD'
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND c_nationkey = n_nationkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_priority_share" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        | AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        | CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        | 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        | AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | epoch_ms(o_orderdate) AS o_orderdate_ms, o_totalprice,
+        | CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |   AND l_quantity BETWEEN 1 AND 20) OR
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |   AND l_quantity BETWEEN 10 AND 30) OR
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |   AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*)
+        |  FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.5) AS p50,
@@ -675,6 +885,21 @@ object SparkEntry {
         |   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
         |   ELSE 'de' END AS predicted_lang
         | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_filter" ->
+      """SELECT doc_id, lang, n_tokens, uniq_ratio, quality_score FROM (
+        | SELECT doc_id, lang,
+        |  len(string_split(lower(text), ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+        |  len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS n_stop,
+        |  CAST(n_uniq AS DOUBLE)/n_tokens AS uniq_ratio,
+        |  (CAST(n_uniq AS DOUBLE)/n_tokens)*0.6
+        |   + (1.0 - CAST(n_stop AS DOUBLE)/n_tokens)*0.4 AS quality_score,
+        |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+        | FROM documents)
+        |WHERE doc_id = keep_id AND n_tokens BETWEEN 5 AND 1000
+        | AND uniq_ratio >= 0.3
         |ORDER BY doc_id""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -348,6 +348,77 @@ object Reactive {
         slice(array_sort(collect_list(col("event_id"))), 1, 20))
         .as("first_ids"))
 
+  /** Rx `buffer(time)`: time-bucketed batches per key (the time twin
+    * of bufferCount — a plain grouped aggregate, fully partial-agg
+    * map-side). */
+  def rxBufferTime(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("buf_n"), sum(dec(col("value"))).as("buf_sum"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+      .select(col("user_id"), unix_millis(col("bucket")).as("bucket_ms"),
+        col("buf_n"), col("buf_sum"), col("first_event_id"),
+        col("last_event_id"))
+
+  /** Rx `repeat(n)`: replay the whole stream n times; the iteration
+    * index becomes the outer order key. Generator explode — narrow,
+    * no shuffle. */
+  def rxRepeat(events: DataFrame, n: Int = 3): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        explode(sequence(lit(0L), lit(n - 1L))).as("iteration"))
+      .select("iteration", "event_id", "user_id", "value")
+
+  /** Rx `retry(n)`: replay through the first n errors per key; the
+    * (n+1)-th error is terminal (emitted as the closing element,
+    * everything after it dropped). Running error count — one
+    * shuffle, no join. */
+  def rxRetry(events: DataFrame, n: Int = 2): DataFrame =
+    events
+      .withColumn("n_errors",
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .filter(col("n_errors") <= n ||
+        (col("n_errors") === n + 1 && col("event_type") === "error"))
+      .select("event_id", "user_id", "event_type", "value", "n_errors")
+
+  /** Rx `sequenceEqual`: per key, do the purchase and view streams
+    * carry the same value-bucket sequence? Full outer join on the
+    * occurrence index (any length mismatch yields an unmatched side),
+    * then a per-key conjunction. */
+  def rxSequenceEqual(events: DataFrame): DataFrame = {
+    def indexed(t: String, bucketName: String) =
+      events.filter(col("event_type") === t)
+        .withColumn("idx", row_number().over(byUser))
+        .select(col("user_id"), col("idx"),
+          floor(col("value") / 50).cast("long").as(bucketName))
+    indexed("purchase", "bucket_a")
+      .join(indexed("view", "bucket_b"), Seq("user_id", "idx"), "full_outer")
+      .groupBy("user_id")
+      .agg(count(col("bucket_a")).as("n_a"), count(col("bucket_b")).as("n_b"),
+        expr("bool_and(bucket_a IS NOT NULL AND bucket_b IS NOT NULL " +
+          "AND bucket_a = bucket_b)").as("seq_equal"))
+  }
+
+  /** Rx window join (interval join): each purchase pairs with every
+    * click of the same key in the trailing 10-minute window. Equi-key
+    * + range predicate: the join shuffles on user_id only, the range
+    * is evaluated in-partition — never a time-bucket cross product. */
+  def rxIntervalJoin(events: DataFrame, windowMs: Long = 600000L): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        unix_millis(col("ts")).as("p_ms"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_event_id"),
+        unix_millis(col("ts")).as("c_ms"))
+    p.join(c, col("user_id") === col("c_user_id") &&
+        col("c_ms") >= col("p_ms") - windowMs && col("c_ms") <= col("p_ms"))
+      .select(col("user_id"), col("purchase_event_id"), col("click_event_id"),
+        (col("p_ms") - col("c_ms")).as("gap_ms"))
+  }
+
   /** Rx `onErrorResumeNext`: truncate each key's stream at its first
     * error and splice in a fallback element. */
   def rxOnErrorResume(events: DataFrame): DataFrame = {

@@ -176,4 +176,222 @@ object Relational {
           .orderBy(col("s_acctbal").desc, col("s_suppkey"))))
       .filter(col("rn") === 1)
       .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal")
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nations per
+    * year. Supplier/customer sides pre-filtered to the two nations
+    * before broadcasting; lineitem⋈orders stays a fact-fact shuffle
+    * join on the order key (the only non-broadcast join — correct at
+    * any scale; bucket both facts on the order key for a co-located
+    * deploy). */
+  def q7VolumeShipping(s: SparkSession, dir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q8 shape: one nation's market share of a region's order
+    * revenue per year. Share = exact-decimal conditional sum over
+    * exact-decimal total, divided as doubles (order-independent). */
+  def q8MarketShare(s: SparkSession, dir: String,
+                    shareNation: String = "NATION_3",
+                    region: String = "ASIA"): DataFrame = {
+    val custNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(custNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val volume = dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    // lineitem⋈orders is fact-fact: shuffle join on the order key
+    // (AQE broadcasts at small SF; bucketing co-locates it on a cluster)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === shareNation, volume)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+          .as("nation_revenue"),
+        sum(volume).cast("double").as("total_revenue"),
+        (sum(when(col("supp_nation") === shareNation, volume)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(volume).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9 shape: profit by supplier nation and year. Cost model
+    * adapted to the available columns (no partsupp table in this
+    * schema): cost = 0.5 * p_retailprice * l_quantity. */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "n_name")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.5)))
+        .as("sum_profit"))
+  }
+
+  /** TPC-H Q10 shape: top customers by revenue lost to returns. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (no shipmode column in this schema): per
+    * linestatus, how many shipped lines belong to critical- vs
+    * normal-priority orders. Fact-fact join + conditional counts. */
+  def q12PriorityShare(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0)).cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+          .otherwise(1)).cast("long").as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val volume = dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", volume)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+          .as("promo_revenue"),
+        sum(volume).cast("double").as("total_revenue"),
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", volume)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(volume).cast("double")).as("promo_pct"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders (HAVING over a fact
+    * pre-aggregation, then enrich). The lineitem aggregate runs
+    * map-side first, so the join probe is one row per qualifying
+    * order, not the raw fact. */
+  def q18LargeOrders(s: SparkSession, dir: String,
+                     minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC"))
+          .as("o_orderdate_ms"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape: disjunction of brand/size/quantity bands — one
+    * broadcast join, whole predicate evaluated post-join (Catalyst
+    * extracts the common l_quantity bounds for scan pushdown). */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(
+        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape: idle high-balance customers — scalar-subquery
+    * average (exact decimal mean) + anti join against orders. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val ordKeys = Tables.orders(s, dir).select("o_custkey")
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+  }
 }

@@ -32,6 +32,53 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** IVF (inverted-file) ANN: the corpus is coarse-quantized to its
+    * nearest of `nlist` centroids; each query probes only the
+    * `nprobe` nearest centroid lists. The second classic ANN scale
+    * path next to LSH: recall is tuned by nprobe instead of
+    * hamming-probe width, and list sizes adapt to the data
+    * distribution (LSH buckets don't).
+    *
+    * Centroids here are the `nlist` lowest-id corpus vectors —
+    * deterministic and cheap; swap in k-means iterations offline for
+    * better list balance (the plan shape is identical). Assignment is
+    * a broadcast of nlist centroid rows against one corpus scan with
+    * a map-side-partial max_by — the corpus shuffles once, as (id,
+    * vector, centroid) — and the probe join shuffles only candidate
+    * lists matching a query probe. */
+  def ivfTopK(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
+              nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val centroids = embs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = embs.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("centroid_id"), struct(col("c_sim"), -col("centroid_id")))
+          .as("centroid_id"),
+        first(col("embedding")).as("embedding"))
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", GraftFunctions.cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "q_emb", "centroid_id")
+    assigned.join(broadcast(qprobes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * random-hyperplane LSH bucket plus every bucket within hamming
     * distance 1 (multi-probe: planes+1 probes per query — the
