@@ -83,6 +83,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("asof join is a single shuffle, never a physical join") {
+    val p = plan(AsOf.purchasesWithLatestClick(Tables.events(spark, sf)))
+    assert(!p.contains("Join"), s"asof must not plan a join:\n$p")
+    val hashExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"expected 1 user_id exchange:\n$p")
+  }
+
+  test("ngram jaccard posting join never carries shingle arrays or a cartesian") {
+    val p = plan(TextAnalysis.ngramJaccard(Tables.documents(spark, sf)))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the posting-list self-join shuffles (source, hash, id) triples;
+    // the shingle strings must stay inside the scan stage
+    val joinExchangeCarriesStrings =
+      "Exchange hashpartitioning\\(source[^\\n]*sh#".r.findFirstIn(p)
+    assert(joinExchangeCarriesStrings.isEmpty,
+      s"shingle payload rides the join shuffle:\n$p")
+  }
+
+  test("q7/q9: nation/supplier/customer dims broadcast, single fact-fact shuffle join") {
+    // q7 selects an empty nation pair at sf0.001 (AQE collapses the
+    // whole plan to EmptyRelation), so probe it at sf0.01
+    for (df <- Seq(Relational.q7VolumeShipping(spark, "/root/testdata/sf0.01"),
+                   Relational.q9Profit(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"))
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("pipeline_filter is one scan with one shuffle (content-hash window)") {
+    val p = plan(TextAnalysis.qualityFilterPipeline(Tables.documents(spark, sf)))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 exchange:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"expected exactly 1 scan:\n$p")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf).select(
       graft.functions.GraftFunctions.simhash64(split(lower(col("text")), " "))))
