@@ -153,6 +153,63 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming withLatestFrom / as-of enrichment: each primary-type
+    * element is emitted with the latest-seen secondary-type value of
+    * its key (the unbounded form of [[graft.operators.AsOf]]). State
+    * per key = one (event_id, value) pair — O(active keys). */
+  case class Enriched(event_id: Long, user_id: Long, value: Double,
+                      asof_event_id: Option[Long], asof_value: Option[Double])
+  def withLatestFrom(spark: SparkSession, events: DataFrame,
+                     primary: String = "purchase",
+                     secondary: String = "click"): Dataset[Enriched] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .filter(e => e.event_type == primary || e.event_type == secondary)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          var latest = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Enriched]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (e.event_type == secondary) latest = Some((e.event_id, e.value))
+            else out += Enriched(e.event_id, uid, e.value,
+              latest.map(_._1), latest.map(_._2))
+          }
+          latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming running top-k per key: bounded k-element state, the
+    * unbounded twin of [[graft.plans.TopKPerGroup]]. Emits each key's
+    * refreshed top-k whenever a batch touches it (update-mode
+    * semantics); state is O(keys x k) regardless of stream length. */
+  case class TopKRow(user_id: Long, rank: Int, event_id: Long, value: Double)
+  def runningTopK(spark: SparkSession, events: DataFrame, k: Int = 3)
+      : Dataset[TopKRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Double, Long)], TopKRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[Seq[(Double, Long)]]) =>
+          // keep the k largest (value, event_id) pairs; event_id is
+          // the deterministic tiebreak (total order)
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(merged)
+          merged.zipWithIndex.map { case ((v, id), i) =>
+            TopKRow(uid, i + 1, id, v)
+          }.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id,
     * with watermark-bounded state (the unbounded-input form of
     * Dedup.exact). */

@@ -110,4 +110,43 @@ class StreamingSpec extends AnyFunSuite {
     // user 2: purchase ev5 at 0min, click ev6 at 30min => within 30min window
     assert(got === Set((5L, 6L)))
   }
+
+  test("streaming withLatestFrom enriches purchases with the latest click") {
+    val got = run(df =>
+        ReactiveStreams.withLatestFrom(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("asof_event_id")).map(_.asInstanceOf[Long])))
+      .toSet
+    // user 2: purchase ev5 precedes any click => None;
+    //         purchase ev7 follows click ev6 => Some(6)
+    assert(got === Set((5L, None), (7L, Some(6L))))
+  }
+
+  test("streaming running top-k converges to the batch top-k per key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"topk_${System.nanoTime()}"
+    val q = ReactiveStreams.runningTopK(spark, mem.toDF(), k = 2).toDF()
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("update").start()
+    try {
+      // two batches: the second displaces part of the first's top-k
+      mem.addData(sample.take(4)); q.processAllAvailable()
+      mem.addData(sample.drop(4)); q.processAllAvailable()
+      // memory sink in update mode appends refreshed rows; the final
+      // state per (user, rank) is the last row written
+      val finalRows = spark.table(qName)
+        .withColumn("seq", monotonically_increasing_id())
+        .orderBy(col("seq").desc).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("rank")) ->
+          r.getAs[Long]("event_id"))
+        .distinct.groupBy(_._1).map { case (k2, v) => k2 -> v.head._2 }
+      // user 1 values: 10,11,12,13,14 => top2 = ev4(14), ev3(13)
+      assert(finalRows((1L, 1)) === 4L && finalRows((1L, 2)) === 3L)
+      // user 2 values: 20,21,22 => top2 = ev7(22), ev6(21)
+      assert(finalRows((2L, 1)) === 7L && finalRows((2L, 2)) === 6L)
+    } finally q.stop()
+  }
 }
