@@ -111,6 +111,12 @@ object SparkEntry {
     "rx_group_by" -> ((s, d) =>
       Reactive.rxGroupBy(ev(s, d)).withColumn("total", col("total").cast("double"))
         .orderBy("event_type")),
+    "rx_take_last" -> ((s, d) =>
+      Reactive.rxTakeLast(ev(s, d)).orderBy("event_id")),
+    "rx_skip_last" -> ((s, d) =>
+      Reactive.rxSkipLast(ev(s, d)).orderBy("event_id")),
+    "rx_all_any" -> ((s, d) =>
+      Reactive.rxAllAny(ev(s, d)).orderBy("user_id")),
     "rx_buffer_time" -> ((s, d) =>
       Reactive.rxBufferTime(ev(s, d))
         .withColumn("buf_sum", col("buf_sum").cast("double"))
@@ -508,6 +514,25 @@ object SparkEntry {
         |   list_slice(list_sort(list(event_id)), 1, 20),
         |   x -> CAST(x AS VARCHAR)), ',') AS first_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rx_take_last" ->
+      """SELECT event_id, user_id, rn_desc FROM (
+        | SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn_desc
+        | FROM events)
+        |WHERE rn_desc <= 5 ORDER BY event_id""".stripMargin,
+    "rx_skip_last" ->
+      """SELECT event_id, user_id, rn_desc FROM (
+        | SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn_desc
+        | FROM events)
+        |WHERE rn_desc > 5 ORDER BY event_id""".stripMargin,
+    "rx_all_any" ->
+      """SELECT user_id,
+        | bool_and(value < 400.0) AS all_below,
+        | bool_or(event_type = 'error') AS any_error,
+        | bool_or(event_type = 'purchase' AND value > 300.0) AS contains_big_purchase,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) = 0 AS purchases_empty
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "rx_buffer_time" ->
       """SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         | count(*) AS buf_n,

@@ -348,6 +348,36 @@ object Reactive {
         slice(array_sort(collect_list(col("event_id"))), 1, 20))
         .as("first_ids"))
 
+  /** Rx `takeLast(n)`: the last n elements per key (descending
+    * row_number — same single-shuffle shape as take). */
+  def rxTakeLast(events: DataFrame, n: Int = 5): DataFrame =
+    events
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn_desc") <= n)
+      .select(col("event_id"), col("user_id"),
+        col("rn_desc").cast("long").as("rn_desc"))
+
+  /** Rx `skipLast(n)`: everything but the last n per key. */
+  def rxSkipLast(events: DataFrame, n: Int = 5): DataFrame =
+    events
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn_desc") > n)
+      .select(col("event_id"), col("user_id"),
+        col("rn_desc").cast("long").as("rn_desc"))
+
+  /** Rx predicate aggregates — `all` / `any` / `contains` /
+    * `isEmpty` per key, one partial-aggregable pass. */
+  def rxAllAny(events: DataFrame, limit: Double = 400.0): DataFrame =
+    events.groupBy("user_id").agg(
+      expr(s"bool_and(value < $limit)").as("all_below"),
+      expr("bool_or(event_type = 'error')").as("any_error"),
+      expr("bool_or(event_type = 'purchase' AND value > 300.0)")
+        .as("contains_big_purchase"),
+      (count(when(col("event_type") === "purchase", 1)) === 0)
+        .as("purchases_empty"))
+
   /** Rx `buffer(time)`: time-bucketed batches per key (the time twin
     * of bufferCount — a plain grouped aggregate, fully partial-agg
     * map-side). */
