@@ -192,6 +192,14 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q13_order_distribution" -> ((s, d) =>
+      Relational.q13OrderDistribution(s, d).orderBy("c_count")),
+    "q15_top_supplier" -> ((s, d) =>
+      Relational.q15TopSupplier(s, d).orderBy("s_suppkey")),
+    "q16_supplier_counts" -> ((s, d) =>
+      Relational.q16SupplierCounts(s, d)
+        .orderBy("p_brand", "p_type", "p_size")),
+    "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(s, d)),
     "q22_idle_customers" -> ((s, d) =>
       Relational.q22IdleCustomers(s, d).orderBy("c_nationkey")),
     // same semantics as q_topk_per_group, via the custom heap-based
@@ -804,6 +812,48 @@ object SparkEntry {
         |   AND l_quantity BETWEEN 10 AND 30) OR
         |  (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |   AND l_quantity BETWEEN 20 AND 40))""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        | GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev, supplier
+        |WHERE l_suppkey = s_suppkey
+        | AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps, part
+        |WHERE l_partkey = p_partkey AND p_brand <> 'Brand#5'
+        | AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        | AND l_suppkey NOT IN (
+        |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY p_brand, p_type, p_size""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (
+        | SELECT l_partkey, l_quantity, l_extendedprice
+        | FROM lineitem, part
+        | WHERE l_partkey = p_partkey AND p_brand = 'Brand#4'),
+        |av AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty
+        | FROM li GROUP BY l_partkey)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0 AS avg_yearly
+        |FROM li JOIN av USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal

@@ -379,6 +379,80 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q13 shape: distribution of order counts per customer
+    * (left join so zero-order customers land in bucket 0), with a
+    * priority exclusion standing in for Q13's comment filter. */
+  def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    * revenue — pre-agg per supplier, scalar-subquery max, equi-filter.
+    * Exact decimal revenue makes the max comparison bit-stable. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16 shape: how many distinct suppliers serve each
+    * (brand, type, size) bucket. No partsupp table in this schema —
+    * the part-supplier relation is derived from lineitem's
+    * (l_partkey, l_suppkey) pairs (distinct before the dim join);
+    * suppliers in deficit (s_acctbal < 0) are excluded by anti join,
+    * standing in for Q16's complaints filter. */
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    ps.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 shape: revenue impact of small-quantity lines — the
+    * correlated per-part average done as a brand-restricted pre-agg
+    * re-joined to the same restricted fact (two passes over the
+    * narrowed fact, never the raw one). */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir).filter(col("p_brand") === "Brand#4")
+      .select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy("p_partkey")
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+        .as("avg_qty"))
+    li.join(avgQty, Seq("p_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
   /** TPC-H Q22 shape: idle high-balance customers — scalar-subquery
     * average (exact decimal mean) + anti join against orders. */
   def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
