@@ -226,6 +226,15 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(embs(s, d), planes = 6, minCosine = 0.25)
         .orderBy("id1", "id2")),
+    // clusters over the deterministic exact-Jaccard pair set (the LSH
+    // pair sets are hash-dependent, so the gated variant uses the
+    // oracle-reproducible edges)
+    "dedup_cluster" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.connectedComponents(
+        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
+        .orderBy("doc_id")
+    }),
     // ---- §2.7 similarity search ----
     "ann_bruteforce" -> ((s, d) => {
       val e = embs(s, d)
@@ -259,6 +268,11 @@ object SparkEntry {
         .orderBy("source", "doc1", "doc2")),
     "pipeline_filter" -> ((s, d) =>
       TextAnalysis.qualityFilterPipeline(docs(s, d)).orderBy("doc_id")),
+    "pipeline_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(docs(s, d)).orderBy("doc_id")),
+    "text_term_stats" -> ((s, d) =>
+      TextAnalysis.termStats(docs(s, d)).orderBy(col("doc_freq").desc,
+        col("term"))),
     "multimodal_features" -> ((s, d) =>
       Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id"))
   )
@@ -933,6 +947,44 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
         |ORDER BY a.source, doc1, doc2""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |edges AS (
+        | SELECT doc1 AS a, doc2 AS b FROM pairs
+        | UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a)
+        |SELECT node AS doc_id, min(lab) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "pipeline_sample" ->
+      """SELECT doc_id, lang, h FROM (
+        | SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        | FROM documents)
+        |WHERE (lang = 'en' AND h IN ('0','1','2','3','4','5','6','7'))
+        |   OR (lang <> 'en' AND h IN ('0','1'))
+        |ORDER BY doc_id""".stripMargin,
+    "text_term_stats" ->
+      """SELECT term, count(*) AS doc_freq FROM (
+        | SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        | FROM documents)
+        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, labeled_lang, predicted_lang,
         | greatest(s_de, s_en, s_es, s_fr, s_zh) AS confidence

@@ -125,6 +125,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair set: the step that
+    * turns pairwise matches into dedup clusters (every doc gets the
+    * min doc_id of its component as cluster id; cluster_id == doc_id
+    * marks the canonical survivor).
+    *
+    * Iterative min-label propagation: each round joins the current
+    * labels across the symmetric edge set and keeps the per-node min.
+    * Rounds needed = graph diameter (near-dup components are shallow;
+    * maxIter bounds adversarial chains). Each round is one join + one
+    * groupBy — all shuffles on the node id, so a cluster deploy
+    * co-partitions them; `localCheckpoint` truncates the growing
+    * lineage. This is the documented-at-scale alternative to a
+    * driver-side union-find, which would need the full edge set on
+    * one machine. (For power-law graphs swap in large-star/small-star
+    * rounds; near-dup graphs don't need it.)
+    *
+    * The convergence check is an action per round by design —
+    * iterative fixpoints are the one place the "no actions inside
+    * operators" rule gives way. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col("doc_id").as("node"),
+      col("doc_id").as("label")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
     * (custom codegen expression) within bucket. */
   def embeddingNearDup(embs: DataFrame, planes: Int = 8,

@@ -82,6 +82,25 @@ class Round2Spec extends AnyFunSuite {
     assert(out.filter(col("gap_ms") < 0 || col("gap_ms") > 600000L).count() === 0)
   }
 
+  test("connected components merges chains and leaves singletons alone") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {5,6}; {7} alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("doc1", "doc2")
+    val nodes = (1L to 7L).toDF("doc_id")
+    val got = graft.operators.Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("stratified sample keeps strata rates deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextAnalysis.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(s1 === s2 && s1.nonEmpty)
+  }
+
   test("qualityFilterPipeline output is deduped and within thresholds") {
     val docs = Tables.documents(spark, sf)
     val out = TextAnalysis.qualityFilterPipeline(docs).cache()
