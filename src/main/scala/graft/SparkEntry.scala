@@ -129,6 +129,12 @@ object SparkEntry {
     "rx_interval_join" -> ((s, d) =>
       Reactive.rxIntervalJoin(ev(s, d))
         .orderBy("purchase_event_id", "click_event_id")),
+    "rx_window_boundary" -> ((s, d) =>
+      Reactive.rxWindowBoundary(ev(s, d))
+        .withColumn("win_sum", col("win_sum").cast("double"))
+        .orderBy("user_id", "window_id")),
+    "rx_group_join" -> ((s, d) =>
+      Reactive.rxGroupJoin(ev(s, d)).orderBy("purchase_event_id")),
     "asof_join" -> ((s, d) =>
       AsOf.purchasesWithLatestClick(ev(s, d)).orderBy("event_id")),
     "rx_on_error_resume" -> ((s, d) =>
@@ -600,6 +606,30 @@ object SparkEntry {
         | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000
         | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
         |ORDER BY purchase_event_id, click_event_id""".stripMargin,
+    "rx_window_boundary" ->
+      """SELECT user_id, window_id, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_sum,
+        | min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        |FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  coalesce(last_value(CASE WHEN event_type = 'signup' THEN event_id END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS window_id
+        | FROM events)
+        |WHERE event_type <> 'signup'
+        |GROUP BY user_id, window_id ORDER BY user_id, window_id""".stripMargin,
+    "rx_group_join" ->
+      """SELECT user_id, purchase_event_id, count(*) AS n_clicks,
+        | array_to_string(list_sort(list(click_event_id)), ',') AS click_ids
+        |FROM (
+        | SELECT p.user_id, p.event_id AS purchase_event_id,
+        |  c.event_id AS click_event_id
+        | FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000
+        |  AND epoch_ms(c.ts) <= epoch_ms(p.ts))
+        |GROUP BY user_id, purchase_event_id
+        |ORDER BY purchase_event_id""".stripMargin,
     "asof_join" ->
       """SELECT event_id, user_id, purchase_value, click_event_id, click_value
         |FROM (

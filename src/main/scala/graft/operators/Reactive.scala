@@ -449,6 +449,36 @@ object Reactive {
         (col("p_ms") - col("c_ms")).as("gap_ms"))
   }
 
+  /** Rx `window(boundaries)`: windows are opened by a second
+    * (boundary) stream — here each signup starts a new window for its
+    * key; events before the first signup fall in window -1. The
+    * boundary id is a running last_value (same single-shuffle lattice
+    * as switchMap), then a plain grouped aggregate. */
+  def rxWindowBoundary(events: DataFrame): DataFrame =
+    events
+      .withColumn("window_id",
+        coalesce(
+          last(when(col("event_type") === "signup", col("event_id")),
+            ignoreNulls = true)
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)),
+          lit(-1L)))
+      .filter(col("event_type") =!= "signup")
+      .groupBy("user_id", "window_id")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("win_sum"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+
+  /** Rx `groupJoin`: each purchase collects the clicks of its key in
+    * the trailing window as one group (vs. intervalJoin's flat
+    * pairs). Group membership is deterministic; the member list is
+    * emitted sorted so results are order-stable. */
+  def rxGroupJoin(events: DataFrame, windowMs: Long = 600000L): DataFrame =
+    rxIntervalJoin(events, windowMs)
+      .groupBy("user_id", "purchase_event_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        concat_ws(",", array_sort(collect_list(col("click_event_id"))))
+          .as("click_ids"))
+
   /** Rx `onErrorResumeNext`: truncate each key's stream at its first
     * error and splice in a fallback element. */
   def rxOnErrorResume(events: DataFrame): DataFrame = {

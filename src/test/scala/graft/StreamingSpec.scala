@@ -111,6 +111,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((5L, 6L)))
   }
 
+  test("watermark drops late data from finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"late_${System.nanoTime()}"
+    val q = ReactiveStreams.windowedAgg(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(0, ts(10), 1, "click", 1.0)); q.processAllAvailable()
+      // advance the watermark far past the first window...
+      mem.addData(Ev(1, ts(600), 1, "click", 1.0)); q.processAllAvailable()
+      // ...then send an event INTO the finalized first window: late,
+      // must be dropped, and must not re-open the emitted window
+      mem.addData(Ev(2, ts(20), 1, "click", 99.0)); q.processAllAvailable()
+      mem.addData(Ev(3, ts(1200), 1, "click", 1.0)); q.processAllAvailable()
+      val firstWindow = spark.table(qName)
+        .filter(col("win_start") === ts(0)).collect()
+      assert(firstWindow.length === 1)
+      assert(firstWindow.head.getAs[Long]("n") === 1,
+        "late event leaked into a finalized window")
+    } finally q.stop()
+  }
+
   test("streaming withLatestFrom enriches purchases with the latest click") {
     val got = run(df =>
         ReactiveStreams.withLatestFrom(spark, df).toDF())
