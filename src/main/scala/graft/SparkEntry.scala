@@ -80,6 +80,14 @@ object SparkEntry {
       Reactive.rxSlidingCountWindow(ev(s, d))
         .withColumn("window_sum", col("window_sum").cast("double"))
         .orderBy("event_id")),
+    "rx_sliding_time_window" -> ((s, d) =>
+      Reactive.rxSlidingTimeWindow(ev(s, d))
+        .withColumn("window_sum", col("window_sum").cast("double"))
+        .orderBy("event_id")),
+    "rx_buffer_count_skip" -> ((s, d) =>
+      Reactive.rxBufferCountSkip(ev(s, d))
+        .withColumn("batch_sum", col("batch_sum").cast("double"))
+        .orderBy("user_id", "batch_id")),
     "rx_window_tumbling" -> ((s, d) =>
       Reactive.rxWindowTumbling(ev(s, d))
         .withColumn("win_sum", col("win_sum").cast("double"))
@@ -454,6 +462,27 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "rx_sliding_time_window" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS window_sum,
+        | count(*) OVER w AS window_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "rx_buffer_count_skip" ->
+      """SELECT user_id, u.batch_id, count(*) AS batch_n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_sum,
+        | min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        |FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pos
+        | FROM events),
+        | unnest(generate_series(
+        |   greatest(0, CAST(ceil((pos - 9)/5.0) AS BIGINT)),
+        |   CAST(floor(pos/5.0) AS BIGINT))) AS u(batch_id)
+        |GROUP BY user_id, u.batch_id
+        |ORDER BY user_id, batch_id""".stripMargin,
     "rx_window_tumbling" ->
       """SELECT (epoch_ms(ts)//3600000)*3600000 AS win_start_ms, event_type,
         | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_sum

@@ -243,6 +243,39 @@ object Reactive {
       count(lit(1)).over(byUser.rowsBetween(-(n - 1), 0)).as("window_n"),
       max(col("value")).over(byUser.rowsBetween(-(n - 1), 0)).as("window_max"))
 
+  /** Time-based sliding window per element: aggregate over the
+    * trailing `windowMs` at every event — a RANGE frame over epoch
+    * ms (value-based bounds, so tied timestamps share one frame),
+    * vs. the ROWS frame of rxSlidingCountWindow. Still one shuffle. */
+  def rxSlidingTimeWindow(events: DataFrame, windowMs: Long = 600000L)
+      : DataFrame = {
+    val byUserMs = Window.partitionBy("user_id")
+      .orderBy(unix_millis(col("ts")))
+      .rangeBetween(-windowMs, 0)
+    events.select(col("event_id"), col("user_id"),
+      sum(dec(col("value"))).over(byUserMs).as("window_sum"),
+      count(lit(1)).over(byUserMs).as("window_n"))
+  }
+
+  /** Rx `buffer(count, skip)`: overlapping / gapped batches — a new
+    * batch starts every `skip` elements and spans `count` elements,
+    * so one element belongs to 0..ceil(count/skip) batches. Generator
+    * explode of the covering batch ids (narrow), then grouped agg. */
+  def rxBufferCountSkip(events: DataFrame, n: Int = 10, skip: Int = 5)
+      : DataFrame =
+    events
+      .withColumn("pos", row_number().over(byUser) - 1)
+      // batch b covers positions [b*skip, b*skip + n): solve for b
+      .withColumn("batch_id", explode(sequence(
+        greatest(lit(0L), ceil((col("pos") - n + 1).cast("double") / skip)
+          .cast("long")),
+        floor(col("pos").cast("double") / skip).cast("long"))))
+      .groupBy("user_id", "batch_id")
+      .agg(count(lit(1)).as("batch_n"),
+        sum(dec(col("value"))).as("batch_sum"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+
   /** Rx `window(time)`: tumbling event-time windows + aggregate. */
   def rxWindowTumbling(events: DataFrame): DataFrame =
     events

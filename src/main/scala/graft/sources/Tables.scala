@@ -63,4 +63,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  // Typed surface: Dataset[T] with case-class Encoders for callers
+  // that want compile-time row types (the DataFrame loaders stay the
+  // engine-internal path — schema-dynamic operators don't pay the
+  // per-row serialization a typed map would add).
+  import org.apache.spark.sql.Dataset
+  def eventsDs(s: SparkSession, d: String): Dataset[Event] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    events(s, d).as[Event]
+  }
+  def lineitemDs(s: SparkSession, d: String): Dataset[Lineitem] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Lineitem]
+    lineitem(s, d).as[Lineitem]
+  }
+  def ordersDs(s: SparkSession, d: String): Dataset[Orders] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Orders]
+    orders(s, d).as[Orders]
+  }
+  def documentsDs(s: SparkSession, d: String): Dataset[Document] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Document]
+    documents(s, d).as[Document]
+  }
+  def embeddingsDs(s: SparkSession, d: String): Dataset[Embedding] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Embedding]
+    embeddings(s, d).as[Embedding]
+  }
 }

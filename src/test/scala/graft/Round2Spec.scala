@@ -101,6 +101,21 @@ class Round2Spec extends AnyFunSuite {
     assert(s1 === s2 && s1.nonEmpty)
   }
 
+  test("typed Dataset loaders round-trip case classes and typed ops work") {
+    val evs = Tables.eventsDs(spark, sf)
+    val first = evs.filter((e: Tables.Event) => e.value > 100.0).head()
+    assert(first.value > 100.0)
+    val docs = Tables.documentsDs(spark, sf)
+    assert(docs.map((d: Tables.Document) => d.text.length)(
+      org.apache.spark.sql.Encoders.scalaInt).head() > 0)
+    val li = Tables.lineitemDs(spark, sf)
+    assert(li.head().l_orderkey >= 0L)
+    val os = Tables.ordersDs(spark, sf)
+    assert(os.head().o_orderdate != null)
+    val em = Tables.embeddingsDs(spark, sf)
+    assert(em.head().embedding.nonEmpty)
+  }
+
   test("qualityFilterPipeline output is deduped and within thresholds") {
     val docs = Tables.documents(spark, sf)
     val out = TextAnalysis.qualityFilterPipeline(docs).cache()
