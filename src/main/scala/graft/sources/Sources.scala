@@ -40,7 +40,12 @@ object Sources {
     * readable bounded (batch) or unbounded (file-source streaming,
     * one micro-batch per discovered file). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same session-wide opt-in contract as Tables.events: set by
+    // GraftSession.builder, never mutated here as a read side effect
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is ns-precision: build the session with " +
+        "GraftSession.builder() or set spark.sql.legacy.parquet.nanosAsLong=true")
     val nsSchema = StructType(eventSchema.fields.map {
       case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
       case f => f
