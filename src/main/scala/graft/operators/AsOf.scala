@@ -34,24 +34,27 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keyCol: String,
            orderCol: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payloadTypes = payload.map(c => c -> right.schema(c).dataType).toMap
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    // the payload rides as ONE struct so every asof_ field comes from
+    // the same right row even when individual payload values are null
+    // (a per-column last(ignoreNulls) would mix rows in that case)
     val l = left.select(
-      (Seq(lit(1).as("_tag")) ++ leftCols.map(col) ++
-        payload.map(c => lit(null).cast(payloadTypes(c)).as(s"asof_$c"))): _*)
+      (Seq(lit(1).as("_tag")) ++ leftCols.map(col) :+
+        lit(null).cast(payloadStruct).as("_asof")): _*)
     val r = right.select(
       (Seq(lit(0).as("_tag")) ++ leftCols.map {
         case c if c == keyCol || c == orderCol => col(c)
         case c => lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ payload.map(c => col(c).as(s"asof_$c"))): _*)
+      } :+ struct(payload.map(col): _*).as("_asof")): _*)
     val w = Window.partitionBy(keyCol).orderBy(col(orderCol), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    // each asof_ column's running last non-null comes from the same
-    // latest right row (they are null/non-null together)
-    val filled = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_tag") === 1).drop("_tag")
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_asof"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select((leftCols.map(col) ++
+        payload.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 
   /** Column-expression variant of the left/right split entry: as-of

@@ -166,6 +166,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "a component's diameter exceeds maxIter — raise maxIter " +
+          "(returning partial labels would silently corrupt clusters)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -265,11 +265,20 @@ object Reactive {
       : DataFrame =
     events
       .withColumn("pos", row_number().over(byUser) - 1)
-      // batch b covers positions [b*skip, b*skip + n): solve for b
-      .withColumn("batch_id", explode(sequence(
+      // batch b covers positions [b*skip, b*skip + n): solve for b.
+      // When skip > n an element can fall in a gap (first > last);
+      // sequence() would default to step -1 there and explode a
+      // descending range, so guard to an empty array — the element
+      // belongs to no batch and the explode drops it.
+      .withColumn("b_first",
         greatest(lit(0L), ceil((col("pos") - n + 1).cast("double") / skip)
-          .cast("long")),
-        floor(col("pos").cast("double") / skip).cast("long"))))
+          .cast("long")))
+      .withColumn("b_last", floor(col("pos").cast("double") / skip)
+        .cast("long"))
+      .withColumn("batch_id", explode(
+        when(col("b_first") <= col("b_last"),
+          sequence(col("b_first"), col("b_last")))
+          .otherwise(array().cast("array<long>"))))
       .groupBy("user_id", "batch_id")
       .agg(count(lit(1)).as("batch_n"),
         sum(dec(col("value"))).as("batch_sum"),
@@ -427,11 +436,14 @@ object Reactive {
   /** Rx `repeat(n)`: replay the whole stream n times; the iteration
     * index becomes the outer order key. Generator explode — narrow,
     * no shuffle. */
-  def rxRepeat(events: DataFrame, n: Int = 3): DataFrame =
+  def rxRepeat(events: DataFrame, n: Int = 3): DataFrame = {
+    require(n >= 1, s"rxRepeat: n must be >= 1 (got $n); " +
+      "sequence(0, n-1) would explode a descending range for n = 0")
     events
       .select(col("event_id"), col("user_id"), col("value"),
         explode(sequence(lit(0L), lit(n - 1L))).as("iteration"))
       .select("iteration", "event_id", "user_id", "value")
+  }
 
   /** Rx `retry(n)`: replay through the first n errors per key; the
     * (n+1)-th error is terminal (emitted as the closing element,

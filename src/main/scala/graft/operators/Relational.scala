@@ -294,6 +294,10 @@ object Relational {
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
+      // sort the DOUBLE representation: the DuckDB oracle orders by the
+      // double-cast alias, and two revenues distinct in decimal but
+      // equal after rounding would tie-break differently at the LIMIT
+      .withColumn("revenue", col("revenue").cast("double"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }

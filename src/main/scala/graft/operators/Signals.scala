@@ -27,10 +27,20 @@ object Signals {
     * create spurious dependency edges. */
   private def refs(sql: String, candidates: Set[String]): Set[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-    CatalystSqlParser.parseExpression(sql).collect {
+    val parsed = CatalystSqlParser.parseExpression(sql)
+    // lambda parameters (`x` in `filter(arr, x -> x > 0)`) also parse
+    // as UnresolvedAttribute in the body; a signal sharing that name
+    // must not gain a dependency edge, so subtract bound names first
+    val lambdaBound = parsed.collect {
+      case lf: LambdaFunction => lf.arguments.collect {
+        case v: UnresolvedNamedLambdaVariable => v.nameParts.last
+      }
+    }.flatten.toSet
+    parsed.collect {
       case a: UnresolvedAttribute => a.nameParts.last
-    }.toSet.intersect(candidates)
+    }.toSet.diff(lambdaBound).intersect(candidates)
   }
 
   /** Topological order of signal definitions; throws on cycles with

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Dedup, Reactive, Signals}
+
+/** Regression tests for the round-3 advisory fixes. */
+class Round3Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("rxBufferCountSkip with skip > n drops gap elements (no descending explode)") {
+    import spark.implicits._
+    // positions 0..9 per user; n=2, skip=5 → batches cover positions
+    // {0,1} and {5,6}; positions 2,3,4,7,8,9 fall in gaps
+    val events = (1L to 10L).map(i => (i, 1L, "click", i.toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = Reactive.rxBufferCountSkip(events, n = 2, skip = 5)
+      .select("batch_id", "batch_n", "first_event_id", "last_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out === Set((0L, 2L, 1L, 2L), (1L, 2L, 6L, 7L)))
+  }
+
+  test("rxBufferCountSkip overlapping (skip < n) still covers every element") {
+    import spark.implicits._
+    val events = (1L to 6L).map(i => (i, 1L, "click", i.toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+    // n=4, skip=2: batch0={1..4} batch1={3..6} batch2={5,6}
+    val out = Reactive.rxBufferCountSkip(events, n = 4, skip = 2)
+      .select("batch_id", "batch_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((0L, 4L), (1L, 4L), (2L, 2L)))
+  }
+
+  test("rxRepeat rejects n = 0 instead of exploding a descending range") {
+    import spark.implicits._
+    val events = Seq((1L, 1L, "click", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    intercept[IllegalArgumentException] { Reactive.rxRepeat(events, n = 0) }
+  }
+
+  test("as-of join carries the whole payload from ONE right row even with nulls") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, "p1")).toDF("seq", "key", "l_tag")
+    // latest right row (seq=9) has a NULL in payload column `a`; the
+    // older row (seq=5) has both — a per-column fill would mix them
+    val right = Seq((5L, 1L, Some(111.0), Some("old")),
+      (9L, 1L, None: Option[Double], Some("new")))
+      .toDF("seq", "key", "a", "b")
+    val r = AsOf.join(left, right, "key", "seq", Seq("a", "b")).collect()(0)
+    assert(Option(r.getAs[Any]("asof_a")).isEmpty,
+      "asof_a must be NULL (from the latest row), not backfilled from an older row")
+    assert(r.getAs[String]("asof_b") === "new")
+  }
+
+  test("connectedComponents throws on non-convergence instead of partial labels") {
+    import spark.implicits._
+    // a chain 0-1-2-...-9 has diameter 9; maxIter=2 cannot converge
+    val pairs = (0L until 9L).map(i => (i, i + 1))
+      .toDF("doc1", "doc2")
+    val nodes = (0L to 9L).map(Tuple1(_)).toDF("doc_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, nodes, maxIter = 2).collect()
+    }
+    // and with enough rounds the same chain collapses to one cluster
+    val ok = Dedup.connectedComponents(pairs, nodes, maxIter = 12)
+      .select("cluster_id").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSet === Set(0L))
+  }
+
+  test("signal sharing a lambda parameter name gains no spurious edge") {
+    import spark.implicits._
+    val df = Seq((Array(1, -2, 3), 10)).toDF("arr", "base")
+    // signal `x` exists; the lambda parameter `x` in `pos` must NOT
+    // create an edge pos -> x (which would be a false cycle if x
+    // referenced pos's inputs)
+    val defs = Map(
+      "x" -> "base * 2",
+      "pos" -> "size(filter(arr, x -> x > 0)) + base")
+    val out = Signals.derive(df, defs).select("x", "pos").collect()(0)
+    assert(out.getInt(0) === 20)
+    assert(out.getInt(1) === 12)
+    // the order must not force x before pos (no dependency)
+    assert(Signals.order(defs).toSet === Set("x", "pos"))
+  }
+
+  test("q10 sorts the double representation (oracle tie-break parity)") {
+    val out = graft.operators.Relational.q10ReturnedItems(spark, sf)
+    assert(out.schema("revenue").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+}
