@@ -288,7 +288,48 @@ object SparkEntry {
       TextAnalysis.termStats(docs(s, d)).orderBy(col("doc_freq").desc,
         col("term"))),
     "multimodal_features" -> ((s, d) =>
-      Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id"))
+      Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id")),
+    // ---- round 3: reactive fill-in ----
+    "rx_skip_while" -> ((s, d) =>
+      Reactive.rxSkipWhile(ev(s, d)).orderBy("event_id")),
+    "rx_take_until" -> ((s, d) =>
+      Reactive.rxTakeUntil(ev(s, d)).orderBy("event_id")),
+    "rx_skip_until" -> ((s, d) =>
+      Reactive.rxSkipUntil(ev(s, d)).orderBy("event_id")),
+    "rx_element_at" -> ((s, d) =>
+      Reactive.rxElementAt(ev(s, d)).orderBy("user_id")),
+    "rx_indexed" -> ((s, d) =>
+      Reactive.rxIndexed(ev(s, d)).orderBy("event_id")),
+    "rx_min_max_by" -> ((s, d) =>
+      Reactive.rxMinMaxBy(ev(s, d)).orderBy("user_id")),
+    "rx_single" -> ((s, d) =>
+      Reactive.rxSingle(ev(s, d)).orderBy("user_id", "day_ms")),
+    "rx_to_list" -> ((s, d) =>
+      Reactive.rxToList(ev(s, d)).orderBy("user_id")),
+    "rx_buffer_toggle" -> ((s, d) =>
+      Reactive.rxBufferToggle(ev(s, d))
+        .withColumn("buf_sum", col("buf_sum").cast("double"))
+        .orderBy("user_id", "open_id")),
+    "rx_sample_trigger" -> ((s, d) =>
+      Reactive.rxSampleTrigger(ev(s, d)).orderBy("event_id")),
+    // ---- round 3: training-data pipeline fill-in ----
+    "pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(docs(s, d), concat(
+        lit("Contact: u"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-000"), col("doc_id").cast("string"),
+        lit(" visit https://ex.org/d/"), col("doc_id").cast("string"),
+        lit(" "), col("text"))).orderBy("doc_id")),
+    "contamination_check" -> ((s, d) =>
+      TextAnalysis.contaminationCheck(docs(s, d), col("doc_id") % 97 === 0)
+        .orderBy("doc_id")),
+    "doc_chunks" -> ((s, d) =>
+      TextAnalysis.docChunks(docs(s, d)).orderBy("doc_id", "chunk_id")),
+    "source_stats" -> ((s, d) =>
+      TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
+    "token_histogram" -> ((s, d) =>
+      TextAnalysis.tokenHistogram(docs(s, d)).orderBy("bucket_lo")),
+    "emb_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim"))
   )
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
@@ -1095,6 +1136,164 @@ object SparkEntry {
         |FROM documents,
         | unnest(generate_series(0,
         |   greatest(1, CAST(octet_length(encode(text)) AS BIGINT)//256) - 1)) AS u(frame_id)
-        |ORDER BY media_id, frame_id""".stripMargin
+        |ORDER BY media_id, frame_id""".stripMargin,
+    // ---- round 3: reactive fill-in ----
+    "rx_skip_while" ->
+      """SELECT event_id, user_id, value FROM (
+        | SELECT event_id, user_id, value,
+        |  sum(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS violations
+        | FROM events)
+        |WHERE violations > 0 ORDER BY event_id""".stripMargin,
+    "rx_take_until" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fired
+        | FROM events)
+        |WHERE fired = 0 AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+    "rx_skip_until" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        | SELECT event_id, user_id, event_type, value,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fired
+        | FROM events)
+        |WHERE fired > 0 AND event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+    "rx_element_at" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        | SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        | FROM events)
+        |WHERE rn = 3 ORDER BY user_id""".stripMargin,
+    "rx_indexed" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        | row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS idx
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rx_min_max_by" ->
+      """SELECT user_id,
+        | max(CASE WHEN rmin = 1 THEN event_id END) AS min_event_id,
+        | max(CASE WHEN rmin = 1 THEN value END) AS min_value,
+        | max(CASE WHEN rmax = 1 THEN event_id END) AS max_event_id,
+        | max(CASE WHEN rmax = 1 THEN value END) AS max_value
+        |FROM (
+        | SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value ASC, event_id ASC) AS rmin,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id ASC) AS rmax
+        | FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_single" ->
+      """SELECT user_id, epoch_ms(day) AS day_ms, event_id, "value" FROM (
+        | SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+        |  min(event_id) AS event_id, min("value") AS "value"
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |WHERE n = 1 ORDER BY user_id, day_ms""".stripMargin,
+    "rx_to_list" ->
+      """SELECT user_id, count(*) AS n,
+        | string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_buffer_toggle" ->
+      """SELECT user_id, open_id, count(*) AS buf_n,
+        | CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS buf_sum,
+        | max(event_id) AS last_event_id
+        |FROM (
+        | SELECT user_id, event_id, "value",
+        |  max(CASE WHEN event_type = 'signup' THEN event_id END)
+        |   OVER w AS open_id,
+        |  max(CASE WHEN event_type = 'error' THEN event_id END)
+        |   OVER w AS close_id
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE open_id IS NOT NULL AND (close_id IS NULL OR close_id < open_id)
+        |GROUP BY user_id, open_id ORDER BY user_id, open_id""".stripMargin,
+    "rx_sample_trigger" ->
+      """SELECT event_id, user_id, click_event_id, click_value FROM (
+        | SELECT event_id, user_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |   OVER w AS click_event_id,
+        |  last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |   OVER w AS click_value
+        | FROM events WHERE event_type IN ('click', 'view')
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'view' ORDER BY event_id""".stripMargin,
+    // ---- round 3: training-data pipeline fill-in ----
+    "pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(seeded,
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        | len(regexp_extract_all(seeded, 'https?://[^ ]+'))
+        |  + len(regexp_extract_all(regexp_replace(seeded,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |  + len(regexp_extract_all(regexp_replace(regexp_replace(seeded,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9][0-9-]{6,}[0-9]')) AS n_redactions
+        |FROM (SELECT doc_id,
+        |  'Contact: u' || doc_id || '@mail.example.com or +1-555-000' || doc_id
+        |   || ' visit https://ex.org/d/' || doc_id || ' ' || text AS seeded
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "contamination_check" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        |p AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |b AS (SELECT doc_id AS bench_id, s FROM p WHERE doc_id % 97 = 0)
+        |SELECT p.doc_id, count(DISTINCT b.bench_id) AS n_bench_docs,
+        | count(DISTINCT p.s) AS n_shared_shingles
+        |FROM p JOIN b ON p.s = b.s WHERE p.doc_id % 97 <> 0
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+        |SELECT doc_id, g.chunk_id,
+        | array_to_string(list_slice(toks, chunk_id*40 + 1, chunk_id*40 + 50),
+        |   ' ') AS chunk_text,
+        | least(50, len(toks) - chunk_id*40) AS chunk_tokens
+        |FROM t, unnest(generate_series(0, greatest(0,
+        |  CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT)))) AS g(chunk_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_tokens) AS DOUBLE)/count(*) AS mean_tokens,
+        | count(CASE WHEN CAST(n_uniq AS DOUBLE)/n_tokens >= 0.5 THEN 1 END)
+        |  AS n_high_uniq,
+        | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM (SELECT source, len(string_split(lower(text), ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(lower(text), ' '))) AS n_uniq
+        | FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "token_histogram" ->
+      """SELECT (n_tokens // 50) * 50 AS bucket_lo, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM (SELECT len(string_split(lower(text), ' ')) AS n_tokens
+        | FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_centroids" ->
+      """SELECT CAST("label" AS BIGINT) AS "label",
+        | CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+        | CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+        |   AS BIGINT) AS sum_scaled,
+        | CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6)
+        |   AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/1e6 AS centroid
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+        |GROUP BY "label", i ORDER BY "label", dim""".stripMargin
   )
 }

@@ -155,15 +155,18 @@ object Dedup {
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("b").as("node"), col("label"), lit(0).as("is_self"))
+      // fold the convergence check into the round's groupBy: the
+      // node's own row carries the old label, so "did anything
+      // change" is a filter on the grouped result — no extra join
+      val next = labels.select(col("node"), col("label"),
+          lit(1).as("is_self"))
+        .unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"),
+          max(when(col("is_self") === 1, col("label"))).as("old_label"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
     if (!converged)

@@ -558,4 +558,128 @@ object Reactive {
         lit("OnCompleted").as("kind"), lit(0.0).as("value"))
     notes.unionByName(completed)
   }
+
+  /** Rx `skipWhile(value < limit)` per key: drop the prefix before
+    * the first violation, emit everything from it on (the complement
+    * of rxTakeWhile — same single-shuffle running-violation count). */
+  def rxSkipWhile(events: DataFrame, limit: Double = 150.0): DataFrame =
+    events
+      .withColumn("violations",
+        sum(when(col("value") >= limit, 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("violations") > 0)
+      .select("event_id", "user_id", "value")
+
+  /** Rx `takeUntil(trigger)`: emit the main stream until the trigger
+    * stream fires. Trigger = the key's `error` events; main = the
+    * rest. Running trigger count — one shuffle, no join with the
+    * trigger side. */
+  def rxTakeUntil(events: DataFrame): DataFrame =
+    events
+      .withColumn("fired",
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("fired") === 0 && col("event_type") =!= "error")
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** Rx `skipUntil(trigger)`: suppress the main stream until the
+    * trigger fires, then emit everything after. */
+  def rxSkipUntil(events: DataFrame): DataFrame =
+    events
+      .withColumn("fired",
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("fired") > 0 && col("event_type") =!= "error")
+      .select("event_id", "user_id", "event_type", "value")
+
+  /** Rx `elementAt(n)` per key (1-based): the key's n-th element. */
+  def rxElementAt(events: DataFrame, n: Int = 3): DataFrame =
+    events
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === n)
+      .select("user_id", "event_id", "event_type", "value")
+
+  /** Rx `timestamp` + `zipWithIndex`: stamp each element with its
+    * event time (epoch ms) and per-key sequence index. */
+  def rxIndexed(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      (row_number().over(byUser) - 1).cast("long").as("idx"))
+
+  /** Rx `minBy` / `maxBy` per key with a deterministic tie-break
+    * (lowest event_id among equal values): two in-partition window
+    * rankings + one grouped fold — still a single shuffle. */
+  def rxMinMaxBy(events: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("user_id")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wMax = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .withColumn("rmin", row_number().over(wMin))
+      .withColumn("rmax", row_number().over(wMax))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rmin") === 1, col("event_id"))).as("min_event_id"),
+        max(when(col("rmin") === 1, col("value"))).as("min_value"),
+        max(when(col("rmax") === 1, col("event_id"))).as("max_event_id"),
+        max(when(col("rmax") === 1, col("value"))).as("max_value"))
+  }
+
+  /** Rx `single`: per (key, day) purchase substream, emit the element
+    * iff the substream has exactly one — more than one is a
+    * violation (the batch form surfaces only the conforming groups;
+    * the count column is the diagnostic). */
+  def rxSingle(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), min("event_id").as("event_id"),
+        min("value").as("value"))
+      .filter(col("n") === 1)
+      .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
+        col("event_id"), col("value"))
+
+  /** Rx `toList` per key: the stream materialized as one ordered
+    * element list (surfaced as a comma-joined id string so the
+    * result is hashable across engines). */
+  def rxToList(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_list(col("event_id"))))
+          .as("ids"))
+
+  /** Rx `bufferToggle(openings, closings)`: `signup` events open a
+    * buffer, the next `error` closes it; elements (including the
+    * opening) collect into the open buffer. Two running last-marker
+    * windows — one shuffle, no join against either marker stream. */
+  def rxBufferToggle(events: DataFrame): DataFrame = {
+    val w = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("open_id", last(
+        when(col("event_type") === "signup", col("event_id")),
+        ignoreNulls = true).over(w))
+      .withColumn("close_id", last(
+        when(col("event_type") === "error", col("event_id")),
+        ignoreNulls = true).over(w))
+      .filter(col("open_id").isNotNull &&
+        (col("close_id").isNull || col("close_id") < col("open_id")))
+      .groupBy("user_id", "open_id")
+      .agg(count(lit(1)).as("buf_n"),
+        sum(dec(col("value"))).as("buf_sum"),
+        max("event_id").as("last_event_id"))
+  }
+
+  /** Rx `sample(sampler)` (sampler-stream variant): at each `view`
+    * event, the latest `click` at-or-before it — the as-of lattice
+    * specialized to an in-table sampler. */
+  def rxSampleTrigger(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select("event_id", "user_id")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+    AsOf.join(views, clicks, "user_id", "event_id", Seq("event_id", "value"))
+      .withColumnsRenamed(Map(
+        "asof_event_id" -> "click_event_id",
+        "asof_value" -> "click_value"))
+  }
 }

@@ -423,8 +423,11 @@ object Relational {
     * suppliers in deficit (s_acctbal < 0) are excluded by anti join,
     * standing in for Q16's complaints filter. */
   def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .select("l_partkey", "l_suppkey").distinct()
+    // no (l_partkey, l_suppkey) pre-distinct: countDistinct dedups
+    // inside the final agg, so the only shuffle is on the ~15% of
+    // lineitem that survives the broadcast part filter — the full-fact
+    // distinct would shuffle everything before pruning anything
+    val ps = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
     val parts = Tables.part(s, dir)
       .filter(col("p_brand") =!= "Brand#5" &&
         col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))

@@ -106,4 +106,25 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
+
+  /** Exact per-label embedding centroids, bit-stable across engines
+    * and cluster sizes: each float component is scaled to an integer
+    * (floor(x * 1e6) — one deterministic IEEE double op), summed as
+    * BIGINT (order-independent), and the mean taken as one double
+    * division at the end. This sidesteps float-sum non-associativity
+    * AND engine-specific double→decimal rounding. posexplode →
+    * groupBy(label, dim): partial aggregation collapses each
+    * partition to nlabels×dim rows before the one shuffle. */
+  def labelCentroids(embs: DataFrame): DataFrame =
+    embs
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * 1e6).cast("long"))
+          .as("sum_scaled"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        col("sum_scaled"),
+        (col("sum_scaled").cast("double") / col("n") / 1e6)
+          .as("centroid"))
 }

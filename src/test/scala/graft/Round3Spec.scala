@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AsOf, Dedup, Reactive, Signals}
+import graft.operators.{AsOf, Dedup, Reactive, Signals, Similarity, TextAnalysis}
 
 /** Regression tests for the round-3 advisory fixes. */
 class Round3Spec extends AnyFunSuite {
@@ -89,5 +89,82 @@ class Round3Spec extends AnyFunSuite {
     val out = graft.operators.Relational.q10ReturnedItems(spark, sf)
     assert(out.schema("revenue").dataType ===
       org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("bufferToggle collects opening + following elements until the close") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "click", 1.0), (2L, 1L, "signup", 0.0), (3L, 1L, "click", 2.0),
+      (4L, 1L, "error", 0.0), (5L, 1L, "click", 3.0), (6L, 1L, "signup", 0.0),
+      (7L, 1L, "view", 4.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = Reactive.rxBufferToggle(events)
+      .select("open_id", "buf_n", "last_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // buffer opened at 2 holds {2,3} (closed by 4); event 5 is outside
+    // any buffer; buffer opened at 6 holds {6,7} (stream end)
+    assert(out === Set((2L, 2L, 3L), (6L, 2L, 7L)))
+  }
+
+  test("docChunks covers every token with the stride overlap") {
+    import spark.implicits._
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.docChunks(docs, size = 50, stride = 40)
+      .orderBy("chunk_id").collect()
+    assert(chunks.length === 3) // starts 0, 40, 80
+    assert(chunks.map(_.getAs[Long]("chunk_tokens")).toSeq === Seq(50L, 50L, 15L))
+    val last = chunks(2).getAs[String]("chunk_text")
+    assert(last.startsWith("w81 ") && last.endsWith(" w95"))
+  }
+
+  test("contaminationCheck flags shared shingles, never the benchmark docs themselves") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),          // benchmark (0 % 97 == 0)
+      (1L, "alpha beta gamma other words"),    // shares "alpha beta gamma"
+      (2L, "completely different tokens here") // clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationCheck(docs, col("doc_id") % 97 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L) === 1L)
+  }
+
+  test("piiScrub redacts email, url and phone and counts them") {
+    import spark.implicits._
+    val docs = Seq((1L, "mail me at bob@x.org or +1-555-123456 see https://a.b/c end"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(docs).collect()(0)
+    assert(r.getAs[String]("clean_text") ===
+      "mail me at <EMAIL> or <PHONE> see <URL> end")
+    assert(r.getAs[Long]("n_redactions") === 3L)
+  }
+
+  test("labelCentroids matches a driver-side exact computation") {
+    import spark.implicits._
+    val embs = Seq((1L, Array(0.5f, -0.25f), 0), (2L, Array(1.5f, 0.75f), 0),
+      (3L, Array(2.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(embs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((0L, 0L)) === ((2L, 2000000L, 1.0)))
+    assert(out((0L, 1L)) === ((2L, 500000L, 0.25)))
+    assert(out((1L, 0L)) === ((1L, 2000000L, 2.0)))
+  }
+
+  test("skipUntil/takeUntil partition the non-trigger stream") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1L, "click", 1.0), (2L, 1L, "error", 0.0), (3L, 1L, "view", 2.0),
+      (4L, 2L, "view", 3.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val take = Reactive.rxTakeUntil(events).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    val skip = Reactive.rxSkipUntil(events).select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(take === Set(1L, 4L))
+    assert(skip === Set(3L))
   }
 }
