@@ -329,7 +329,12 @@ object SparkEntry {
     "token_histogram" -> ((s, d) =>
       TextAnalysis.tokenHistogram(docs(s, d)).orderBy("bucket_lo")),
     "emb_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim"))
+      Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim")),
+    "q_grouping_sets" -> ((s, d) =>
+      Relational.qGroupingSets(s, d)
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_pivot" -> ((s, d) => Relational.qPivot(s, d).orderBy("o_orderstatus"))
   )
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
@@ -1294,6 +1299,26 @@ object SparkEntry {
         | CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6)
         |   AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/1e6 AS centroid
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
-        |GROUP BY "label", i ORDER BY "label", dim""".stripMargin
+        |GROUP BY "label", i ORDER BY "label", dim""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2_high,
+        | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3_medium,
+        | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4_not_specified,
+        | CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -137,6 +137,34 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("o_totalprice"))).as("sum_price"))
 
+  /** Explicit GROUPING SETS (neither rollup nor cube): per-returnflag
+    * totals and per-linestatus totals in ONE pass over the fact —
+    * Spark expands the sets with a single Expand + one shuffle, vs
+    * two scans for a UNION of groupBys. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+
+  /** PIVOT: per-customer event... order-priority totals spread into
+    * one column per priority (explicit value list so the output
+    * schema is static — required for a deterministic plan and for
+    * sane behavior at scale: no extra distinct-values job). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(sum(dec2(col("o_totalprice"))))
+      .select(col("o_orderstatus"),
+        col("1-URGENT").cast("double").as("p1_urgent"),
+        col("2-HIGH").cast("double").as("p2_high"),
+        col("3-MEDIUM").cast("double").as("p3_medium"),
+        col("4-NOT SPECIFIED").cast("double").as("p4_not_specified"),
+        col("5-LOW").cast("double").as("p5_low"))
+
   /** TPC-H Q4 shape: correlated EXISTS with an inequality — orders
     * having at least one lineitem shipped >90 days after the order
     * date, counted by priority. Semi join keeps the probe side

@@ -46,10 +46,59 @@ object Similarity {
     * a map-side-partial max_by — the corpus shuffles once, as (id,
     * vector, centroid) — and the probe join shuffles only candidate
     * lists matching a query probe. */
-  def ivfTopK(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
-              nprobe: Int = 4, k: Int = 5): DataFrame = {
-    val centroids = embs.filter(col("vec_id") < nlist)
+  /** Lloyd-refined coarse centroids for IVF: seed with the first
+    * nlist vectors, then `iters` rounds of assign → recompute-mean.
+    * Means are computed with the scaled-integer trick (floor(x*1e6)
+    * BIGINT sums) so every round is order-independent and the
+    * resulting index is bit-identical across cluster sizes — an
+    * IVF index build must be reproducible or every downstream probe
+    * result changes between builds. Each round is one broadcast
+    * assign + two narrow-key shuffles over (nlist x dim) rows; a
+    * centroid whose list empties is dropped (standard Lloyd). */
+  def kmeansCentroids(embs: DataFrame, nlist: Int = 16, iters: Int = 3)
+      : DataFrame = {
+    var centroids = embs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = embs.crossJoin(broadcast(centroids))
+        .withColumn("c_sim",
+          GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
+        .groupBy("vec_id")
+        .agg(max_by(col("centroid_id"), struct(col("c_sim"), -col("centroid_id")))
+          .as("centroid_id"),
+          first(col("embedding")).as("embedding"))
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim")
+        .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"),
+            (col("s").cast("double") / col("n") / 1e6).cast("float").as("m")))),
+          e => e.getField("m")).as("c_emb"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  def ivfTopK(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
+              nprobe: Int = 4, k: Int = 5): DataFrame =
+    ivfTopKWith(embs, queries,
+      embs.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")),
+      nprobe, k)
+
+  /** IVF probe against Lloyd-refined centroids ([[kmeansCentroids]]). */
+  def ivfTopKRefined(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
+                     nprobe: Int = 4, k: Int = 5, iters: Int = 3): DataFrame =
+    ivfTopKWith(embs, queries, kmeansCentroids(embs, nlist, iters), nprobe, k)
+
+  private def ivfTopKWith(embs: DataFrame, queries: DataFrame,
+                          centroidsIn: DataFrame, nprobe: Int, k: Int)
+      : DataFrame = {
+    val centroids = centroidsIn
     val assigned = embs.crossJoin(broadcast(centroids))
       .withColumn("c_sim",
         GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))

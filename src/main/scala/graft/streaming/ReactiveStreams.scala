@@ -241,4 +241,38 @@ object ReactiveStreams {
         col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
       .select("p_id", "c_id", "user_id", "p_value")
   }
+
+  /** Streaming buffer(count): per-key count-based batches emitted as
+    * they fill — the unbounded twin of Reactive.rxBufferCount. State
+    * per key = the open (partial) buffer + the next batch id, so
+    * state size is O(keys x n) regardless of stream length. Elements
+    * are ordered by event_id within a trigger; a buffer emits the
+    * moment its n-th element arrives. */
+  case class Buffered(user_id: Long, batch_id: Long, batch_n: Int,
+                      batch_sum: Double, first_event_id: Long,
+                      last_event_id: Long)
+  case class BufState(nextBatch: Long, open: Seq[(Long, Double)])
+  def bufferCount(spark: SparkSession, events: DataFrame, n: Int = 5)
+      : Dataset[Buffered] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BufState, Buffered](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[BufState]) =>
+          var st = state.getOption.getOrElse(BufState(0L, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer[Buffered]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val open = st.open :+ (e.event_id, e.value)
+            if (open.size == n) {
+              out += Buffered(uid, st.nextBatch, n, open.map(_._2).sum,
+                open.head._1, open.last._1)
+              st = BufState(st.nextBatch + 1, Seq.empty)
+            } else st = BufState(st.nextBatch, open)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

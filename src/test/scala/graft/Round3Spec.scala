@@ -154,6 +154,43 @@ class Round3Spec extends AnyFunSuite {
     assert(out((1L, 0L)) === ((1L, 2000000L, 2.0)))
   }
 
+  test("sketch stats stay within the advertised error of the exact twins") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val approx = graft.operators.Sketches.approxStats(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.operators.Sketches.exactStats(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    exact.foreach { case (t, (eu, ev2)) =>
+      val (au, av) = approx(t)
+      assert(math.abs(au - eu).toDouble / eu <= 0.05,
+        s"$t approx_users $au vs exact $eu")
+      assert(math.abs(av - ev2).toDouble / ev2 <= 0.05,
+        s"$t approx_values $av vs exact $ev2")
+    }
+  }
+
+  test("k-means-refined IVF keeps recall and stays deterministic") {
+    import graft.sources.Tables
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(embs, qs, 5))
+    val refined = pairs(Similarity.ivfTopKRefined(embs, qs,
+      nlist = 16, nprobe = 4, k = 5, iters = 2))
+    assert(refined.nonEmpty)
+    val recall = bf.intersect(refined).size.toDouble / bf.size
+    assert(recall >= 0.3, s"refined-IVF recall $recall below floor")
+    // the index build is bit-stable: two builds agree exactly
+    val c1 = Similarity.kmeansCentroids(embs, 16, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val c2 = Similarity.kmeansCentroids(embs, 16, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(c1 === c2)
+  }
+
   test("skipUntil/takeUntil partition the non-trigger stream") {
     import spark.implicits._
     val events = Seq(

@@ -173,4 +173,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(finalRows((2L, 1)) === 7L && finalRows((2L, 2)) === 6L)
     } finally q.stop()
   }
+
+  test("streaming bufferCount emits full batches across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"buf_${System.nanoTime()}"
+    val q = ReactiveStreams.bufferCount(spark, mem.toDF(), n = 2).toDF()
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // user 1 events split 3 + 2 across micro-batches: the open
+      // buffer {ev2} must carry over and close with ev3
+      mem.addData(sample.take(3)); q.processAllAvailable()
+      mem.addData(sample.slice(3, 5)); q.processAllAvailable()
+      val got = spark.table(qName)
+        .select("user_id", "batch_id", "first_event_id", "last_event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === Set((1L, 0L, 0L, 1L), (1L, 1L, 2L, 3L)))
+    } finally q.stop()
+  }
 }
