@@ -28,6 +28,9 @@ object GraftSession {
       // rejects by default; session-wide opt-in (see Tables.events,
       // which converts the raw nanos to native us precision).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // graft's Catalyst extensions: the row_number<=k -> TopKPerGroup
+      // optimizer rewrite + the planner strategy for its physical node
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -334,7 +334,13 @@ object SparkEntry {
       Relational.qGroupingSets(s, d)
         .withColumn("sum_qty", col("sum_qty").cast("double"))
         .orderBy("l_returnflag", "l_linestatus")),
-    "q_pivot" -> ((s, d) => Relational.qPivot(s, d).orderBy("o_orderstatus"))
+    "q_pivot" -> ((s, d) => Relational.qPivot(s, d).orderBy("o_orderstatus")),
+    "rx_group_by_until" -> ((s, d) =>
+      Reactive.rxGroupByUntil(ev(s, d))
+        .withColumn("win_sum", col("win_sum").cast("double"))
+        .orderBy("user_id", "win_id")),
+    "q_moving_avg" -> ((s, d) =>
+      Relational.qMovingAvg(s, d).orderBy("o_orderkey"))
   )
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
@@ -1319,6 +1325,28 @@ object SparkEntry {
         | CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
         |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
         |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+    "rx_group_by_until" ->
+      """SELECT user_id, win_id, count(*) AS n,
+        | CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS win_sum,
+        | min(event_id) AS first_event_id, max(event_id) AS last_event_id
+        |FROM (
+        | SELECT user_id, event_id, "value",
+        |  CAST(coalesce(sum(CASE WHEN "value" >= 150.0 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS win_id
+        | FROM events)
+        |GROUP BY user_id, win_id ORDER BY user_id, win_id""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT o_orderkey, o_custkey, o_day,
+        | count(*) OVER w AS n_30d,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |  / count(*) OVER w AS avg_30d
+        |FROM (SELECT o_orderkey, o_custkey,
+        |  epoch_ms(o_orderdate)//86400000 AS o_day, o_totalprice FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -669,6 +669,24 @@ object Reactive {
         max("event_id").as("last_event_id"))
   }
 
+  /** Rx `groupByUntil`: per-key windows closed by a data-dependent
+    * boundary (here: a value >= threshold closes the current window
+    * AFTER including the closing element). The running count of past
+    * boundary elements is the window id — one shuffle, no join
+    * against a boundary stream. */
+  def rxGroupByUntil(events: DataFrame, closeAt: Double = 150.0)
+      : DataFrame = {
+    val wPrev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("win_id", coalesce(
+        sum(when(col("value") >= closeAt, 1).otherwise(0)).over(wPrev),
+        lit(0)).cast("long"))
+      .groupBy("user_id", "win_id")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("win_sum"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+  }
+
   /** Rx `sample(sampler)` (sampler-stream variant): at each `view`
     * event, the latest `click` at-or-before it — the as-of lattice
     * specialized to an in-table sampler. */

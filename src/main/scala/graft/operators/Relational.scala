@@ -137,6 +137,25 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("o_totalprice"))).as("sum_price"))
 
+  /** Trailing 30-day moving average of order totals per customer: a
+    * RANGE frame over epoch-day — value-based bounds, so the frame is
+    * correct with gaps and ties, and the whole computation stays in
+    * the one per-customer shuffle. */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val day = (unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC"))
+      / lit(86400000L)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_day"))
+      .rangeBetween(-29, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), day.as("o_day"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_day"),
+        count(lit(1)).over(w).as("n_30d"),
+        (sum(dec2(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("avg_30d"))
+  }
+
   /** Explicit GROUPING SETS (neither rollup nor cube): per-returnflag
     * totals and per-linestatus totals in ONE pass over the fact —
     * Spark expands the sets with a single Expand + one shuffle, vs

@@ -23,7 +23,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * ClusteredDistribution(groupExprs) (so the planner inserts the
   * single hash Exchange, which AQE can still tune).
   */
-case class TopKPerGroup(groupExprs: Seq[Expression], order: SortOrder,
+case class TopKPerGroup(groupExprs: Seq[Expression], order: Seq[SortOrder],
                         k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
   override def output: Seq[Attribute] = child.output
@@ -31,7 +31,7 @@ case class TopKPerGroup(groupExprs: Seq[Expression], order: SortOrder,
     copy(child = c)
 }
 
-case class TopKPerGroupExec(groupExprs: Seq[Expression], order: SortOrder,
+case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
                             k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
@@ -46,7 +46,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: SortOrder,
     val (gExprs, ord, childOutput, kk) = (groupExprs, order, child.output, k)
     child.execute().mapPartitions { rows =>
       val groupProj = UnsafeProjection.create(gExprs, childOutput)
-      val rowOrdering = new LazilyGeneratedOrdering(Seq(ord), childOutput)
+      val rowOrdering = new LazilyGeneratedOrdering(ord, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // group key -> bounded max-heap (worst element on top)
       val heaps = new java.util.HashMap[UnsafeRow,
@@ -126,6 +126,6 @@ object TopK {
       if (ascending) SortOrder(ord, Ascending)
       else SortOrder(ord, org.apache.spark.sql.catalyst.expressions.Descending)
     GraftColumnBridge.ofRows(spark,
-      TopKPerGroup(groups, sortOrder, k, proj.child))
+      TopKPerGroup(groups, Seq(sortOrder), k, proj.child))
   }
 }

@@ -191,6 +191,48 @@ class Round3Spec extends AnyFunSuite {
     assert(c1 === c2)
   }
 
+  test("TopK rewrite replaces rank<=k window plans and preserves results") {
+    import spark.implicits._
+    import graft.plans.{TopKPerGroup, TopKPerGroupExec}
+    val df = (1 to 200).map(i => (i.toLong, i % 7L, (i * 37 % 101).toDouble))
+      .toDF("id", "grp", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("score") > 1.0)
+      .drop("rn")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case t: TopKPerGroup => t }.nonEmpty,
+      "optimizer must rewrite the rank<=k pattern to TopKPerGroup")
+    // AQE wraps the physical tree; assert on its rendered form
+    assert(q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0).contains("TopKPerGroup"))
+    // results identical to the un-rewritten window form
+    val keepRn = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("score") > 1.0)
+    assert(keepRn.queryExecution.optimizedPlan.collect {
+      case t: TopKPerGroup => t }.isEmpty,
+      "a query that keeps the rank column must NOT be rewritten")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = keepRn.drop("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("TopK rewrite leaves rank-range (pagination) plans alone") {
+    import spark.implicits._
+    import graft.plans.TopKPerGroup
+    val df = (1 to 50).map(i => (i.toLong, i % 3L)).toDF("id", "grp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("id")
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("rn") >= 2)
+      .drop("rn")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case t: TopKPerGroup => t }.isEmpty)
+    assert(q.count() === 12) // ranks 2..5 per group: 4+4+4
+  }
+
   test("skipUntil/takeUntil partition the non-trigger stream") {
     import spark.implicits._
     val events = Seq(
