@@ -8,10 +8,15 @@ object Bench {
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional local-iteration filter (driver never sets it)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    def queries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
     // Untimed warm-up pass: JIT compilation, whole-stage codegen,
     // parquet footer caching. Measures steady-state throughput (the
     // 100 TB-relevant number), not single-JVM cold start.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Two timed passes, best-of per query: a single pass is exposed
@@ -19,7 +24,7 @@ object Bench {
     // run is Infinity so best-of keeps the succeeding pass; a query
     // that fails in BOTH passes reports -1 and is excluded from the
     // summed total.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+    def timedPass(): Map[String, Double] = queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -340,7 +340,10 @@ object SparkEntry {
         .withColumn("win_sum", col("win_sum").cast("double"))
         .orderBy("user_id", "win_id")),
     "q_moving_avg" -> ((s, d) =>
-      Relational.qMovingAvg(s, d).orderBy("o_orderkey"))
+      Relational.qMovingAvg(s, d).orderBy("o_orderkey")),
+    "text_ngram_jaccard_capped" -> ((s, d) =>
+      TextAnalysis.ngramJaccardCapped(docs(s, d), minJaccard = 0.02,
+        maxDocFreq = 10).orderBy("source", "doc1", "doc2"))
   )
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
@@ -1347,6 +1350,33 @@ object SparkEntry {
         |  epoch_ms(o_orderdate)//86400000 AS o_day, o_totalprice FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day
         |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "text_ngram_jaccard_capped" ->
+      """WITH sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        |p AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |k AS (SELECT source, s FROM p GROUP BY source, s
+        |      HAVING count(*) <= 10),
+        |kp AS (SELECT p.doc_id, p.source, p.s
+        |       FROM p JOIN k USING (source, s)),
+        |c AS (SELECT doc_id, count(*) AS n_sh FROM kp GROUP BY 1),
+        |pairs AS (
+        | SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        |  count(*) AS n_common
+        | FROM kp a JOIN kp b ON a.source = b.source AND a.s = b.s
+        | WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3)
+        |SELECT pairs.source, doc1, doc2,
+        | CAST(n_common AS DOUBLE) / (c1.n_sh + c2.n_sh - n_common) AS jaccard
+        |FROM pairs JOIN c c1 ON doc1 = c1.doc_id
+        | JOIN c c2 ON doc2 = c2.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (c1.n_sh + c2.n_sh - n_common)
+        |  >= 0.02
+        |ORDER BY pairs.source, doc1, doc2""".stripMargin
   )
 }

@@ -121,6 +121,41 @@ class PlanSpec extends AnyFunSuite {
     assert(scans === 1, s"expected exactly 1 scan:\n$p")
   }
 
+  test("pii scrub and doc chunking are shuffle-free scan pipelines") {
+    for (df <- Seq(TextAnalysis.piiScrub(Tables.documents(spark, sf)),
+                   TextAnalysis.docChunks(Tables.documents(spark, sf)))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+      assert("Scan parquet".r.findAllIn(p).length === 1)
+    }
+  }
+
+  test("contamination check broadcasts the benchmark postings") {
+    val p = plan(TextAnalysis.contaminationCheck(
+      Tables.documents(spark, "/root/testdata/sf0.01"),
+      col("doc_id") % 97 === 0))
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("capped ngram jaccard: grouped pair emission, no self-join, no window") {
+    // the cap bounds each posting list, so pairs come from a plain
+    // generator over the grouped list — the plan must have NO window
+    // sort and NO join on the shingle hash, and the postings must
+    // shuffle ONCE (counts branch reuses the (source, h) exchange)
+    val p = plan(TextAnalysis.ngramJaccardCapped(
+      Tables.documents(spark, "/root/testdata/sf0.01"),
+      minJaccard = 0.02, maxDocFreq = 10))
+    assert(!p.contains("Window"), s"unexpected window sort:\n$p")
+    val realPostingExchanges = p.linesIterator.count(l =>
+      "Exchange hashpartitioning\\(source#\\d+, h#".r
+        .findFirstIn(l).isDefined &&
+        !l.contains("ReusedExchange"))
+    assert(realPostingExchanges <= 1,
+      s"postings materialized too many exchanges:\n$p")
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf).select(
       graft.functions.GraftFunctions.simhash64(split(lower(col("text")), " "))))
