@@ -343,7 +343,21 @@ object SparkEntry {
       Relational.qMovingAvg(s, d).orderBy("o_orderkey")),
     "text_ngram_jaccard_capped" -> ((s, d) =>
       TextAnalysis.ngramJaccardCapped(docs(s, d), minJaccard = 0.02,
-        maxDocFreq = 10).orderBy("source", "doc1", "doc2"))
+        maxDocFreq = 10).orderBy("source", "doc1", "doc2")),
+    "q21_waiting_suppliers" -> ((s, d) =>
+      Relational.q21WaitingSuppliers(s, d)),
+    "q_window_suite" -> ((s, d) =>
+      Relational.qWindowSuite(s, d).orderBy("o_orderkey")),
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(docs(s, d),
+        Seq("spark", "join", "window", "stream")).orderBy("doc_id")),
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(docs(s, d)).orderBy("doc_id")),
+    "ann_range" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.rangeSearch(e, e.filter(col("vec_id") < 10),
+        minCosine = 0.15).orderBy("query_id", "neighbor_id")
+    })
   )
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
@@ -1377,6 +1391,76 @@ object SparkEntry {
         | JOIN c c2 ON doc2 = c2.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (c1.n_sh + c2.n_sh - n_common)
         |  >= 0.02
-        |ORDER BY pairs.source, doc1, doc2""".stripMargin
+        |ORDER BY pairs.source, doc1, doc2""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        | AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |             AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch_ms(o_orderdate), o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "text_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)/count(*)
+        |    AS avgdl, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        |  WHERE t IN ('spark','join','window','stream') GROUP BY 1,2),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |   CAST(((n - df + 0.5)/(df + 0.5)) *
+        |        ((tf*2.2)/(tf + 1.2*(0.25 + 0.75*(dl/avgdl))))
+        |     AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25 FROM sc
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS s
+        | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        |cnt AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM sh GROUP BY 1,2)
+        |SELECT doc_id,
+        |  CAST(max(c) AS DOUBLE)/CAST(sum(c) AS BIGINT) AS rep_ratio,
+        |  CAST(max(c) AS BIGINT) AS max_rep
+        |FROM cnt GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "ann_range" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim FROM s
+        |WHERE cos_sim >= 0.15 ORDER BY query_id, neighbor_id""".stripMargin
   )
 }

@@ -522,4 +522,60 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"),
         sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
   }
+
+  /** TPC-H Q21 shape: suppliers who kept finished orders waiting —
+    * the canonical EXISTS / NOT-EXISTS pair ("another supplier is on
+    * the order" / "no OTHER supplier was late"), adapted to this
+    * schema's dates (late = shipped > 60 days after the order date;
+    * there is no receipt/commit date pair).
+    *
+    * The textbook form is two lineitem self-joins; at 100 TB that is
+    * two extra fact shuffles. Rewritten as ONE per-order aggregate:
+    * a line qualifies iff its order has >= 2 distinct suppliers
+    * (EXISTS) and exactly 1 distinct LATE supplier (NOT EXISTS, given
+    * the line itself is late). lineitem⋈orders, the per-order agg,
+    * and the agg re-join all hash-partition on the order key, so the
+    * fact shuffles once and Catalyst reuses the Exchange. */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .as("late"))
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select("l_orderkey")
+    l.filter(col("late"))
+      .join(perOrder, "l_orderkey")
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** Analytic window-function suite over orders: lag / lead / ntile /
+    * percent_rank / cume_dist per customer in order-date order. One
+    * shuffle on o_custkey serves every function (a single WindowExec);
+    * the (date, orderkey) sort key is unique, so ranks — and the
+    * rank-derived percent_rank/cume_dist doubles — are deterministic
+    * on any cluster. */
+  def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC")),
+        col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      lead("o_totalprice", 1).over(w).as("next_price"),
+      row_number().over(w).cast("long").as("rn"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"))
+  }
 }

@@ -176,4 +176,23 @@ object Similarity {
         col("sum_scaled"),
         (col("sum_scaled").cast("double") / col("n") / 1e6)
           .as("centroid"))
+
+  /** Radius (range) search: every corpus vector within a cosine
+    * threshold of each query — the retrieval twin of top-k when the
+    * caller wants "all sufficiently similar", e.g. near-dup audit or
+    * contrastive negative mining. Queries broadcast against one
+    * corpus scan; the corpus never shuffles and the threshold filter
+    * runs inside the scan stage, so output size — not corpus size —
+    * bounds what leaves the executors. */
+  def rangeSearch(embs: DataFrame, queries: DataFrame,
+                  minCosine: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    embs.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
+      .filter(col("cos_sim") >= minCosine)
+      .select("query_id", "neighbor_id", "cos_sim")
+  }
 }
