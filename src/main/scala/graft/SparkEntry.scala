@@ -357,7 +357,11 @@ object SparkEntry {
       val e = embs(s, d)
       Similarity.rangeSearch(e, e.filter(col("vec_id") < 10),
         minCosine = 0.15).orderBy("query_id", "neighbor_id")
-    })
+    }),
+    "rx_exhaust_map" -> ((s, d) =>
+      Reactive.rxExhaustMap(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_fork_join" -> ((s, d) =>
+      Reactive.rxForkJoin(ev(s, d)).orderBy("user_id"))
   )
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
@@ -1461,6 +1465,35 @@ object SparkEntry {
         |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
         | FROM q, embeddings e WHERE e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, cos_sim FROM s
-        |WHERE cos_sim >= 0.15 ORDER BY query_id, neighbor_id""".stripMargin
+        |WHERE cos_sim >= 0.15 ORDER BY query_id, neighbor_id""".stripMargin,
+    "rx_exhaust_map" ->
+      """WITH RECURSIVE tr AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |walk AS (
+        |  SELECT user_id, event_id, t, rn, TRUE AS accepted,
+        |         t + 1800000 AS exhaust_end
+        |  FROM tr WHERE rn = 1
+        |  UNION ALL
+        |  SELECT tr.user_id, tr.event_id, tr.t, tr.rn,
+        |         tr.t >= w.exhaust_end AS accepted,
+        |         CASE WHEN tr.t >= w.exhaust_end THEN tr.t + 1800000
+        |              ELSE w.exhaust_end END
+        |  FROM walk w JOIN tr ON tr.user_id = w.user_id AND tr.rn = w.rn + 1)
+        |SELECT user_id, event_id, t AS ts_ms, exhaust_end AS end_ms
+        |FROM walk WHERE accepted ORDER BY user_id, event_id""".stripMargin,
+    "rx_fork_join" ->
+      """SELECT user_id,
+        |  arg_max("value", event_id) FILTER (event_type='click')
+        |    AS last_click,
+        |  arg_max("value", event_id) FILTER (event_type='view')
+        |    AS last_view,
+        |  arg_max("value", event_id) FILTER (event_type='purchase')
+        |    AS last_purchase
+        |FROM events GROUP BY user_id
+        |HAVING last_click IS NOT NULL AND last_view IS NOT NULL
+        |   AND last_purchase IS NOT NULL
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -700,4 +700,51 @@ object Reactive {
         "asof_event_id" -> "click_event_id",
         "asof_value" -> "click_value"))
   }
+
+  /** Rx `exhaustMap` admission: a trigger opens a window of
+    * `windowMs`; triggers arriving while a window is open are
+    * DROPPED (vs switchMap, which cancels the open window). Greedy
+    * interval admission is inherently sequential per key — the one
+    * operator family a window function cannot express (each
+    * decision depends on the previous ACCEPTED trigger, not a fixed
+    * frame). Realized with `flatMapSortedGroups`: the shuffle's
+    * secondary sort orders each user's triggers by event_id, and a
+    * single O(1)-state forward scan per key does the admission —
+    * state is one Long regardless of group size, and only trigger
+    * rows (not the full stream) ever shuffle. The opened windows
+    * compose with an interval join for the inner "map" phase. */
+  def rxExhaustMap(events: DataFrame, windowMs: Long = 1800000L,
+                   trigger: String = "click"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.filter(col("event_type") === trigger)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("event_id")) { (uid, it) =>
+        var end = Long.MinValue
+        it.flatMap { case (_, eid, t) =>
+          if (t >= end) { end = t + windowMs; Some((uid, eid, t, end)) }
+          else None
+        }
+      }
+      .toDF("user_id", "event_id", "ts_ms", "end_ms")
+  }
+
+  /** Rx `forkJoin`: the final value of each of several per-key
+    * streams, emitted together once all of them have completed — a
+    * key only appears if EVERY stream emitted at least once. One
+    * partial-aggregable pass: `max_by(value, event_id)` per stream
+    * inside a single groupBy (no per-stream join tree). */
+  def rxForkJoin(events: DataFrame,
+                 types: Seq[String] = Seq("click", "view", "purchase"))
+      : DataFrame = {
+    val aggs = types.map(t => max_by(
+      when(col("event_type") === t, col("value")),
+      when(col("event_type") === t, col("event_id"))).as(s"last_$t"))
+    types.foldLeft(
+      events.groupBy("user_id").agg(aggs.head, aggs.tail: _*))(
+      (df, t) => df.filter(col(s"last_$t").isNotNull))
+  }
 }
