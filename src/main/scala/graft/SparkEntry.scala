@@ -361,8 +361,25 @@ object SparkEntry {
     "rx_exhaust_map" -> ((s, d) =>
       Reactive.rxExhaustMap(ev(s, d)).orderBy("user_id", "event_id")),
     "rx_fork_join" -> ((s, d) =>
-      Reactive.rxForkJoin(ev(s, d)).orderBy("user_id"))
+      Reactive.rxForkJoin(ev(s, d)).orderBy("user_id")),
+    "asof_forward" -> ((s, d) =>
+      asofDirectional(ev(s, d), "forward").orderBy("event_id")),
+    "asof_nearest" -> ((s, d) =>
+      asofDirectional(ev(s, d), "nearest").orderBy("event_id"))
   )
+
+  private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+    AsOf.joinDirectional(purchases, clicks, "user_id", "event_id",
+        Seq("event_id", "value"), dir)
+      .withColumnsRenamed(Map(
+        "value" -> "purchase_value",
+        "asof_event_id" -> "click_event_id",
+        "asof_value" -> "click_value"))
+  }
 
   /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
     * (lsh/simhash/embedding dedup, ann_lsh, lang_id) are not
@@ -1494,6 +1511,41 @@ object SparkEntry {
         |FROM events GROUP BY user_id
         |HAVING last_click IS NOT NULL AND last_view IS NOT NULL
         |   AND last_purchase IS NOT NULL
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "asof_forward" ->
+      """SELECT event_id, user_id, purchase_value, click_event_id, click_value
+        |FROM (
+        | SELECT event_id, user_id, event_type, "value" AS purchase_value,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |    IGNORE NULLS) OVER w AS click_event_id,
+        |  first_value(CASE WHEN event_type = 'click' THEN "value" END
+        |    IGNORE NULLS) OVER w AS click_value
+        | FROM events WHERE event_type IN ('click','purchase')
+        | WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "asof_nearest" ->
+      """SELECT event_id, user_id, purchase_value,
+        |  CASE WHEN pick_b THEN b_eid ELSE f_eid END AS click_event_id,
+        |  CASE WHEN pick_b THEN b_val ELSE f_val END AS click_value
+        |FROM (
+        | SELECT *, f_eid IS NULL OR (b_eid IS NOT NULL
+        |   AND (event_id - b_eid) <= (f_eid - event_id)) AS pick_b
+        | FROM (
+        |  SELECT event_id, user_id, event_type, "value" AS purchase_value,
+        |   last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |     IGNORE NULLS) OVER wb AS b_eid,
+        |   last_value(CASE WHEN event_type = 'click' THEN "value" END
+        |     IGNORE NULLS) OVER wb AS b_val,
+        |   first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |     IGNORE NULLS) OVER wf AS f_eid,
+        |   first_value(CASE WHEN event_type = 'click' THEN "value" END
+        |     IGNORE NULLS) OVER wf AS f_val
+        |  FROM events WHERE event_type IN ('click','purchase')
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wf AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
   )
 }

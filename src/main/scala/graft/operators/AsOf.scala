@@ -57,6 +57,64 @@ object AsOf {
         payload.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 
+  /** Direction variants (pandas merge_asof parity), same union-tag
+    * single-Exchange lattice as `join`:
+    *  - "backward": latest right at-or-before (delegates to `join`)
+    *  - "forward":  earliest right at-or-after (mirror frame; rights
+    *    sort after lefts on order-key ties so an exactly-simultaneous
+    *    right row is still matched)
+    *  - "nearest":  closer of the two fills by order-key distance,
+    *    ties to backward. Both fills ride the ONE shuffled union —
+    *    the second window only re-sorts in-partition, it never
+    *    re-shuffles.
+    */
+  def joinDirectional(left: DataFrame, right: DataFrame, keyCol: String,
+                      orderCol: String, payload: Seq[String],
+                      direction: String): DataFrame = direction match {
+    case "backward" => join(left, right, keyCol, orderCol, payload)
+    case "forward" | "nearest" =>
+      val leftCols = left.columns.toSeq
+      val fields = (orderCol +: payload).distinct
+      val payloadStruct = org.apache.spark.sql.types.StructType(
+        fields.map(c => org.apache.spark.sql.types.StructField(
+          c, right.schema(c).dataType, nullable = true)))
+      val l = left.select(
+        (Seq(lit(1).as("_tag")) ++ leftCols.map(col) :+
+          lit(null).cast(payloadStruct).as("_p")): _*)
+      val r = right.select(
+        (Seq(lit(0).as("_tag")) ++ leftCols.map {
+          case c if c == keyCol || c == orderCol => col(c)
+          case c => lit(null).cast(left.schema(c).dataType).as(c)
+        } :+ struct(fields.map(col): _*).as("_p")): _*)
+      val u = l.unionByName(r)
+      // forward frame: rights sort AFTER lefts at equal order key
+      // (_tag desc puts tag=0 last), so [current, following] sees them
+      val wF = Window.partitionBy(keyCol)
+        .orderBy(col(orderCol), col("_tag").desc)
+        .rowsBetween(0, Window.unboundedFollowing)
+      val withF = u.withColumn("_fwd",
+        first(col("_p"), ignoreNulls = true).over(wF))
+      val filled =
+        if (direction == "forward") withF.withColumn("_pick", col("_fwd"))
+        else {
+          val wB = Window.partitionBy(keyCol)
+            .orderBy(col(orderCol), col("_tag"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+          withF
+            .withColumn("_bwd", last(col("_p"), ignoreNulls = true).over(wB))
+            .withColumn("_pick", when(col("_fwd").isNull, col("_bwd"))
+              .when(col("_bwd").isNull, col("_fwd"))
+              .when(col(orderCol) - col(s"_bwd.$orderCol") <=
+                col(s"_fwd.$orderCol") - col(orderCol), col("_bwd"))
+              .otherwise(col("_fwd")))
+        }
+      filled.filter(col("_tag") === 1)
+        .select((leftCols.map(col) ++
+          payload.map(c => col(s"_pick.$c").as(s"asof_$c"))): _*)
+    case other => throw new IllegalArgumentException(
+      s"direction must be backward|forward|nearest, got $other")
+  }
+
   /** Column-expression variant of the left/right split entry: as-of
     * join of purchases against clicks within one events table. */
   def purchasesWithLatestClick(events: DataFrame): DataFrame = {
