@@ -33,6 +33,22 @@ object Sinks {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Range-clustered parquet layout: rows are range-partitioned on
+    * the cluster columns and sorted within each file, so every file
+    * covers a disjoint slice of the key space. Parquet's row-group
+    * min/max statistics then prune whole files for any range or
+    * point predicate on those columns — at 100 TB this is the
+    * difference between scanning one file and scanning a thousand.
+    * (The write costs one range-exchange; `numFiles` sizes the
+    * output so each file is one big sorted run.) */
+  def clusteredParquet(df: DataFrame, path: String,
+                       clusterCols: Seq[String], numFiles: Int): Unit =
+    df.repartitionByRange(numFiles,
+        clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(
+        clusterCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(path)
+
   def csv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -116,6 +116,33 @@ class SurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("clustered parquet layout: files cover disjoint key ranges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("clustered").toString + "/ev"
+    Sinks.clusteredParquet(Tables.events(spark, sf), dir,
+      Seq("user_id"), numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    // the layout contract: each file owns a disjoint slice of the
+    // key space, so parquet min/max footer stats prune whole files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("user_id"), max("user_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: $hi > $lo2")
+      case _ =>
+    }
+    // and a point read over the layout returns exactly the key's rows
+    val expected = Tables.events(spark, sf)
+      .filter(col("user_id") === 7).count()
+    assert(spark.read.parquet(dir).filter(col("user_id") === 7).count()
+      === expected)
+  }
+
   test("file-backed event stream feeds streaming ops incrementally") {
     val q = graft.streaming.ReactiveStreams
       .windowedAgg(Sources.eventStream(spark, sf))
