@@ -365,7 +365,13 @@ object SparkEntry {
     "asof_forward" -> ((s, d) =>
       asofDirectional(ev(s, d), "forward").orderBy("event_id")),
     "asof_nearest" -> ((s, d) =>
-      asofDirectional(ev(s, d), "nearest").orderBy("event_id"))
+      asofDirectional(ev(s, d), "nearest").orderBy("event_id")),
+    "rx_resample" -> ((s, d) =>
+      Reactive.rxResample(ev(s, d)).orderBy("user_id", "grid_ms")),
+    "sample_per_key" -> ((s, d) =>
+      Sampling.samplePerKey(ev(s, d)
+          .select("user_id", "event_id", "value"),
+        "user_id", "event_id", 3).orderBy("user_id", "event_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
@@ -1546,6 +1552,31 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |   wf AS (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "rx_resample" ->
+      """WITH b AS (SELECT user_id, epoch_ms(date_trunc('day', min(ts))) AS t0,
+        |                  epoch_ms(date_trunc('day', max(ts))) AS t1
+        |           FROM events GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1, 86400000))
+        |           AS g FROM b),
+        |pts AS (
+        |  SELECT user_id, g AS t, 1 AS is_grid, CAST(NULL AS DOUBLE) AS v,
+        |         1 AS tag, CAST(-1 AS BIGINT) AS eid FROM grid
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 0, "value", 0, event_id FROM events),
+        |f AS (SELECT user_id, t, is_grid,
+        |        last_value(v IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY t, tag, eid
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |      FROM pts)
+        |SELECT user_id, t AS grid_ms, fv AS "value" FROM f WHERE is_grid = 1
+        |ORDER BY user_id, grid_ms""".stripMargin,
+    "sample_per_key" ->
+      """SELECT user_id, event_id, "value"
+        |FROM (SELECT user_id, event_id, "value",
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -701,6 +701,39 @@ object Reactive {
         "asof_value" -> "click_value"))
   }
 
+  /** Time-series resample + forward-fill: a regular `stepMs` grid
+    * per key (day-aligned, spanning the key's observed range), each
+    * grid point carrying the last event value at-or-before it. The
+    * gap-fill primitive for turning irregular event streams into
+    * fixed-rate series.
+    *
+    * Same union-tag lattice as the as-of join: grid points and
+    * events merge into ONE stream, shuffle once on the key, and a
+    * running last_value(ignoreNulls) fills the grid — no grid⋈events
+    * range join (which would shuffle both sides and range-scan per
+    * grid point). Events sort before grid points at the same
+    * millisecond, so a point-on-grid event fills its own tick. */
+  def rxResample(events: DataFrame, stepMs: Long = 86400000L): DataFrame = {
+    val grid = events.groupBy("user_id").agg(
+        unix_millis(date_trunc("day", min(col("ts")))).as("t0"),
+        unix_millis(date_trunc("day", max(col("ts")))).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), lit(stepMs))).as("t"))
+    val gridPts = grid.select(col("user_id"), col("t"),
+      lit(1).as("is_grid"), lit(null).cast("double").as("v"),
+      lit(1).as("tag"), lit(-1L).as("eid"))
+    val evPts = events.select(col("user_id"),
+      unix_millis(col("ts")).as("t"), lit(0).as("is_grid"),
+      col("value").as("v"), lit(0).as("tag"), col("event_id").as("eid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("tag"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gridPts.unionByName(evPts)
+      .withColumn("value", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("t").as("grid_ms"), col("value"))
+  }
+
   /** Rx `exhaustMap` admission: a trigger opens a window of
     * `windowMs`; triggers arriving while a window is open are
     * DROPPED (vs switchMap, which cancels the open window). Greedy
