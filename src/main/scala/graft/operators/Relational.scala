@@ -545,9 +545,14 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .as("late"))
-    val perOrder = l.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    // two-level agg instead of a double countDistinct: the first
+    // level collapses to (order, supplier) with map-side partials
+    // (no Expand over the fact), the second counts the tiny result
+    val perOrder = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("supp_late"), lit(1))).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select("l_orderkey")
     l.filter(col("late"))
