@@ -116,6 +116,26 @@ class SurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("directory-partitioned sink prunes partitions at the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("partitioned").toString + "/ev"
+    Sinks.parquet(Tables.events(spark, sf), dir, Seq("event_type"))
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"no partition filters:\n$scan")
+    // the pruned scan must read only the one matching directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    val clickFiles = new java.io.File(s"$dir/event_type=click")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val allFiles = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(scanned === clickFiles,
+      s"scan read $scanned files, expected $clickFiles of $allFiles")
+    assert(allFiles > clickFiles, "partitioning produced a single directory")
+  }
+
   test("clustered parquet layout: files cover disjoint key ranges") {
     val dir = java.nio.file.Files
       .createTempDirectory("clustered").toString + "/ev"
