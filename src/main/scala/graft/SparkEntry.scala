@@ -371,7 +371,12 @@ object SparkEntry {
     "sample_per_key" -> ((s, d) =>
       Sampling.samplePerKey(ev(s, d)
           .select("user_id", "event_id", "value"),
-        "user_id", "event_id", 3).orderBy("user_id", "event_id"))
+        "user_id", "event_id", 3).orderBy("user_id", "event_id")),
+    "source_percentiles" -> ((s, d) =>
+      TextAnalysis.sourcePercentiles(docs(s, d)).orderBy("source")),
+    "dedup_edit_verify" -> ((s, d) =>
+      TextAnalysis.editVerify(docs(s, d))
+        .orderBy("source", "doc1", "doc2"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
@@ -1577,6 +1582,35 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events)
-        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin
+        |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "source_percentiles" ->
+      """SELECT source, quantile_cont(tok, 0.5) AS p50,
+        |       quantile_cont(tok, 0.9) AS p90,
+        |       quantile_cont(tok, 0.99) AS p99,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT source, len(string_split(lower(text),' ')) AS tok
+        |      FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_edit_verify" ->
+      """WITH sh AS (
+        | SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        |pairs AS (
+        | SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2)
+        |SELECT p.source, doc1, doc2, p.jaccard,
+        |  CAST(levenshtein(substring(lower(d1.text),1,64),
+        |       substring(lower(d2.text),1,64)) AS BIGINT) AS edit64
+        |FROM pairs p JOIN documents d1 ON doc1 = d1.doc_id
+        |             JOIN documents d2 ON doc2 = d2.doc_id
+        |ORDER BY p.source, doc1, doc2""".stripMargin
   )
 }
