@@ -374,6 +374,26 @@ object SparkEntry {
         "user_id", "event_id", 3).orderBy("user_id", "event_id")),
     "source_percentiles" -> ((s, d) =>
       TextAnalysis.sourcePercentiles(docs(s, d)).orderBy("source")),
+    // semi-structured: JSON property extraction inside a codegen'd
+    // scan-agg (get_json_object never leaves whole-stage codegen)
+    "rx_json_props" -> ((s, d) =>
+      ev(s, d).select(col("user_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")),
+    // set algebra: INTERSECT/EXCEPT compile to semi/anti aggregates
+    "q_set_ops" -> ((s, d) => {
+      def yr(y: Int) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      yr(1996).intersect(yr(1997)).select(col("c_custkey"),
+          lit("both").as("bucket"))
+        .unionByName(yr(1996).except(yr(1997))
+          .select(col("c_custkey"), lit("only_96").as("bucket")))
+        .orderBy("bucket", "c_custkey")
+    }),
     "dedup_edit_verify" -> ((s, d) =>
       TextAnalysis.editVerify(docs(s, d))
         .orderBy("source", "doc1", "doc2"))
@@ -1583,6 +1603,30 @@ object SparkEntry {
         |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "rx_json_props" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_set_ops" ->
+      """SELECT c_custkey, 'both' AS bucket FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |UNION ALL
+        |SELECT c_custkey, 'only_96' AS bucket FROM (
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01')
+        |ORDER BY bucket, c_custkey""".stripMargin,
     "source_percentiles" ->
       """SELECT source, quantile_cont(tok, 0.5) AS p50,
         |       quantile_cont(tok, 0.9) AS p90,
