@@ -346,6 +346,12 @@ object SparkEntry {
         maxDocFreq = 10).orderBy("source", "doc1", "doc2")),
     "q21_waiting_suppliers" -> ((s, d) =>
       Relational.q21WaitingSuppliers(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) =>
+      Relational.q2MinCostSupplier(s, d)),
+    "q11_important_parts" -> ((s, d) =>
+      Relational.q11ImportantParts(s, d)),
+    "q20_prolific_suppliers" -> ((s, d) =>
+      Relational.q20ProlificSuppliers(s, d)),
     "q_window_suite" -> ((s, d) =>
       Relational.qWindowSuite(s, d).orderBy("o_orderkey")),
     "text_bm25" -> ((s, d) =>
@@ -1458,6 +1464,39 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
         |             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+        |SELECT p_partkey, s_suppkey, s_name, s_acctbal, unit_cost
+        |FROM ps JOIN m USING (l_partkey)
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE unit_cost = min_cost AND p_size <= 5
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS part_rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_rev FROM lineitem)
+        |SELECT l_partkey AS p_partkey, part_rev
+        |FROM rev CROSS JOIN tot
+        |WHERE part_rev > 0.0008 * total_rev
+        |ORDER BY part_rev DESC, p_partkey""".stripMargin,
+    "q20_prolific_suppliers" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size <= 10
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 80)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_window_suite" ->
       """SELECT o_orderkey,
         |  lag(o_totalprice) OVER w AS prev_price,

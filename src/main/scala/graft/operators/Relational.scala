@@ -564,6 +564,66 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** TPC-H Q2 shape: the supplier(s) achieving the minimum unit cost
+    * per qualifying part — the correlated-min subquery. The partsupp
+    * relation (absent from this schema) is derived from lineitem's
+    * (part, supplier) pairs with min observed unit cost; the
+    * correlated min is a pre-agg re-joined by equality (no per-row
+    * subquery execution). min is a SELECTION, not a sum, so the
+    * double compares bit-identically across engines. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val m = ps.groupBy("l_partkey").agg(min("unit_cost").as("min_cost"))
+    val parts = Tables.part(s, dir).filter(col("p_size") <= 5)
+      .select("p_partkey")
+    ps.join(m, "l_partkey")
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_acctbal")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_cost")
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 shape: parts whose revenue exceeds a fraction of the
+    * global total — grouped agg + broadcast scalar subquery, exact
+    * decimal sums on both levels. */
+  def q11ImportantParts(s: SparkSession, dir: String,
+                        fraction: Double = 0.0008): DataFrame = {
+    val line = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+    val rev = line.groupBy("l_partkey")
+      .agg(sum(col("v")).cast("double").as("part_rev"))
+    val tot = line.agg(sum(col("v")).cast("double").as("total_rev"))
+    rev.join(broadcast(tot))
+      .filter(col("part_rev") > lit(fraction) * col("total_rev"))
+      .select(col("l_partkey").as("p_partkey"), col("part_rev"))
+      .orderBy(col("part_rev").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q20 shape: suppliers with a significant shipped share of
+    * any qualifying part — the nested IN subquery with grouped
+    * HAVING, compiled to a pre-agg + left-semi join (the fact
+    * aggregates once; no correlated re-execution). */
+  def q20ProlificSuppliers(s: SparkSession, dir: String,
+                           minQty: Double = 80.0): DataFrame = {
+    val qualifying = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(dec2(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > minQty)
+      .select("l_suppkey")
+    Tables.supplier(s, dir).select("s_suppkey", "s_name")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy("s_suppkey")
+  }
+
   /** Analytic window-function suite over orders: lag / lead / ntile /
     * percent_rank / cume_dist per customer in order-date order. One
     * shuffle on o_custkey serves every function (a single WindowExec);
