@@ -24,6 +24,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // 131 gated queries are ~400+ whole-stage-codegen stages; the
+      // default 100-entry generated-class cache evicts constantly and
+      // every run re-Janino-compiles nearly every stage. Static conf:
+      // must be set before the first SparkSession in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // The events table carries INT64(TIMESTAMP(NANOS)) which Spark 4
       // rejects by default; session-wide opt-in (see Tables.events,
       // which converts the raw nanos to native us precision).

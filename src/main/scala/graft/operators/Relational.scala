@@ -572,15 +572,19 @@ object Relational {
     * subquery execution). min is a SELECTION, not a sum, so the
     * double compares bit-identically across engines. */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-    val m = ps.groupBy("l_partkey").agg(min("unit_cost").as("min_cost"))
     val parts = Tables.part(s, dir).filter(col("p_size") <= 5)
       .select("p_partkey")
-    ps.join(m, "l_partkey")
-      .filter(col("unit_cost") === col("min_cost"))
+    // part filter BEFORE the pair aggregation: only qualifying parts'
+    // lines ever shuffle (q16/q17 pattern); the per-part min is a
+    // window over the already-aggregated pairs, not a second agg+join
+    val ps = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    ps.withColumn("min_cost", min(col("unit_cost")).over(
+        Window.partitionBy("p_partkey")))
+      .filter(col("unit_cost") === col("min_cost"))
       .join(broadcast(Tables.supplier(s, dir)
         .select("s_suppkey", "s_name", "s_acctbal")),
         col("l_suppkey") === col("s_suppkey"))
