@@ -156,6 +156,44 @@ class PlanSpec extends AnyFunSuite {
       s"postings materialized too many exchanges:\n$p")
   }
 
+  test("q2: part filter broadcasts below the pair agg; supplier broadcast") {
+    val p = plan(Relational.q2MinCostSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join shuffled:\n$p")
+    // the pair agg and its window-min share the fact's one shuffle
+    // chain; no second fact aggregation exchange
+    val factExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(factExchanges <= 2, s"too many exchanges:\n$p")
+  }
+
+  test("q21: order-key partitioning reused across join, agg and re-join") {
+    val p = plan(Relational.q21WaitingSuppliers(spark, sf))
+    // lineitem joins orders, aggregates per order, and re-joins the
+    // qualifying orders — all on l_orderkey; the fact must not
+    // shuffle separately for each step
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ReusedExchange") ||
+      p.linesIterator.count(l => l.contains("Exchange hashpartitioning") &&
+        !l.contains("ReusedExchange")) <= 4, s"fact reshuffled per step:\n$p")
+  }
+
+  test("resample grid fill is one shuffle, no grid-to-events join") {
+    val p = plan(Reactive.rxResample(Tables.events(spark, sf)))
+    assert(!p.contains("Join"), s"resample used a join:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("bm25 term filter cuts the token explode before any shuffle") {
+    val p = plan(TextAnalysis.bm25(Tables.documents(spark, sf),
+      Seq("spark", "join", "window", "stream")))
+    // df + corpus stats are broadcast; the only sort-merge-sized work
+    // is the per-doc tf join back to doc lengths
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     val p = plan(Tables.documents(spark, sf).select(
       graft.functions.GraftFunctions.simhash64(split(lower(col("text")), " "))))
