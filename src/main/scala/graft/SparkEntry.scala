@@ -402,7 +402,9 @@ object SparkEntry {
     }),
     "dedup_edit_verify" -> ((s, d) =>
       TextAnalysis.editVerify(docs(s, d))
-        .orderBy("source", "doc1", "doc2"))
+        .orderBy("source", "doc1", "doc2")),
+    "source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(docs(s, d)).orderBy("source1", "source2"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
@@ -1642,6 +1644,18 @@ object SparkEntry {
         |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "source_overlap" ->
+      """WITH sh AS (
+        | SELECT DISTINCT source, unnest(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS s
+        | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3)
+        |SELECT a.source AS source1, b.source AS source2,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "rx_json_props" ->
       """SELECT user_id, event_type,
         |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
