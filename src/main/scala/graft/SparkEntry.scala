@@ -374,6 +374,11 @@ object SparkEntry {
       asofDirectional(ev(s, d), "nearest").orderBy("event_id")),
     "rx_resample" -> ((s, d) =>
       Reactive.rxResample(ev(s, d)).orderBy("user_id", "grid_ms")),
+    "rx_rolling_stats" -> ((s, d) =>
+      Reactive.rxRollingStats(ev(s, d)).orderBy("event_id")),
+    "rx_cohort_retention" -> ((s, d) =>
+      Reactive.rxCohortRetention(ev(s, d))
+        .orderBy("cohort_day", "offset_days")),
     "sample_per_key" -> ((s, d) =>
       Sampling.samplePerKey(ev(s, d)
           .select("user_id", "event_id", "value"),
@@ -1637,6 +1642,32 @@ object SparkEntry {
         |      FROM pts)
         |SELECT user_id, t AS grid_ms, fv AS "value" FROM f WHERE is_grid = 1
         |ORDER BY user_id, grid_ms""".stripMargin,
+    "rx_rolling_stats" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS roll_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |  (CAST(count(*) OVER w AS BIGINT)
+        |     * CAST(sum(CAST("value"*"value" AS DECIMAL(18,4))) OVER w
+        |         AS DOUBLE)
+        |   - CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |     * CAST(sum(CAST("value" AS DECIMAL(18,2))) OVER w AS DOUBLE))
+        |  / (CAST(count(*) OVER w AS BIGINT)
+        |     * (CAST(count(*) OVER w AS BIGINT) - 1)) AS roll_var
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |QUALIFY count(*) OVER w >= 2
+        |ORDER BY event_id""".stripMargin,
+    "rx_cohort_retention" ->
+      """WITH days AS (SELECT user_id, epoch_ms(ts)//86400000 AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS offset_days,
+        |  CAST(count(DISTINCT days.user_id) AS BIGINT) AS active_users
+        |FROM days JOIN cohort ON days.user_id = cohort.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_per_key" ->
       """SELECT user_id, event_id, "value"
         |FROM (SELECT user_id, event_id, "value",

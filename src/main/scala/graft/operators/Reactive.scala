@@ -734,6 +734,42 @@ object Reactive {
       .select(col("user_id"), col("t").as("grid_ms"), col("value"))
   }
 
+  /** Rolling statistics: trailing-10-element sum / count / sample
+    * variance per key, one window pass. The variance uses the
+    * sum-of-squares identity over EXACT decimal window sums, so even
+    * a rolling second moment is order-independent and bit-stable
+    * across engines and partitionings (the final identity is a fixed
+    * sequence of IEEE double ops on exact inputs). */
+  def rxRollingStats(events: DataFrame, n: Int = 10): DataFrame = {
+    val w = byUser.rowsBetween(-(n - 1), 0)
+    events.select(col("event_id"), col("user_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("roll_sum"),
+        count(lit(1)).over(w).as("roll_n"),
+        sum(col("value").multiply(col("value")).cast(DecimalType(18, 4)))
+          .over(w).cast("double").as("_sumsq"))
+      .filter(col("roll_n") >= 2)
+      .select(col("event_id"), col("user_id"), col("roll_sum"),
+        col("roll_n"),
+        ((col("roll_n") * col("_sumsq") -
+          col("roll_sum") * col("roll_sum")) /
+          (col("roll_n") * (col("roll_n") - 1))).as("roll_var"))
+  }
+
+  /** Cohort retention: users bucketed by first-seen day, activity
+    * counted per (cohort, day offset) — the standard retention
+    * triangle. Two aggregates sharing the user_id partitioning; the
+    * distinct-user count is the only wide result. */
+  def rxCohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      expr("unix_millis(ts) div 86400000").as("day"))
+    val cohort = days.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** Rx `exhaustMap` admission: a trigger opens a window of
     * `windowMs`; triggers arriving while a window is open are
     * DROPPED (vs switchMap, which cancels the open window). Greedy
