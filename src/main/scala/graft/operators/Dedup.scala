@@ -149,8 +149,12 @@ object Dedup {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .localCheckpoint()
-    var labels = nodes.select(col("doc_id").as("node"),
-      col("doc_id").as("label")).localCheckpoint()
+    // propagate only over nodes that HAVE an edge: the iteration
+    // frame is O(matched docs) — at 100 TB a sliver of the corpus —
+    // and isolated nodes re-attach as their own singleton cluster
+    // after convergence with one left join
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -174,7 +178,10 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds; " +
           "a component's diameter exceeds maxIter — raise maxIter " +
           "(returning partial labels would silently corrupt clusters)")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    nodes.select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
