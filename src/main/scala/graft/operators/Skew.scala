@@ -24,4 +24,21 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Two-phase salted aggregation for hot grouping keys: phase 1
+    * aggregates (key, salt) — the hot key's rows spread over `salts`
+    * tasks — phase 2 merges the per-salt partials. Only works for
+    * aggregates with a partial/merge decomposition (sum, count, min,
+    * max: exactly what Spark's own partial aggregation exploits; this
+    * extends it when even one key's MERGED partials overwhelm the
+    * single reducer that hash partitioning would give it). */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+                saltFrom: Column, salts: Int = 8): DataFrame =
+    df.withColumn("_salt",
+        pmod(xxhash64(saltFrom), lit(salts)).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pn"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as(s"sum_$valueCol"),
+        sum(col("_pn")).as("n"))
 }

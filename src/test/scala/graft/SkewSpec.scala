@@ -22,6 +22,21 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salted aggregation equals the direct aggregation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        // exact integer payload so the two aggregation orders are
+        // trivially comparable (the decimal-routing rules cover sums
+        // of doubles; salting itself is value-agnostic)
+        (col("event_id") % 97).as("v"))
+    val direct = ev.groupBy("user_id")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(ev, "user_id", "v",
+      saltFrom = col("event_id"), salts = 8)
+    assert(salted.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(salted).count() === 0)
+  }
+
   test("salt actually spreads a hot key over multiple sub-keys") {
     val ev = Tables.events(spark, sf)
     val spread = ev
