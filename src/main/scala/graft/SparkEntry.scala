@@ -379,6 +379,18 @@ object SparkEntry {
     "rx_cohort_retention" -> ((s, d) =>
       Reactive.rxCohortRetention(ev(s, d))
         .orderBy("cohort_day", "offset_days")),
+    // calendar bucketing: dow from epoch-day arithmetic ((d+4)%7,
+    // 1970-01-01 = Thursday) — engine-neutral, no dow() convention
+    "rx_calendar" -> ((s, d) =>
+      ev(s, d).groupBy(
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"),
+          (expr("unix_millis(ts) div 86400000") + lit(4))
+            .mod(lit(7)).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))).cast("double").as("sum_v"))
+        .orderBy("y", "m", "dow")),
     "sample_per_key" -> ((s, d) =>
       Sampling.samplePerKey(ev(s, d)
           .select("user_id", "event_id", "value"),
@@ -1659,6 +1671,12 @@ object SparkEntry {
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |QUALIFY count(*) OVER w >= 2
         |ORDER BY event_id""".stripMargin,
+    "rx_calendar" ->
+      """SELECT year(ts) AS y, month(ts) AS m,
+        |  (epoch_ms(ts)//86400000 + 4) % 7 AS dow,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "rx_cohort_retention" ->
       """WITH days AS (SELECT user_id, epoch_ms(ts)//86400000 AS day
         |  FROM events),
