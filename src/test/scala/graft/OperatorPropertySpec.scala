@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Reactive, Sampling}
+
+/** ScalaCheck property tests at the OPERATOR level: many random
+  * per-key streams ride one DataFrame (key = case index), the
+  * operator runs once, and every key's result is compared against a
+  * plain-Scala reference implementation. Complements the DuckDB
+  * oracle gate with adversarial shapes (empty keys, gap configs,
+  * boundary ties) the fixed test tables don't contain. */
+class OperatorPropertySpec extends AnyFunSuite {
+  import TestSession._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail("scalacheck generation failed"))
+
+  /** (user_id, per-user value list) → events rows with globally
+    * unique, per-user-ordered event ids; values exact at 2dp. */
+  private def eventsDf(streams: Seq[Seq[Int]]) = {
+    import spark.implicits._
+    var id = 0L
+    streams.zipWithIndex.flatMap { case (vals, uid) =>
+      vals.map { v =>
+        id += 1
+        (id, new Timestamp(1700000000000L + id * 1000 + v),
+          uid.toLong, "click", v * 0.25)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  private val streamGen: Gen[Seq[Int]] =
+    Gen.choose(0, 25).flatMap(k => Gen.listOfN(k, Gen.choose(0, 400)))
+
+  test("property: buffer(count, skip) matches the index-arithmetic reference") {
+    val streams = sample(streamGen, 30, 101L)
+    val df = eventsDf(streams)
+    for ((n, skip) <- Seq((3, 1), (4, 4), (2, 5), (5, 3))) {
+      val got = Reactive.rxBufferCountSkip(df, n, skip)
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("batch_id")) ->
+          (r.getAs[Long]("batch_n"),
+            r.getAs[java.math.BigDecimal]("batch_sum").doubleValue()))
+        .toMap
+      val expected = streams.zipWithIndex.flatMap { case (vals, uid) =>
+        vals.indices
+          .flatMap { p =>
+            val bFirst = math.max(0L, math.ceil((p - n + 1).toDouble / skip).toLong)
+            val bLast = math.floorDiv(p, skip).toLong
+            (bFirst to bLast).map(b => (b, p))
+          }
+          .groupBy(_._1)
+          .map { case (b, ps) =>
+            (uid.toLong, b) -> (ps.size.toLong,
+              ps.map(x => vals(x._2) * 0.25).sum)
+          }
+      }.toMap
+      assert(got.keySet === expected.keySet, s"n=$n skip=$skip")
+      got.foreach { case (k, (cnt, s)) =>
+        assert(cnt === expected(k)._1, s"n=$n skip=$skip key=$k")
+        assert(math.abs(s - expected(k)._2) < 1e-9, s"n=$n skip=$skip key=$k")
+      }
+    }
+  }
+
+  test("property: exhaustMap admission matches the greedy fold") {
+    val streams = sample(streamGen, 30, 202L)
+    val df = eventsDf(streams)
+    val windowMs = 7000L
+    val got = Reactive.rxExhaustMap(df, windowMs, "click")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+      .toSet
+    // reference: per user, admit a trigger iff its ts is at-or-after
+    // the last admitted trigger's window end
+    val rows = df.select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .groupBy(_._1)
+    val expected = rows.toSeq.flatMap { case (uid, rs) =>
+      var end = Long.MinValue
+      rs.sortBy(_._2).toSeq.flatMap { case (_, eid, t) =>
+        if (t >= end) { end = t + windowMs; Some((uid, eid)) } else None
+      }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("property: nearest as-of matches the brute-force reference") {
+    val streams = sample(streamGen, 30, 303L)
+    val df = eventsDf(streams)
+    // odd event ids are "left" probes, even are "right" payloads
+    val left = df.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value")
+    val right = df.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+    val got = AsOf.joinDirectional(left, right, "user_id", "event_id",
+        Seq("event_id"), "nearest")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("asof_event_id")).map(_.asInstanceOf[Long]))
+      .toMap
+    val rights = right.collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = left.collect().map { r =>
+      val (o, uid) = (r.getLong(0), r.getLong(1))
+      val rs = rights.getOrElse(uid, Array.empty[Long])
+      val b = rs.filter(_ <= o).lastOption
+      val f = rs.find(_ >= o)
+      val pick = (b, f) match {
+        case (Some(bb), Some(ff)) =>
+          if (o - bb <= ff - o) Some(bb) else Some(ff)
+        case (bb, ff) => bb.orElse(ff)
+      }
+      o -> pick
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("property: samplePerKey keeps exactly the k md5-smallest ids") {
+    val streams = sample(streamGen, 30, 404L)
+    val df = eventsDf(streams)
+    val k = 3
+    val got = Sampling.samplePerKey(
+        df.select("user_id", "event_id", "value"), "user_id", "event_id", k)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+      .toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = df.select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rs) =>
+        rs.sortBy { case (_, eid) => (md5hex(eid.toString), eid) }.take(k).toSeq
+      }.toSet
+    assert(got === expected)
+  }
+}
