@@ -381,6 +381,32 @@ object SparkEntry {
         .orderBy("cohort_day", "offset_days")),
     // calendar bucketing: dow from epoch-day arithmetic ((d+4)%7,
     // 1970-01-01 = Thursday) — engine-neutral, no dow() convention
+    // ordered string aggregation (Rx toList for strings): order
+    // carried INSIDE the aggregate via (event_id, type) structs so
+    // the concat is deterministic under any partitioning
+    "rx_group_concat" -> ((s, d) =>
+      ev(s, d).filter(col("event_id") % 50 === 0)
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("seq"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
+    // per-key mode with deterministic ties (lexicographic min)
+    "rx_mode" -> ((s, d) => {
+      val c = ev(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val m = c.groupBy("user_id").agg(max("cnt").as("mx"))
+      c.join(m, Seq("user_id"))
+        .filter(col("cnt") === col("mx"))
+        .groupBy("user_id", "mx")
+        .agg(min("event_type").as("mode_type"))
+        .select(col("user_id"), col("mode_type"),
+          col("mx").as("mode_n"))
+        .orderBy("user_id")
+    }),
     "rx_calendar" -> ((s, d) =>
       ev(s, d).groupBy(
           year(col("ts")).cast("long").as("y"),
@@ -1671,6 +1697,21 @@ object SparkEntry {
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |QUALIFY count(*) OVER w >= 2
         |ORDER BY event_id""".stripMargin,
+    "rx_group_concat" ->
+      """SELECT user_id,
+        |  string_agg(CAST(event_type AS VARCHAR), ','
+        |    ORDER BY event_id) AS seq,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_id % 50 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(cnt) AS mx FROM c GROUP BY 1)
+        |SELECT c.user_id, min(event_type) AS mode_type,
+        |  CAST(mx AS BIGINT) AS mode_n
+        |FROM c JOIN m ON c.user_id = m.user_id AND cnt = mx
+        |GROUP BY c.user_id, mx ORDER BY c.user_id""".stripMargin,
     "rx_calendar" ->
       """SELECT year(ts) AS y, month(ts) AS m,
         |  (epoch_ms(ts)//86400000 + 4) % 7 AS dow,
