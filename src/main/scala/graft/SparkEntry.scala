@@ -447,7 +447,15 @@ object SparkEntry {
       TextAnalysis.editVerify(docs(s, d))
         .orderBy("source", "doc1", "doc2")),
     "source_overlap" -> ((s, d) =>
-      TextAnalysis.sourceOverlap(docs(s, d)).orderBy("source1", "source2"))
+      TextAnalysis.sourceOverlap(docs(s, d)).orderBy("source1", "source2")),
+    "dedup_keep_best" -> ((s, d) => {
+      val dd = docs(s, d)
+      val labels = Dedup.connectedComponents(
+        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
+      val quality = dd.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("score"))
+      Dedup.keepBest(labels, quality).orderBy("cluster_id")
+    })
   )
 
   private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
@@ -1734,6 +1742,44 @@ object SparkEntry {
         |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        |edges AS (
+        | SELECT doc1 AS a, doc2 AS b FROM pairs
+        | UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |q AS (SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |j AS (SELECT cluster_id, cc.doc_id, score
+        |  FROM cc JOIN q USING (doc_id)),
+        |m AS (SELECT cluster_id, max(score) AS best_score,
+        |  CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY 1)
+        |SELECT m.cluster_id, min(j.doc_id) AS canonical_doc,
+        |  CAST(best_score AS BIGINT) AS best_score, n_members
+        |FROM m JOIN j ON j.cluster_id = m.cluster_id
+        |  AND j.score = m.best_score
+        |GROUP BY m.cluster_id, best_score, n_members
+        |ORDER BY m.cluster_id""".stripMargin,
     "source_overlap" ->
       """WITH sh AS (
         | SELECT DISTINCT source, unnest(list_transform(

@@ -184,6 +184,22 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Canonical selection per dedup cluster: keep the highest-QUALITY
+    * member (ties to lowest id), not the arbitrary min-id — what a
+    * curation pipeline actually wants from its dup clusters. Inputs
+    * are the CC labels and any per-doc quality score; max + re-join
+    * keeps it one small aggregate over the (already tiny) label set. */
+  def keepBest(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val j = labels.join(quality, "doc_id")
+    val m = j.groupBy("cluster_id")
+      .agg(max("score").as("best_score"), count(lit(1)).as("n_members"))
+    j.join(m, "cluster_id")
+      .filter(col("score") === col("best_score"))
+      .groupBy("cluster_id", "best_score", "n_members")
+      .agg(min("doc_id").as("canonical_doc"))
+      .select("cluster_id", "canonical_doc", "best_score", "n_members")
+  }
+
   /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
     * (custom codegen expression) within bucket. */
   def embeddingNearDup(embs: DataFrame, planes: Int = 8,
