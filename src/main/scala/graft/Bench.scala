@@ -37,10 +37,27 @@ object Bench {
       val best = math.min(v, p2(k))
       k -> (if (best.isInfinity) -1.0 else best)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of stdout and
+    // parses the JSON line out of that tail. With 135 queries a full
+    // per-query map is ~4 KB and the line gets truncated (r1/r2 both
+    // recorded parsed:null). Report the total over every query, but
+    // limit the per-query map to a representative headline subset,
+    // rounded to ms, so the line stays well inside the tail window.
+    val headline = Vector(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q6_revenue", "q9_profit", "q18_large_orders", "q21_waiting_suppliers",
+      "rx_scan", "rx_window_sliding", "rx_resample", "rx_exhaust_map",
+      "asof_join", "dedup_exact", "dedup_minhash_lsh", "dedup_cluster",
+      "text_ngram_jaccard_capped", "text_bm25", "ann_bruteforce",
+      "ann_ivf", "pipeline_filter")
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = headline.filter(results.contains)
+      .map(k => "\"" + k + "\":" + r3(results(k)))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1500, s"bench JSON line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }
