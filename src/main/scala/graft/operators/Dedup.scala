@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -198,6 +199,29 @@ object Dedup {
       .groupBy("cluster_id", "best_score", "n_members")
       .agg(min("doc_id").as("canonical_doc"))
       .select("cluster_id", "canonical_doc", "best_score", "n_members")
+  }
+
+  /** Incremental ingestion dedup: admit from an incoming batch only
+    * the documents whose content fingerprint is absent from the
+    * existing corpus, deduplicating within the batch itself (first
+    * doc_id wins). This is the daily-crawl-vs-100 TB-corpus shape:
+    * the corpus side reduces to DISTINCT fingerprints before the
+    * anti join (one partial-aggregable pass over the corpus — the
+    * full text never shuffles), and in production the fingerprint
+    * set is a bucketed table so each increment's anti join is
+    * shuffle-free on the corpus side. */
+  def incrementalNew(docs: DataFrame, batchSources: Seq[String])
+      : DataFrame = {
+    val h = docs.select(col("doc_id"), col("source"),
+      md5(lower(trim(col("text")))).as("content_hash"))
+    val corpus = h.filter(!col("source").isin(batchSources: _*))
+      .select("content_hash").distinct()
+    val batch = h.filter(col("source").isin(batchSources: _*))
+    batch.join(corpus, Seq("content_hash"), "left_anti")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")))
+      .filter(col("_rn") === 1)
+      .select("doc_id", "source", "content_hash")
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
