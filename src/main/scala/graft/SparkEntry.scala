@@ -461,7 +461,9 @@ object SparkEntry {
         .orderBy("source", "shard", "bin_id")),
     "dedup_incremental" -> ((s, d) =>
       Dedup.incrementalNew(docs(s, d),
-        Seq("src16", "src17", "src18", "src19")).orderBy("doc_id"))
+        Seq("src16", "src17", "src18", "src19")).orderBy("doc_id")),
+    "pipeline_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(docs(s, d)).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
@@ -1842,6 +1844,22 @@ object SparkEntry {
         |  WHERE c.content_hash = b.content_hash)
         |QUALIFY row_number() OVER (PARTITION BY content_hash
         |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_mixture" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS tw FROM c),
+        |quota AS (
+        |  SELECT source, CAST(greatest(1, (100 * w) // tw) AS BIGINT)
+        |    AS quota
+        |  FROM c, t)
+        |SELECT doc_id, d.source, quota FROM documents d
+        |JOIN quota q ON d.source = q.source
+        |QUALIFY row_number() OVER (PARTITION BY d.source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= quota
         |ORDER BY doc_id""".stripMargin,
     "rx_json_props" ->
       """SELECT user_id, event_type,

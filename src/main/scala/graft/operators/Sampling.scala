@@ -24,4 +24,36 @@ object Sampling {
         Window.partitionBy(keyCol).orderBy(col("_h"), col(idCol))))
       .filter(col("_rn") <= k)
       .drop("_h", "_rn")
+
+  /** Mixture (temperature) sampling across sources: per-source quota
+    * proportional to count^0.5 — the standard up-weighting of small
+    * sources when rebalancing a training mixture — then the quota is
+    * filled by the smallest-md5 rows of each source.
+    *
+    * Determinism across engines: the sqrt weights are floored to
+    * scaled BIGINTs before the cross-source total, so the sum is
+    * exact integer arithmetic (a DOUBLE sum's rounding would depend
+    * on summation order and break bit-reproducibility); the quota is
+    * a BIGINT division of exact integers. sqrt itself is
+    * correctly-rounded by IEEE 754, identical everywhere.
+    *
+    * Scale: the per-source count/quota table is O(sources) and
+    * broadcast; the corpus shuffles once on source for the ranked
+    * fill. At extreme per-source cardinality swap the row_number
+    * fill for an md5-prefix threshold filter (approximate quota, no
+    * sort) — same determinism, no per-source ranking. */
+  def mixtureSample(docs: DataFrame, target: Long = 100L): DataFrame = {
+    val c = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double")) * 1e6)
+        .cast("long"))
+    val quota = c.crossJoin(broadcast(c.agg(sum("w").as("tw"))))
+      .withColumn("quota",
+        greatest(lit(1L), expr(s"($target * w) div tw")))
+      .select("source", "quota")
+    docs.join(broadcast(quota), "source")
+      .withColumn("_rn", row_number().over(Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("_rn") <= col("quota"))
+      .select("doc_id", "source", "quota")
+  }
 }

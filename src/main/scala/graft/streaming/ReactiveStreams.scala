@@ -218,6 +218,20 @@ object ReactiveStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of Dedup.incrementalNew: admit an incoming
+    * document only if its content fingerprint is absent from the
+    * static corpus (stream-static left-anti join — the corpus side
+    * is the pre-collapsed DISTINCT fingerprint table, broadcast when
+    * it fits, shuffled once otherwise) and not already seen earlier
+    * in the stream (watermark-bounded streaming dedup keeps the
+    * in-flight state finite). */
+  def incrementalDedupStream(docs: DataFrame, corpusHashes: DataFrame,
+                             watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("content_hash", md5(lower(trim(col("text")))))
+      .join(broadcast(corpusHashes), Seq("content_hash"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Stream-static enrichment join: stream fact against a broadcast
     * static dimension (no stream-side shuffle). */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =

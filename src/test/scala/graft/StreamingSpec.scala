@@ -195,4 +195,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set((1L, 0L, 0L, 1L), (1L, 1L, 2L, 3L)))
     } finally q.stop()
   }
+
+  test("streaming incremental dedup admits only fingerprints new to corpus and stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq("alpha", "beta").toDF("text")
+      .select(md5(lower(trim(col("text")))).as("content_hash"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts(0), "alpha"),   // corpus dup -> dropped
+      (2L, ts(1), "gamma"),   // new -> kept
+      (3L, ts(2), "gamma"),   // stream-internal dup -> dropped
+      (4L, ts(3), "Beta "),   // normalizes to corpus dup -> dropped
+      (5L, ts(4), "delta"))   // new -> kept
+    val qName = s"incdedup_${System.nanoTime()}"
+    val q = ReactiveStreams.incrementalDedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), corpus)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(qName).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got === Set(2L, 5L))
+    } finally q.stop()
+  }
 }
