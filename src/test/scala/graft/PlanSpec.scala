@@ -203,4 +203,32 @@ class PlanSpec extends AnyFunSuite {
       l.contains("simhash64expr") && l.trim.matches(""".*\*\(\d+\) Project.*""")),
       s"custom expr not inside a codegen stage:\n$p")
   }
+
+  test("sequence packing never reads or shuffles the text column") {
+    val p = plan(Packing.packGreedy(Tables.documents(spark, sf)))
+    // only the 32-byte id/size projection reaches the walk: the scan
+    // must prune text (at 100 TB the difference between shuffling
+    // the corpus and shuffling ids)
+    assert(!p.contains("text"), s"text column in packing plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"packing scan not pruned to (doc_id, source, n_chars):\n$p")
+  }
+
+  test("mixture sampling broadcasts the quota table, no shuffle join") {
+    val p = plan(Sampling.mixtureSample(Tables.documents(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join in mixture plan:\n$p")
+  }
+
+  test("incremental dedup collapses the corpus before a broadcast anti join") {
+    val p = plan(Dedup.incrementalNew(Tables.documents(spark, sf),
+      Seq("src16", "src17", "src18", "src19")))
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"anti join not broadcast (corpus fingerprints fit in memory):\n$p")
+    // the corpus side must partial-aggregate to distinct hashes
+    // before its exchange, so the full corpus never shuffles
+    assert("HashAggregate.*content_hash".r.findFirstIn(p).isDefined,
+      s"corpus not collapsed to distinct fingerprints:\n$p")
+  }
 }
