@@ -372,6 +372,9 @@ object SparkEntry {
       asofDirectional(ev(s, d), "forward").orderBy("event_id")),
     "asof_nearest" -> ((s, d) =>
       asofDirectional(ev(s, d), "nearest").orderBy("event_id")),
+    "asof_tolerance" -> ((s, d) =>
+      asofDirectional(ev(s, d), "nearest", Some(50L))
+        .orderBy("event_id")),
     "rx_resample" -> ((s, d) =>
       Reactive.rxResample(ev(s, d)).orderBy("user_id", "grid_ms")),
     "rx_rolling_stats" -> ((s, d) =>
@@ -466,13 +469,14 @@ object SparkEntry {
       Sampling.mixtureSample(docs(s, d)).orderBy("doc_id"))
   )
 
-  private def asofDirectional(events: DataFrame, dir: String): DataFrame = {
+  private def asofDirectional(events: DataFrame, dir: String,
+                              tolerance: Option[Long] = None): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")
     val clicks = events.filter(col("event_type") === "click")
       .select("event_id", "user_id", "value")
     AsOf.joinDirectional(purchases, clicks, "user_id", "event_id",
-        Seq("event_id", "value"), dir)
+        Seq("event_id", "value"), dir, tolerance)
       .withColumnsRenamed(Map(
         "value" -> "purchase_value",
         "asof_event_id" -> "click_event_id",
@@ -1678,6 +1682,28 @@ object SparkEntry {
         |   wf AS (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, "value" AS purchase_value
+        |  FROM events WHERE event_type='purchase'),
+        |c AS (SELECT event_id, user_id, "value" FROM events
+        |  WHERE event_type='click')
+        |SELECT p.event_id, p.user_id, p.purchase_value,
+        |  CASE WHEN bwd.event_id IS NOT NULL AND (fwd.event_id IS NULL
+        |       OR p.event_id - bwd.event_id <= fwd.event_id - p.event_id)
+        |       THEN bwd.event_id ELSE fwd.event_id END AS click_event_id,
+        |  CASE WHEN bwd.event_id IS NOT NULL AND (fwd.event_id IS NULL
+        |       OR p.event_id - bwd.event_id <= fwd.event_id - p.event_id)
+        |       THEN bwd."value" ELSE fwd."value" END AS click_value
+        |FROM p
+        |LEFT JOIN LATERAL (SELECT c.event_id, c."value" FROM c
+        |  WHERE c.user_id = p.user_id AND c.event_id <= p.event_id
+        |    AND p.event_id - c.event_id <= 50
+        |  ORDER BY c.event_id DESC LIMIT 1) bwd ON TRUE
+        |LEFT JOIN LATERAL (SELECT c.event_id, c."value" FROM c
+        |  WHERE c.user_id = p.user_id AND c.event_id >= p.event_id
+        |    AND c.event_id - p.event_id <= 50
+        |  ORDER BY c.event_id LIMIT 1) fwd ON TRUE
+        |ORDER BY p.event_id""".stripMargin,
     "rx_resample" ->
       """WITH b AS (SELECT user_id, epoch_ms(date_trunc('day', min(ts))) AS t0,
         |                  epoch_ms(date_trunc('day', max(ts))) AS t1

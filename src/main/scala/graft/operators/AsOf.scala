@@ -70,8 +70,33 @@ object AsOf {
     */
   def joinDirectional(left: DataFrame, right: DataFrame, keyCol: String,
                       orderCol: String, payload: Seq[String],
-                      direction: String): DataFrame = direction match {
-    case "backward" => join(left, right, keyCol, orderCol, payload)
+                      direction: String): DataFrame =
+    joinDirectional(left, right, keyCol, orderCol, payload, direction,
+      tolerance = None)
+
+  /** merge_asof with `tolerance`: a fill only matches within
+    * `tolerance` of the left row's order key. Pandas semantics for
+    * "nearest": tolerance filters EACH side's candidate first, then
+    * the nearer survivor wins — so an out-of-range backward fill
+    * still loses to an in-range forward fill (a post-hoc filter on
+    * the picked row would get that case wrong). Same one-Exchange
+    * union-tag lattice; the tolerance check is a null-out on the
+    * filled struct, no extra shuffle. */
+  def joinDirectional(left: DataFrame, right: DataFrame, keyCol: String,
+                      orderCol: String, payload: Seq[String],
+                      direction: String, tolerance: Option[Long])
+      : DataFrame = direction match {
+    case "backward" if tolerance.isEmpty =>
+      join(left, right, keyCol, orderCol, payload)
+    case "backward" =>
+      val fields = (orderCol +: payload).distinct
+      val base = join(left, right, keyCol, orderCol, fields)
+      val ok = col(s"asof_$orderCol").isNotNull &&
+        col(orderCol) - col(s"asof_$orderCol") <= tolerance.get
+      val nulled = payload.foldLeft(base)((df, c) =>
+        df.withColumn(s"asof_$c", when(ok, col(s"asof_$c"))))
+      if (payload.contains(orderCol)) nulled
+      else nulled.drop(s"asof_$orderCol")
     case "forward" | "nearest" =>
       val leftCols = left.columns.toSeq
       val fields = (orderCol +: payload).distinct
@@ -92,16 +117,23 @@ object AsOf {
       val wF = Window.partitionBy(keyCol)
         .orderBy(col(orderCol), col("_tag").desc)
         .rowsBetween(0, Window.unboundedFollowing)
-      val withF = u.withColumn("_fwd",
+      val withF0 = u.withColumn("_fwd",
         first(col("_p"), ignoreNulls = true).over(wF))
+      // tolerance: null the fill when its order-key distance exceeds
+      // the bound (a null _fwd keeps null — `when` propagates it)
+      val withF = tolerance.fold(withF0)(t => withF0.withColumn("_fwd",
+        when(col(s"_fwd.$orderCol") - col(orderCol) <= t, col("_fwd"))))
       val filled =
         if (direction == "forward") withF.withColumn("_pick", col("_fwd"))
         else {
           val wB = Window.partitionBy(keyCol)
             .orderBy(col(orderCol), col("_tag"))
             .rowsBetween(Window.unboundedPreceding, 0)
-          withF
+          val withB0 = withF
             .withColumn("_bwd", last(col("_p"), ignoreNulls = true).over(wB))
+          val withB = tolerance.fold(withB0)(t => withB0.withColumn("_bwd",
+            when(col(orderCol) - col(s"_bwd.$orderCol") <= t, col("_bwd"))))
+          withB
             .withColumn("_pick", when(col("_fwd").isNull, col("_bwd"))
               .when(col("_bwd").isNull, col("_fwd"))
               .when(col(orderCol) - col(s"_bwd.$orderCol") <=

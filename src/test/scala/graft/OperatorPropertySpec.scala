@@ -123,6 +123,44 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("property: tolerance as-of matches the per-side-filtered reference") {
+    val streams = sample(streamGen, 30, 505L)
+    val df = eventsDf(streams)
+    val left = df.filter(col("event_id") % 2 === 1)
+      .select("event_id", "user_id", "value")
+    val right = df.filter(col("event_id") % 2 === 0)
+      .select("event_id", "user_id", "value")
+    for (tol <- Seq(1L, 4L, 16L); dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsOf.joinDirectional(left, right, "user_id", "event_id",
+          Seq("event_id"), dir, Some(tol))
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("asof_event_id")).map(_.asInstanceOf[Long]))
+        .toMap
+      val rights = right.collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val expected = left.collect().map { r =>
+        val (o, uid) = (r.getLong(0), r.getLong(1))
+        val rs = rights.getOrElse(uid, Array.empty[Long])
+        // pandas semantics: tolerance filters each side's candidate
+        // BEFORE nearest picks among survivors
+        val b = rs.filter(x => x <= o && o - x <= tol).lastOption
+        val f = rs.find(x => x >= o && x - o <= tol)
+        val pick = dir match {
+          case "backward" => b
+          case "forward" => f
+          case "nearest" => (b, f) match {
+            case (Some(bb), Some(ff)) =>
+              if (o - bb <= ff - o) Some(bb) else Some(ff)
+            case (bb, ff) => bb.orElse(ff)
+          }
+        }
+        o -> pick
+      }.toMap
+      assert(got === expected, s"dir=$dir tol=$tol")
+    }
+  }
+
   test("property: samplePerKey keeps exactly the k md5-smallest ids") {
     val streams = sample(streamGen, 30, 404L)
     val df = eventsDf(streams)
