@@ -69,4 +69,18 @@ object Sinks {
                (onBatch: (DataFrame, Long) => Unit): StreamingQuery =
     df.writeStream.outputMode("append").queryName(name)
       .foreachBatch(onBatch).start()
+
+  /** Rx `doOnNext`-style observability: named aggregate metrics that
+    * accumulate on the executors DURING the job that computes the
+    * result (CollectMetrics node — no second pass over the data,
+    * which at 100 TB is the difference between free telemetry and a
+    * doubled pipeline). Trigger any action on the returned frame,
+    * then read `observation.get`. */
+  def withMetrics(df: DataFrame, name: String,
+                  metrics: (String, org.apache.spark.sql.Column)*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation(name)
+    val cols = metrics.map { case (n, c) => c.as(n) }
+    (df.observe(obs, cols.head, cols.tail: _*), obs)
+  }
 }

@@ -289,4 +289,40 @@ object ReactiveStreams {
           out.iterator
       }
   }
+
+  /** Streaming sequence packing: the unbounded twin of
+    * Packing.packGreedy. Per-source state is the open bin only
+    * (id + used chars + member stats — O(1) per key); a bin emits
+    * the moment a document overflows it. Documents pack in doc_id
+    * order within a trigger; across triggers, arrival order governs
+    * — the streaming analogue of greedy first-fit-in-order. */
+  case class PackedBin(source: String, bin_id: Long, n_docs: Int,
+                       bin_chars: Long, first_doc: Long, last_doc: Long)
+  case class PackState(binId: Long, used: Long, nDocs: Int,
+                       firstDoc: Long, lastDoc: Long)
+  def packStream(spark: SparkSession, docs: DataFrame,
+                 capacity: Long = 4096L): Dataset[PackedBin] = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PackState, PackedBin](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[PackState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[PackedBin]()
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, n) =>
+            if (st == null) st = PackState(0L, n, 1, id, id)
+            else if (st.used + n > capacity) {
+              out += PackedBin(src, st.binId, st.nDocs, st.used,
+                st.firstDoc, st.lastDoc)
+              st = PackState(st.binId + 1, n, 1, id, id)
+            } else st = PackState(st.binId, st.used + n, st.nDocs + 1,
+              st.firstDoc, id)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -196,6 +196,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming packing closes bins on overflow and carries the open bin across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Long)]
+    val qName = s"pack_${System.nanoTime()}"
+    val q = ReactiveStreams.packStream(spark, mem.toDF()
+        .toDF("doc_id", "source", "n_chars"), capacity = 100L)
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // batch 1: 60+30 fit bin 0; batch 2: 50 overflows -> bin 0
+      // closes (90 chars, docs 1-2), 50+40 fill bin 1, 20 overflows
+      // nothing (90+20>100 -> closes bin 1 with docs 3-4)
+      mem.addData((1L, "s", 60L), (2L, "s", 30L)); q.processAllAvailable()
+      mem.addData((3L, "s", 50L), (4L, "s", 40L), (5L, "s", 20L))
+      q.processAllAvailable()
+      val got = spark.table(qName)
+        .select("bin_id", "n_docs", "bin_chars", "first_doc", "last_doc")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set((0L, 2, 90L, 1L, 2L), (1L, 2, 90L, 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup admits only fingerprints new to corpus and stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

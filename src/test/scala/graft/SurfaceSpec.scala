@@ -66,6 +66,18 @@ class SurfaceSpec extends AnyFunSuite {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("observation metrics accumulate during the observed job itself") {
+    val ev = Tables.events(spark, sf)
+    val (df, obs) = Sinks.withMetrics(ev, s"m_${System.nanoTime()}",
+      "n" -> count(lit(1)), "distinct_users" -> approx_count_distinct("user_id"))
+    val collected = df.filter(col("value") >= 0).count()
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] >= collected)
+    assert(m("distinct_users").asInstanceOf[Long] > 0L)
+    // the metric saw every row of the observed frame, exactly once
+    assert(m("n").asInstanceOf[Long] === ev.count())
+  }
+
   test("async all/any/timeout/retry compose Spark actions") {
     val ev = Tables.events(spark, sf)
     val Seq(a, b) = Async.countAll(Seq(
