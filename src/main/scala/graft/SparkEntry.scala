@@ -466,7 +466,10 @@ object SparkEntry {
       Dedup.incrementalNew(docs(s, d),
         Seq("src16", "src17", "src18", "src19")).orderBy("doc_id")),
     "pipeline_mixture" -> ((s, d) =>
-      Sampling.mixtureSample(docs(s, d)).orderBy("doc_id"))
+      Sampling.mixtureSample(docs(s, d)).orderBy("doc_id")),
+    "pipeline_ingest" -> ((s, d) =>
+      Packing.ingest(docs(s, d), Seq("src16", "src17", "src18", "src19"))
+        .orderBy("source", "shard", "bin_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1887,6 +1890,50 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY d.source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= quota
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_ingest" ->
+      """WITH RECURSIVE h AS (SELECT doc_id, source,
+        |  md5(lower(trim(text))) AS content_hash FROM documents),
+        |corpus AS (SELECT DISTINCT content_hash FROM h
+        |  WHERE source NOT IN ('src16','src17','src18','src19')),
+        |batch AS (SELECT * FROM h
+        |  WHERE source IN ('src16','src17','src18','src19')),
+        |adm AS (
+        |  SELECT doc_id FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |    WHERE c.content_hash = b.content_hash)
+        |  QUALIFY row_number() OVER (PARTITION BY content_hash
+        |    ORDER BY doc_id) = 1),
+        |d AS (
+        |  SELECT d.source,
+        |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)),1,1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1
+        |    END AS shard,
+        |    d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY d.source,
+        |      CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)),1,1)
+        |           IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1
+        |      END
+        |      ORDER BY d.doc_id) AS rn
+        |  FROM documents d JOIN adm USING (doc_id)
+        |  WHERE d.n_chars >= 150),
+        |walk AS (
+        |  SELECT source, shard, doc_id, n_chars, rn, 0 AS bin_id,
+        |         n_chars AS bin_sum
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.shard, d.doc_id, d.n_chars, d.rn,
+        |    CASE WHEN w.bin_sum + d.n_chars > 2048
+        |         THEN w.bin_id + 1 ELSE w.bin_id END,
+        |    CASE WHEN w.bin_sum + d.n_chars > 2048
+        |         THEN d.n_chars ELSE w.bin_sum + d.n_chars END
+        |  FROM walk w JOIN d ON d.source = w.source
+        |    AND d.shard = w.shard AND d.rn = w.rn + 1)
+        |SELECT source, CAST(shard AS INT) AS shard,
+        |  CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM walk GROUP BY source, shard, bin_id
+        |ORDER BY source, shard, bin_id""".stripMargin,
     "rx_json_props" ->
       """SELECT user_id, event_type,
         |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -65,4 +65,20 @@ object Packing {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
   }
+
+  /** The daily-ingestion pipeline as ONE composed plan: admit only
+    * documents new to the corpus (Dedup.incrementalNew), drop
+    * low-quality ones, pack the survivors into training bins. The
+    * admitted-id set is small relative to the corpus, so the
+    * join-back to pick up sizes broadcasts; everything downstream of
+    * the anti join operates on the increment only. */
+  def ingest(docs: DataFrame, batchSources: Seq[String],
+             minChars: Long = 150L, capacity: Long = 2048L,
+             shards: Int = 2): DataFrame = {
+    val admitted = org.apache.spark.sql.functions.broadcast(
+      Dedup.incrementalNew(docs, batchSources).select("doc_id"))
+    packGreedy(
+      docs.join(admitted, "doc_id").filter(col("n_chars") >= minChars),
+      capacity, shards)
+  }
 }
