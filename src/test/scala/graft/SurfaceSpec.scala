@@ -66,6 +66,22 @@ class SurfaceSpec extends AnyFunSuite {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("multicast (Rx publish/share): cached stream computed once, many consumers") {
+    val shared = Tables.events(spark, sf).filter(col("value") > 0).persist()
+    try {
+      val n = shared.count()
+      assert(n > 0)
+      // both consumers read the materialized multicast, not the source
+      for (consumer <- Seq(
+          shared.groupBy("event_type").count(),
+          shared.agg(sum("value")))) {
+        val p = consumer.queryExecution.executedPlan.toString
+        assert(p.contains("InMemoryTableScan"),
+          s"consumer re-reads the source instead of the multicast:\n$p")
+      }
+    } finally shared.unpersist()
+  }
+
   test("observation metrics accumulate during the observed job itself") {
     val ev = Tables.events(spark, sf)
     val (df, obs) = Sinks.withMetrics(ev, s"m_${System.nanoTime()}",
