@@ -55,6 +55,11 @@ object Sinks {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC interchange (columnar alternative to parquet; same
+    * predicate-pushdown / column-pruning behavior at the scan). */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Streaming append sink to parquet with checkpointing. */
   def streamToParquet(df: DataFrame, path: String, checkpoint: String,
                       intervalMs: Long = 1000L): StreamingQuery =

@@ -66,6 +66,21 @@ class SurfaceSpec extends AnyFunSuite {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc sink/source round-trip preserves values and prunes at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Tables.nation(spark, sf)
+    Sinks.orc(df, s"$dir/nation")
+    val back = spark.read.orc(s"$dir/nation")
+    assert(back.orderBy("n_nationkey").collect().toSeq ===
+      df.orderBy("n_nationkey").collect().toSeq)
+    // pushdown + pruning work on ORC scans like parquet
+    val q = back.filter(col("n_nationkey") > 10).select("n_name")
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]"),
+      s"no ORC pushdown:\n$p")
+  }
+
   test("multicast (Rx publish/share): cached stream computed once, many consumers") {
     val shared = Tables.events(spark, sf).filter(col("value") > 0).persist()
     try {
