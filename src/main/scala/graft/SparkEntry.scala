@@ -469,7 +469,44 @@ object SparkEntry {
       Sampling.mixtureSample(docs(s, d)).orderBy("doc_id")),
     "pipeline_ingest" -> ((s, d) =>
       Packing.ingest(docs(s, d), Seq("src16", "src17", "src18", "src19"))
-        .orderBy("source", "shard", "bin_id"))
+        .orderBy("source", "shard", "bin_id")),
+    // ---- round 3: runtime filter, merge, partition ----
+    "rx_partition" -> ((s, d) =>
+      Reactive.rxPartition(ev(s, d)).orderBy("event_id")),
+    "q_bloom_join" -> ((s, d) => {
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey")
+      val fact = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+      RuntimeFilter.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_merge_upsert" -> ((s, d) => {
+      val dec2 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val base = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 1000.0)
+        .select(col("c_custkey"), dec2(col("c_acctbal")).as("c_acctbal"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)).as("c_acctbal"))
+      MergeOps.upsert(base, updates, "c_custkey")
+        .withColumn("c_acctbal", col("c_acctbal").cast("double"))
+        .orderBy("c_custkey")
+    })
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1986,6 +2023,40 @@ object SparkEntry {
         |       substring(lower(d2.text),1,64)) AS BIGINT) AS edit64
         |FROM pairs p JOIN documents d1 ON doc1 = d1.doc_id
         |             JOIN documents d2 ON doc2 = d2.doc_id
-        |ORDER BY p.source, doc1, doc2""".stripMargin
+        |ORDER BY p.source, doc1, doc2""".stripMargin,
+    "rx_partition" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN value >= 100.0 THEN 'pass' ELSE 'fail' END AS part
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        | AND o_orderpriority = '1-URGENT'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        | SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |        CAST(c_nationkey AS BIGINT) AS c_nationkey
+        | FROM customer WHERE c_acctbal > 1000.0),
+        |upd AS (
+        | SELECT o_custkey AS c_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS bal
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY 1)
+        |SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+        |  CAST(COALESCE(u.bal, b.bal) AS DOUBLE) AS c_acctbal,
+        |  b.c_nationkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |       WHEN u.c_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS merge_action
+        |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin
   )
 }

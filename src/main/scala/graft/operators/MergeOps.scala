@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE (SCD type-1 upsert) compiled to one full-outer join.
+  *
+  * Vanilla Spark has no MERGE INTO statement (that lives in table
+  * formats); the engine-level primitive is the same plan every such
+  * format executes underneath: full-outer join base-to-updates on
+  * the key, update rows take the update-side values, unmatched
+  * update rows insert, unmatched base rows carry through.
+  *
+  * Scale notes: both sides shuffle once on the key — with the base
+  * stored as a bucketed table on the key (Sinks.bucketedTable) the
+  * base side's exchange disappears and the merge cost is
+  * O(updates) + a co-located join, which is the production shape
+  * for continuous ingestion at 100 TB.
+  */
+object MergeOps {
+  /** Upsert `updates` into `base` on `key`.
+    *
+    * Output schema = base schema + `merge_action` (update | insert |
+    * keep). Shared non-key columns take the update value when an
+    * update row matches; base-only columns survive unchanged and are
+    * NULL on inserted rows. Update-side values must be non-null for
+    * matched rows to count as replacements (a null update value
+    * falls back to the base value, coalesce semantics). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val shared = updates.columns.filter(c => c != key && base.columns.contains(c))
+    require(shared.nonEmpty || updates.columns.sameElements(Array(key)),
+      s"updates share no non-key columns with base: ${updates.columns.mkString(",")}")
+    val joined = base.as("b")
+      .join(updates.as("u"), col(s"b.$key") === col(s"u.$key"), "full_outer")
+    val outKey = coalesce(col(s"b.$key"), col(s"u.$key")).as(key)
+    val outCols = base.columns.filterNot(_ == key).map { c =>
+      if (shared.contains(c)) coalesce(col(s"u.$c"), col(s"b.$c")).as(c)
+      else col(s"b.$c").as(c)
+    }
+    val action = when(col(s"b.$key").isNull, lit("insert"))
+      .when(col(s"u.$key").isNull, lit("keep"))
+      .otherwise(lit("update")).as("merge_action")
+    joined.select((outKey +: outCols.toSeq :+ action): _*)
+  }
+}

@@ -46,6 +46,17 @@ object Reactive {
     events.filter(col("event_type") === "purchase" && col("value") > 100.0)
       .select("event_id", "user_id", "value")
 
+  /** Rx `partition`: split a stream into pass/fail substreams by a
+    * predicate. Rx returns a pair of Observables; the engine form is
+    * ONE scan producing both substreams as a tagged union — callers
+    * `filter(part = ...)` their half and Catalyst prunes the scan to
+    * a plain pushed-down filter, so taking one half costs the same
+    * as `rxFilter` while taking both costs a single pass. */
+  def rxPartition(events: DataFrame, threshold: Double = 100.0): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("value"),
+      when(col("value") >= threshold, lit("pass")).otherwise(lit("fail"))
+        .as("part"))
+
   /** Rx `flatMap`: one event fans out into 1+floor(value/100) rows. */
   def rxFlatMap(events: DataFrame): DataFrame =
     events

@@ -246,4 +246,50 @@ class Round3Spec extends AnyFunSuite {
     assert(take === Set(1L, 4L))
     assert(skip === Set(3L))
   }
+
+  test("bloomPrunedJoin matches the plain join and actually prunes the fact") {
+    import spark.implicits._
+    import graft.operators.RuntimeFilter
+    val fact = (1L to 1000L).map(i => (i, i % 100)).toDF("fk", "payload")
+    val dim = Seq(3L, 7L, 42L).toDF("dk")
+    val pruned = RuntimeFilter.bloomPrunedJoin(fact, dim, "fk", "dk",
+      expectedItems = 100L)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    assert(pruned.collect().toSet === plain.collect().toSet)
+    // the bloom pre-filter keeps far fewer than the 1000 fact rows
+    // (3 true keys + fpp stragglers), so the shuffle input shrank
+    val bf = dim.stat.bloomFilter("dk", 100L, 0.01)
+    val kept = fact.collect().map(_.getLong(0))
+      .count(bf.mightContainLong)
+    assert(kept < 50, s"bloom kept $kept of 1000")
+  }
+
+  test("upsert tags update/insert/keep and never mixes rows") {
+    import spark.implicits._
+    import graft.operators.MergeOps
+    val base = Seq((1L, 10.0, "a"), (2L, 20.0, "b"))
+      .toDF("k", "v", "meta")
+    val updates = Seq((2L, Some(99.0)), (3L, Some(30.0)), (1L, None: Option[Double]))
+      .toDF("k", "v")
+    val out = MergeOps.upsert(base, updates, "k")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.getString(2)), r.getString(3))).toSet
+    assert(out === Set(
+      (1L, Some(10.0), Some("a"), "update"),  // null update value -> base value survives
+      (2L, Some(99.0), Some("b"), "update"),
+      (3L, Some(30.0), None, "insert")))
+  }
+
+  test("rxPartition is an exhaustive disjoint split") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val out = Reactive.rxPartition(events).cache()
+    val n = events.count()
+    assert(out.count() === n)
+    val pass = out.filter(col("part") === "pass").count()
+    val fail = out.filter(col("part") === "fail").count()
+    assert(pass + fail === n && pass > 0 && fail > 0)
+    assert(pass === events.filter(col("value") >= 100.0).count())
+    out.unpersist()
+  }
 }
