@@ -506,6 +506,21 @@ object SparkEntry {
       MergeOps.upsert(base, updates, "c_custkey")
         .withColumn("c_acctbal", col("c_acctbal").cast("double"))
         .orderBy("c_custkey")
+    }),
+    "pipeline_shard" -> ((s, d) =>
+      Sampling.shuffleShard(docs(s, d), nshards = 8).orderBy("doc_id")),
+    "pipeline_split" -> ((s, d) =>
+      Sampling.splitAssign(docs(s, d)).orderBy("doc_id")),
+    "corpus_diff" -> ((s, d) => {
+      val dd = docs(s, d)
+      val oldSnap = dd.filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "text")
+      val newSnap = dd.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      MergeOps.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2057,6 +2072,36 @@ object SparkEntry {
         |       WHEN u.c_custkey IS NULL THEN 'keep'
         |       ELSE 'update' END AS merge_action
         |FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "pipeline_shard" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |    doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST((rn-1) % 8 AS INT) AS shard,
+        |  CAST((rn-1) // 8 AS BIGINT) AS pos_in_shard
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "pipeline_split" ->
+      """SELECT doc_id, source, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f0'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,2) < 'f8'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+        |    AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'same'
+        |       ELSE 'changed' END AS change
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

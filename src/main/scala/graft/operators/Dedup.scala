@@ -190,16 +190,18 @@ object Dedup {
     * curation pipeline actually wants from its dup clusters. Inputs
     * are the CC labels and any per-doc quality score; max + re-join
     * keeps it one small aggregate over the (already tiny) label set. */
-  def keepBest(labels: DataFrame, quality: DataFrame): DataFrame = {
-    val j = labels.join(quality, "doc_id")
-    val m = j.groupBy("cluster_id")
-      .agg(max("score").as("best_score"), count(lit(1)).as("n_members"))
-    j.join(m, "cluster_id")
-      .filter(col("score") === col("best_score"))
-      .groupBy("cluster_id", "best_score", "n_members")
-      .agg(min("doc_id").as("canonical_doc"))
+  def keepBest(labels: DataFrame, quality: DataFrame): DataFrame =
+    labels.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        // min_by on (-score, doc_id): best score, ties to lowest id —
+        // one partial-aggregable pass, vs the textbook max + re-join
+        // that would evaluate the (iterative, expensive) label
+        // subtree twice
+        min_by(col("doc_id"),
+          struct(negate(col("score")), col("doc_id"))).as("canonical_doc"),
+        max("score").as("best_score"), count(lit(1)).as("n_members"))
       .select("cluster_id", "canonical_doc", "best_score", "n_members")
-  }
 
   /** Incremental ingestion dedup: admit from an incoming batch only
     * the documents whose content fingerprint is absent from the

@@ -42,4 +42,25 @@ object MergeOps {
       .otherwise(lit("update")).as("merge_action")
     joined.select((outKey +: outCols.toSeq :+ action): _*)
   }
+
+  /** Snapshot diff (CDC between two corpus versions): classify every
+    * key as added / removed / changed / same by full-outer joining
+    * the two snapshots and comparing an xxhash64 of the compared
+    * columns — the payloads themselves never ship, only (key, 8-byte
+    * hash), so the diff's shuffle is O(keys), not O(data). The
+    * production use is crawl-to-crawl corpus drift: what entered,
+    * what left, what silently changed. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    def hashed(df: DataFrame, tag: String) =
+      df.select(col(key).as(s"${tag}_k"),
+        xxhash64(compareCols.map(col): _*).as(s"${tag}_h"))
+    hashed(oldSnap, "o")
+      .join(hashed(newSnap, "n"), col("o_k") === col("n_k"), "full_outer")
+      .select(coalesce(col("o_k"), col("n_k")).as(key),
+        when(col("o_k").isNull, lit("added"))
+          .when(col("n_k").isNull, lit("removed"))
+          .when(col("o_h") === col("n_h"), lit("same"))
+          .otherwise(lit("changed")).as("change"))
+  }
 }

@@ -56,4 +56,47 @@ object Sampling {
       .filter(col("_rn") <= col("quota"))
       .select("doc_id", "source", "quota")
   }
+
+  /** Deterministic corpus shuffle + balanced sharding: training-data
+    * ordering. Documents are ordered by md5(doc_id) — a fixed,
+    * engine-independent permutation standing in for "shuffle the
+    * corpus before training" — and dealt round-robin into `nshards`
+    * equal (±1 row) shards, with the position within each shard
+    * preserved.
+    *
+    * The global rank is computed WITHOUT a single-task total sort:
+    * range-repartition on the hash + in-partition sort gives the
+    * total order across ordered partitions, and `zipWithIndex`
+    * assigns global indices from per-partition counts (one extra
+    * count pass — at 100 TB, persist the sorted set so both passes
+    * read it once). The rank is independent of the sampled range
+    * boundaries, so results are deterministic at any parallelism. */
+  def shuffleShard(docs: DataFrame, nshards: Int = 8,
+                   parts: Int = 32): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sorted = docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("_h"))
+      .repartitionByRange(parts, col("_h"), col("doc_id"))
+      .sortWithinPartitions("_h", "doc_id")
+      .select(col("doc_id"), col("source"))
+    sorted.as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((id, src), idx) =>
+        (id, src, (idx % nshards).toInt, idx / nshards) }
+      .toDF("doc_id", "source", "shard", "pos_in_shard")
+  }
+
+  /** Deterministic train/val/test split: the split is a pure
+    * function of md5(doc_id) — stable under corpus growth (a doc's
+    * split never changes when other docs arrive, unlike rank-based
+    * splits), reproducible everywhere, and contamination-auditable.
+    * Thresholds are on the first two hex digits: 00-ef train (93.75%),
+    * f0-f7 val (3.125%), f8-ff test (3.125%). */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      when(h2 < "f0", lit("train"))
+        .when(h2 < "f8", lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
 }

@@ -256,6 +256,30 @@ object ReactiveStreams {
       .select("p_id", "c_id", "user_id", "p_value")
   }
 
+  /** Stream-stream LEFT OUTER join: every purchase emits — paired
+    * with in-window clicks when they exist, with nulls once the
+    * watermark passes the window end and proves no click can still
+    * arrive. The null-side emission is watermark-driven: state for
+    * an unmatched purchase is held exactly until its join window
+    * expires, then emitted and evicted — bounded state, no lost
+    * rows, the unbounded form of an outer interval join. */
+  def streamStreamLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select("p_id", "c_id", "user_id", "p_value")
+  }
+
   /** Streaming buffer(count): per-key count-based batches emitted as
     * they fill — the unbounded twin of Reactive.rxBufferCount. State
     * per key = the open (partial) buffer + the next batch id, so

@@ -281,6 +281,49 @@ class Round3Spec extends AnyFunSuite {
       (3L, Some(30.0), None, "insert")))
   }
 
+  test("shuffleShard deals balanced shards with contiguous positions") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 103L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.shuffleShard(docs, nshards = 8).cache()
+    val sizes = out.groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 8 && sizes.max - sizes.min <= 1)
+    // positions are 0..size-1 within every shard
+    val bad = out.groupBy("shard")
+      .agg(max("pos_in_shard").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(bad === 0)
+    out.unpersist()
+  }
+
+  test("splitAssign is stable under corpus growth (pure function of the id)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val all = (1L to 400L).map(i => (i, "s", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val subset = all.filter(col("doc_id") <= 100)
+    val fromAll = Sampling.splitAssign(all)
+      .filter(col("doc_id") <= 100)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val fromSubset = Sampling.splitAssign(subset)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(fromAll === fromSubset)
+    assert(fromAll.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/same") {
+    import spark.implicits._
+    import graft.operators.MergeOps
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "t")
+    val newS = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("k", "t")
+    val got = MergeOps.snapshotDiff(oldS, newS, "k", Seq("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "same",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("rxPartition is an exhaustive disjoint split") {
     val events = graft.sources.Tables.events(spark, sf)
     val out = Reactive.rxPartition(events).cache()

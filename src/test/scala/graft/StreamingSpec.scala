@@ -244,4 +244,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set(2L, 5L))
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"lsj_${System.nanoTime()}"
+    val q = ReactiveStreams.streamStreamLeftJoin(mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(sample); q.processAllAvailable()
+      // advance BOTH sides' watermarks (the join holds the min of the
+      // two), twice: the new watermark takes effect one batch after
+      // the data that moved it, and eviction emits in that batch
+      mem.addData(Ev(100, ts(100000), 99, "purchase", 0.0),
+        Ev(101, ts(100000), 99, "click", 0.0)); q.processAllAvailable()
+      mem.addData(Ev(102, ts(200000), 99, "purchase", 0.0),
+        Ev(103, ts(200000), 99, "click", 0.0)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (r.getAs[Long]("p_id"),
+          Option(r.get(r.fieldIndex("c_id"))).map(_.asInstanceOf[Long])))
+        .toSet
+      // purchase ev5 pairs with click ev6 (30 min apart); purchase
+      // ev7 has no click within +-30 min and must still emit, null-paired
+      assert(got === Set((5L, Some(6L)), (7L, None)))
+    } finally q.stop()
+  }
 }
