@@ -481,7 +481,10 @@ object SparkEntry {
         .select("o_orderkey")
       val fact = Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
-      RuntimeFilter.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey")
+      // expectedItems sized to the filtered dim (~4% of orders); at
+      // production SF this comes from table stats
+      RuntimeFilter.bloomPrunedJoin(fact, dim, "l_orderkey", "o_orderkey",
+          expectedItems = 65536L)
         .groupBy("l_returnflag")
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
