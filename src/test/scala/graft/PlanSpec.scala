@@ -231,4 +231,50 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate.*content_hash".r.findFirstIn(p).isDefined,
       s"corpus not collapsed to distinct fingerprints:\n$p")
   }
+
+  test("bloom runtime filter prunes the fact BELOW the join") {
+    val fact = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice")
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val df = RuntimeFilter.bloomPrunedJoin(fact, dim, "l_orderkey",
+      "o_orderkey", expectedItems = 10000L)
+    val p = plan(df)
+    // the probe must sit under the join, between it and the fact scan
+    // (it prints as UDF(knownnotnull(l_orderkey...)) inside the fact
+    // branch's Filter / DataFilters, i.e. textually after the join)
+    val joinAt = p.indexOf("Join")
+    val udfAt = p.indexOf("UDF(knownnotnull(l_orderkey")
+    assert(joinAt >= 0 && udfAt > joinAt,
+      s"bloom probe not below the join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("upsert full-outer join shuffles each side exactly once") {
+    val base = Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal")
+    val updates = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum("o_totalprice").as("c_acctbal"))
+    val p = plan(MergeOps.upsert(base, updates, "c_custkey"))
+    assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
+    val exchanges = "Exchange hashpartitioning\\(c_custkey".r
+      .findAllIn(p).length
+    // base: 1 exchange; updates: 1 exchange reused from its groupBy
+    assert(exchanges <= 2, s"extra shuffles in upsert plan:\n$p")
+  }
+
+  test("snapshot diff shuffles only (key, hash) — payloads never ship") {
+    val dd = Tables.documents(spark, sf)
+    val df = MergeOps.snapshotDiff(
+      dd.select("doc_id", "text"),
+      dd.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+      "doc_id", Seq("text"))
+    df.collect()
+    val wide = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.exists(_.name.contains("text")) => e
+    }
+    assert(wide.isEmpty, "text column crossed an exchange in snapshotDiff")
+  }
 }
