@@ -514,6 +514,14 @@ object SparkEntry {
       Sampling.shuffleShard(docs(s, d), nshards = 8).orderBy("doc_id")),
     "pipeline_split" -> ((s, d) =>
       Sampling.splitAssign(docs(s, d)).orderBy("doc_id")),
+    "rx_resample_interp" -> ((s, d) =>
+      Reactive.rxResampleInterp(ev(s, d)).orderBy("user_id", "grid_ms")),
+    "profile_table" -> ((s, d) =>
+      Relational.profileTable(s, d).orderBy("col_name")),
+    "q_equidepth" -> ((s, d) =>
+      Relational.qEquiDepth(s, d).orderBy("bucket")),
+    "emb_quantize" -> ((s, d) =>
+      Similarity.quantizeAudit(embs(s, d)).orderBy("vec_id")),
     "corpus_diff" -> ((s, d) => {
       val dd = docs(s, d)
       val oldSnap = dd.filter(col("doc_id") % 7 =!= 0)
@@ -2092,6 +2100,69 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "rx_resample_interp" ->
+      """WITH b AS (SELECT user_id, epoch_ms(date_trunc('day', min(ts))) AS t0,
+        |                  epoch_ms(date_trunc('day', max(ts))) AS t1
+        |           FROM events GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1, 86400000))
+        |           AS g FROM b),
+        |pts AS (
+        |  SELECT user_id, g AS t, 1 AS is_grid, CAST(NULL AS DOUBLE) AS v,
+        |         1 AS tag, CAST(-1 AS BIGINT) AS eid FROM grid
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 0, "value", 0, event_id FROM events),
+        |f AS (SELECT user_id, t, is_grid,
+        |        last_value(CASE WHEN is_grid = 0
+        |            THEN struct_pack(t := t, v := v) END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY t, tag, eid
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prv,
+        |        first_value(CASE WHEN is_grid = 0
+        |            THEN struct_pack(t := t, v := v) END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY t, tag, eid
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        |      FROM pts)
+        |SELECT user_id, t AS grid_ms,
+        |  CASE WHEN prv IS NULL THEN (nxt).v
+        |       WHEN nxt IS NULL THEN (prv).v
+        |       WHEN (nxt).t = (prv).t THEN (prv).v
+        |       ELSE (prv).v + ((nxt).v - (prv).v)
+        |         * CAST(t - (prv).t AS DOUBLE)
+        |         / CAST((nxt).t - (prv).t AS DOUBLE) END AS "value"
+        |FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ms""".stripMargin,
+    "profile_table" ->
+      (Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+        "l_shipdate").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_null,
+           | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "q_equidepth" ->
+      """WITH e AS (SELECT quantile_cont(o_totalprice,
+        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM orders)
+        |SELECT CAST(len(list_filter(edges, x -> x < o_totalprice)) + 1
+        |    AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders, e GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "emb_quantize" ->
+      """WITH x AS (SELECT vec_id,
+        |  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, xs,
+        |  list_max(list_transform(xs, e -> abs(e))) AS max_abs FROM x),
+        |q AS (SELECT vec_id, max_abs / 127.0 AS scale,
+        |  list_transform(xs, e -> abs(e -
+        |    greatest(-127.0, least(127.0,
+        |      floor(e / (max_abs / 127.0) + 0.5))) * (max_abs / 127.0)))
+        |    AS qerr
+        |  FROM m WHERE max_abs > 0)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(qerr,
+        |    e -> CAST(floor(e * 1e9) AS BIGINT))) AS BIGINT)
+        |    AS abs_err_scaled,
+        |  CAST(floor(list_max(qerr) * 1e9) AS BIGINT) AS max_err_scaled
+        |FROM q ORDER BY vec_id""".stripMargin,
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 7 <> 0),

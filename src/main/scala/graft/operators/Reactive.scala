@@ -745,6 +745,52 @@ object Reactive {
       .select(col("user_id"), col("t").as("grid_ms"), col("value"))
   }
 
+  /** Resample with LINEAR INTERPOLATION: like [[rxResample]] but each
+    * grid tick takes prev + (next-prev) * elapsed-fraction instead of
+    * a flat forward-fill — the standard sensor/metric regularization.
+    *
+    * Same single-shuffle lattice: grid and events union once; the
+    * backward and forward fills are two frames over the SAME
+    * partition+order spec, so one WindowExec computes both (no second
+    * sort, no second shuffle). The (t, v) pair rides in one struct so
+    * both fields always come from the same event row. Head ticks
+    * (before the first event) back-fill from `next`; tail ticks
+    * forward-fill from `prev`. */
+  def rxResampleInterp(events: DataFrame,
+                       stepMs: Long = 86400000L): DataFrame = {
+    val grid = events.groupBy("user_id").agg(
+        unix_millis(date_trunc("day", min(col("ts")))).as("t0"),
+        unix_millis(date_trunc("day", max(col("ts")))).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), lit(stepMs))).as("t"))
+    val gridPts = grid.select(col("user_id"), col("t"),
+      lit(1).as("is_grid"), lit(null).cast("double").as("v"),
+      lit(1).as("tag"), lit(-1L).as("eid"))
+    val evPts = events.select(col("user_id"),
+      unix_millis(col("ts")).as("t"), lit(0).as("is_grid"),
+      col("value").as("v"), lit(0).as("tag"), col("event_id").as("eid"))
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("tag"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("tag"), col("eid"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    gridPts.unionByName(evPts)
+      .withColumn("pt",
+        when(col("is_grid") === 0, struct(col("t"), col("v"))))
+      .withColumn("prv", last(col("pt"), ignoreNulls = true).over(wPrev))
+      .withColumn("nxt", first(col("pt"), ignoreNulls = true).over(wNext))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"), col("t").as("grid_ms"),
+        when(col("prv").isNull, col("nxt.v"))
+          .when(col("nxt").isNull, col("prv.v"))
+          .when(col("nxt.t") === col("prv.t"), col("prv.v"))
+          .otherwise(col("prv.v") + (col("nxt.v") - col("prv.v")) *
+            (col("t") - col("prv.t")).cast("double") /
+            (col("nxt.t") - col("prv.t")).cast("double"))
+          .as("value"))
+  }
+
   /** Rolling statistics: trailing-10-element sum / count / sample
     * variance per key, one window pass. The variance uses the
     * sum-of-squares identity over EXACT decimal window sums, so even

@@ -647,4 +647,45 @@ object Relational {
       percent_rank().over(w).as("pct_rank"),
       cume_dist().over(w).as("cdist"))
   }
+
+  /** Table profiling (the ANALYZE/stats pass): per-column row count,
+    * null count, exact distinct count. One column-pruned scan per
+    * column — at parquet the per-column passes read disjoint byte
+    * ranges, so total IO equals one full scan — unioned into a stats
+    * table. At 100 TB the exact countDistinct swaps for
+    * approx_count_distinct (graft.operators.Sketches): one shared
+    * pass, fixed sketch state, same output shape. */
+  def profileTable(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_shipdate").map { c =>
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Equi-depth (decile) histogram of order values: bucket edges from
+    * exact continuous percentiles, rows bucketed by edge comparison —
+    * never a global sort/ntile, which would be a single-task total
+    * order at any SF. The edge array broadcasts; bucketing is a
+    * narrow map. At the 100 TB budget the exact percentile swaps for
+    * approx_percentile (t-digest), same plan shape (the q_percentiles
+    * tradeoff). */
+  def qEquiDepth(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_totalprice")
+    val edges = o.agg(percentile(col("o_totalprice"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("edges"))
+    o.crossJoin(broadcast(edges))
+      .select(col("o_totalprice"),
+        (size(filter(col("edges"), e => e < col("o_totalprice"))) + 1)
+          .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+  }
 }

@@ -195,4 +195,32 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
       .select("query_id", "neighbor_id", "cos_sim")
   }
+
+  /** Int8 quantization audit: symmetric per-vector quantization
+    * (scale = max|x| / 127, q = round-half-up(x/scale) clamped to
+    * ±127) with the reconstruction error reported per vector. Int8
+    * embeddings are the 4x memory / bandwidth lever for ANN serving
+    * at corpus scale; this op measures what that costs in fidelity.
+    *
+    * Narrow per-row map, no shuffle. Determinism rules: rounding is
+    * floor(x+0.5) (an engine-neutral primitive — SQL ROUND
+    * conventions differ), and error totals are floor-scaled BIGINTs
+    * so the per-dimension sum is order-independent. */
+  def quantizeAudit(embs: DataFrame): DataFrame =
+    embs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xs"))
+      .withColumn("max_abs", array_max(transform(col("xs"), x => abs(x))))
+      .filter(col("max_abs") > 0)
+      .withColumn("scale", col("max_abs") / 127.0)
+      .withColumn("qerr", transform(col("xs"), x =>
+        abs(x - greatest(lit(-127.0),
+          least(lit(127.0), floor(x / col("scale") + 0.5)))
+          * col("scale"))))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qerr"), lit(0L),
+          (acc, e) => acc + floor(e * 1e9).cast("long"))
+          .as("abs_err_scaled"),
+        floor(array_max(col("qerr")) * 1e9).cast("long")
+          .as("max_err_scaled"))
 }

@@ -324,6 +324,48 @@ class Round3Spec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("rxResampleInterp linearly interpolates between bracketing events") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "m", 10.0),
+      (2L, "2024-01-03 00:00:00", 1L, "m", 30.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = Reactive.rxResampleInterp(events)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val day = 86400000L
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(got(t0) === 10.0)          // on-grid event: fraction 0
+    assert(got(t0 + day) === 20.0)    // halfway between 10 and 30
+    assert(got(t0 + 2 * day) === 30.0)
+  }
+
+  test("qEquiDepth buckets are balanced on uniform data") {
+    import spark.implicits._
+    // mirror the operator on synthetic uniform values 1..100: each
+    // decile must hold exactly 10, lo/hi must tile the range
+    val vals = (1 to 100).map(_.toDouble).toDF("o_totalprice")
+    val edges = vals.agg(percentile(col("o_totalprice"),
+      lit((1 to 9).map(_ / 10.0).toArray)).as("edges"))
+    val out = vals.crossJoin(broadcast(edges))
+      .select((size(filter(col("edges"), e => e < col("o_totalprice"))) + 1)
+        .as("bucket"), col("o_totalprice"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.keySet === (1 to 10).toSet)
+    assert(out.values.forall(_ === 10L))
+  }
+
+  test("quantizeAudit error stays within half a quantization step") {
+    import graft.operators.Similarity
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val bad = Similarity.quantizeAudit(embs)
+      .filter(col("max_err_scaled") >
+        floor(col("scale") / 2 * 1e9) + 1)
+      .count()
+    assert(bad === 0)
+  }
+
   test("rxPartition is an exhaustive disjoint split") {
     val events = graft.sources.Tables.events(spark, sf)
     val out = Reactive.rxPartition(events).cache()
