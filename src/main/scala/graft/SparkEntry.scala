@@ -516,6 +516,8 @@ object SparkEntry {
       Sampling.splitAssign(docs(s, d)).orderBy("doc_id")),
     "rx_resample_interp" -> ((s, d) =>
       Reactive.rxResampleInterp(ev(s, d)).orderBy("user_id", "grid_ms")),
+    "rx_funnel" -> ((s, d) =>
+      Reactive.rxFunnel(ev(s, d)).orderBy("user_id")),
     "profile_table" -> ((s, d) =>
       Relational.profileTable(s, d).orderBy("col_name")),
     "q_equidepth" -> ((s, d) =>
@@ -2129,6 +2131,23 @@ object SparkEntry {
         |         * CAST(t - (prv).t AS DOUBLE)
         |         / CAST((nxt).t - (prv).t AS DOUBLE) END AS "value"
         |FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ms""".stripMargin,
+    "rx_funnel" ->
+      """WITH s1 AS (SELECT user_id, event_type, event_id,
+        |  min(CASE WHEN event_type = 'view' THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |    AND event_id > t1 THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |    AND event_id > t2 THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT user_id, min(t1) AS view_id, min(t2) AS click_id,
+        |  min(t3) AS purchase_id,
+        |  CAST(CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reached_stage
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "profile_table" ->
       (Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
         "l_shipdate").map { c =>

@@ -812,6 +812,38 @@ object Reactive {
           (col("roll_n") * (col("roll_n") - 1))).as("roll_var"))
   }
 
+  /** Ordered-funnel analysis (MATCH_RECOGNIZE's workhorse case): per
+    * key, the first `view`, the first `click` AFTER that view, and
+    * the first `purchase` AFTER that click — stages must happen in
+    * order, each bound to the previous stage's anchor row.
+    *
+    * Three chained conditional-min windows over the SAME
+    * partitioning: one shuffle on user_id, consecutive WindowExecs
+    * with no re-exchange, and the final per-user collapse reuses the
+    * partitioning too. Never a per-stage self-join (the textbook
+    * 3-way funnel join would shuffle the events three times). */
+  def rxFunnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events.select(col("user_id"), col("event_type"), col("event_id"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("event_id"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("event_id") > col("t1"), col("event_id"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("event_id") > col("t2"), col("event_id"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("view_id"), first("t2").as("click_id"),
+        first("t3").as("purchase_id"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("purchase_id"),
+        (when(col("view_id").isNotNull, 1L).otherwise(0L) +
+          when(col("click_id").isNotNull, 1L).otherwise(0L) +
+          when(col("purchase_id").isNotNull, 1L).otherwise(0L))
+          .as("reached_stage"))
+  }
+
   /** Cohort retention: users bucketed by first-seen day, activity
     * counted per (cohort, day offset) — the standard retention
     * triangle. Two aggregates sharing the user_id partitioning; the

@@ -232,6 +232,15 @@ class PlanSpec extends AnyFunSuite {
       s"corpus not collapsed to distinct fingerprints:\n$p")
   }
 
+  test("funnel stages chain in one user_id shuffle, no self-joins") {
+    val p = plan(Reactive.rxFunnel(Tables.events(spark, sf)))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 user_id exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel must not join:\n$p")
+  }
+
   test("bloom runtime filter prunes the fact BELOW the join") {
     val fact = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_extendedprice")

@@ -206,6 +206,34 @@ class SurfaceSpec extends AnyFunSuite {
       === expected)
   }
 
+  test("zorder layout keeps BOTH cluster columns selective across files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    Sinks.zorderParquet(Tables.events(spark, sf), dir,
+      "user_id", "value", numFiles = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    // the z-order contract: for a selective predicate on EITHER
+    // column, only a fraction of files can contain matches (in a
+    // range-clustered layout the second column would match ALL files)
+    def filesMatching(c: String, pred: Double => Boolean): Int =
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c).cast("double")), max(col(c).cast("double")))
+          .collect()(0)
+        // file could contain a matching row iff some of [min,max] passes
+        pred(r.getDouble(0)) || pred(r.getDouble(1))
+      }
+    val uq = filesMatching("user_id", v => v <= 2)
+    val vq = filesMatching("value", v => v <= 10)
+    assert(uq < files.length, s"user_id <= 2 matches all $uq files")
+    assert(vq < files.length, s"value <= 10 matches all $vq files")
+    // correctness: the layout is pure reordering
+    assert(spark.read.parquet(dir).count()
+      === Tables.events(spark, sf).count())
+  }
+
   test("file-backed event stream feeds streaming ops incrementally") {
     val q = graft.streaming.ReactiveStreams
       .windowedAgg(Sources.eventStream(spark, sf))
