@@ -184,6 +184,26 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Bloom-filter membership probe on a BIGINT key. The built sketch
+  * rides inside the expression (serialized once per task, referenced
+  * via `addReferenceObj` in generated code), so the probe is a single
+  * unboxed call inside whole-stage codegen — unlike a Scala UDF,
+  * which pays per-row Long boxing and a lambda dispatch. Used by
+  * [[graft.operators.RuntimeFilter]] as the pre-shuffle fact prune. */
+case class BloomProbeExpr(filter: org.apache.spark.util.sketch.BloomFilter,
+                          child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomProbeExpr =
+    copy(child = c)
+}
+
 /** Cosine similarity of two array<float> columns. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -260,6 +280,12 @@ object GraftFunctions {
   /** Cosine similarity of two array<float> embedding columns. */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+
+  /** Bloom membership probe of a BIGINT key column (codegen'd). */
+  def bloom_might_contain(
+      filter: org.apache.spark.util.sketch.BloomFilter,
+      key: Column): Column =
+    toCol(BloomProbeExpr(filter, toExpr(key)))
 
   /** Random-hyperplane LSH signature (long) of an array<float>. */
   def rhp_lsh(vec: Column, planes: Int): Column =

@@ -29,17 +29,18 @@ object RuntimeFilter {
     * 1M items / 1% fpp) regardless of fact size; it broadcasts to
     * every fact task. `expectedItems` sizes the bit array — oversize
     * is wasted broadcast bytes, undersize degrades fpp (never
-    * correctness). The membership probe is a scalar closure on a
-    * LONG key only — the fact's wide payload columns are untouched
-    * until after pruning. */
+    * correctness). The membership probe is a native codegen'd
+    * expression on a LONG key (graft.functions.BloomProbeExpr — no
+    * per-row boxing, no lambda dispatch, stays inside whole-stage
+    * codegen); the fact's wide payload columns are untouched until
+    * after pruning. */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedItems: Long = 1000000L,
                       fpp: Double = 0.01): DataFrame = {
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    fact.filter(col(factKey).isNotNull && mightContain(col(factKey)))
+    fact.filter(col(factKey).isNotNull &&
+        graft.functions.GraftFunctions.bloom_might_contain(bf, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -250,12 +250,15 @@ class PlanSpec extends AnyFunSuite {
       "o_orderkey", expectedItems = 10000L)
     val p = plan(df)
     // the probe must sit under the join, between it and the fact scan
-    // (it prints as UDF(knownnotnull(l_orderkey...)) inside the fact
-    // branch's Filter / DataFilters, i.e. textually after the join)
+    // (the native expression prints as bloomprobeexpr(<sketch>,
+    // l_orderkey#N) inside the fact branch's Filter, i.e. textually
+    // after the join), and must stay inside whole-stage codegen
     val joinAt = p.indexOf("Join")
-    val udfAt = p.indexOf("UDF(knownnotnull(l_orderkey")
-    assert(joinAt >= 0 && udfAt > joinAt,
+    val probeAt = "bloomprobeexpr\\([^)]*l_orderkey".r
+      .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+    assert(joinAt >= 0 && probeAt > joinAt,
       s"bloom probe not below the join:\n$p")
+    assert(!p.contains("UDF"), s"bloom probe fell back to a UDF:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
