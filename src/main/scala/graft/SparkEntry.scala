@@ -518,6 +518,8 @@ object SparkEntry {
       Reactive.rxResampleInterp(ev(s, d)).orderBy("user_id", "grid_ms")),
     "rx_funnel" -> ((s, d) =>
       Reactive.rxFunnel(ev(s, d)).orderBy("user_id")),
+    "rx_ewma" -> ((s, d) =>
+      Reactive.rxEwma(ev(s, d)).orderBy("user_id", "event_id")),
     "profile_table" -> ((s, d) =>
       Relational.profileTable(s, d).orderBy("col_name")),
     "q_equidepth" -> ((s, d) =>
@@ -2148,6 +2150,21 @@ object SparkEntry {
         |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS reached_stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, "value",
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, "value", rn, "value" AS ewma
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e."value", e.rn,
+        |    0.25 * e."value" + 0.75 * w.ewma
+        |  FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, "value", ewma FROM w
+        |ORDER BY user_id, event_id""".stripMargin,
     "profile_table" ->
       (Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
         "l_shipdate").map { c =>

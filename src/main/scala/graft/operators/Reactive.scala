@@ -890,6 +890,37 @@ object Reactive {
       .toDF("user_id", "event_id", "ts_ms", "end_ms")
   }
 
+  /** Per-key exponential moving average (Rx smoothing scan):
+    * s_1 = x_1, s_i = alpha*x_i + (1-alpha)*s_{i-1}.
+    *
+    * The recurrence is inherently sequential per key, so it uses the
+    * same shape as [[rxExhaustMap]]: `flatMapSortedGroups` (shuffle
+    * secondary-sort on event_id) walks each key's stream with O(1)
+    * state. Only (user_id, event_id, value) shuffles.
+    *
+    * Cross-engine determinism: alpha is a NEGATIVE POWER OF TWO
+    * (0.25), so alpha and 1-alpha are exact binary doubles and the
+    * fused-free a*x + b*s sequence is the same IEEE op sequence the
+    * oracle's recursive CTE evaluates — bit-identical results. An
+    * arbitrary alpha would round differently at parse time, not at
+    * eval time, and still match; the power of two makes the contract
+    * obvious. */
+  def rxEwma(events: DataFrame, alpha: Double = 0.25): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("event_id")) { (uid, it) =>
+        var ewma = Double.NaN
+        it.map { case (_, eid, x) =>
+          ewma = if (ewma.isNaN) x else alpha * x + (1 - alpha) * ewma
+          (uid, eid, x, ewma)
+        }
+      }
+      .toDF("user_id", "event_id", "value", "ewma")
+  }
+
   /** Rx `forkJoin`: the final value of each of several per-key
     * streams, emitted together once all of them have completed — a
     * key only appears if EVERY stream emitted at least once. One

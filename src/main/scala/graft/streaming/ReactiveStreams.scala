@@ -153,6 +153,33 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming per-key EWMA: the unbounded twin of
+    * [[graft.operators.Reactive.rxEwma]]. State per key = one double
+    * (the running average); rows are event_id-ordered within each
+    * trigger so replays and batch boundaries can't reorder the
+    * recurrence. */
+  case class EwmaRow(event_id: Long, user_id: Long, value: Double,
+                     ewma: Double)
+  def ewmaStream(spark: SparkSession, events: DataFrame,
+                 alpha: Double = 0.25): Dataset[EwmaRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, EwmaRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Double]) =>
+          var ewma = state.getOption.getOrElse(Double.NaN)
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            ewma = if (ewma.isNaN) e.value
+                   else alpha * e.value + (1 - alpha) * ewma
+            EwmaRow(e.event_id, uid, e.value, ewma)
+          }
+          state.update(ewma)
+          out.iterator
+      }
+  }
+
   /** Streaming withLatestFrom / as-of enrichment: each primary-type
     * element is emitted with the latest-seen secondary-type value of
     * its key (the unbounded form of [[graft.operators.AsOf]]). State
@@ -255,6 +282,22 @@ object ReactiveStreams {
         col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
       .select("p_id", "c_id", "user_id", "p_value")
   }
+
+  /** Chained stateful aggregation (multiple stateful operators in one
+    * streaming query): hourly per-type counts re-aggregated into
+    * 2-hour totals. The second agg windows over the FIRST's window
+    * column, so watermark propagation closes both levels from one
+    * event-time watermark — the streaming form of a rollup, and the
+    * capability that lets a 100 TB pipeline keep raw + coarse
+    * aggregates in one pass instead of two jobs over the stream. */
+  def windowedRollup(events: DataFrame,
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(col("window"), "2 hours"))
+      .agg(sum(col("n")).as("total"))
+      .select(col("window.start").as("win_start"), col("total"))
 
   /** Stream-stream LEFT OUTER join: every purchase emits — paired
     * with in-window clicks when they exist, with nulls once the

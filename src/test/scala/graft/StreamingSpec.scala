@@ -245,6 +245,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA matches the batch recurrence") {
+    import spark.implicits._
+    val got = run(df => ReactiveStreams.ewmaStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma"))
+      .toMap
+    val batch = graft.operators.Reactive.rxEwma(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma"))
+      .toMap
+    assert(got === batch)
+  }
+
+  test("chained streaming aggregation rolls hourly counts into 2h totals") {
+    import spark.implicits._
+    val got = run(df => ReactiveStreams.windowedRollup(df))
+      .map(r => (r.getAs[Timestamp]("win_start").getTime,
+        r.getAs[Long]("total"))).toMap
+    val batch = sample.toDF()
+      .groupBy(window(col("ts"), "2 hours"))
+      .agg(count(lit(1)).as("total"))
+      .select(col("window.start"), col("total"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    // every fully-closed batch window appears with the same total
+    // (the watermark tick's own window may be absent)
+    batch.foreach { case (w, n) =>
+      assert(got.getOrElse(w, -1L) === n, s"window $w") }
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
