@@ -289,6 +289,10 @@ object SparkEntry {
         col("term"))),
     "multimodal_features" -> ((s, d) =>
       Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id")),
+    // rows-only gate (stub decoder isn't SQL-expressible); exact
+    // semantics in MultimodalSpec
+    "media_near_dup" -> ((s, d) =>
+      Multimodal.mediaNearDup(s, docs(s, d)).orderBy("id1", "id2")),
     // ---- round 3: reactive fill-in ----
     "rx_skip_while" -> ((s, d) =>
       Reactive.rxSkipWhile(ev(s, d)).orderBy("event_id")),

@@ -31,14 +31,19 @@ object Multimodal {
                      histogram: Array[Long])
 
   /** STUB decoder: a real build links an image/audio codec here.
-    * Deterministic fake: "decodes" a payload to an 8-byte-bucket
-    * histogram + checksum so tests can assert exact values. */
-  def decodeStub(payload: Array[Byte]): (Long, Array[Long]) = {
-    val hist = new Array[Long](8)
+    * Deterministic fake: "decodes" a payload to a byte-bucket
+    * histogram + checksum so tests can assert exact values. `bins`
+    * must be a power of two ≤ 256 (8 = coarse features, 64 = the
+    * finer signature the near-dup path needs). */
+  def decodeStub(payload: Array[Byte], bins: Int = 8): (Long, Array[Long]) = {
+    require(bins > 0 && bins <= 256 && (bins & (bins - 1)) == 0,
+      s"bins must be a power of two <= 256, got $bins")
+    val shift = 8 - Integer.numberOfTrailingZeros(bins)
+    val hist = new Array[Long](bins)
     var sum = 0L
     var i = 0
     while (i < payload.length) {
-      hist((payload(i) & 0xFF) >> 5) += 1
+      hist((payload(i) & 0xFF) >> shift) += 1
       sum = sum * 31 + (payload(i) & 0xFF)
       i += 1
     }
@@ -60,14 +65,14 @@ object Multimodal {
   /** Batch feature extraction over binary payloads: mapPartitions so
     * a real decoder could amortize per-batch setup (model load, pinned
     * buffers) exactly like mapInPandas/arrow batches. */
-  def extractFeatures(spark: SparkSession, media: DataFrame)
-      : Dataset[Feature] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      bins: Int = 8): Dataset[Feature] = {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition setup happens once (decoder init in real build)
         rows.map { case (id, payload) =>
-          val (sum, hist) = decodeStub(payload)
+          val (sum, hist) = decodeStub(payload, bins)
           Feature(id, payload.length.toLong, sum, hist)
         }
       }
@@ -96,6 +101,27 @@ object Multimodal {
       col("meta.width").as("width"), col("meta.height").as("height"),
       least(lit(maxSide), col("meta.width")).as("target_w"),
       least(lit(maxSide), col("meta.height")).as("target_h"))
+
+  /** Media near-duplicate detection — the image-dedup shape every
+    * training-data pipeline runs: decode each blob to a compact
+    * signature vector (here the stub histogram; real build: pHash or
+    * a CNN embedding), then reuse the embedding near-dup machinery
+    * (random-hyperplane LSH buckets + in-bucket cosine). The decode
+    * is the only per-byte work; everything after operates on
+    * 64-float signatures, so the pair search never touches payloads.
+    *
+    * The threshold is tight (0.9999) because byte-histogram
+    * signatures of same-language text are heavily collinear; a
+    * structure-sensitive real signature (pHash) discriminates at
+    * much lower τ with the same plan. */
+  def mediaNearDup(spark: SparkSession, docs: DataFrame,
+                   planes: Int = 4, minCosine: Double = 0.9999)
+      : DataFrame = {
+    val sigs = extractFeatures(spark, mediaTable(docs), bins = 64)
+      .select(col("media_id").as("vec_id"),
+        transform(col("histogram"), x => x.cast("float")).as("embedding"))
+    Dedup.embeddingNearDup(sigs, planes = planes, minCosine = minCosine)
+  }
 
   /** Driver-checkable plumbing query: byte lengths + frame fan-out
     * (pure built-ins, SQL-oracle-able). */

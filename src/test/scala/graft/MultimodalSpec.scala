@@ -48,4 +48,16 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("target_w") <= 32 && r.getAs[Int]("target_h") <= 32)
     }
   }
+
+  test("mediaNearDup pairs identical payloads, not orthogonal ones") {
+    import spark.implicits._
+    // 'a' (0x61) lands in histogram bucket 3, 'A' (0x41) in bucket 2:
+    // docs 1/2 have identical signatures, doc 3 an orthogonal one
+    val docs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "AAAA"))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.mediaNearDup(spark, docs)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
 }
