@@ -117,9 +117,13 @@ object Multimodal {
   def mediaNearDup(spark: SparkSession, docs: DataFrame,
                    planes: Int = 4, minCosine: Double = 0.9999)
       : DataFrame = {
+    // materialize the signatures once: the LSH pair search references
+    // them on BOTH sides of its self-join, and without the checkpoint
+    // each side re-runs the full per-byte decode
     val sigs = extractFeatures(spark, mediaTable(docs), bins = 64)
       .select(col("media_id").as("vec_id"),
         transform(col("histogram"), x => x.cast("float")).as("embedding"))
+      .localCheckpoint()
     Dedup.embeddingNearDup(sigs, planes = planes, minCosine = minCosine)
   }
 
