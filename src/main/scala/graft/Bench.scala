@@ -57,7 +57,8 @@ object Bench {
       "rx_scan", "rx_window_sliding", "rx_resample", "rx_exhaust_map",
       "asof_join", "dedup_exact", "dedup_minhash_lsh", "dedup_cluster",
       "text_ngram_jaccard_capped", "text_bm25", "ann_bruteforce",
-      "ann_ivf", "pipeline_filter")
+      "ann_ivf", "pipeline_filter", "q_bloom_join", "q_merge_upsert",
+      "rx_funnel", "rx_ewma", "media_near_dup", "pipeline_shard")
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + r3(results(k)))

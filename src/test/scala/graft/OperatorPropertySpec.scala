@@ -180,4 +180,73 @@ class OperatorPropertySpec extends AnyFunSuite {
       }.toSet
     assert(got === expected)
   }
+
+  test("property: EWMA matches the sequential fold per key") {
+    val streams = sample(streamGen, 30, 505L)
+    val df = eventsDf(streams)
+    val alpha = 0.25
+    val got = Reactive.rxEwma(df, alpha).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma"))
+      .toMap
+    // plain-Scala reference: the same left fold, same IEEE sequence
+    var id = 0L
+    streams.foreach { vals =>
+      var s = Double.NaN
+      vals.foreach { v =>
+        id += 1
+        val x = v * 0.25
+        s = if (s.isNaN) x else alpha * x + (1 - alpha) * s
+        assert(got(id) === s, s"event $id")
+      }
+    }
+    assert(got.size === streams.map(_.size).sum)
+  }
+
+  test("property: upsert is idempotent and keeps base keys complete") {
+    import spark.implicits._
+    val streams = sample(streamGen, 20, 606L)
+    val base = streams.zipWithIndex
+      .map { case (vs, i) => (i.toLong, vs.sum.toDouble) }
+      .toDF("k", "v")
+    val updates = streams.zipWithIndex.collect {
+      case (vs, i) if i % 3 != 0 => (i.toLong + 10, vs.length.toDouble)
+    }.toDF("k", "v")
+    val once = graft.operators.MergeOps.upsert(base, updates, "k")
+    // applying the same updates to the merged result changes nothing
+    val twice = graft.operators.MergeOps.upsert(
+      once.drop("merge_action"), updates, "k")
+    val a = once.select("k", "v").collect().map(r =>
+      r.getLong(0) -> r.getDouble(1)).toMap
+    val b = twice.select("k", "v").collect().map(r =>
+      r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+    // every base key and every update key appears exactly once
+    assert(once.groupBy("k").count().filter(col("count") > 1).count() === 0)
+    assert(once.count() ===
+      (base.select("k").collect().map(_.getLong(0)).toSet ++
+        updates.select("k").collect().map(_.getLong(0)).toSet).size)
+  }
+
+  test("property: snapshotDiff of a snapshot with itself is all-same") {
+    import spark.implicits._
+    val streams = sample(streamGen, 20, 707L)
+    val snap = streams.zipWithIndex
+      .map { case (vs, i) => (i.toLong, vs.mkString(",")) }
+      .toDF("k", "t")
+    val d = graft.operators.MergeOps.snapshotDiff(snap, snap, "k", Seq("t"))
+    assert(d.filter(col("change") =!= "same").count() === 0)
+    assert(d.count() === snap.count())
+  }
+
+  test("property: shuffleShard output is a permutation with balanced shards") {
+    import spark.implicits._
+    val ids = sample(Gen.choose(1L, 1000000L), 200, 808L).distinct
+    val docs = ids.map(i => (i, "s")).toDF("doc_id", "source")
+    val out = Sampling.shuffleShard(docs, nshards = 7).cache()
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      === ids.sorted.toArray)
+    val sizes = out.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    out.unpersist()
+  }
 }
