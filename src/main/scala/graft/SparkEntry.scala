@@ -524,6 +524,8 @@ object SparkEntry {
       Reactive.rxFunnel(ev(s, d)).orderBy("user_id")),
     "rx_ewma" -> ((s, d) =>
       Reactive.rxEwma(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_ignore_elements" -> ((s, d) =>
+      Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "profile_table" -> ((s, d) =>
       Relational.profileTable(s, d).orderBy("col_name")),
     "q_equidepth" -> ((s, d) =>
@@ -2154,6 +2156,10 @@ object SparkEntry {
         |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS reached_stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_ignore_elements" ->
+      """SELECT user_id, 'completed' AS signal,
+        | CAST(count(*) AS BIGINT) AS n_ignored
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "rx_ewma" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id, "value",

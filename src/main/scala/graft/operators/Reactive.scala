@@ -57,6 +57,16 @@ object Reactive {
       when(col("value") >= threshold, lit("pass")).otherwise(lit("fail"))
         .as("part"))
 
+  /** Rx `ignoreElements`: suppress every element, emit only the
+    * per-key completion signal (with how many elements completed —
+    * the bounded analogue of onComplete). One partial-aggregable
+    * groupBy; the values never leave the map side. */
+  def rxIgnoreElements(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ignored"))
+      .select(col("user_id"), lit("completed").as("signal"),
+        col("n_ignored"))
+
   /** Rx `flatMap`: one event fans out into 1+floor(value/100) rows. */
   def rxFlatMap(events: DataFrame): DataFrame =
     events
