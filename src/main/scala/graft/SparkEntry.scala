@@ -526,6 +526,8 @@ object SparkEntry {
       Reactive.rxEwma(ev(s, d)).orderBy("user_id", "event_id")),
     "rx_ignore_elements" -> ((s, d) =>
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
+    "dedup_paragraph" -> ((s, d) =>
+      TextAnalysis.chunkDedup(docs(s, d)).orderBy("chunk_hash")),
     "profile_table" -> ((s, d) =>
       Relational.profileTable(s, d).orderBy("col_name")),
     "q_equidepth" -> ((s, d) =>
@@ -2156,6 +2158,22 @@ object SparkEntry {
         |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS reached_stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, md5(lower(array_to_string(
+        |   list_slice(toks, chunk_id*50 + 1, chunk_id*50 + 50), ' ')))
+        |   AS chunk_hash
+        | FROM t, unnest(generate_series(0, greatest(0,
+        |   CAST(ceil((len(toks) - 50) / 50.0) AS BIGINT))))
+        |   AS g(chunk_id)),
+        |d AS (SELECT DISTINCT doc_id, chunk_hash FROM c)
+        |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM d GROUP BY chunk_hash HAVING count(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     "rx_ignore_elements" ->
       """SELECT user_id, 'completed' AS signal,
         | CAST(count(*) AS BIGINT) AS n_ignored

@@ -366,6 +366,22 @@ class Round3Spec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("chunkDedup finds cross-document boilerplate, ignores within-doc repeats") {
+    import spark.implicits._
+    val boiler = (1 to 50).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler + " unique one"),
+      (2L, boiler + " other tail"),
+      (3L, ((1 to 50).map(i => s"x$i") ++ (1 to 50).map(i => s"x$i"))
+        .mkString(" ")))  // same chunk twice WITHIN one doc
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedup(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // only the cross-doc boilerplate chunk surfaces (docs 1 and 2);
+    // doc 3's internal repeat is a single distinct (doc, hash) pair
+    assert(out.toSeq === Seq((2L, 1L, 2L)))
+  }
+
   test("rxPartition is an exhaustive disjoint split") {
     val events = graft.sources.Tables.events(spark, sf)
     val out = Reactive.rxPartition(events).cache()
