@@ -528,6 +528,10 @@ object SparkEntry {
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "dedup_paragraph" -> ((s, d) =>
       TextAnalysis.chunkDedup(docs(s, d)).orderBy("chunk_hash")),
+    "rx_rolling_median" -> ((s, d) =>
+      Reactive.rxRollingMedian(ev(s, d)).orderBy("event_id")),
+    "rx_trend_correlation" -> ((s, d) =>
+      Reactive.rxTrendCorrelation(ev(s, d)).orderBy("user_id")),
     "profile_table" -> ((s, d) =>
       Relational.profileTable(s, d).orderBy("col_name")),
     "q_equidepth" -> ((s, d) =>
@@ -2158,6 +2162,33 @@ object SparkEntry {
         |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS reached_stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_rolling_median" ->
+      """SELECT event_id, user_id,
+        |  quantile_cont("value", 0.5) OVER w AS roll_median,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |QUALIFY count(*) OVER w >= 2
+        |ORDER BY event_id""".stripMargin,
+    "rx_trend_correlation" ->
+      """WITH e AS (SELECT user_id, "value",
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS x FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST("value" * "value" AS DECIMAL(28,4))) AS DOUBLE)
+        |    AS syy,
+        |  CAST(sum(CAST(x * "value" AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  (n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        |    AS trend_r
+        |FROM m WHERE n >= 3 AND n * syy - sy * sy > 0
+        |ORDER BY user_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH t AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks

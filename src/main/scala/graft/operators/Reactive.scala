@@ -854,6 +854,50 @@ object Reactive {
           .as("reached_stage"))
   }
 
+  /** Rolling median (robust trailing statistic): exact continuous
+    * median over the trailing-n frame — the outlier-resistant twin
+    * of [[rxRollingStats]]'s mean. Same single user_id shuffle; the
+    * in-frame percentile sort is O(n log n) per row on an n-row
+    * frame (fine for dashboard-sized n; a 100 TB budget with huge
+    * frames would switch to a sketch column). The midpoint
+    * interpolation (a+b)/2 is one IEEE op — engine-neutral. */
+  def rxRollingMedian(events: DataFrame, n: Int = 10): DataFrame = {
+    val w = byUser.rowsBetween(-(n - 1), 0)
+    events.select(col("event_id"), col("user_id"),
+        percentile(col("value"), lit(0.5)).over(w).as("roll_median"),
+        count(lit(1)).over(w).as("roll_n"))
+      .filter(col("roll_n") >= 2)
+  }
+
+  /** Per-key Pearson correlation of value vs arrival order (trend
+    * signal: is this stream drifting up or down?). The five moment
+    * sums accumulate as EXACT decimals (order-independent — a plain
+    * `corr()` would be partitioning-dependent float summation), and
+    * the final Pearson identity is a fixed sequence of IEEE double
+    * ops on those exact inputs — bit-stable on any cluster. */
+  def rxTrendCorrelation(events: DataFrame): DataFrame = {
+    val x = row_number().over(byUser).cast("long")
+    val d2 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+    val d4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(28, 4))
+    events.select(col("user_id"), x.as("x"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(d2(col("x"))).cast("double").as("sx"),
+        sum(d2(col("value"))).cast("double").as("sy"),
+        sum(d4(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(d4(col("value") * col("value"))).cast("double").as("syy"),
+        sum(d4(col("x") * col("value"))).cast("double").as("sxy"))
+      // constant-value streams have zero variance: no defined trend
+      // (keeping them would emit inf/NaN from the zero denominator)
+      .filter(col("n") >= 3 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("user_id"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("trend_r"))
+  }
+
   /** Cohort retention: users bucketed by first-seen day, activity
     * counted per (cohort, day offset) — the standard retention
     * triangle. Two aggregates sharing the user_id partitioning; the

@@ -283,6 +283,44 @@ object ReactiveStreams {
       .select("p_id", "c_id", "user_id", "p_value")
   }
 
+  /** Streaming ordered funnel: the unbounded twin of
+    * [[graft.operators.Reactive.rxFunnel]]. Emits one row the moment
+    * a key ADVANCES a stage (view → click-after-view →
+    * purchase-after-click); state per key = the three stage anchors,
+    * O(1) regardless of stream length. Rows are event_id-ordered
+    * within each trigger so stage order survives batch boundaries. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = not reached
+  case class FunnelAdvance(user_id: Long, stage: Int, event_id: Long)
+  def funnelStream(spark: SparkSession, events: DataFrame)
+      : Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (s.t1 < 0 && e.event_type == "view") {
+              s = s.copy(t1 = e.event_id)
+              out += FunnelAdvance(uid, 1, e.event_id)
+            } else if (s.t1 >= 0 && s.t2 < 0 &&
+              e.event_type == "click" && e.event_id > s.t1) {
+              s = s.copy(t2 = e.event_id)
+              out += FunnelAdvance(uid, 2, e.event_id)
+            } else if (s.t2 >= 0 && s.t3 < 0 &&
+              e.event_type == "purchase" && e.event_id > s.t2) {
+              s = s.copy(t3 = e.event_id)
+              out += FunnelAdvance(uid, 3, e.event_id)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Chained stateful aggregation (multiple stateful operators in one
     * streaming query): hourly per-type counts re-aggregated into
     * 2-hour totals. The second agg windows over the FIRST's window

@@ -245,6 +245,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances stages across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"funnel_${System.nanoTime()}"
+    val q = ReactiveStreams.funnelStream(spark, mem.toDF()).toDF()
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views (stage 1); the click at ev1 PRECEDES the
+      // view so it must not advance stage 2
+      mem.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: click after the view -> stage 2, then purchase -> 3;
+      // user 2 purchases without ever viewing -> no advance
+      mem.addData(Ev(3, ts(3), 1, "click", 1.0),
+        Ev(4, ts(4), 1, "purchase", 1.0), Ev(5, ts(5), 2, "purchase", 9.0))
+      q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage"),
+          r.getAs[Long]("event_id"))).toSet
+      assert(got === Set((1L, 1, 2L), (1L, 2, 3L), (1L, 3, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming EWMA matches the batch recurrence") {
     import spark.implicits._
     val got = run(df => ReactiveStreams.ewmaStream(spark, df).toDF())
