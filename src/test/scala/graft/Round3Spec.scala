@@ -382,6 +382,36 @@ class Round3Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((2L, 1L, 2L)))
   }
 
+  test("connectedComponents: deep chain throws at low maxIter, converges at high") {
+    import spark.implicits._
+    val chain = (1L to 29L).map(i => (i, i + 1, 1.0))
+      .toDF("doc1", "doc2", "jaccard")
+    val nodes = (1L to 30L).map(Tuple1(_)).toDF("doc_id")
+    // label 1 travels one hop per round: depth 29 > 10 rounds → throw
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, nodes, maxIter = 10).collect()
+    }
+    val labels = Dedup.connectedComponents(chain, nodes, maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 30L).forall(labels(_) == 1L))
+  }
+
+  test("decodeStub histogram mass equals payload length for every bin width") {
+    import graft.operators.Multimodal
+    val rnd = new scala.util.Random(42)
+    val payload = Array.fill(997)(rnd.nextInt(256).toByte)
+    for (bins <- Seq(8, 64, 256)) {
+      val (sum1, h1) = Multimodal.decodeStub(payload, bins)
+      val (sum2, h2) = Multimodal.decodeStub(payload, bins)
+      assert(h1.sum === payload.length.toLong)
+      assert(sum1 === sum2 && h1.toSeq === h2.toSeq) // deterministic
+    }
+    // full-resolution bins count exact byte values
+    val (_, h256) = Multimodal.decodeStub(payload, 256)
+    assert(h256(payload.head & 0xFF) >= 1)
+    intercept[IllegalArgumentException] { Multimodal.decodeStub(payload, 7) }
+  }
+
   test("rxPartition is an exhaustive disjoint split") {
     val events = graft.sources.Tables.events(spark, sf)
     val out = Reactive.rxPartition(events).cache()
