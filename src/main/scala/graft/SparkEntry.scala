@@ -530,6 +530,8 @@ object SparkEntry {
       TextAnalysis.chunkDedup(docs(s, d)).orderBy("chunk_hash")),
     "rx_rolling_median" -> ((s, d) =>
       Reactive.rxRollingMedian(ev(s, d)).orderBy("event_id")),
+    "rx_variance" -> ((s, d) =>
+      Reactive.rxVariance(ev(s, d)).orderBy("user_id")),
     "rx_trend_correlation" -> ((s, d) =>
       Reactive.rxTrendCorrelation(ev(s, d)).orderBy("user_id")),
     "profile_table" -> ((s, d) =>
@@ -2162,6 +2164,22 @@ object SparkEntry {
         |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
         |    AS BIGINT) AS reached_stage
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_variance" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        | (CAST(count(*) AS BIGINT)
+        |    * CAST(sum(CAST("value"*"value" AS DECIMAL(28,4))) AS DOUBLE)
+        |  - CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+        |    * CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE))
+        | / (CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1))
+        |   AS var_samp,
+        | sqrt((CAST(count(*) AS BIGINT)
+        |    * CAST(sum(CAST("value"*"value" AS DECIMAL(28,4))) AS DOUBLE)
+        |  - CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE)
+        |    * CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE))
+        | / (CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) - 1)))
+        |   AS stddev_samp
+        |FROM events GROUP BY user_id HAVING count(*) >= 2
+        |ORDER BY user_id""".stripMargin,
     "rx_rolling_median" ->
       """SELECT event_id, user_id,
         |  quantile_cont("value", 0.5) OVER w AS roll_median,

@@ -854,6 +854,26 @@ object Reactive {
           .as("reached_stage"))
   }
 
+  /** Per-key exact sample variance/stddev: the grouped form of
+    * [[rxRollingStats]]'s identity — both moments accumulate as
+    * EXACT decimals (partial-aggregable, order-independent), and the
+    * n*Σx²−(Σx)² identity runs as a fixed IEEE sequence on those
+    * exact inputs. A plain `var_samp`/`stddev` is float summation
+    * whose result depends on partitioning — unacceptable under a
+    * bit-reproducibility contract. */
+  def rxVariance(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 4)))
+          .cast("double").as("sxx"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n"),
+        ((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("var_samp"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))).as("stddev_samp"))
+
   /** Rolling median (robust trailing statistic): exact continuous
     * median over the trailing-n frame — the outlier-resistant twin
     * of [[rxRollingStats]]'s mean. Same single user_id shuffle; the
