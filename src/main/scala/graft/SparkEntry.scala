@@ -231,15 +231,20 @@ object SparkEntry {
     // ---- §2.6 dedup ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("content_hash")),
+    // the LSH-family gated queries run the AUDITABLE (md5) hash
+    // family: DuckDB re-derives the buckets/signatures exactly, so
+    // these are hash-exact oracle rows, not rows-only (the xxhash64
+    // throughput family keeps its exact ScalaTest twins)
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d)).orderBy("doc1", "doc2")),
-    // maxHamming=3: the largest radius at which 64-bit chunked simhash
+      Dedup.minhashLsh(docs(s, d), auditable = true).orderBy("doc1", "doc2")),
+    // maxHamming=3: the largest radius at which chunked simhash
     // keeps sub-quadratic candidate selectivity (see Dedup.simhash)
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(docs(s, d), maxHamming = 3).orderBy("doc1", "doc2")),
+      Dedup.simhash(docs(s, d), maxHamming = 3, auditable = true)
+        .orderBy("doc1", "doc2")),
     "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDup(embs(s, d), planes = 6, minCosine = 0.25)
-        .orderBy("id1", "id2")),
+      Dedup.embeddingNearDup(embs(s, d), planes = 6, minCosine = 0.25,
+        auditable = true).orderBy("id1", "id2")),
     // clusters over the deterministic exact-Jaccard pair set (the LSH
     // pair sets are hash-dependent, so the gated variant uses the
     // oracle-reproducible edges)
@@ -258,7 +263,7 @@ object SparkEntry {
     }),
     "ann_lsh" -> ((s, d) => {
       val e = embs(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10))
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), auditable = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -289,8 +294,9 @@ object SparkEntry {
         col("term"))),
     "multimodal_features" -> ((s, d) =>
       Multimodal.mediaFrameIndex(docs(s, d)).orderBy("media_id", "frame_id")),
-    // rows-only gate (stub decoder isn't SQL-expressible); exact
-    // semantics in MultimodalSpec
+    // hash-exact gate: the bigram stub signature and md5-RHP buckets
+    // are both re-derivable in SQL; exact kernel semantics also in
+    // MultimodalSpec
     "media_near_dup" -> ((s, d) =>
       Multimodal.mediaNearDup(s, docs(s, d)).orderBy("id1", "id2")),
     // ---- round 3: reactive fill-in ----
@@ -567,9 +573,10 @@ object SparkEntry {
         "asof_value" -> "click_value"))
   }
 
-  /** DuckDB oracle per query (driver runs at sf0.01). Omitted keys
-    * (lsh/simhash/embedding dedup, ann_lsh, lang_id) are not
-    * ANSI-SQL-expressible; they get the rows-only check + ScalaTest. */
+  /** DuckDB oracle per query (driver runs at sf0.01). Every gated
+    * query has an oracle: the LSH-family ops run the md5 ("auditable")
+    * hash family whose buckets/signatures DuckDB re-derives exactly
+    * (fixed seeds, string-min / scaled-integer arithmetic). */
   def oracleSql: Map[String, String] = Map(
     "rx_map" ->
       """SELECT event_id, user_id, value*2.5 AS scaled,
@@ -1239,6 +1246,188 @@ object SparkEntry {
         | FROM s)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // ---- md5 ("auditable") hash-family oracles: DuckDB re-derives
+    // the LSH buckets / signatures exactly (md5 is md5 everywhere;
+    // mins compare as ASCII hex; dot products are scaled-integer) ----
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |post AS (
+        |  SELECT doc_id, s.s FROM sh, unnest(sh.sh) AS s(s)),
+        |mins AS (
+        |  SELECT doc_id, j.j AS j, min(md5(concat(j.j, ':', s))) AS m
+        |  FROM post, range(0, 64) j(j) GROUP BY doc_id, j.j),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    array_to_string(list(m ORDER BY j), '|') AS bh
+        |  FROM mins GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM bands l JOIN bands r USING (band, bh)
+        |  WHERE l.doc_id < r.doc_id),
+        |dsh AS (
+        |  SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+        |verified AS (
+        |  SELECT doc1, doc2,
+        |    CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE) /
+        |      (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) AS jaccard
+        |  FROM cand JOIN dsh a ON a.doc_id = doc1 JOIN dsh b ON b.doc_id = doc2)
+        |SELECT doc1, doc2, jaccard FROM verified WHERE jaccard >= 0.5
+        |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t.t FROM documents, unnest(string_split(lower(text), ' ')) AS t(t)),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN (1::BIGINT << j) ELSE 0 END AS bit
+        |  FROM hv, range(0, 60) r(j) GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig FROM bits GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, sig, c.c AS chunk_id, (sig >> (c.c * 15)) & 32767 AS chunk
+        |  FROM sig, range(0, 4) c(c)),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2,
+        |    CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+        |  FROM chunks l JOIN chunks r USING (chunk_id, chunk)
+        |  WHERE l.doc_id < r.doc_id)
+        |SELECT doc1, doc2, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding, CAST(list_sum(list_transform(range(0, 6), j ->
+        |  CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), d ->
+        |        CAST(floor(CAST(embedding[d] AS DOUBLE)*1e6) AS BIGINT) *
+        |        (CASE WHEN strpos('01234567', substr(md5(concat(j, ',', d-1)), 1, 1)) > 0
+        |              THEN 1 ELSE -1 END))) > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings),
+        |st AS (
+        |  SELECT bucket, count(*) AS bsize, min(vec_id) AS rep FROM b GROUP BY bucket),
+        |pairs AS (
+        |  SELECT l.vec_id AS id1, l.embedding AS e1, r.vec_id AS id2, r.embedding AS e2
+        |  FROM b l JOIN st USING (bucket) JOIN b r USING (bucket)
+        |  WHERE st.bsize <= 64 AND l.vec_id < r.vec_id
+        |  UNION ALL
+        |  SELECT rb.vec_id AS id1, rb.embedding AS e1, m.vec_id AS id2, m.embedding AS e2
+        |  FROM b m JOIN st USING (bucket) JOIN b rb ON rb.vec_id = st.rep
+        |  WHERE st.bsize > 64 AND m.vec_id <> st.rep),
+        |scored AS (
+        |  SELECT id1, id2, (list_sum(list_transform(list_zip(e1, e2),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e1, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(e2, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim FROM pairs)
+        |SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= 0.25
+        |ORDER BY id1, id2""".stripMargin,
+    "ann_lsh" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding, CAST(list_sum(list_transform(range(0, 6), j ->
+        |  CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), d ->
+        |        CAST(floor(CAST(embedding[d] AS DOUBLE)*1e6) AS BIGINT) *
+        |        (CASE WHEN strpos('01234567', substr(md5(concat(j, ',', d-1)), 1, 1)) > 0
+        |              THEN 1 ELSE -1 END))) > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket FROM embeddings),
+        |q0 AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb,
+        |    list_prepend(bucket,
+        |      list_transform(range(0, 6), j -> xor(bucket, (1::BIGINT << j)))) AS probes
+        |  FROM b WHERE vec_id < 10),
+        |q AS (
+        |  SELECT query_id, q_emb, p.bucket FROM q0, unnest(q0.probes) AS p(bucket)),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, q.q_emb, c.vec_id AS neighbor_id, c.embedding
+        |  FROM q JOIN b c USING (bucket)
+        |  WHERE c.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, (list_sum(list_transform(list_zip(q_emb, embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim FROM cand),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e, cents c),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+        |qp AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS pr
+        |  FROM embeddings q, cents c WHERE q.vec_id < 10),
+        |probes AS (SELECT query_id, q_emb, centroid_id FROM qp WHERE pr <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    (list_sum(list_transform(list_zip(p.q_emb, a.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        |  FROM probes p JOIN a USING (centroid_id) WHERE a.vec_id <> p.query_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "media_near_dup" ->
+      """WITH hx AS (
+        |  SELECT doc_id AS vec_id, hex(encode(text)) AS hs,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |bg AS (
+        |  SELECT vec_id,
+        |    ((('0x' || substr(hs, 2*i.i - 3, 2))::BIGINT * 31
+        |      + ('0x' || substr(hs, 2*i.i - 1, 2))::BIGINT) % 64) AS bin
+        |  FROM hx, unnest(generate_series(2, n)) AS i(i) WHERE n >= 2),
+        |bc AS (SELECT vec_id, bin, count(*) AS c FROM bg GROUP BY vec_id, bin),
+        |hist AS (
+        |  SELECT g.vec_id, list(coalesce(bc.c, 0) ORDER BY g.b) AS embedding
+        |  FROM (SELECT vec_id, b.b FROM hx, range(0, 64) b(b)) g
+        |  LEFT JOIN bc ON bc.vec_id = g.vec_id AND bc.bin = g.b
+        |  GROUP BY g.vec_id),
+        |b AS (
+        |  SELECT vec_id, embedding, CAST(list_sum(list_transform(range(0, 6), j ->
+        |  CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)), d ->
+        |        CAST(floor(CAST(embedding[d] AS DOUBLE)*1e6) AS BIGINT) *
+        |        (CASE WHEN strpos('01234567', substr(md5(concat(j, ',', d-1)), 1, 1)) > 0
+        |              THEN 1 ELSE -1 END))) > 0
+        |       THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS bucket FROM hist),
+        |st AS (
+        |  SELECT bucket, count(*) AS bsize, min(vec_id) AS rep FROM b GROUP BY bucket),
+        |pairs AS (
+        |  SELECT l.vec_id AS id1, l.embedding AS e1, r.vec_id AS id2, r.embedding AS e2
+        |  FROM b l JOIN st USING (bucket) JOIN b r USING (bucket)
+        |  WHERE st.bsize <= 128 AND l.vec_id < r.vec_id
+        |  UNION ALL
+        |  SELECT rb.vec_id AS id1, rb.embedding AS e1, m.vec_id AS id2, m.embedding AS e2
+        |  FROM b m JOIN st USING (bucket) JOIN b rb ON rb.vec_id = st.rep
+        |  WHERE st.bsize > 128 AND m.vec_id <> st.rep),
+        |scored AS (
+        |  SELECT id1, id2, (list_sum(list_transform(list_zip(e1, e2),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e1, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(e2, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim FROM pairs)
+        |SELECT id1, id2, cos_sim FROM scored WHERE cos_sim >= 0.999
+        |ORDER BY id1, id2""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, length(text) AS len,
         | len(string_split(lower(text), ' ')) AS n_tokens,

@@ -155,6 +155,250 @@ object Kernels {
     if ((XXH64.hashLong((j.toLong << 32) | d.toLong, Seed) & 1L) == 0L) 1.0
     else -1.0
 
+  // ---- md5 ("auditable") hash family ----------------------------------
+  //
+  // Twin of the xxhash64 kernels above, built on MD5 so every derived
+  // key is reproducible OUTSIDE the engine: any system with an md5()
+  // (DuckDB, Postgres, python) can re-derive the exact LSH buckets /
+  // signatures and audit a dedup decision. This is what lets the
+  // driver's cross-engine oracle gate the LSH-family operators
+  // hash-exactly instead of rows-only. ~10x the hash cost of xxhash64;
+  // use the fast family for throughput, this one when lineage audits
+  // or cross-engine reproducibility matter.
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val HexChars = "0123456789abcdef".getBytes
+
+  /** Lowercase-hex MD5 of `parts` concatenated — byte-identical to
+    * SQL md5(concat(parts...)). */
+  private def md5Hex(parts: Array[Byte]*): Array[Byte] = {
+    val md = md5Local.get()
+    md.reset()
+    parts.foreach(md.update)
+    val d = md.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexChars(d(i) & 0xF)
+      i += 1
+    }
+    out
+  }
+
+  @inline private def utf8Bytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** MinHash band keys over the md5 family: minhash_j(doc) =
+    * min over shingles s of md5(j || ':' || s) (lexicographic hex min
+    * — hex is ASCII, so byte order == string order in any engine);
+    * band key b = the band's `rows` minima joined with '|'.
+    * SQL twin: min(md5(concat(j, ':', s))) grouped by (doc, j), then
+    * array_to_string(list(m ORDER BY j), '|') per band. */
+  def md5MinhashBands(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val k = bands * rows
+    val prefixes = Array.tabulate(k)(j => utf8Bytes(j.toString + ":"))
+    val mins = new Array[Array[Byte]](k)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val sb = shingles.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          val h = md5Hex(prefixes(j), sb)
+          if (mins(j) == null || compareHex(h, mins(j)) < 0) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(rows * 33)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('|')
+        val m = mins(b * rows + r)
+        if (m != null) sb.append(new String(m, java.nio.charset.StandardCharsets.US_ASCII))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  @inline private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) - b(i) // hex bytes are ASCII: signed == unsigned
+      i += 1
+    }
+    0
+  }
+
+  /** 60-bit SimHash over the md5 family: token hash = first 15 hex
+    * chars of md5(token) as a 60-bit integer (SQL twin:
+    * ('0x' || substr(md5(t), 1, 15))::BIGINT); bit j of the signature
+    * is set iff the +-1 vote sum over tokens at bit j is positive.
+    * 60 bits (not 64) keeps the value addressable as a SIGNED BIGINT
+    * in every engine. */
+  def md5Simhash60(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val hex = md5Hex(tokens.getUTF8String(i).getBytes)
+        var v = 0L
+        var c = 0
+        while (c < 15) {
+          val ch = hex(c)
+          val d = if (ch <= '9') ch - '0' else ch - 'a' + 10
+          v = (v << 4) | d
+          c += 1
+        }
+        var j = 0
+        while (j < 60) {
+          if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** +-1 hyperplane signs for the md5 family: sign(j, d) = +1 iff the
+    * first hex char of md5(j || ',' || d) is < '8' (i.e. the digest's
+    * top bit is 0). Cached per (planes, dim) — the matrix is data-
+    * independent. SQL twin:
+    * CASE WHEN strpos('01234567', substr(md5(j || ',' || d), 1, 1)) > 0
+    *      THEN 1 ELSE -1 END. */
+  private val md5SignCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+
+  private def md5Signs(planes: Int, dim: Int): Array[Byte] = {
+    val key = (planes.toLong << 32) | dim.toLong
+    var m = md5SignCache.get(key)
+    if (m == null) {
+      m = new Array[Byte](planes * dim)
+      var j = 0
+      while (j < planes) {
+        var d = 0
+        while (d < dim) {
+          val md = md5Local.get()
+          md.reset()
+          md.update(utf8Bytes(s"$j,$d"))
+          m(j * dim + d) = if ((md.digest()(0) & 0x80) == 0) 1 else -1
+          d += 1
+        }
+        j += 1
+      }
+      md5SignCache.putIfAbsent(key, m)
+    }
+    m
+  }
+
+  /** Random-hyperplane LSH signature over the md5 family, with the
+    * dot product in SCALED-INTEGER arithmetic: component x becomes
+    * floor(x * 1e6) as a BIGINT, so the per-plane sum is exact,
+    * order-independent, and bit-identical in any engine — a float dot
+    * product's rounding could flip a sign bit near zero and silently
+    * desync the buckets between engines. Bit j = (sum > 0). */
+  def md5RhpBits(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    val signs = md5Signs(planes, n)
+    var out = 0L
+    var j = 0
+    while (j < planes) {
+      var dot = 0L
+      var d = 0
+      val base = j * n
+      while (d < n) {
+        dot += math.floor(vec.getFloat(d).toDouble * 1e6).toLong * signs(base + d)
+        d += 1
+      }
+      if (dot > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Argmax-cosine centroid assignment in ONE narrow pass: given a row
+    * vector and the (broadcast) array of (centroid_id, c_emb) structs,
+    * return the centroid id with the highest cosine (ties to the
+    * lowest id — same total order as
+    * row_number() OVER (ORDER BY sim DESC, centroid_id)). Replaces the
+    * crossJoin + groupBy-argmax IVF assignment, which expanded the
+    * corpus n×nlist and re-shuffled every vector to reduce the argmax
+    * — at 100 TB that is a full-dataset exchange per assignment pass;
+    * this is zero exchanges. */
+  def cosineArgmax(vec: ArrayData, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var bestId = -1L
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 2)
+      val id = row.getLong(0)
+      val sim = cosine(vec, row.getArray(1))
+      if (sim > bestSim || (sim == bestSim && id < bestId)) {
+        bestSim = sim
+        bestId = id
+      }
+      i += 1
+    }
+    bestId
+  }
+
+  /** Int8 quantization audit in one codegen pass (struct result):
+    * symmetric per-vector scale = max|x| / 127, q = clamped
+    * floor(x/scale + 0.5), reported as exact floor-scaled BIGINT error
+    * sums. `nonzero` = false for all-zero vectors (caller filters) —
+    * a struct field instead of a NULL result keeps the expression
+    * inside plain defineCodeGen. Replaces a transform/aggregate HOF
+    * chain that fell out of whole-stage codegen (HOFs are
+    * CodegenFallback). Arithmetic order matches the HOF form
+    * bit-for-bit: clamp is max(-127, min(127, floor(x/scale + 0.5))),
+    * err sum is a sequential left fold of floor(err * 1e9). */
+  def quantAudit(vec: ArrayData): InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0.0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](false, 0.0, 0L, 0L))
+    val scale = maxAbs / 127.0
+    var absErrScaled = 0L
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = vec.getFloat(i).toDouble
+      val q = math.max(-127.0, math.min(127.0, math.floor(x / scale + 0.5)))
+      val err = math.abs(x - q * scale)
+      absErrScaled += math.floor(err * 1e9).toLong
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, scale, absErrScaled, math.floor(maxErr * 1e9).toLong))
+  }
+
   /** Random-hyperplane LSH signature: bit j = sign(dot(vec, r_j)).
     * With `planes` <= 64 the signature packs into one long, so the
     * LSH bucket join is a plain long-key shuffle. */
@@ -192,6 +436,16 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * [[graft.operators.RuntimeFilter]] as the pre-shuffle fact prune. */
 case class BloomProbeExpr(filter: org.apache.spark.util.sketch.BloomFilter,
                           child: Expression) extends UnaryExpression {
+  // analysis-time contract: a non-LONG key fails analysis with a
+  // typed error instead of a runtime ClassCastException (or a janino
+  // compile error) inside codegen'd mightContainLong
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom probe key must be BIGINT, got ${child.dataType.sql}")
   override def dataType: DataType = BooleanType
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])
@@ -257,6 +511,77 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
       : SortedJaccardExpr = copy(left = l, right = r)
 }
 
+/** MinHash-LSH band keys (array<string>) over the md5 hash family —
+  * cross-engine reproducible (see Kernels.md5MinhashBands). */
+case class Md5MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rows > 0, "bands and rows must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5MinhashBands(input.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.md5MinhashBands($c, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): Md5MinHashBandsExpr =
+    copy(child = c)
+}
+
+/** 60-bit SimHash over the md5 hash family (cross-engine
+  * reproducible). */
+case class Md5SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5Simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5Simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): Md5SimHash60Expr =
+    copy(child = c)
+}
+
+/** Random-hyperplane LSH signature over the md5 hash family with a
+  * scaled-integer dot product (cross-engine reproducible). */
+case class Md5RhpLshExpr(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 63, "planes must be in 1..63")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.md5RhpBits(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.md5RhpBits($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): Md5RhpLshExpr =
+    copy(child = c)
+}
+
+/** Argmax-cosine centroid id of an array<float> row against a
+  * broadcast array<struct<centroid_id:bigint, c_emb:array<float>>>. */
+case class CosineArgmaxExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    Kernels.cosineArgmax(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.Kernels.cosineArgmax($v, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CosineArgmaxExpr = copy(left = l, right = r)
+}
+
+/** One-pass int8 quantization audit of an array<float> column:
+  * struct(nonzero, scale, abs_err_scaled, max_err_scaled). */
+case class QuantizeAuditExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("nonzero", BooleanType, nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("abs_err_scaled", LongType, nullable = false),
+    StructField("max_err_scaled", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.quantAudit(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.quantAudit($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeAuditExpr =
+    copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket signature of an array<float> column. */
 case class RhpLshExpr(child: Expression, planes: Int) extends UnaryExpression {
   require(planes > 0 && planes <= 64, "planes must be in 1..64")
@@ -302,4 +627,27 @@ object GraftFunctions {
   /** Merge-based Jaccard of two sorted distinct string arrays. */
   def sorted_jaccard(a: Column, b: Column): Column =
     toCol(SortedJaccardExpr(toExpr(a), toExpr(b)))
+
+  /** MinHash-LSH band keys over the md5 family (auditable: any engine
+    * with md5() re-derives the buckets). */
+  def md5_minhash_bands(shingles: Column, bands: Int, rows: Int): Column =
+    toCol(Md5MinHashBandsExpr(toExpr(shingles), bands, rows))
+
+  /** 60-bit SimHash over the md5 family (auditable). */
+  def md5_simhash60(tokens: Column): Column =
+    toCol(Md5SimHash60Expr(toExpr(tokens)))
+
+  /** Random-hyperplane LSH signature over the md5 family with exact
+    * scaled-integer dot products (auditable). */
+  def md5_rhp_lsh(vec: Column, planes: Int): Column =
+    toCol(Md5RhpLshExpr(toExpr(vec), planes))
+
+  /** Argmax-cosine centroid id against a broadcast centroid array. */
+  def cosine_argmax(vec: Column, cents: Column): Column =
+    toCol(CosineArgmaxExpr(toExpr(vec), toExpr(cents)))
+
+  /** One-pass int8 quantization audit
+    * (struct: nonzero, scale, abs_err_scaled, max_err_scaled). */
+  def quantize_audit(vec: Column): Column =
+    toCol(QuantizeAuditExpr(toExpr(vec)))
 }

@@ -16,8 +16,10 @@ import graft.functions.GraftFunctions
   *  - SimHash: c equal-width chunk keys, c > maxHamming (pigeonhole:
   *    hamming<=maxHamming pairs share at least one chunk).
   *  - Embeddings: random-hyperplane bucket key.
-  * Over-full buckets (degenerate content) are handled by AQE skew
-  * splitting; for adversarial data add a salt on the bucket key.
+  * Over-full buckets (degenerate content): AQE skew splitting
+  * re-sizes tasks, and [[embeddingNearDup]] additionally CAPS the
+  * per-bucket pair fan-out (star emission past `maxBucket` — AQE
+  * cannot bound the pair OUTPUT of a hot bucket, only task sizing).
   */
 object Dedup {
   /** Lowercased whitespace tokens. */
@@ -51,17 +53,22 @@ object Dedup {
     * @param threshold exact Jaccard cutoff applied to candidates
     */
   def minhashLsh(docs: DataFrame, bands: Int = 16, rows: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, auditable: Boolean = false)
+      : DataFrame = {
     // candidate generation on (band, bucket-hash, id) ONLY — the
     // shingle arrays must NOT ride through the explode/shuffle/join
     // (at 100 TB that multiplies the payload bands-x); they are
     // re-joined just for the final verify over the (tiny) candidate
     // pair set. Band keys come from the single-pass codegen kernel.
+    // auditable = md5 family (cross-engine reproducible buckets; the
+    // oracle-gate family); default = xxhash64 throughput family.
+    val bandKeys =
+      if (auditable) GraftFunctions.md5_minhash_bands(col("sh"), bands, rows)
+      else GraftFunctions.minhash_bands(col("sh"), bands, rows)
     val buckets = docs
       .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"),
-        posexplode(GraftFunctions.minhash_bands(col("sh"), bands, rows)))
+      .select(col("doc_id"), posexplode(bandKeys))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
     val pairs = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
       .join(buckets.select(col("band"), col("bh"), col("doc_id").as("doc2")),
@@ -97,14 +104,22 @@ object Dedup {
     * at scale keep maxHamming <= 3 (the radius the published 64-bit
     * simhash dedup design targets, cf. Manku et al. WWW'07); larger
     * radii need a longer signature, not more chunks. */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash(docs: DataFrame, maxHamming: Int = 3,
+              auditable: Boolean = false): DataFrame = {
     require(maxHamming < 16,
       s"maxHamming=$maxHamming: 4-bit chunks only guarantee recall to 15")
+    require(!auditable || maxHamming < 4,
+      "the auditable (md5/60-bit) family divides into 4 chunks of 15 " +
+        "bits — recall is guaranteed for maxHamming <= 3 only (the " +
+        "Manku WWW'07 design point); larger radii need the 64-bit family")
+    val sigBits = if (auditable) 60 else 64
     val numChunks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
-    val width = 64 / numChunks
+    val width = sigBits / numChunks
     val mask = (1L << width) - 1
-    val sigs = docs.select(col("doc_id"),
-      GraftFunctions.simhash64(toks(col("text"))).as("sig"))
+    val sigExpr =
+      if (auditable) GraftFunctions.md5_simhash60(toks(col("text")))
+      else GraftFunctions.simhash64(toks(col("text")))
+    val sigs = docs.select(col("doc_id"), sigExpr.as("sig"))
     val chunkStructs = (0 until numChunks).map { c =>
       struct(lit(c).as("chunk_id"),
         shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
@@ -227,17 +242,56 @@ object Dedup {
   }
 
   /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
-    * (custom codegen expression) within bucket. */
+    * (custom codegen expression) within bucket — with a BUCKET-SIZE
+    * GUARD for degenerate data.
+    *
+    * A bucket of m members emits m²/2 pair rows; collinear corpora
+    * (the measured media_near_dup case — same-language byte
+    * histograms) collapse most vectors into one bucket and the
+    * in-bucket pair scan goes quadratic inside a single task — AQE
+    * skew-split re-sizes tasks but cannot bound the pair OUTPUT.
+    * Buckets larger than `maxBucket` therefore switch from all-pairs
+    * to STAR emission: each member pairs only with the bucket's
+    * representative (lowest vec_id), bounding fan-out at O(m) while
+    * preserving what dedup needs — cluster CONNECTIVITY (downstream
+    * connected-components still groups every verified member through
+    * the representative). Pairwise enumeration inside over-cap
+    * buckets is explicitly traded away; this is the df-cap pattern
+    * from [[TextAnalysis.ngramJaccardCapped]] applied to the bucket
+    * key. Bucket stats reach the corpus via a broadcast join (at most
+    * min(n, 2^planes) rows), so the corpus itself still shuffles only
+    * for the pair join.
+    *
+    * auditable = md5 hash family with exact scaled-integer dot
+    * products: any engine with md5() re-derives the buckets (the
+    * cross-engine oracle gate runs this family). */
   def embeddingNearDup(embs: DataFrame, planes: Int = 8,
-                       minCosine: Double = 0.95): DataFrame = {
+                       minCosine: Double = 0.95,
+                       auditable: Boolean = false,
+                       maxBucket: Int = 64): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val sig =
+      if (auditable) GraftFunctions.md5_rhp_lsh(col("embedding"), planes)
+      else GraftFunctions.rhp_lsh(col("embedding"), planes)
     val withBucket = embs.select(col("vec_id"), col("embedding"),
-      GraftFunctions.rhp_lsh(col("embedding"), planes).as("bucket"))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("id1"),
-      col("embedding").as("e1"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("id2"),
-      col("embedding").as("e2"))
-    l.join(r, Seq("bucket"))
+      sig.as("bucket"))
+    val stats = withBucket.groupBy("bucket")
+      .agg(count(lit(1)).as("bsize"),
+        min_by(struct(col("vec_id"), col("embedding")), col("vec_id"))
+          .as("rep"))
+    val annotated = withBucket.join(broadcast(stats), Seq("bucket"))
+    val small = annotated.filter(col("bsize") <= maxBucket)
+    val pairsAll = small
+      .select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+      .join(small.select(col("bucket"), col("vec_id").as("id2"),
+        col("embedding").as("e2")), Seq("bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "e1", "id2", "e2")
+    val pairsStar = annotated.filter(col("bsize") > maxBucket)
+      .filter(col("vec_id") =!= col("rep.vec_id"))
+      .select(col("rep.vec_id").as("id1"), col("rep.embedding").as("e1"),
+        col("vec_id").as("id2"), col("embedding").as("e2"))
+    pairsAll.unionByName(pairsStar)
       .withColumn("cos_sim", GraftFunctions.cosine_sim(col("e1"), col("e2")))
       .filter(col("cos_sim") >= minCosine)
       .select("id1", "id2", "cos_sim")

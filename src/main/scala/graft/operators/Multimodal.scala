@@ -50,6 +50,27 @@ object Multimodal {
     (sum, hist)
   }
 
+  /** STUB signature for the near-dup path (real build: pHash or a CNN
+    * embedding): byte-BIGRAM histogram — bin((b0,b1)) = (b0*31 + b1)
+    * mod bins over adjacent byte pairs. Structure-sensitive where the
+    * unigram byte histogram is not: same-language text has nearly
+    * identical byte frequencies (measured §5.3 — every pair scored
+    * cos >= 0.9999 on unigram bins, collapsing all vectors into one
+    * LSH bucket), while bigram frequencies track actual content.
+    * Deterministic and engine-neutral: integer arithmetic over
+    * unsigned byte values, reproducible from the payload hex in any
+    * SQL engine. */
+  def bigramSigStub(payload: Array[Byte], bins: Int = 64): Array[Long] = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val hist = new Array[Long](bins)
+    var i = 1
+    while (i < payload.length) {
+      hist(((payload(i - 1) & 0xFF) * 31 + (payload(i) & 0xFF)) % bins) += 1
+      i += 1
+    }
+    hist
+  }
+
   /** Synthesize a media table from documents (text bytes as payload)
     * — stands in for reading real blobs; schema is the real one. */
   def mediaTable(docs: DataFrame): DataFrame =
@@ -104,27 +125,39 @@ object Multimodal {
 
   /** Media near-duplicate detection — the image-dedup shape every
     * training-data pipeline runs: decode each blob to a compact
-    * signature vector (here the stub histogram; real build: pHash or
+    * signature vector (here [[bigramSigStub]]; real build: pHash or
     * a CNN embedding), then reuse the embedding near-dup machinery
-    * (random-hyperplane LSH buckets + in-bucket cosine). The decode
-    * is the only per-byte work; everything after operates on
-    * 64-float signatures, so the pair search never touches payloads.
+    * (random-hyperplane LSH buckets + in-bucket cosine, bucket-size
+    * capped). The decode is the only per-byte work; everything after
+    * operates on 64-float signatures, so the pair search never
+    * touches payloads.
     *
-    * The threshold is tight (0.9999) because byte-histogram
-    * signatures of same-language text are heavily collinear; a
-    * structure-sensitive real signature (pHash) discriminates at
-    * much lower τ with the same plan. */
+    * Runs the AUDITABLE (md5) RHP family so the derived buckets are
+    * reproducible outside the JVM — this is what upgrades the driver
+    * gate from rows-only to hash-exact. The earlier unigram-histogram
+    * signature collapsed all vectors into one bucket (measured §5.3);
+    * the bigram signature restores bucket spread, and the bucket cap
+    * bounds the pair scan if a degenerate corpus collapses them
+    * anyway. */
   def mediaNearDup(spark: SparkSession, docs: DataFrame,
-                   planes: Int = 4, minCosine: Double = 0.9999)
-      : DataFrame = {
+                   planes: Int = 6, minCosine: Double = 0.999,
+                   maxBucket: Int = 128): DataFrame = {
+    import spark.implicits._
     // materialize the signatures once: the LSH pair search references
     // them on BOTH sides of its self-join, and without the checkpoint
     // each side re-runs the full per-byte decode
-    val sigs = extractFeatures(spark, mediaTable(docs), bins = 64)
-      .select(col("media_id").as("vec_id"),
+    val sigs = mediaTable(docs)
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition setup happens once (decoder init in real build)
+        rows.map { case (id, payload) => (id, bigramSigStub(payload, 64)) }
+      }
+      .toDF("vec_id", "histogram")
+      .select(col("vec_id"),
         transform(col("histogram"), x => x.cast("float")).as("embedding"))
       .localCheckpoint()
-    Dedup.embeddingNearDup(sigs, planes = planes, minCosine = minCosine)
+    Dedup.embeddingNearDup(sigs, planes = planes, minCosine = minCosine,
+      auditable = true, maxBucket = maxBucket)
   }
 
   /** Driver-checkable plumbing query: byte lengths + frame fan-out

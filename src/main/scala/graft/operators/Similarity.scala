@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,10 +42,11 @@ object Similarity {
     * Centroids here are the `nlist` lowest-id corpus vectors —
     * deterministic and cheap; swap in k-means iterations offline for
     * better list balance (the plan shape is identical). Assignment is
-    * a broadcast of nlist centroid rows against one corpus scan with
-    * a map-side-partial max_by — the corpus shuffles once, as (id,
-    * vector, centroid) — and the probe join shuffles only candidate
-    * lists matching a query probe. */
+    * a NARROW per-row argmax against the broadcast centroid array
+    * ([[assignCentroids]]) — the corpus never shuffles; the probe
+    * join is a broadcast of the (tiny) query probes, so the only
+    * exchange in the whole plan is the per-query top-k window over
+    * the candidate lists. */
   /** Lloyd-refined coarse centroids for IVF: seed with the first
     * nlist vectors, then `iters` rounds of assign → recompute-mean.
     * Means are computed with the scaled-integer trick (floor(x*1e6)
@@ -61,13 +62,14 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val assigned = embs.crossJoin(broadcast(centroids))
-        .withColumn("c_sim",
-          GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
-        .groupBy("vec_id")
-        .agg(max_by(col("centroid_id"), struct(col("c_sim"), -col("centroid_id")))
-          .as("centroid_id"),
-          first(col("embedding")).as("embedding"))
+      // assignment is a NARROW map: the nlist centroids collapse to one
+      // broadcast row and each corpus vector picks its argmax-cosine
+      // centroid in a single codegen pass — zero corpus exchanges per
+      // Lloyd round (the old crossJoin+groupBy-argmax re-shuffled every
+      // corpus vector every round). The only shuffle left is the
+      // per-(centroid, dim) moment reduction, whose map-side partials
+      // collapse each partition to nlist x dim rows.
+      val assigned = assignCentroids(embs, centroids)
       centroids = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("centroid_id", "dim")
@@ -81,6 +83,24 @@ object Similarity {
         .localCheckpoint()
     }
     centroids
+  }
+
+  /** Narrow argmax-cosine assignment: centroids (centroid_id, c_emb)
+    * collapse to ONE broadcast row carrying the sorted struct array;
+    * each corpus row evaluates `cosine_argmax` in-place. No corpus
+    * exchange — at 100 TB this is one scan instead of a full-dataset
+    * shuffle per assignment pass. Ties resolve to the lowest
+    * centroid_id (same order as ORDER BY sim DESC, centroid_id). */
+  private def assignCentroids(embs: DataFrame, centroids: DataFrame)
+      : DataFrame = {
+    val centsRow = centroids.agg(
+      array_sort(collect_list(struct(
+        col("centroid_id").cast("long").as("centroid_id"), col("c_emb"))))
+        .as("cents"))
+    embs.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("embedding"),
+        GraftFunctions.cosine_argmax(col("embedding"), col("cents"))
+          .as("centroid_id"))
   }
 
   def ivfTopK(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
@@ -99,14 +119,11 @@ object Similarity {
                           centroidsIn: DataFrame, nprobe: Int, k: Int)
       : DataFrame = {
     val centroids = centroidsIn
-    val assigned = embs.crossJoin(broadcast(centroids))
-      .withColumn("c_sim",
-        GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("centroid_id"), struct(col("c_sim"), -col("centroid_id")))
-          .as("centroid_id"),
-        first(col("embedding")).as("embedding"))
+    // corpus side: narrow argmax assignment (no exchange); the query
+    // side keeps the tiny crossJoin — it needs the top-nprobe
+    // centroids per query, not just the argmax, and the query set is
+    // small by contract
+    val assigned = assignCentroids(embs, centroids)
     val qprobes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
@@ -134,17 +151,23 @@ object Similarity {
     * standard recall/cost lever; the corpus side stays single-bucket
     * so the index is built once). */
   def lshTopK(embs: DataFrame, queries: DataFrame, planes: Int = 6,
-              k: Int = 5): DataFrame = {
+              k: Int = 5, auditable: Boolean = false): DataFrame = {
+    // auditable = md5 hash family: ~10x the hash cost, but any engine
+    // with md5() re-derives the buckets (the cross-engine oracle gate
+    // runs this family); default = xxhash64 throughput family
+    def sig(c: Column): Column =
+      if (auditable) GraftFunctions.md5_rhp_lsh(c, planes)
+      else GraftFunctions.rhp_lsh(c, planes)
     val probeBuckets = array(
       (col("_b") +: (0 until planes).map(j =>
         col("_b").bitwiseXOR(lit(1L << j)))): _*)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
-      GraftFunctions.rhp_lsh(col("embedding"), planes).as("_b"))
+      sig(col("embedding")).as("_b"))
       .withColumn("bucket", explode(probeBuckets))
       .drop("_b")
     val cand = embs.select(col("vec_id").as("neighbor_id"), col("embedding"),
-      GraftFunctions.rhp_lsh(col("embedding"), planes).as("bucket"))
+      sig(col("embedding")).as("bucket"))
     cand.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim",
@@ -207,20 +230,16 @@ object Similarity {
     * conventions differ), and error totals are floor-scaled BIGINTs
     * so the per-dimension sum is order-independent. */
   def quantizeAudit(embs: DataFrame): DataFrame =
+    // single-pass codegen kernel (QuantizeAuditExpr): the HOF
+    // (transform/aggregate) form of this audit is CodegenFallback —
+    // interpreted per row — per the engine's own §5.1 finding; the
+    // kernel keeps the op inside WholeStageCodegen with bit-identical
+    // arithmetic (same clamp order, same sequential error fold)
     embs
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("xs"))
-      .withColumn("max_abs", array_max(transform(col("xs"), x => abs(x))))
-      .filter(col("max_abs") > 0)
-      .withColumn("scale", col("max_abs") / 127.0)
-      .withColumn("qerr", transform(col("xs"), x =>
-        abs(x - greatest(lit(-127.0),
-          least(lit(127.0), floor(x / col("scale") + 0.5)))
-          * col("scale"))))
-      .select(col("vec_id"), col("scale"),
-        aggregate(col("qerr"), lit(0L),
-          (acc, e) => acc + floor(e * 1e9).cast("long"))
-          .as("abs_err_scaled"),
-        floor(array_max(col("qerr")) * 1e9).cast("long")
-          .as("max_err_scaled"))
+        GraftFunctions.quantize_audit(col("embedding")).as("qa"))
+      .filter(col("qa.nonzero"))
+      .select(col("vec_id"), col("qa.scale").as("scale"),
+        col("qa.abs_err_scaled").as("abs_err_scaled"),
+        col("qa.max_err_scaled").as("max_err_scaled"))
 }

@@ -58,6 +58,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("embedding near-dup bounds degenerate-bucket fan-out (star emission)") {
+    import spark.implicits._
+    // adversarial corpus: every vector identical -> ONE bucket in any
+    // LSH family -> all-pairs would emit n(n-1)/2 rows from one task.
+    // Past maxBucket the op must emit the O(n) star instead: every
+    // member paired with the bucket representative (lowest vec_id),
+    // preserving cluster connectivity for downstream CC.
+    val n = 400
+    val embs = spark.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(2.0f), lit(0.5f), lit(1.5f)).as("embedding"))
+    val pairs = Dedup.embeddingNearDup(embs, planes = 4, minCosine = 0.99,
+      maxBucket = 16).collect()
+    assert(pairs.length === n - 1, "star emission must yield exactly n-1 pairs")
+    assert(pairs.forall(_.getLong(0) == 0L), "all pairs anchor at the rep")
+    // small buckets keep exact all-pairs semantics (both families)
+    for (auditable <- Seq(false, true)) {
+      val small = Dedup.embeddingNearDup(embs.filter(col("vec_id") < 5),
+        planes = 4, minCosine = 0.99, auditable = auditable,
+        maxBucket = 16).count()
+      assert(small === 10, s"all-pairs under the cap (auditable=$auditable)")
+    }
+  }
+
+  test("auditable LSH families find the same planted dups as the fast ones") {
+    val docs = plantedDocs
+    val mh = Dedup.minhashLsh(docs, auditable = true)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 2L)))
+    assert(!mh.exists { case (a, b) => a == 4L || b == 4L })
+    val sh = Dedup.simhash(docs, maxHamming = 3, auditable = true)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.contains((1L, 2L)))
+    assert(!sh.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("LSH ANN recall against brute force is meaningful and its hits are real") {
     val embs = graft.sources.Tables.embeddings(spark, sf)
     val qs = embs.filter(org.apache.spark.sql.functions.col("vec_id") < 20)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{GraftFunctions, Kernels}
+import graft.operators.Similarity
 
 /** Custom Catalyst expression kernels: determinism, known values,
   * and interpreted-vs-codegen agreement (the DataFrame path runs
@@ -77,6 +78,95 @@ class FunctionsSpec extends AnyFunSuite {
     val d2 = Kernels.cosine(toArrayData(arr), toArrayData(arr.map(_ * 2f)))
     assert(d1 === d2)
     assert(math.abs(d1 - 1.0) < 1e-12) // scaled vector keeps cosine 1
+  }
+
+  test("md5_minhash_bands: band key is the '|'-join of per-seed md5 minima") {
+    import spark.implicits._
+    // one shingle, 1 band x 2 rows: band key must be exactly
+    // md5("0:a b c") || '|' || md5("1:a b c") — the SQL-re-derivable
+    // contract the DuckDB oracle relies on
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val expected = md5hex("0:a b c") + "|" + md5hex("1:a b c")
+    val got = Seq(Tuple1(Seq("a b c"))).toDF("sh")
+      .select(GraftFunctions.md5_minhash_bands(col("sh"), 1, 2).as("b"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq(expected))
+    // minima: adding a lexicographically larger-hashing shingle must
+    // not change a band whose minima the original shingle holds
+    val two = Seq(Tuple1(Seq("a b c", "a b d"))).toDF("sh")
+      .select(GraftFunctions.md5_minhash_bands(col("sh"), 1, 2).as("b"))
+      .collect().head.getSeq[String](0)
+    assert(two.head.split('|').zip(expected.split('|')).forall {
+      case (m, e) => m <= e })
+  }
+
+  test("md5_simhash60: single token signature IS its 60-bit md5 prefix") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("spark".getBytes("UTF-8")).map(b => f"$b%02x")
+      .mkString.take(15)
+    val expected = java.lang.Long.parseLong(hex, 16)
+    val got = Seq(Tuple1(Seq("spark"))).toDF("toks")
+      .select(GraftFunctions.md5_simhash60(col("toks")).as("sig"))
+      .collect().head.getLong(0)
+    assert(got === expected)
+    assert((got >>> 60) === 0L) // signed-BIGINT-safe in any engine
+  }
+
+  test("md5_rhp_lsh: deterministic, bounded by planes, scale-invariant") {
+    import spark.implicits._
+    val v = Array(0.5f, -1.5f, 2.5f, 0.1f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(_ * 3f))).toDF("id", "e")
+      .select(col("id"), GraftFunctions.md5_rhp_lsh(col("e"), 6).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) === m(3L)) // positive scaling preserves every sign bit
+    assert(m(1L) >= 0L && m(1L) < 64L)
+  }
+
+  test("cosine_argmax picks the nearest centroid, ties to lowest id") {
+    import spark.implicits._
+    val cents = Seq(
+      (5L, Array(1.0f, 0.0f)),  // cos 1 with (2, 0)
+      (2L, Array(0.0f, 1.0f)),  // orthogonal
+      (9L, Array(2.0f, 0.0f))   // also cos 1 — tie, higher id loses
+    )
+    val df = Seq(Tuple1(Array(2.0f, 0.0f))).toDF("e")
+      .crossJoin(Seq(Tuple1(cents)).toDF("cents"))
+      .select(GraftFunctions.cosine_argmax(col("e"),
+        col("cents").cast("array<struct<centroid_id:bigint,c_emb:array<float>>>"))
+        .as("cid"))
+    assert(df.collect().head.getLong(0) === 5L)
+  }
+
+  test("quantize_audit matches the HOF reference formula bit-for-bit") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.37f, -1.2f, 127.3f, 0.0f, -0.004f)),
+      (2L, Array(-3.5f, 3.5f, 1.75f, -1.75f, 0.875f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeAudit(vecs).orderBy("vec_id").collect()
+    // HOF reference (the pre-kernel formulation)
+    val ref = vecs
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xs"))
+      .withColumn("max_abs", array_max(transform(col("xs"), x => abs(x))))
+      .filter(col("max_abs") > 0)
+      .withColumn("scale", col("max_abs") / 127.0)
+      .withColumn("qerr", transform(col("xs"), x =>
+        abs(x - greatest(lit(-127.0),
+          least(lit(127.0), floor(x / col("scale") + 0.5)))
+          * col("scale"))))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("qerr"), lit(0L),
+          (acc, e) => acc + floor(e * 1e9).cast("long")).as("abs_err_scaled"),
+        floor(array_max(col("qerr")) * 1e9).cast("long").as("max_err_scaled"))
+      .orderBy("vec_id").collect()
+    assert(got.length === 2)
+    assert(got.map(_.toSeq) === ref.map(_.toSeq))
   }
 
   private def toArrayData(a: Array[Float]) =

@@ -51,9 +51,10 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("mediaNearDup pairs identical payloads, not orthogonal ones") {
     import spark.implicits._
-    // 'a' (0x61) lands in histogram bucket 3, 'A' (0x41) in bucket 2:
+    // bigram signature bins: "aaaa" → (97*31+97)%64 = bin 32 only;
+    // "abab" → bins 33 ('ab') and 63 ('ba') — orthogonal to bin 32.
     // docs 1/2 have identical signatures, doc 3 an orthogonal one
-    val docs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "AAAA"))
+    val docs = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "abab"))
       .toDF("doc_id", "text")
     val pairs = Multimodal.mediaNearDup(spark, docs)
       .select("id1", "id2").collect()

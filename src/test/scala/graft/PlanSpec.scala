@@ -276,6 +276,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"extra shuffles in upsert plan:\n$p")
   }
 
+  test("ivf assignment is a narrow argmax: the corpus never hash-shuffles") {
+    // the corpus branch must run scan -> argmax project -> probe join
+    // with no exchange of its own; the only hash exchanges in the plan
+    // are the per-QUERY window ranks (probe selection + final top-k).
+    // At 100 TB this is one corpus scan vs a full-dataset exchange.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val p = plan(Similarity.ivfTopK(e, e.filter(col("vec_id") < 10)))
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(hashKeys.nonEmpty && hashKeys.forall(_ == "query_id"),
+      s"corpus-side hash exchange found (keys: $hashKeys):\n$p")
+    assert(p.contains("cosineargmaxexpr"), s"argmax kernel missing:\n$p")
+  }
+
+  test("quantize audit is a shuffle-free codegen scan pipeline") {
+    val p = plan(Similarity.quantizeAudit(Tables.embeddings(spark, sf)))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    // the kernel must sit inside a WholeStageCodegen stage ("*(n)")
+    // — its HOF predecessor was CodegenFallback (interpreted per row)
+    assert(p.linesIterator.exists(l =>
+      l.contains("quantizeauditexpr") && l.matches(""".*\*\(\d+\).*""")),
+      s"quantize kernel not inside a codegen stage:\n$p")
+  }
+
   test("snapshot diff shuffles only (key, hash) — payloads never ship") {
     val dd = Tables.documents(spark, sf)
     val df = MergeOps.snapshotDiff(
