@@ -132,6 +132,11 @@ object SparkEntry {
     "rx_repeat" -> ((s, d) =>
       Reactive.rxRepeat(ev(s, d)).orderBy("iteration", "event_id")),
     "rx_retry" -> ((s, d) => Reactive.rxRetry(ev(s, d)).orderBy("event_id")),
+    "rx_retry_when" -> ((s, d) =>
+      Reactive.rxRetryWhen(ev(s, d)).orderBy("event_id")),
+    "rx_window_count_skip" -> ((s, d) =>
+      Reactive.rxWindowCountSkip(ev(s, d))
+        .orderBy("user_id", "window_id", "pos_in_window")),
     "rx_sequence_equal" -> ((s, d) =>
       Reactive.rxSequenceEqual(ev(s, d)).orderBy("user_id")),
     "rx_interval_join" -> ((s, d) =>
@@ -893,6 +898,41 @@ object SparkEntry {
         | FROM events)
         |WHERE n_errors <= 2 OR (n_errors = 3 AND event_type = 'error')
         |ORDER BY event_id""".stripMargin,
+    "rx_retry_when" ->
+      """WITH w AS (
+        | SELECT event_id, user_id, event_type, value,
+        |  CAST(sum(CASE WHEN event_type = 'error' AND value < 300.0
+        |                THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS n_retried,
+        |  CAST(sum(CASE WHEN event_type = 'error' AND NOT (value < 300.0)
+        |                THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS n_fatal
+        | FROM events)
+        |SELECT event_id, user_id, event_type, value, n_retried,
+        | (n_fatal = 1 OR n_retried = 3) AS terminal
+        |FROM w
+        |WHERE (n_fatal = 0 AND n_retried <= 2)
+        |   OR (event_type = 'error' AND NOT (value < 300.0)
+        |       AND n_fatal = 1 AND n_retried <= 2)
+        |   OR (event_type = 'error' AND value < 300.0
+        |       AND n_fatal = 0 AND n_retried = 3)
+        |ORDER BY event_id""".stripMargin,
+    "rx_window_count_skip" ->
+      """SELECT user_id, w.window_id,
+        | pos - w.window_id * 5 AS pos_in_window, event_id, value
+        |FROM (
+        | SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |    AS BIGINT) AS pos
+        | FROM events),
+        | unnest(generate_series(
+        |   greatest(0, CAST(ceil((pos - 9)/5.0) AS BIGINT)),
+        |   CAST(floor(pos/5.0) AS BIGINT))) AS w(window_id)
+        |ORDER BY user_id, window_id, pos_in_window""".stripMargin,
     "rx_sequence_equal" ->
       """WITH a AS (
         | SELECT user_id,

@@ -241,6 +241,28 @@ object Dedup {
       .select("doc_id", "source", "content_hash")
   }
 
+  /** Production form of [[incrementalNew]]: the corpus side arrives
+    * as the ALREADY-COLLAPSED fingerprint table (one `content_hash`
+    * column) instead of being derived in-plan. Stored bucketed on
+    * `content_hash` ([[graft.sources.Sinks.bucketedTable]]), the
+    * corpus side of the anti join needs NO exchange — each daily
+    * increment pays one batch-side shuffle and a co-located join,
+    * O(increment) work against a 100 TB corpus. The in-batch
+    * first-wins window reuses the same content_hash partitioning, so
+    * the whole admission plan is ONE exchange (SurfaceSpec asserts
+    * this on the physical plan). */
+  def incrementalNewAgainst(batch: DataFrame, corpusHashes: DataFrame)
+      : DataFrame = {
+    val h = batch.select(col("doc_id"), col("source"),
+      md5(lower(trim(col("text")))).as("content_hash"))
+    h.join(corpusHashes.select("content_hash"), Seq("content_hash"),
+        "left_anti")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")))
+      .filter(col("_rn") === 1)
+      .select("doc_id", "source", "content_hash")
+  }
+
   /** Embedding near-dup: random-hyperplane LSH buckets, cosine verify
     * (custom codegen expression) within bucket — with a BUCKET-SIZE
     * GUARD for degenerate data.

@@ -25,7 +25,17 @@ object MergeOps {
     * update row matches; base-only columns survive unchanged and are
     * NULL on inserted rows. Update-side values must be non-null for
     * matched rows to count as replacements (a null update value
-    * falls back to the base value, coalesce semantics). */
+    * falls back to the base value, coalesce semantics).
+    *
+    * PRECONDITION: `updates` must carry at most one row per key —
+    * duplicate update keys multiply matched base rows through the
+    * full-outer join (k update rows for one base key emit k output
+    * rows), silently breaking the one-row-per-key upsert contract.
+    * Callers with multi-row update feeds must pre-collapse, e.g.
+    * last-wins: updates.groupBy(key).agg(cols.map(c =>
+    * max_by(col(c), col(versionCol)).as(c)): _*) — kept OUT of this
+    * operator so callers whose feeds are already unique (the common
+    * CDC-compacted case) don't pay a redundant shuffle. */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val shared = updates.columns.filter(c => c != key && base.columns.contains(c))
     require(shared.nonEmpty || updates.columns.sameElements(Array(key)),

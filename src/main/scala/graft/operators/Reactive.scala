@@ -480,6 +480,66 @@ object Reactive {
         (col("n_errors") === n + 1 && col("event_type") === "error"))
       .select("event_id", "user_id", "event_type", "value", "n_errors")
 
+  /** Rx `retryWhen`: policy-driven retry — unlike [[rxRetry]]'s plain
+    * count budget, a PREDICATE decides per error whether the stream
+    * resubscribes. Policy here: an error is retryable iff its value
+    * is below `retryableBelow`, with at most `maxRetries` retries; a
+    * non-retryable error, or the (maxRetries+1)-th retryable one, is
+    * terminal — emitted as the closing element, everything after it
+    * dropped. Two running predicate counts over ONE window frame —
+    * a single user_id shuffle, no join against an error-feedback
+    * stream (the Rx notifier collapses to the policy predicate in
+    * batch form). */
+  def rxRetryWhen(events: DataFrame, maxRetries: Int = 2,
+                  retryableBelow: Double = 300.0): DataFrame = {
+    val runningFrame = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val isErr = col("event_type") === "error"
+    val retryable = isErr && col("value") < retryableBelow
+    val fatal = isErr && !(col("value") < retryableBelow)
+    events
+      .withColumn("n_retried",
+        sum(when(retryable, 1).otherwise(0)).over(runningFrame).cast("long"))
+      .withColumn("n_fatal",
+        sum(when(fatal, 1).otherwise(0)).over(runningFrame).cast("long"))
+      // alive rows precede every terminal condition; the terminal
+      // error itself (first fatal, or retry budget exhausted) emits
+      .filter(
+        (col("n_fatal") === 0 && col("n_retried") <= maxRetries) ||
+        (fatal && col("n_fatal") === 1 && col("n_retried") <= maxRetries) ||
+        (retryable && col("n_fatal") === 0 &&
+          col("n_retried") === maxRetries + 1))
+      .withColumn("terminal",
+        col("n_fatal") === 1 || col("n_retried") === maxRetries + 1)
+      .select("event_id", "user_id", "event_type", "value", "n_retried",
+        "terminal")
+  }
+
+  /** Rx `window(count, skip)`: the window form of
+    * [[rxBufferCountSkip]] — instead of collapsing each batch to an
+    * aggregate, every element is emitted into each of the windows
+    * covering its position (window w spans positions
+    * [w*skip, w*skip + n)), tagged with (window_id, pos_in_window).
+    * Same narrow generator-explode shape: one row_number window, the
+    * covering window ids from sequence(), no join. */
+  def rxWindowCountSkip(events: DataFrame, n: Int = 10, skip: Int = 5)
+      : DataFrame = {
+    require(n > 0 && skip > 0, "count and skip must be positive")
+    events
+      .withColumn("pos", (row_number().over(byUser) - 1).cast("long"))
+      .withColumn("w_first",
+        greatest(lit(0L), ceil((col("pos") - n + 1).cast("double") / skip)
+          .cast("long")))
+      .withColumn("w_last", floor(col("pos").cast("double") / skip)
+        .cast("long"))
+      .withColumn("window_id", explode(
+        when(col("w_first") <= col("w_last"),
+          sequence(col("w_first"), col("w_last")))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("user_id"), col("window_id"),
+        (col("pos") - col("window_id") * skip).as("pos_in_window"),
+        col("event_id"), col("value"))
+  }
+
   /** Rx `sequenceEqual`: per key, do the purchase and view streams
     * carry the same value-bucket sequence? Full outer join on the
     * occurrence index (any length mismatch yields an unmatched side),
@@ -986,9 +1046,14 @@ object Reactive {
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("event_id")) { (uid, it) =>
-        var ewma = Double.NaN
+        // initialization tracked with an explicit flag, not a NaN
+        // sentinel: a genuine NaN input must poison the recurrence
+        // (as the oracle's recursive CTE does), not re-seed it
+        var init = false
+        var ewma = 0.0
         it.map { case (_, eid, x) =>
-          ewma = if (ewma.isNaN) x else alpha * x + (1 - alpha) * ewma
+          ewma = if (!init) { init = true; x }
+                 else alpha * x + (1 - alpha) * ewma
           (uid, eid, x, ewma)
         }
       }

@@ -154,10 +154,16 @@ object ReactiveStreams {
   }
 
   /** Streaming per-key EWMA: the unbounded twin of
-    * [[graft.operators.Reactive.rxEwma]]. State per key = one double
-    * (the running average); rows are event_id-ordered within each
-    * trigger so replays and batch boundaries can't reorder the
-    * recurrence. */
+    * [[graft.operators.Reactive.rxEwma]]. State per key = the running
+    * average wrapped in an Option — the explicit "uninitialized"
+    * marker, NOT a NaN sentinel: a genuine NaN input must poison the
+    * recurrence exactly like the batch twin and the oracle's
+    * recursive CTE do, not re-seed it. Rows are event_id-ordered
+    * WITHIN each trigger only; across triggers arrival order governs,
+    * so an event delivered in a later micro-batch with a smaller
+    * event_id folds in late and diverges from the batch twin's
+    * globally-ordered result — callers needing exact batch parity
+    * must deliver per-key events in event_id order. */
   case class EwmaRow(event_id: Long, user_id: Long, value: Double,
                      ewma: Double)
   def ewmaStream(spark: SparkSession, events: DataFrame,
@@ -166,14 +172,14 @@ object ReactiveStreams {
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, EwmaRow](
+      .flatMapGroupsWithState[Option[Double], EwmaRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[Ev], state: GroupState[Double]) =>
-          var ewma = state.getOption.getOrElse(Double.NaN)
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Option[Double]]) =>
+          var ewma = state.getOption.flatten
           val out = rows.toSeq.sortBy(_.event_id).map { e =>
-            ewma = if (ewma.isNaN) e.value
-                   else alpha * e.value + (1 - alpha) * ewma
-            EwmaRow(e.event_id, uid, e.value, ewma)
+            ewma = Some(ewma.fold(e.value)(s =>
+              alpha * e.value + (1 - alpha) * s))
+            EwmaRow(e.event_id, uid, e.value, ewma.get)
           }
           state.update(ewma)
           out.iterator
@@ -288,7 +294,10 @@ object ReactiveStreams {
     * a key ADVANCES a stage (view → click-after-view →
     * purchase-after-click); state per key = the three stage anchors,
     * O(1) regardless of stream length. Rows are event_id-ordered
-    * within each trigger so stage order survives batch boundaries. */
+    * WITHIN each trigger only; stage order survives batch boundaries
+    * for events delivered in event_id order — an out-of-order event
+    * arriving in a later micro-batch is judged against the
+    * already-advanced anchors and may diverge from the batch twin. */
   case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = not reached
   case class FunnelAdvance(user_id: Long, stage: Int, event_id: Long)
   def funnelStream(spark: SparkSession, events: DataFrame)
@@ -359,6 +368,127 @@ object ReactiveStreams {
         col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
       .select("p_id", "c_id", "user_id", "p_value")
+  }
+
+  /** Stream-stream RIGHT OUTER join: every click emits — paired with
+    * in-window purchases when they exist, null-paired once the
+    * watermark proves no purchase can still arrive. Same watermark-
+    * driven state/eviction contract as [[streamStreamLeftJoin]], with
+    * the null side flipped: unmatched CLICK state is held exactly
+    * until its join window expires. `user_id` is coalesced across
+    * sides so unmatched right rows still carry their key. */
+  def streamStreamRightJoin(events: DataFrame): DataFrame =
+    outerJoin(events, "right_outer")
+
+  /** Stream-stream FULL OUTER join: matched pairs plus BOTH sides'
+    * watermark-expired unmatched rows — the unbounded form of a CDC
+    * merge where either side may lack its partner. State on each side
+    * is held exactly until that row's join window expires, then
+    * emitted null-paired and evicted; bounded state, no lost rows. */
+  def streamStreamFullJoin(events: DataFrame): DataFrame =
+    outerJoin(events, "full_outer")
+
+  private def outerJoin(events: DataFrame, joinType: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
+      .select(col("p_id"), col("c_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("p_value"))
+  }
+
+  /** Streaming retryWhen: the unbounded twin of
+    * [[graft.operators.Reactive.rxRetryWhen]] — a policy decides per
+    * error whether the key's stream resubscribes (retryable: error
+    * value below `retryableBelow`, budget `maxRetries`) or terminates.
+    * State per key = (retries used, terminated) — O(1); once
+    * terminated, later rows for the key are dropped. The terminal
+    * error itself is emitted as the closing element. Rows are
+    * event_id-ordered within each trigger; across triggers arrival
+    * order governs (an out-of-order event in a later micro-batch sees
+    * the already-advanced retry state). */
+  case class RetryRow(event_id: Long, user_id: Long, event_type: String,
+                      value: Double, n_retried: Long, terminal: Boolean)
+  def retryWhenStream(spark: SparkSession, events: DataFrame,
+                      maxRetries: Int = 2, retryableBelow: Double = 300.0)
+      : Dataset[RetryRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Boolean), RetryRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[(Long, Boolean)]) =>
+          var (retried, dead) = state.getOption.getOrElse((0L, false))
+          val out = scala.collection.mutable.ArrayBuffer[RetryRow]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (!dead) {
+              if (e.event_type == "error") {
+                val retryable = e.value < retryableBelow
+                if (retryable) retried += 1
+                if (!retryable || retried > maxRetries) dead = true
+                out += RetryRow(e.event_id, uid, e.event_type, e.value,
+                  retried, dead)
+              } else out += RetryRow(e.event_id, uid, e.event_type, e.value,
+                retried, terminal = false)
+            }
+          }
+          state.update((retried, dead))
+          out.iterator
+      }
+  }
+
+  /** Streaming window(count, skip): overlapping / gapped count
+    * windows per key — a new window opens every `skip` elements and
+    * spans `count` elements; each element is emitted into every open
+    * window covering its position (the window form of
+    * buffer(count, skip): membership rows, not collapsed batches).
+    * State per key = the element position plus at most
+    * ceil(count/skip) open windows — O(1) per key. A window's rows
+    * appear as the elements arrive (append mode); windows the
+    * unbounded stream never fills simply keep accepting elements,
+    * unlike the batch twin whose bounded input closes them. */
+  case class WindowedEl(user_id: Long, window_id: Long, pos_in_window: Long,
+                        event_id: Long, value: Double)
+  case class WinCsState(pos: Long)
+  def windowCountSkipStream(spark: SparkSession, events: DataFrame,
+                            n: Int = 10, skip: Int = 5)
+      : Dataset[WindowedEl] = {
+    require(n > 0 && skip > 0, "count and skip must be positive")
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WinCsState, WindowedEl](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[WinCsState]) =>
+          var pos = state.getOption.map(_.pos).getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer[WindowedEl]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            // window w covers positions [w*skip, w*skip + n)
+            val wFirst = math.max(0L,
+              math.ceil((pos - n + 1).toDouble / skip).toLong)
+            val wLast = pos / skip
+            var w = wFirst
+            while (w <= wLast) {
+              out += WindowedEl(uid, w, pos - w * skip, e.event_id, e.value)
+              w += 1
+            }
+            pos += 1
+          }
+          state.update(WinCsState(pos))
+          out.iterator
+      }
   }
 
   /** Streaming buffer(count): per-key count-based batches emitted as

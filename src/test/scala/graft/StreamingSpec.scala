@@ -300,6 +300,116 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.getOrElse(w, -1L) === n, s"window $w") }
   }
 
+  test("stream-stream RIGHT OUTER join emits unmatched clicks after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"rsj_${System.nanoTime()}"
+    val q = ReactiveStreams.streamStreamRightJoin(mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(sample); q.processAllAvailable()
+      mem.addData(Ev(100, ts(100000), 99, "purchase", 0.0),
+        Ev(101, ts(100000), 99, "click", 0.0)); q.processAllAvailable()
+      mem.addData(Ev(102, ts(200000), 99, "purchase", 0.0),
+        Ev(103, ts(200000), 99, "click", 0.0)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (Option(r.get(r.fieldIndex("p_id"))).map(_.asInstanceOf[Long]),
+          r.getAs[Long]("c_id")))
+        .toSet
+      // click ev6 pairs with purchase ev5; user 1's clicks (0,1,3,4)
+      // have no purchase at all and must emit null-paired — each
+      // carrying its key via the coalesced user_id
+      assert(got === Set((Some(5L), 6L), (None, 0L), (None, 1L),
+        (None, 3L), (None, 4L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream FULL OUTER join emits both sides' unmatched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"fsj_${System.nanoTime()}"
+    val q = ReactiveStreams.streamStreamFullJoin(mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(sample); q.processAllAvailable()
+      mem.addData(Ev(100, ts(100000), 99, "purchase", 0.0),
+        Ev(101, ts(100000), 99, "click", 0.0)); q.processAllAvailable()
+      mem.addData(Ev(102, ts(200000), 99, "purchase", 0.0),
+        Ev(103, ts(200000), 99, "click", 0.0)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (Option(r.get(r.fieldIndex("p_id"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("c_id"))).map(_.asInstanceOf[Long])))
+        .toSet
+      // matched (5,6); purchase 7 null-right; clicks 0,1,3,4 null-left
+      assert(got === Set((Some(5L), Some(6L)), (Some(7L), None),
+        (None, Some(0L)), (None, Some(1L)), (None, Some(3L)),
+        (None, Some(4L))))
+    } finally q.stop()
+  }
+
+  test("streaming retryWhen matches the batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: two retryable errors (budget 2) then a third -> terminal;
+    // user 2: one retryable then a fatal (value >= 300) -> terminal
+    val evs = Seq(
+      Ev(0, ts(0), 1, "click", 10.0), Ev(1, ts(1), 1, "error", 100.0),
+      Ev(2, ts(2), 1, "click", 11.0), Ev(3, ts(3), 1, "error", 200.0),
+      Ev(4, ts(4), 1, "error", 250.0), Ev(5, ts(5), 1, "click", 12.0),
+      Ev(6, ts(0), 2, "click", 20.0), Ev(7, ts(1), 2, "error", 50.0),
+      Ev(8, ts(2), 2, "error", 400.0), Ev(9, ts(3), 2, "click", 21.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"rw_${System.nanoTime()}"
+    val q = ReactiveStreams.retryWhenStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      // split across two triggers in event_id order (the documented
+      // cross-trigger ordering contract)
+      mem.addData(evs.filter(_.event_id < 4)); q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 4)); q.processAllAvailable()
+      val got = spark.table(qName)
+        .select("event_id", "n_retried", "terminal").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val batch = graft.operators.Reactive.rxRetryWhen(evs.toDF())
+        .select("event_id", "n_retried", "terminal").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got === batch)
+      // terminal rows present, post-terminal rows absent
+      assert(got.exists { case (id, _, t) => id == 4L && t })
+      assert(got.exists { case (id, _, t) => id == 8L && t })
+      assert(!got.exists { case (id, _, _) => id == 5L || id == 9L })
+    } finally q.stop()
+  }
+
+  test("streaming window(count, skip) matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = (0 until 9).map(i => Ev(i, ts(i), 1, "click", i * 1.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"wcs_${System.nanoTime()}"
+    val q = ReactiveStreams.windowCountSkipStream(spark, mem.toDF(),
+      n = 4, skip = 2).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.take(5)); q.processAllAvailable()
+      mem.addData(evs.drop(5)); q.processAllAvailable()
+      val got = spark.table(qName)
+        .select("window_id", "pos_in_window", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Reactive
+        .rxWindowCountSkip(evs.toDF(), n = 4, skip = 2)
+        .select("window_id", "pos_in_window", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === batch)
+      // overlap: element at pos 2 belongs to windows 0 and 1
+      assert(got.contains((0L, 2L, 2L)) && got.contains((1L, 0L, 2L)))
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched purchases after watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

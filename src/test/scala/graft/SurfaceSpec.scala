@@ -159,6 +159,53 @@ class SurfaceSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed base: upsert and incremental dedup shuffle only the small side") {
+    // the production continuous-ingestion shape SURVEY §2.5/§2.6
+    // promises: base/corpus stored bucketed on the merge key => each
+    // increment pays ONE exchange (its own side); the 100 TB side
+    // reads in place
+    for (t <- Seq("docs_base_bucketed", "corpus_fp_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    val docs = Tables.documents(spark, sf)
+    Sinks.bucketedTable(docs.select("doc_id", "source", "n_chars"),
+      "docs_base_bucketed", "doc_id", 4, Seq("doc_id"))
+    Sinks.bucketedTable(
+      docs.select(md5(lower(trim(col("text")))).as("content_hash")).distinct(),
+      "corpus_fp_bucketed", "content_hash", 4, Seq("content_hash"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect()
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      }
+      // upsert: full-outer merge against the bucketed base
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"))
+      val up = graft.operators.MergeOps.upsert(
+        spark.table("docs_base_bucketed"), updates, "doc_id")
+      val upPlan = finalPlan(up)
+      assert(upPlan.contains("FullOuter"), s"no full-outer merge:\n$upPlan")
+      assert("Exchange".r.findAllIn(upPlan).length === 1,
+        s"base side of the upsert shuffled:\n$upPlan")
+      // incremental dedup: anti join against the bucketed fingerprints
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val inc = graft.operators.Dedup.incrementalNewAgainst(
+        batch, spark.table("corpus_fp_bucketed"))
+      val incPlan = finalPlan(inc)
+      assert(incPlan.contains("LeftAnti"), s"no anti join:\n$incPlan")
+      assert("Exchange".r.findAllIn(incPlan).length === 1,
+        s"corpus side of the anti join shuffled (or the first-wins " +
+          s"window re-shuffled the batch):\n$incPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("directory-partitioned sink prunes partitions at the scan") {
     val dir = java.nio.file.Files
       .createTempDirectory("partitioned").toString + "/ev"
