@@ -1299,12 +1299,21 @@ object SparkEntry {
         |  FROM toks WHERE len(tk) >= 3),
         |post AS (
         |  SELECT doc_id, s.s FROM sh, unnest(sh.sh) AS s(s)),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM post),
+        |seeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
         |mins AS (
-        |  SELECT doc_id, j.j AS j, min(md5(concat(j.j, ':', s))) AS m
-        |  FROM post, range(0, 64) j(j) GROUP BY doc_id, j.j),
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM hv, seeds GROUP BY doc_id, j),
         |bands AS (
         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
-        |    array_to_string(list(m ORDER BY j), '|') AS bh
+        |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY j), '|') AS bh
         |  FROM mins GROUP BY doc_id, j // 4),
         |cand AS (
         |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2

@@ -171,47 +171,45 @@ object Kernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private final val HexChars = "0123456789abcdef".getBytes
-
-  /** Lowercase-hex MD5 of `parts` concatenated — byte-identical to
-    * SQL md5(concat(parts...)). */
-  private def md5Hex(parts: Array[Byte]*): Array[Byte] = {
-    val md = md5Local.get()
-    md.reset()
-    parts.foreach(md.update)
-    val d = md.digest()
-    val out = new Array[Byte](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HexChars((d(i) >> 4) & 0xF)
-      out(2 * i + 1) = HexChars(d(i) & 0xF)
-      i += 1
-    }
-    out
-  }
-
   @inline private def utf8Bytes(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  /** MinHash band keys over the md5 family: minhash_j(doc) =
-    * min over shingles s of md5(j || ':' || s) (lexicographic hex min
-    * — hex is ASCII, so byte order == string order in any engine);
-    * band key b = the band's `rows` minima joined with '|'.
-    * SQL twin: min(md5(concat(j, ':', s))) grouped by (doc, j), then
-    * array_to_string(list(m ORDER BY j), '|') per band. */
+  /** MinHash band keys over the md5 family: each shingle is hashed
+    * ONCE (h = its md5's first 7 hex chars = 28 bits), then the k
+    * seeded values come from the classic affine rehash family
+    * g_j = (a_j * h + b_j) mod p with p = 2^31 - 1 and per-seed
+    * multipliers/offsets themselves md5-derived:
+    * a_j = 1 + (md5_60("a:" || j) mod (p-1)),
+    * b_j = md5_60("b:" || j) mod p (md5_60 = first 15 hex chars).
+    * Independent random-looking (a_j, b_j) per seed keep the per-j
+    * argmins decorrelated — unlike the h1 + j*h2 shortcut §5.1 warns
+    * about — while costing ONE md5 per shingle instead of k (measured:
+    * the per-(seed, shingle) md5 variant ran dedup_minhash_lsh at
+    * 6.1 s vs 0.5 s for the fast family at sf0.1; this form closes
+    * that gap). 28-bit h keeps a_j * h inside 59 bits — no BIGINT
+    * overflow in any engine. Band key = the band's `rows` minima as
+    * decimal strings joined with '|'; every step is re-derivable in
+    * SQL. */
   def md5MinhashBands(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
-    val prefixes = Array.tabulate(k)(j => utf8Bytes(j.toString + ":"))
-    val mins = new Array[Array[Byte]](k)
+    val (as, bs) = affineConstants(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val sb = shingles.getUTF8String(i).getBytes
+        val d = md5Local.get()
+        d.reset()
+        d.update(shingles.getUTF8String(i).getBytes)
+        val dg = d.digest()
+        // first 7 hex chars = top 28 bits of the digest
+        val h = ((dg(0) & 0xFFL) << 20) | ((dg(1) & 0xFFL) << 12) |
+          ((dg(2) & 0xFFL) << 4) | ((dg(3) & 0xF0L) >> 4)
         var j = 0
         while (j < k) {
-          val h = md5Hex(prefixes(j), sb)
-          if (mins(j) == null || compareHex(h, mins(j)) < 0) mins(j) = h
+          val g = (as(j) * h + bs(j)) % MersenneP
+          if (g < mins(j)) mins(j) = g
           j += 1
         }
       }
@@ -220,12 +218,12 @@ object Kernels {
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
-      val sb = new java.lang.StringBuilder(rows * 33)
+      val sb = new java.lang.StringBuilder(rows * 11)
       var r = 0
       while (r < rows) {
         if (r > 0) sb.append('|')
         val m = mins(b * rows + r)
-        if (m != null) sb.append(new String(m, java.nio.charset.StandardCharsets.US_ASCII))
+        sb.append(if (m == Long.MaxValue) "" else m.toString)
         r += 1
       }
       out(b) = UTF8String.fromString(sb.toString)
@@ -234,13 +232,32 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  @inline private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+  private final val MersenneP = 2147483647L // 2^31 - 1
+
+  /** First 15 hex chars of md5(s) as a 60-bit long — the same value
+    * SQL's ('0x' || substr(md5(s), 1, 15))::BIGINT yields. */
+  private def md5Prefix60(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    d.update(utf8Bytes(s))
+    val dg = d.digest()
+    var v = 0L
     var i = 0
-    while (i < 32) {
-      if (a(i) != b(i)) return a(i) - b(i) // hex bytes are ASCII: signed == unsigned
-      i += 1
+    while (i < 7) { v = (v << 8) | (dg(i) & 0xFFL); i += 1 }
+    (v << 4) | ((dg(7) & 0xF0L) >> 4)
+  }
+
+  private val affineCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def affineConstants(k: Int): (Array[Long], Array[Long]) = {
+    var c = affineCache.get(k)
+    if (c == null) {
+      c = (Array.tabulate(k)(j => 1L + md5Prefix60("a:" + j) % (MersenneP - 1)),
+        Array.tabulate(k)(j => md5Prefix60("b:" + j) % MersenneP))
+      affineCache.putIfAbsent(k, c)
     }
-    0
+    c
   }
 
   /** 60-bit SimHash over the md5 family: token hash = first 15 hex
@@ -255,15 +272,14 @@ object Kernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val hex = md5Hex(tokens.getUTF8String(i).getBytes)
+        val d = md5Local.get()
+        d.reset()
+        d.update(tokens.getUTF8String(i).getBytes)
+        val dg = d.digest()
         var v = 0L
         var c = 0
-        while (c < 15) {
-          val ch = hex(c)
-          val d = if (ch <= '9') ch - '0' else ch - 'a' + 10
-          v = (v << 4) | d
-          c += 1
-        }
+        while (c < 7) { v = (v << 8) | (dg(c) & 0xFFL); c += 1 }
+        v = (v << 4) | ((dg(7) & 0xF0L) >> 4)
         var j = 0
         while (j < 60) {
           if (((v >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -80,26 +80,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(d1 - 1.0) < 1e-12) // scaled vector keeps cosine 1
   }
 
-  test("md5_minhash_bands: band key is the '|'-join of per-seed md5 minima") {
+  test("md5_minhash_bands: band key matches the SQL-re-derivable affine family") {
     import spark.implicits._
-    // one shingle, 1 band x 2 rows: band key must be exactly
-    // md5("0:a b c") || '|' || md5("1:a b c") — the SQL-re-derivable
-    // contract the DuckDB oracle relies on
+    // one shingle, 1 band x 2 rows: independent reference computation
+    // of g_j = (a_j*h + b_j) mod (2^31-1) with h / a_j / b_j parsed
+    // from md5 hex prefixes — exactly what the DuckDB oracle evaluates
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
-    val expected = md5hex("0:a b c") + "|" + md5hex("1:a b c")
+    def p60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val p = 2147483647L
+    val h = java.lang.Long.parseLong(md5hex("a b c").take(7), 16)
+    def g(j: Int) = ((1 + p60("a:" + j) % (p - 1)) * h + p60("b:" + j) % p) % p
+    val expected = s"${g(0)}|${g(1)}"
     val got = Seq(Tuple1(Seq("a b c"))).toDF("sh")
       .select(GraftFunctions.md5_minhash_bands(col("sh"), 1, 2).as("b"))
       .collect().head.getSeq[String](0)
     assert(got === Seq(expected))
-    // minima: adding a lexicographically larger-hashing shingle must
-    // not change a band whose minima the original shingle holds
+    // adding a shingle can only DECREASE each per-seed minimum
     val two = Seq(Tuple1(Seq("a b c", "a b d"))).toDF("sh")
       .select(GraftFunctions.md5_minhash_bands(col("sh"), 1, 2).as("b"))
       .collect().head.getSeq[String](0)
-    assert(two.head.split('|').zip(expected.split('|')).forall {
-      case (m, e) => m <= e })
+    assert(two.head.split('|').map(_.toLong)
+      .zip(expected.split('|').map(_.toLong)).forall {
+        case (m, e) => m <= e })
   }
 
   test("md5_simhash60: single token signature IS its 60-bit md5 prefix") {
