@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{CosineSimExpr, MinHashBandsExpr, RhpLshExpr, ShinglesExpr, SimHash64Expr}
+import graft.functions.{CosineArgmaxExpr, CosineSimExpr, Md5MinHashBandsExpr, Md5RhpLshExpr, Md5SimHash60Expr, MinHashBandsExpr, QuantizeAuditExpr, RhpLshExpr, ShinglesExpr, SimHash64Expr}
 import graft.sources.Tables
 
 /** SQL surface of the engine: registers the custom Catalyst
@@ -24,6 +24,19 @@ object GraftSql {
       es => MinHashBandsExpr(es(0), intArg(es(1)), intArg(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("text_shingles",
       es => ShinglesExpr(es(0), intArg(es(1))), "scala_udf")
+    // md5 ("auditable") hash family — buckets/signatures re-derivable
+    // in any engine with md5(); the cross-engine oracle family
+    reg.createOrReplaceTempFunction("md5_simhash60",
+      es => Md5SimHash60Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_rhp_lsh",
+      es => Md5RhpLshExpr(es(0), intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_minhash_bands",
+      es => Md5MinHashBandsExpr(es(0), intArg(es(1)), intArg(es(2))),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_argmax",
+      es => CosineArgmaxExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_audit",
+      es => QuantizeAuditExpr(es.head), "scala_udf")
   }
 
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

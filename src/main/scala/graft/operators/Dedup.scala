@@ -280,9 +280,11 @@ object Dedup {
     * the representative). Pairwise enumeration inside over-cap
     * buckets is explicitly traded away; this is the df-cap pattern
     * from [[TextAnalysis.ngramJaccardCapped]] applied to the bucket
-    * key. Bucket stats reach the corpus via a broadcast join (at most
-    * min(n, 2^planes) rows), so the corpus itself still shuffles only
-    * for the pair join.
+    * key. Bucket stats reach the corpus via a broadcast join when the
+    * bucket count is provably small (planes <= 16 ⇒ <= 65k rows); for
+    * wider signatures the stats table can approach O(corpus) and
+    * shuffles instead (AQE still broadcasts at runtime if it measures
+    * small), so the hint can never drive the driver out of memory.
     *
     * auditable = md5 hash family with exact scaled-integer dot
     * products: any engine with md5() re-derives the buckets (the
@@ -301,7 +303,12 @@ object Dedup {
       .agg(count(lit(1)).as("bsize"),
         min_by(struct(col("vec_id"), col("embedding")), col("vec_id"))
           .as("rep"))
-    val annotated = withBucket.join(broadcast(stats), Seq("bucket"))
+    // broadcast only while the bucket count is provably small
+    // (<= 2^planes rows, one rep embedding each); for wide signatures
+    // the bucket table can approach O(corpus) and must shuffle — AQE
+    // still converts to broadcast at runtime when it measures small
+    val statsSide = if (planes <= 16) broadcast(stats) else stats
+    val annotated = withBucket.join(statsSide, Seq("bucket"))
     val small = annotated.filter(col("bsize") <= maxBucket)
     val pairsAll = small
       .select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))

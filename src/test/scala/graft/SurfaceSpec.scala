@@ -30,6 +30,26 @@ class SurfaceSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("sig")).toSet === viaDf)
   }
 
+  test("md5-family functions are reachable from pure SQL") {
+    val df = GraftSql.sql(spark, sf,
+      """SELECT doc_id,
+        |  md5_simhash60(split(lower(text), ' ')) AS sig60,
+        |  md5_minhash_bands(text_shingles(split(lower(text), ' '), 3),
+        |                    4, 2) AS bands
+        |FROM documents WHERE doc_id < 3""".stripMargin)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => (r.getAs[Long]("sig60") >>> 60) == 0L))
+    assert(rows.forall(_.getAs[Seq[String]]("bands").length == 4))
+    val qa = GraftSql.sql(spark, sf,
+      """SELECT vec_id, md5_rhp_lsh(embedding, 6) AS bucket,
+        |  quantize_audit(embedding).scale AS scale
+        |FROM embeddings WHERE vec_id < 3""".stripMargin).collect()
+    assert(qa.length === 3)
+    assert(qa.forall(r => r.getAs[Long]("bucket") >= 0L &&
+      r.getAs[Long]("bucket") < 64L))
+  }
+
   test("sql cosine_sim matches DataFrame cosine_sim") {
     val viaSql = GraftSql.sql(spark, sf,
       """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
