@@ -1313,7 +1313,8 @@ object SparkEntry {
         |  FROM hv, seeds GROUP BY doc_id, j),
         |bands AS (
         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
-        |    array_to_string(list(CAST(m AS VARCHAR) ORDER BY j), '|') AS bh
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
         |  FROM mins GROUP BY doc_id, j // 4),
         |cand AS (
         |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2

@@ -187,9 +187,13 @@ object Kernels {
     * the per-(seed, shingle) md5 variant ran dedup_minhash_lsh at
     * 6.1 s vs 0.5 s for the fast family at sf0.1; this form closes
     * that gap). 28-bit h keeps a_j * h inside 59 bits — no BIGINT
-    * overflow in any engine. Band key = the band's `rows` minima as
-    * decimal strings joined with '|'; every step is re-derivable in
-    * SQL. */
+    * overflow in any engine. Band key = the 60-bit md5 prefix of the
+    * band's `rows` minima as decimal strings joined with '|' — an
+    * 8-byte key, so the candidate shuffle carries (band, long, id)
+    * exactly like the fast family (the raw joined string would ride
+    * ~5x heavier); every step is re-derivable in SQL:
+    * ('0x' || substr(md5(array_to_string(list(m::VARCHAR ORDER BY j),
+    * '|')), 1, 15))::BIGINT. */
   def md5MinhashBands(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
     val k = bands * rows
     val (as, bs) = affineConstants(k)
@@ -226,7 +230,7 @@ object Kernels {
         sb.append(if (m == Long.MaxValue) "" else m.toString)
         r += 1
       }
-      out(b) = UTF8String.fromString(sb.toString)
+      out(b) = md5Prefix60(sb.toString)
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -527,12 +531,12 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
       : SortedJaccardExpr = copy(left = l, right = r)
 }
 
-/** MinHash-LSH band keys (array<string>) over the md5 hash family —
-  * cross-engine reproducible (see Kernels.md5MinhashBands). */
+/** MinHash-LSH band keys (array<long>, 60-bit) over the md5 hash
+  * family — cross-engine reproducible (see Kernels.md5MinhashBands). */
 case class Md5MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
     extends UnaryExpression {
   require(bands > 0 && rows > 0, "bands and rows must be positive")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     Kernels.md5MinhashBands(input.asInstanceOf[ArrayData], bands, rows)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -107,6 +107,13 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     val recall = bf.intersect(lsh).size.toDouble / bf.size
     assert(recall >= 0.2, s"recall $recall too low for 4-plane LSH")
+    // the auditable (md5) family is a different random basis but the
+    // same construction: it must clear the same recall floor
+    val lshA = pairs(Similarity.lshTopK(embs, qs, planes = 4, k = 5,
+      auditable = true))
+    assert(lshA.nonEmpty)
+    val recallA = bf.intersect(lshA).size.toDouble / bf.size
+    assert(recallA >= 0.2, s"auditable recall $recallA too low")
   }
 
   test("brute-force topk ranks the nearest vector first") {

@@ -92,18 +92,11 @@ class FunctionsSpec extends AnyFunSuite {
     val p = 2147483647L
     val h = java.lang.Long.parseLong(md5hex("a b c").take(7), 16)
     def g(j: Int) = ((1 + p60("a:" + j) % (p - 1)) * h + p60("b:" + j) % p) % p
-    val expected = s"${g(0)}|${g(1)}"
+    val expected = p60(s"${g(0)}|${g(1)}") // 60-bit md5 prefix of the minima join
     val got = Seq(Tuple1(Seq("a b c"))).toDF("sh")
       .select(GraftFunctions.md5_minhash_bands(col("sh"), 1, 2).as("b"))
-      .collect().head.getSeq[String](0)
+      .collect().head.getSeq[Long](0)
     assert(got === Seq(expected))
-    // adding a shingle can only DECREASE each per-seed minimum
-    val two = Seq(Tuple1(Seq("a b c", "a b d"))).toDF("sh")
-      .select(GraftFunctions.md5_minhash_bands(col("sh"), 1, 2).as("b"))
-      .collect().head.getSeq[String](0)
-    assert(two.head.split('|').map(_.toLong)
-      .zip(expected.split('|').map(_.toLong)).forall {
-        case (m, e) => m <= e })
   }
 
   test("md5_simhash60: single token signature IS its 60-bit md5 prefix") {

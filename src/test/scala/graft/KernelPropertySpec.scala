@@ -84,6 +84,80 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: md5_minhash_bands is order/duplicate-invariant, 60-bit, length=bands") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47L)
+    val rows = sample(tokenGen, 200, 47L).filter(_.nonEmpty)
+      .map(t => (t, rng.shuffle(t ++ t.take(3))))
+    val got = rows.toDF("t", "mutated")
+      .select(md5_minhash_bands(col("t"), 4, 2).as("b1"),
+        md5_minhash_bands(col("mutated"), 4, 2).as("b2"))
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    got.foreach { case (b1, b2) =>
+      assert(b1.length === 4)
+      assert(b1 === b2, "duplicates/order changed an md5 min-hash band")
+      b1.foreach(k => assert((k >>> 60) === 0L))
+    }
+  }
+
+  test("property: md5_simhash60 is order-invariant and 60-bit bounded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(48L)
+    val rows = sample(tokenGen, 200, 48L).filter(_.nonEmpty)
+      .map(t => (t, rng.shuffle(t)))
+    val got = rows.toDF("t", "shuffled")
+      .select(md5_simhash60(col("t")).as("h1"),
+        md5_simhash60(col("shuffled")).as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (h1, h2) =>
+      assert(h1 === h2)
+      assert((h1 >>> 60) === 0L)
+    }
+  }
+
+  test("property: md5_rhp_lsh is positive-scale-invariant and bounded by planes") {
+    import spark.implicits._
+    val rows = sample(vecGen, 200, 49L).map(v =>
+      (v.toArray, v.map(_ * 7.0f).toArray))
+    val got = rows.toDF("v", "scaled")
+      .select(md5_rhp_lsh(col("v"), 8).as("b1"),
+        md5_rhp_lsh(col("scaled"), 8).as("b2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (b1, b2) =>
+      assert(b1 >= 0L && b1 < 256L)
+      // floor(7e6 * x) sign-matches floor(1e6 * x) except exactly at
+      // dot == 0 boundaries, which the generator avoids w.h.p.
+      assert(b1 === b2, "positive scaling flipped a hyperplane bit")
+    }
+  }
+
+  test("property: cosine_argmax agrees with a brute-force scala argmax") {
+    import spark.implicits._
+    val cents = sample(vecGen, 8, 50L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val rows = sample(vecGen, 100, 51L).map(_.toArray)
+    val got = rows.map(Tuple1(_)).toDF("v")
+      .crossJoin(Seq(Tuple1(cents)).toDF("cents"))
+      .select(cosine_argmax(col("v"),
+        col("cents").cast(
+          "array<struct<centroid_id:bigint,c_emb:array<float>>>")).as("cid"))
+      .collect().map(_.getLong(0))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    rows.zip(got).foreach { case (v, cid) =>
+      val expected = cents.map { case (id, c) => (id, cos(v, c)) }
+        .sortBy { case (id, s) => (-s, id) }.head._1
+      assert(cid === expected)
+    }
+  }
+
   test("property: cosine_sim is symmetric and within [-1, 1]") {
     import spark.implicits._
     val rows = sample(Gen.zip(vecGen, vecGen), 200, 46L)

@@ -40,7 +40,7 @@ class SurfaceSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.length === 3)
     assert(rows.forall(r => (r.getAs[Long]("sig60") >>> 60) == 0L))
-    assert(rows.forall(_.getAs[Seq[String]]("bands").length == 4))
+    assert(rows.forall(_.getAs[Seq[Long]]("bands").length == 4))
     val qa = GraftSql.sql(spark, sf,
       """SELECT vec_id, md5_rhp_lsh(embedding, 6) AS bucket,
         |  quantize_audit(embedding).scale AS scale
