@@ -491,6 +491,81 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming timeout detect: the unbounded twin of
+    * [[graft.operators.Reactive.rxTimeout]] — emit a marker row the
+    * moment a key has been SILENT for `gapMs` of event time (the
+    * batch form can only flag the gap retrospectively on the next
+    * event; the streaming form fires at the deadline itself via an
+    * event-time timeout, which is what a liveness monitor needs).
+    * State per key = the last-seen (event_id, ts) — O(active keys),
+    * evicted on firing; a key that resumes after a timeout starts a
+    * fresh watch. */
+  case class TimeoutMark(user_id: Long, last_event_id: Long,
+                         last_ts_ms: Long, deadline_ms: Long)
+  def timeoutDetect(spark: SparkSession, events: DataFrame,
+                    gapMs: Long = 3600000L): Dataset[TimeoutMark] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), TimeoutMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map { case (eid, t) =>
+              TimeoutMark(uid, eid, t, t + gapMs)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            // track the newest event; watch its silence window
+            val newest = rows.maxBy(_.event_id)
+            val cur = state.getOption
+            if (cur.forall(_._2 <= newest.ts.getTime)) {
+              state.update((newest.event_id, newest.ts.getTime))
+              state.setTimeoutTimestamp(newest.ts.getTime + gapMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming combineLatest: the unbounded twin of
+    * [[graft.operators.Reactive.rxCombineLatest]] — every arrival of
+    * either type emits the pair of latest values once BOTH types
+    * have been seen for the key. State per key = one (event_id,
+    * value) per side, O(active keys). Rows are event_id-ordered
+    * within a trigger; across triggers arrival order governs. */
+  case class Combined(user_id: Long, event_id: Long,
+                      a_event_id: Long, a_value: Double,
+                      b_event_id: Long, b_value: Double)
+  def combineLatestStream(spark: SparkSession, events: DataFrame,
+                          typeA: String = "purchase",
+                          typeB: String = "click"): Dataset[Combined] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .filter(e => e.event_type == typeA || e.event_type == typeB)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[(Long, Double)], Option[(Long, Double)]),
+        Combined](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Option[(Long, Double)], Option[(Long, Double)])]) =>
+          var (a, b) = state.getOption.getOrElse((None, None))
+          val out = scala.collection.mutable.ArrayBuffer[Combined]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (e.event_type == typeA) a = Some((e.event_id, e.value))
+            else b = Some((e.event_id, e.value))
+            for ((ae, av) <- a; (be, bv) <- b)
+              out += Combined(uid, e.event_id, ae, av, be, bv)
+          }
+          state.update((a, b))
+          out.iterator
+      }
+  }
+
   /** Streaming buffer(count): per-key count-based batches emitted as
     * they fill — the unbounded twin of Reactive.rxBufferCount. State
     * per key = the open (partial) buffer + the next batch id, so

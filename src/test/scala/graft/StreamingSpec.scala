@@ -300,6 +300,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.getOrElse(w, -1L) === n, s"window $w") }
   }
 
+  test("streaming timeout detect fires at the silence deadline, not before") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"to_${System.nanoTime()}"
+    // user 1: events at t0..t2 then silence; user 2: steady events
+    // closer together than the gap, then silence after t30
+    val q = ReactiveStreams.timeoutDetect(spark, mem.toDF(),
+      gapMs = 20 * 60000L).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(sample.filter(_.user_id != 99L)); q.processAllAvailable()
+      // push the watermark far past every deadline
+      mem.addData(Ev(900, ts(100000), 99, "tick", 0.0)); q.processAllAvailable()
+      mem.addData(Ev(901, ts(200000), 99, "tick", 0.0)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .filter(_.getAs[Long]("user_id") != 99L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id")))
+        .toSet
+      // each real user times out exactly once, anchored at its LAST event
+      assert(got === Set((1L, 4L), (2L, 7L)))
+    } finally q.stop()
+  }
+
+  test("streaming combineLatest emits latest pairs once both sides seen") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = Seq(
+      Ev(0, ts(0), 1, "purchase", 10.0),  // no click yet -> no emit
+      Ev(1, ts(1), 1, "click", 1.0),      // emit (p0, c1)
+      Ev(2, ts(2), 1, "click", 2.0),      // emit (p0, c2)
+      Ev(3, ts(3), 1, "purchase", 30.0))  // emit (p3, c2)
+    val mem = MemoryStream[Ev]
+    val qName = s"cl_${System.nanoTime()}"
+    val q = ReactiveStreams.combineLatestStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.take(2)); q.processAllAvailable()
+      mem.addData(evs.drop(2)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("a_event_id"),
+          r.getAs[Long]("b_event_id"))).toSet
+      assert(got === Set((1L, 0L, 1L), (2L, 0L, 2L), (3L, 3L, 2L)))
+    } finally q.stop()
+  }
+
   test("stream-stream RIGHT OUTER join emits unmatched clicks after watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
