@@ -146,29 +146,34 @@ object Dedup {
     * min doc_id of its component as cluster id; cluster_id == doc_id
     * marks the canonical survivor).
     *
-    * Iterative min-label propagation: each round joins the current
-    * labels across the symmetric edge set and keeps the per-node min.
-    * Rounds needed = graph diameter (near-dup components are shallow;
-    * maxIter bounds adversarial chains). Each round is one join + one
-    * groupBy — all shuffles on the node id, so a cluster deploy
-    * co-partitions them; `localCheckpoint` truncates the growing
-    * lineage. This is the documented-at-scale alternative to a
-    * driver-side union-find, which would need the full edge set on
-    * one machine. (For power-law graphs swap in large-star/small-star
-    * rounds; near-dup graphs don't need it.)
+    * Min-label propagation WITH ADAPTIVE POINTER JUMPING: every
+    * round propagates labels across the symmetric edge set and keeps
+    * the per-node min; rounds past the first few ALSO replace every
+    * node's label with its label's OWN label (path halving). Shallow
+    * components — the near-dup norm — converge during the plain
+    * rounds and never pay for the extra self-join; an adversarial
+    * deep chain (a crawl of incrementally-edited pages), where plain
+    * propagation needs diameter-many rounds, gets the jump step and
+    * converges in O(log diameter) because the distance a minimum
+    * travels roughly doubles per jumped round. Each round is one or
+    * two node-id-keyed joins + one groupBy — a cluster deploy
+    * co-partitions all of them; `localCheckpoint` truncates the
+    * growing lineage. This is the documented-at-scale alternative to
+    * a driver-side union-find, which would need the full edge set on
+    * one machine.
     *
+    * The iteration frame is labels over nodes that HAVE an edge —
+    * O(matched docs), a sliver of the corpus at 100 TB; isolated
+    * nodes re-attach as singleton clusters with one final left join.
     * The convergence check is an action per round by design —
     * iterative fixpoints are the one place the "no actions inside
-    * operators" rule gives way. */
+    * operators" rule gives way; non-convergence within maxIter
+    * throws (partial labels would silently corrupt clusters). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .localCheckpoint()
-    // propagate only over nodes that HAVE an edge: the iteration
-    // frame is O(matched docs) — at 100 TB a sliver of the corpus —
-    // and isolated nodes re-attach as their own singleton cluster
-    // after convergence with one left join
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint()
     var converged = false
@@ -179,12 +184,27 @@ object Dedup {
       // fold the convergence check into the round's groupBy: the
       // node's own row carries the old label, so "did anything
       // change" is a filter on the grouped result — no extra join
-      val next = labels.select(col("node"), col("label"),
+      val merged = labels.select(col("node"), col("label"),
           lit(1).as("is_self"))
         .unionByName(prop)
         .groupBy("node").agg(min("label").as("label"),
           max(when(col("is_self") === 1, col("label"))).as("old_label"))
-        .localCheckpoint()
+      val next = if (i < 3) merged.localCheckpoint()
+      else {
+        // pointer jump (path halving): label := label(label). Labels
+        // are always node ids present in the frame, so the self-join
+        // hits; left join keeps already-minimal nodes unchanged. The
+        // pre-join checkpoint stops the propagate+groupBy subtree
+        // from evaluating once per join side.
+        val m = merged.localCheckpoint()
+        m.join(m.select(col("node").as("_jn"), col("label").as("_jl")),
+            col("label") === col("_jn"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("_jl"), col("label")))
+              .as("label"),
+            col("old_label"))
+          .localCheckpoint()
+      }
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels = next.select(col("node"), col("label"))
       i += 1
@@ -192,8 +212,9 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
-          "a component's diameter exceeds maxIter — raise maxIter " +
-          "(returning partial labels would silently corrupt clusters)")
+          "a component's min-label needs more doubling rounds — raise " +
+          "maxIter (returning partial labels would silently corrupt " +
+          "clusters)")
     nodes.select(col("doc_id"))
       .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),

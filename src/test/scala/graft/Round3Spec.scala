@@ -382,18 +382,23 @@ class Round3Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((2L, 1L, 2L)))
   }
 
-  test("connectedComponents: deep chain throws at low maxIter, converges at high") {
+  test("connectedComponents: deep chain converges in log rounds (pointer jump)") {
     import spark.implicits._
     val chain = (1L to 29L).map(i => (i, i + 1, 1.0))
       .toDF("doc1", "doc2", "jaccard")
     val nodes = (1L to 30L).map(Tuple1(_)).toDF("doc_id")
-    // label 1 travels one hop per round: depth 29 > 10 rounds → throw
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, nodes, maxIter = 10).collect()
-    }
-    val labels = Dedup.connectedComponents(chain, nodes, maxIter = 40)
+    // plain propagation moves the minimum one hop per round, so a
+    // depth-29 chain would need 30 rounds; path halving doubles the
+    // travel per round — 10 rounds MUST now suffice (this asserted a
+    // throw at 10 before the jump step existed)
+    val labels = Dedup.connectedComponents(chain, nodes, maxIter = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 30L).forall(labels(_) == 1L))
+    // and the non-convergence contract still holds when the budget
+    // genuinely can't cover the doubling distance
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, nodes, maxIter = 2).collect()
+    }
   }
 
   test("decodeStub histogram mass equals payload length for every bin width") {
