@@ -153,8 +153,9 @@ object Multimodal {
         rows.map { case (id, payload) => (id, bigramSigStub(payload, 64)) }
       }
       .toDF("vec_id", "histogram")
+      // native array cast, not transform(): HOFs are CodegenFallback
       .select(col("vec_id"),
-        transform(col("histogram"), x => x.cast("float")).as("embedding"))
+        col("histogram").cast("array<float>").as("embedding"))
       .localCheckpoint()
     Dedup.embeddingNearDup(sigs, planes = planes, minCosine = minCosine,
       auditable = true, maxBucket = maxBucket)
