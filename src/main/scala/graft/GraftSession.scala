@@ -24,7 +24,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // 131 gated queries are ~400+ whole-stage-codegen stages; the
+      // 160+ gated queries are ~500 whole-stage-codegen stages; the
       // default 100-entry generated-class cache evicts constantly and
       // every run re-Janino-compiles nearly every stage. Static conf:
       // must be set before the first SparkSession in the JVM.

@@ -162,8 +162,15 @@ object SparkEntry {
       Relational.q1PricingSummary(s, d)
         .withColumn("sum_qty", col("sum_qty").cast("double"))
         .withColumn("sum_base_price", col("sum_base_price").cast("double"))
-        .withColumn("sum_disc_price", col("sum_disc_price").cast("double"))
-        .withColumn("sum_charge", col("sum_charge").cast("double"))
+        // string-routed: once a decimal's unscaled value exceeds 2^53
+        // (scale 6 sums pass that at ~9e9), JVM BigDecimal.doubleValue
+        // double-rounds (int->double, then /10^scale) and can land one
+        // ulp off the true nearest double; parseDouble/strtod of the
+        // decimal STRING is correctly rounded in both engines
+        .withColumn("sum_disc_price",
+          col("sum_disc_price").cast("string").cast("double"))
+        .withColumn("sum_charge",
+          col("sum_charge").cast("string").cast("double"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q6_revenue" -> ((s, d) =>
       Relational.q6Revenue(s, d)
@@ -1025,8 +1032,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem
