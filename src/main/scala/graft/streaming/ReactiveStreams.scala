@@ -18,9 +18,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale design: all stateful operators key state by `user_id`, so
   * state is sharded across executors by the same single shuffle the
-  * batch forms use; watermark + state timeouts bound state size to
-  * O(active keys). Output modes chosen so sinks see append-only
-  * streams (no unbounded result re-emission).
+  * batch forms use. State lifetime is explicit per operator:
+  * deadline ops (debounce, timeoutDetect) evict via event-time
+  * timeouts; enrichment ops (withLatestFrom, combineLatest) take an
+  * optional `idleTtl` that evicts keys idle past the TTL — the
+  * 100 TB knob, since without it "latest value per key" state grows
+  * with every key EVER seen, not active ones; recurrence ops (scan,
+  * EWMA, funnel, retryWhen, packing, buffers, top-k) hold state by
+  * semantic necessity — evicting would corrupt the recurrence — so
+  * their state is O(distinct keys) by contract and documented as
+  * such. Output modes chosen so sinks see append-only streams (no
+  * unbounded result re-emission).
   */
 object ReactiveStreams {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
@@ -189,29 +197,50 @@ object ReactiveStreams {
   /** Streaming withLatestFrom / as-of enrichment: each primary-type
     * element is emitted with the latest-seen secondary-type value of
     * its key (the unbounded form of [[graft.operators.AsOf]]). State
-    * per key = one (event_id, value) pair — O(active keys). */
+    * per key = one (event_id, value, ts) triple.
+    *
+    * `idleTtlMs` is the state-size lever for production streams:
+    * when set (input must carry a watermark on `ts`), a key whose
+    * enrichment value goes unrefreshed for the TTL of EVENT time is
+    * evicted — state becomes O(recently-active keys) instead of
+    * O(every key ever seen), and a primary arriving after eviction
+    * enriches to None (the stale value is deliberately forgotten —
+    * the TTL-cache contract). */
   case class Enriched(event_id: Long, user_id: Long, value: Double,
                       asof_event_id: Option[Long], asof_value: Option[Double])
   def withLatestFrom(spark: SparkSession, events: DataFrame,
                      primary: String = "purchase",
-                     secondary: String = "click"): Dataset[Enriched] = {
+                     secondary: String = "click",
+                     idleTtlMs: Option[Long] = None): Dataset[Enriched] = {
     import spark.implicits._
+    val timeoutConf = if (idleTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
       .filter(e => e.event_type == primary || e.event_type == secondary)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Double), Enriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[Ev], state: GroupState[(Long, Double)]) =>
-          var latest = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer[Enriched]()
-          rows.toSeq.sortBy(_.event_id).foreach { e =>
-            if (e.event_type == secondary) latest = Some((e.event_id, e.value))
-            else out += Enriched(e.event_id, uid, e.value,
-              latest.map(_._1), latest.map(_._2))
+      .flatMapGroupsWithState[(Long, Double, Long), Enriched](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var latest = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[Enriched]()
+            rows.toSeq.sortBy(_.event_id).foreach { e =>
+              if (e.event_type == secondary)
+                latest = Some((e.event_id, e.value, e.ts.getTime))
+              else out += Enriched(e.event_id, uid, e.value,
+                latest.map(_._1), latest.map(_._2))
+            }
+            latest.foreach { l =>
+              state.update(l)
+              idleTtlMs.foreach(ttl => state.setTimeoutTimestamp(l._3 + ttl))
+            }
+            out.iterator
           }
-          latest.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -536,33 +565,48 @@ object ReactiveStreams {
     * [[graft.operators.Reactive.rxCombineLatest]] — every arrival of
     * either type emits the pair of latest values once BOTH types
     * have been seen for the key. State per key = one (event_id,
-    * value) per side, O(active keys). Rows are event_id-ordered
-    * within a trigger; across triggers arrival order governs. */
+    * value) per side. Rows are event_id-ordered within a trigger;
+    * across triggers arrival order governs. `idleTtlMs` evicts keys
+    * idle past the TTL of event time (see [[withLatestFrom]]) — the
+    * lever that keeps state O(recently-active keys). */
   case class Combined(user_id: Long, event_id: Long,
                       a_event_id: Long, a_value: Double,
                       b_event_id: Long, b_value: Double)
   def combineLatestStream(spark: SparkSession, events: DataFrame,
                           typeA: String = "purchase",
-                          typeB: String = "click"): Dataset[Combined] = {
+                          typeB: String = "click",
+                          idleTtlMs: Option[Long] = None): Dataset[Combined] = {
     import spark.implicits._
+    val timeoutConf = if (idleTtlMs.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
       .filter(e => e.event_type == typeA || e.event_type == typeB)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Option[(Long, Double)], Option[(Long, Double)]),
-        Combined](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[
+        (Option[(Long, Double)], Option[(Long, Double)], Long),
+        Combined](OutputMode.Append, timeoutConf) {
         (uid: Long, rows: Iterator[Ev],
-         state: GroupState[(Option[(Long, Double)], Option[(Long, Double)])]) =>
-          var (a, b) = state.getOption.getOrElse((None, None))
-          val out = scala.collection.mutable.ArrayBuffer[Combined]()
-          rows.toSeq.sortBy(_.event_id).foreach { e =>
-            if (e.event_type == typeA) a = Some((e.event_id, e.value))
-            else b = Some((e.event_id, e.value))
-            for ((ae, av) <- a; (be, bv) <- b)
-              out += Combined(uid, e.event_id, ae, av, be, bv)
+         state: GroupState[
+           (Option[(Long, Double)], Option[(Long, Double)], Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (a, b, _) = state.getOption.getOrElse((None, None, 0L))
+            var lastTs = 0L
+            val out = scala.collection.mutable.ArrayBuffer[Combined]()
+            rows.toSeq.sortBy(_.event_id).foreach { e =>
+              if (e.event_type == typeA) a = Some((e.event_id, e.value))
+              else b = Some((e.event_id, e.value))
+              lastTs = math.max(lastTs, e.ts.getTime)
+              for ((ae, av) <- a; (be, bv) <- b)
+                out += Combined(uid, e.event_id, ae, av, be, bv)
+            }
+            state.update((a, b, lastTs))
+            idleTtlMs.foreach(ttl => state.setTimeoutTimestamp(lastTs + ttl))
+            out.iterator
           }
-          state.update((a, b))
-          out.iterator
       }
   }
 

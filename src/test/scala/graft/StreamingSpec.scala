@@ -300,6 +300,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.getOrElse(w, -1L) === n, s"window $w") }
   }
 
+  test("withLatestFrom idle TTL evicts stale enrichment state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"ttl_${System.nanoTime()}"
+    val q = ReactiveStreams.withLatestFrom(spark,
+        mem.toDF().withWatermark("ts", "0 seconds"),
+        idleTtlMs = Some(10 * 60000L)).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      // user 1's click is the enrichment value; user 2 is the control
+      // whose purchase arrives WITHIN the TTL
+      mem.addData(Ev(0, ts(0), 1, "click", 7.0),
+        Ev(1, ts(0), 2, "click", 9.0),
+        Ev(2, ts(1), 2, "purchase", 20.0))
+      q.processAllAvailable()
+      // march the watermark past user 1's t0+10min deadline (takes
+      // effect one batch after the data that moved it)
+      mem.addData(Ev(90, ts(60), 99, "click", 0.0)); q.processAllAvailable()
+      mem.addData(Ev(91, ts(61), 99, "click", 0.0)); q.processAllAvailable()
+      // user 1's purchase arrives AFTER eviction: no enrichment
+      mem.addData(Ev(5, ts(62), 1, "purchase", 10.0)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.get(r.fieldIndex("asof_value")))
+            .map(_.asInstanceOf[Double])).toMap
+      assert(got(2L) === Some(9.0), "in-TTL enrichment must survive")
+      assert(got(5L) === None, "post-TTL primary must see evicted state")
+    } finally q.stop()
+  }
+
   test("streaming timeout detect fires at the silence deadline, not before") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
