@@ -515,6 +515,36 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
+    // skew ops: result sets are join/agg-equivalent to the unsalted
+    // plans, so they gate hash-exactly against plain SQL (the salt is
+    // plan-shape-only); SkewSpec keeps the spread assertions
+    "q_skew_join" -> ((s, d) => {
+      val dec2 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(fact, dim, "l_orderkey",
+          struct(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_skew_agg" -> ((s, d) => {
+      val dec2 = (c: org.apache.spark.sql.Column) =>
+        c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      Skew.saltedAgg(
+          Tables.lineitem(s, d)
+            .withColumn("qty_dec", dec2(col("l_quantity"))),
+          "l_returnflag", "qty_dec",
+          struct(col("l_orderkey"), col("l_linenumber")))
+        .withColumn("sum_qty_dec", col("sum_qty_dec").cast("double"))
+        .orderBy("l_returnflag")
+    }),
     "q_merge_upsert" -> ((s, d) => {
       val dec2 = (c: org.apache.spark.sql.Column) =>
         c.cast(org.apache.spark.sql.types.DecimalType(18, 2))
@@ -2328,6 +2358,17 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_dec,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (
         | SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
