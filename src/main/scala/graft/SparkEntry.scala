@@ -352,6 +352,17 @@ object SparkEntry {
       TextAnalysis.tokenHistogram(docs(s, d)).orderBy("bucket_lo")),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim")),
+    // Lloyd-refined IVF centroids: scaled-integer means + argmax
+    // assignment make all 3 rounds bit-reproducible, so the iterative
+    // index build itself gates hash-exactly (exploded to scalar rows —
+    // the compare has no array-column convention)
+    "emb_kmeans" -> ((s, d) =>
+      Similarity.kmeansCentroids(embs(s, d), nlist = 16, iters = 3)
+        .select(col("centroid_id"), posexplode(col("c_emb"))
+          .as(Seq("dim", "x")))
+        .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+          col("x"))
+        .orderBy("centroid_id", "dim")),
     "q_grouping_sets" -> ((s, d) =>
       Relational.qGroupingSets(s, d)
         .withColumn("sum_qty", col("sum_qty").cast("double"))
@@ -1797,6 +1808,62 @@ object SparkEntry {
         |FROM (SELECT len(string_split(lower(text), ' ')) AS n_tokens
         | FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "emb_kmeans" ->
+      """WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e, c0 c),
+        |m1 AS (
+        |  SELECT centroid_id, d.d - 1 AS dim,
+        |    sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE)*1e6) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM a1, range(1, 65) d(d) WHERE rn = 1 GROUP BY centroid_id, d.d),
+        |c1 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(CAST(s AS DOUBLE)/n/1e6 AS FLOAT) ORDER BY dim) AS c_emb
+        |  FROM m1 GROUP BY centroid_id),
+        |a2 AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e, c1 c),
+        |m2 AS (
+        |  SELECT centroid_id, d.d - 1 AS dim,
+        |    sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE)*1e6) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM a2, range(1, 65) d(d) WHERE rn = 1 GROUP BY centroid_id, d.d),
+        |c2 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(CAST(s AS DOUBLE)/n/1e6 AS FLOAT) ORDER BY dim) AS c_emb
+        |  FROM m2 GROUP BY centroid_id),
+        |a3 AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e, c2 c),
+        |m3 AS (
+        |  SELECT centroid_id, d.d - 1 AS dim,
+        |    sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE)*1e6) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM a3, range(1, 65) d(d) WHERE rn = 1 GROUP BY centroid_id, d.d),
+        |c3 AS (
+        |  SELECT centroid_id,
+        |    list(CAST(CAST(s AS DOUBLE)/n/1e6 AS FLOAT) ORDER BY dim) AS c_emb
+        |  FROM m3 GROUP BY centroid_id)
+        |SELECT centroid_id, d.d - 1 AS dim, c_emb[d.d] AS x
+        |FROM c3, range(1, 65) d(d)
+        |ORDER BY centroid_id, dim""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST("label" AS BIGINT) AS "label",
         | CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
