@@ -43,23 +43,23 @@ def main(src, out, n):
         parts = " UNION ALL ".join(tpl.format(i=i) for i in range(n))
         con.execute(f"COPY ({parts}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
-    gen("customer", f"SELECT c_custkey + {{i}}*{B} AS c_custkey, c_name, "
+    gen("customer", f"SELECT c_custkey + {{i}}::BIGINT*{B} AS c_custkey, c_name, "
         f"c_nationkey, c_acctbal, c_mktsegment "
         f"FROM read_parquet('{src}/customer.parquet')")
-    gen("supplier", f"SELECT s_suppkey + {{i}}*{B} AS s_suppkey, s_name, "
+    gen("supplier", f"SELECT s_suppkey + {{i}}::BIGINT*{B} AS s_suppkey, s_name, "
         f"s_nationkey, s_acctbal FROM read_parquet('{src}/supplier.parquet')")
-    gen("part", f"SELECT p_partkey + {{i}}*{B} AS p_partkey, p_name, p_brand, "
+    gen("part", f"SELECT p_partkey + {{i}}::BIGINT*{B} AS p_partkey, p_name, p_brand, "
         f"p_type, p_size, p_retailprice FROM read_parquet('{src}/part.parquet')")
-    gen("orders", f"SELECT o_orderkey + {{i}}*{B} AS o_orderkey, "
-        f"o_custkey + {{i}}*{B} AS o_custkey, o_orderstatus, o_totalprice, "
+    gen("orders", f"SELECT o_orderkey + {{i}}::BIGINT*{B} AS o_orderkey, "
+        f"o_custkey + {{i}}::BIGINT*{B} AS o_custkey, o_orderstatus, o_totalprice, "
         f"o_orderdate, o_orderpriority FROM read_parquet('{src}/orders.parquet')")
-    gen("lineitem", f"SELECT l_orderkey + {{i}}*{B} AS l_orderkey, "
-        f"l_partkey + {{i}}*{B} AS l_partkey, l_suppkey + {{i}}*{B} AS l_suppkey, "
+    gen("lineitem", f"SELECT l_orderkey + {{i}}::BIGINT*{B} AS l_orderkey, "
+        f"l_partkey + {{i}}::BIGINT*{B} AS l_partkey, l_suppkey + {{i}}::BIGINT*{B} AS l_suppkey, "
         f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
         f"l_returnflag, l_linestatus, l_shipdate "
         f"FROM read_parquet('{src}/lineitem.parquet')")
     gen("documents", (
-        f"SELECT doc_id + {{i}}*{B} AS doc_id, "
+        f"SELECT doc_id + {{i}}::BIGINT*{B} AS doc_id, "
         f"CASE WHEN {{i}} = 0 THEN text ELSE array_to_string("
         f"list_transform(string_split(text, ' '), t -> 'c{{i}}' || t), ' ') "
         f"END AS text, lang, source, "
@@ -68,9 +68,9 @@ def main(src, out, n):
         f"END) AS BIGINT) AS n_chars "
         f"FROM read_parquet('{src}/documents.parquet')"))
     gen("embeddings", (
-        f"SELECT vec_id + {{i}}*{B} AS vec_id, "
-        f"CAST(list_slice(embedding, {{i}}+1, 64) || "
-        f"list_slice(embedding, 1, {{i}}) AS FLOAT[]) AS embedding, label "
+        f"SELECT vec_id + {{i}}::BIGINT*{B} AS vec_id, "
+        f"CAST(list_slice(embedding, {{i}} % 64 + 1, 64) || "
+        f"list_slice(embedding, 1, {{i}} % 64) AS FLOAT[]) AS embedding, label "
         f"FROM read_parquet('{src}/embeddings.parquet')"))
 
     t = pq.read_table(f"{src}/events.parquet")
