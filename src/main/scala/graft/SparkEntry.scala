@@ -350,6 +350,12 @@ object SparkEntry {
       TextAnalysis.sourceStats(docs(s, d)).orderBy("source")),
     "token_histogram" -> ((s, d) =>
       TextAnalysis.tokenHistogram(docs(s, d)).orderBy("bucket_lo")),
+    "text_tfidf_top_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(docs(s, d)).orderBy("source", "rnk")),
+    "text_novelty" -> ((s, d) =>
+      TextAnalysis.textNovelty(docs(s, d)).orderBy("doc_id")),
+    "curriculum_order" -> ((s, d) =>
+      Sampling.curriculumOrder(docs(s, d)).orderBy("doc_id")),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim")),
     // Lloyd-refined IVF centroids: scaled-integer means + argmax
@@ -1808,6 +1814,72 @@ object SparkEntry {
         |FROM (SELECT len(string_split(lower(text), ' ')) AS n_tokens
         | FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_tfidf_top_terms" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  unnest(string_split(lower(text), ' ')) AS term
+        | FROM documents),
+        |tf AS (
+        | SELECT source, term, count(*) AS tf_sum
+        | FROM tok WHERE term <> '' GROUP BY source, term),
+        |dfreq AS (
+        | SELECT term, count(DISTINCT doc_id) AS df
+        | FROM tok WHERE term <> '' GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT source, term, tf_sum, df, score, rnk FROM (
+        | SELECT source, term, tf_sum, df,
+        |  CAST(tf_sum * (n_docs + 1) AS DOUBLE)
+        |    / CAST(df + 1 AS DOUBLE) AS score,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(tf_sum * (n_docs + 1) AS DOUBLE)
+        |      / CAST(df + 1 AS DOUBLE) DESC, term) AS rnk
+        | FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    "text_novelty" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h
+        | FROM sh),
+        |firsts AS (SELECT h, min(doc_id) AS doc_id FROM post GROUP BY h),
+        |novel AS (
+        | SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+        |SELECT t.doc_id, t.n_sh,
+        | coalesce(n.n_novel, 0) AS n_novel,
+        | CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_sh AS novelty
+        |FROM tot t LEFT JOIN novel n USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "curriculum_order" ->
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')) AS difficulty
+        | FROM documents),
+        |cuts AS (
+        | SELECT quantile_cont(difficulty, 0.25) AS c1,
+        |  quantile_cont(difficulty, 0.5) AS c2,
+        |  quantile_cont(difficulty, 0.75) AS c3
+        | FROM scored)
+        |SELECT doc_id, difficulty, bucket, stage,
+        | (bucket - 1) * 16 + stage AS phase
+        |FROM (
+        | SELECT doc_id, difficulty,
+        |  1 + CAST(difficulty > c1 AS BIGINT)
+        |    + CAST(difficulty > c2 AS BIGINT)
+        |    + CAST(difficulty > c3 AS BIGINT) AS bucket,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT
+        |    AS stage
+        | FROM scored CROSS JOIN cuts)
+        |ORDER BY doc_id""".stripMargin,
     "emb_kmeans" ->
       """WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
         |a1 AS (

@@ -86,6 +86,41 @@ object Sampling {
       .toDF("doc_id", "source", "shard", "pos_in_shard")
   }
 
+  /** Curriculum ordering: difficulty-quartile buckets with a
+    * deterministic 16-way training stage inside each bucket. The
+    * difficulty proxy is the token-uniqueness ratio (one exact
+    * division); bucket cuts are the exact corpus quartiles; the
+    * intra-bucket stage is the first md5 hex digit of the doc id —
+    * so `phase = (bucket-1)*16 + stage` is a 64-step easy-to-hard
+    * schedule a training loader consumes stage by stage.
+    *
+    * Deliberately NOT a per-bucket row_number: four buckets would
+    * mean four single-task sorts over corpus/4 rows each. The stage
+    * digit is a pure map — the whole op is one quartile aggregate
+    * (broadcast back as a scalar row) plus a narrow projection, and
+    * within a stage the loader's own shuffle supplies the order. */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("difficulty"))
+    val cuts = scored.agg(
+      expr("percentile(difficulty, 0.25)").as("c1"),
+      expr("percentile(difficulty, 0.5)").as("c2"),
+      expr("percentile(difficulty, 0.75)").as("c3"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        lit(1L) + (col("difficulty") > col("c1")).cast("long") +
+          (col("difficulty") > col("c2")).cast("long") +
+          (col("difficulty") > col("c3")).cast("long"))
+      .withColumn("stage",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long"))
+      .select(col("doc_id"), col("difficulty"), col("bucket"), col("stage"),
+        ((col("bucket") - 1L) * 16L + col("stage")).as("phase"))
+  }
+
   /** Deterministic train/val/test split: the split is a pure
     * function of md5(doc_id) — stable under corpus growth (a doc's
     * split never changes when other docs arrive, unlike rank-based
