@@ -530,12 +530,20 @@ object Relational {
     * there is no receipt/commit date pair).
     *
     * The textbook form is two lineitem self-joins; at 100 TB that is
-    * two extra fact shuffles. Rewritten as ONE per-order aggregate:
-    * a line qualifies iff its order has >= 2 distinct suppliers
-    * (EXISTS) and exactly 1 distinct LATE supplier (NOT EXISTS, given
-    * the line itself is late). lineitem⋈orders, the per-order agg,
-    * and the agg re-join all hash-partition on the order key, so the
-    * fact shuffles once and Catalyst reuses the Exchange. */
+    * two extra fact shuffles. Here the fact is joined and aggregated
+    * ONCE: collapse to (order, supplier) keeping the supplier's
+    * late-line count, then collapse again per order — both levels are
+    * hash aggregates on the join's own l_orderkey partitioning (the
+    * second reuses it, so the fact shuffles exactly once and nothing
+    * is ever sorted). A qualifying order has >= 2 suppliers and
+    * EXACTLY 1 late one, so `max(when(supp_late, ...))` recovers that
+    * single supplier and its late-line count losslessly at the
+    * per-order level; summing those counts per supplier reproduces
+    * the textbook per-line count. Two earlier forms measured worse at
+    * sf10: agg + re-join-onto-the-fact executed the fact SMJ twice
+    * (exchange reuse does not dedupe the join itself; 13x at 10x
+    * rows), and a window over the collapsed set added a ~fact-sized
+    * Sort this double-agg avoids. */
   def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(s, dir)
@@ -545,22 +553,20 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .as("late"))
-    // two-level agg instead of a double countDistinct: the first
-    // level collapses to (order, supplier) with map-side partials
-    // (no Expand over the fact), the second counts the tiny result
-    val perOrder = l.groupBy("l_orderkey", "l_suppkey")
-      .agg(max(col("late")).as("supp_late"))
-      .groupBy("l_orderkey")
+    // map-side partial agg collapses the fact to (order, supplier)
+    val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"),
+        count(when(col("late"), lit(1))).as("n_late_lines"))
+    perSupp.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),
-        count(when(col("supp_late"), lit(1))).as("n_late_supp"))
+        count(when(col("supp_late"), lit(1))).as("n_late_supp"),
+        max(when(col("supp_late"), col("l_suppkey"))).as("late_suppkey"),
+        max(when(col("supp_late"), col("n_late_lines"))).as("late_lines"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .select("l_orderkey")
-    l.filter(col("late"))
-      .join(perOrder, "l_orderkey")
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
+        col("late_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 

@@ -167,15 +167,18 @@ class PlanSpec extends AnyFunSuite {
     assert(factExchanges <= 2, s"too many exchanges:\n$p")
   }
 
-  test("q21: order-key partitioning reused across join, agg and re-join") {
+  test("q21: single fact pass — one SMJ, both aggs on the join's partitioning") {
     val p = plan(Relational.q21WaitingSuppliers(spark, sf))
-    // lineitem joins orders, aggregates per order, and re-joins the
-    // qualifying orders — all on l_orderkey; the fact must not
-    // shuffle separately for each step
+    // the fact is joined to orders ONCE and never re-joined: the
+    // per-(order,supplier) and per-order collapses are back-to-back
+    // hash aggregates on the join's own l_orderkey partitioning
+    // (an earlier agg + re-join form executed the fact SMJ twice)
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("ReusedExchange") ||
-      p.linesIterator.count(l => l.contains("Exchange hashpartitioning") &&
-        !l.contains("ReusedExchange")) <= 4, s"fact reshuffled per step:\n$p")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      s"fact joined more than once:\n$p")
+    // exchanges: lineitem->orderkey, orders->orderkey, s_name agg
+    assert(p.linesIterator.count(l => l.contains("Exchange hashpartitioning") &&
+      !l.contains("ReusedExchange")) <= 3, s"fact reshuffled per step:\n$p")
   }
 
   test("resample grid fill is one shuffle, no grid-to-events join") {
