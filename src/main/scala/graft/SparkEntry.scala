@@ -356,6 +356,10 @@ object SparkEntry {
       TextAnalysis.textNovelty(docs(s, d)).orderBy("doc_id")),
     "curriculum_order" -> ((s, d) =>
       Sampling.curriculumOrder(docs(s, d)).orderBy("doc_id")),
+    "sketch_distinct" -> ((s, d) =>
+      TextAnalysis.distinctTokensSketch(docs(s, d)).orderBy("source")),
+    "dedup_substring" -> ((s, d) =>
+      Dedup.substringRepetition(docs(s, d)).orderBy("doc_id")),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim")),
     // Lloyd-refined IVF centroids: scaled-integer means + argmax
@@ -1880,6 +1884,53 @@ object SparkEntry {
         |    AS stage
         | FROM scored CROSS JOIN cuts)
         |ORDER BY doc_id""".stripMargin,
+    "sketch_distinct" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tk AS (
+        | SELECT source, term,
+        |  ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+        | FROM tok WHERE term <> ''),
+        |ex AS (
+        | SELECT source, count(DISTINCT term) AS n_exact FROM tk GROUP BY source),
+        |d AS (SELECT DISTINCT source, h FROM tk),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS nd FROM d),
+        |est AS (
+        | SELECT source,
+        |  CASE WHEN max(nd) < 16 THEN max(nd)
+        |   ELSE CAST((15::HUGEINT * 1152921504606846976::HUGEINT)
+        |     // max(CASE WHEN rn = 16 THEN h END) AS BIGINT) END AS n_est
+        | FROM r GROUP BY source)
+        |SELECT e.source, e.n_exact, s.n_est
+        |FROM ex e JOIN est s USING (source) ORDER BY source""".stripMargin,
+    "dedup_substring" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(
+        |   generate_series(1, len(t) - 7),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |     || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+        |     || t[i+7]) AS wins
+        | FROM tk WHERE len(t) >= 8),
+        |post AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(unnest(wins)), 1, 15))::BIGINT AS h
+        | FROM sh),
+        |pc AS (SELECT doc_id, h, count(*) AS n_win FROM post GROUP BY 1, 2),
+        |tot AS (SELECT h, CAST(sum(n_win) AS BIGINT) AS n_occ
+        |        FROM pc GROUP BY h)
+        |SELECT doc_id,
+        | CAST(sum(n_win) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN n_occ >= 2 THEN n_win ELSE 0 END) AS BIGINT)
+        |   AS n_dup_win,
+        | CAST(sum(CASE WHEN n_occ >= 2 THEN n_win ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(n_win) AS BIGINT) AS dup_ratio
+        |FROM pc JOIN tot USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "emb_kmeans" ->
       """WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
         |a1 AS (

@@ -346,4 +346,37 @@ object Dedup {
       .filter(col("cos_sim") >= minCosine)
       .select("id1", "id2", "cos_sim")
   }
+
+  /** Substring-level repetition audit: for each doc, the fraction of
+    * its w-token windows whose content occurs >= 2 times in the
+    * corpus (counting repeats inside the same doc) — the signal the
+    * "train-on-unique-substrings" dedup policy thresholds on, at
+    * window rather than whole-document granularity.
+    *
+    * Never materializes pairs or spans: windows reduce to 60-bit md5
+    * hashes, global occurrence totals come from a window-sum over the
+    * per-(doc, hash) counts (partition by hash — one exchange), and
+    * the verdict folds back per doc. Everything that shuffles is a
+    * (doc_id, hash, count) row; work is linear in corpus tokens at
+    * any scale. The md5 hash family keeps the op inside the
+    * cross-engine gate (a collision agrees on both sides). */
+  def substringRepetition(docs: DataFrame, w: Int = 8): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"),
+        GraftFunctions.text_shingles(toks(col("text")), w).as("wins"))
+      .filter(size(col("wins")) > 0)
+    val perDocHash = wins
+      .select(col("doc_id"), explode(col("wins")).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("n_win"))
+    perDocHash
+      .withColumn("n_occ", sum(col("n_win")).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(sum(col("n_win")).as("n_windows"),
+        sum(when(col("n_occ") >= 2, col("n_win")).otherwise(lit(0L)))
+          .as("n_dup_win"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_win"),
+        (col("n_dup_win").cast("double") / col("n_windows")).as("dup_ratio"))
+  }
 }
