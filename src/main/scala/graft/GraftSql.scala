@@ -37,6 +37,10 @@ object GraftSql {
       es => CosineArgmaxExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("quantize_audit",
       es => QuantizeAuditExpr(es.head), "scala_udf")
+    // aggregate: mergeable KMV distinct sketch over a BIGINT hash
+    reg.createOrReplaceTempFunction("kmv_distinct",
+      es => graft.functions.KmvDistinctAgg(es(0), intArg(es(1)))
+        .toAggregateExpression(), "scala_udf")
   }
 
   private def intArg(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

@@ -41,6 +41,8 @@ object SparkEntry {
       Reactive.rxDistinct(ev(s, d)).orderBy("user_id", "event_type")),
     "rx_distinct_until_changed" -> ((s, d) =>
       Reactive.rxDistinctUntilChanged(ev(s, d)).orderBy("event_id")),
+    "rx_islands" -> ((s, d) =>
+      Reactive.rxIslands(ev(s, d)).orderBy("user_id", "island_id")),
     "rx_take" -> ((s, d) =>
       Reactive.rxTake(ev(s, d)).withColumn("rn", col("rn").cast("long"))
         .orderBy("event_id")),
@@ -673,6 +675,24 @@ object SparkEntry {
         | FROM events)
         |WHERE prev_type IS NULL OR prev_type <> event_type
         |ORDER BY event_id""".stripMargin,
+    "rx_islands" ->
+      """WITH o AS (
+        | SELECT user_id, event_id, event_type,
+        |  CASE WHEN lag(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY event_id)
+        |    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        | FROM events),
+        |i AS (
+        | SELECT user_id, event_id, event_type,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+        | FROM o)
+        |SELECT user_id, island_id, event_type,
+        | count(*) AS n_events,
+        | min(event_id) AS first_event_id,
+        | max(event_id) AS last_event_id
+        |FROM i GROUP BY user_id, island_id, event_type
+        |ORDER BY user_id, island_id""".stripMargin,
     "rx_take" ->
       """SELECT event_id, user_id, rn FROM (
         | SELECT event_id, user_id,

@@ -240,7 +240,10 @@ object Kernels {
 
   /** First 15 hex chars of md5(s) as a 60-bit long — the same value
     * SQL's ('0x' || substr(md5(s), 1, 15))::BIGINT yields. */
-  private def md5Prefix60(s: String): Long = {
+  /** First 60 bits of md5(s) as a non-negative long — the engine's
+    * auditable uniform hash (SQL twin: ('0x'||substr(md5(s),1,15))
+    * ::BIGINT). Public: the streaming sketch ops feed it directly. */
+  def md5Prefix60(s: String): Long = {
     val d = md5Local.get()
     d.reset()
     d.update(utf8Bytes(s))

@@ -98,6 +98,27 @@ object Reactive {
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .select("event_id", "user_id", "event_type")
 
+  /** Gaps-and-islands: maximal runs of equal event_type per user
+    * stream — distinctUntilChanged's aggregate twin (that op keeps
+    * run HEADS; this one describes every run). Change flags from lag,
+    * running sum numbers the islands, then a per-(user, island)
+    * collapse. ONE exchange on user_id: both window passes share its
+    * sort and the final aggregate's (user_id, island_id) keys are a
+    * superset of the partitioning, so at any scale the op costs one
+    * fact shuffle like the windows it's built from. */
+  def rxIslands(events: DataFrame): DataFrame =
+    events
+      .withColumn("chg",
+        when(lag("event_type", 1).over(byUser).isNull ||
+          lag("event_type", 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island_id", sum(col("chg"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+
   /** Rx `take(n)` per key stream. */
   def rxTake(events: DataFrame, n: Int = 5): DataFrame =
     events

@@ -13,8 +13,13 @@ import graft.sources.Tables
   * columns present in the driver's synthetic tables.
   *
   * Scale design:
-  *  - dimension tables (region/nation/customer/supplier/part) are
-  *    `broadcast()` so the fact scan never shuffles for them;
+  *  - broadcast HINTS only on inputs whose size is bounded by
+  *    construction: fixed-cardinality tables (region: 5 rows,
+  *    nation: 25) and scalar/near-scalar aggregates. customer /
+  *    supplier / part / orders GROW with SF, so their joins carry no
+  *    hint — AQE broadcasts them at runtime while they measure small
+  *    and falls back to shuffle joins when they don't (a forced
+  *    broadcast of customer measured 15x at 10x rows, sf1→sf10);
   *  - fact-side predicates live in `filter` directly over the scan
   *    so Catalyst pushes them into parquet (PushedFilters);
   *  - money aggregates go through DecimalType: exact, order-stable
@@ -62,8 +67,8 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust),
-        col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(cust,
+        col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -92,9 +97,9 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -247,9 +252,9 @@ object Relational {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_suppkey", "l_shipdate",
         "l_extendedprice", "l_discount")
-    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
         (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -286,8 +291,8 @@ object Relational {
     // lineitem⋈orders is fact-fact: shuffle join on the order key
     // (AQE broadcasts at small SF; bucketing co-locates it on a cluster)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         sum(when(col("supp_nation") === shareNation, volume)
@@ -314,8 +319,8 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount")) -
@@ -336,7 +341,7 @@ object Relational {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
@@ -375,7 +380,7 @@ object Relational {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .select("l_partkey", "l_extendedprice", "l_discount")
     val volume = dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", volume)
           .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
@@ -389,7 +394,15 @@ object Relational {
   /** TPC-H Q18 shape: large-volume orders (HAVING over a fact
     * pre-aggregation, then enrich). The lineitem aggregate runs
     * map-side first, so the join probe is one row per qualifying
-    * order, not the raw fact. */
+    * order, not the raw fact.
+    *
+    * customer carries NO broadcast hint on purpose: it is a dim that
+    * GROWS with SF (TPC-H customer = 150k x SF), and the forced
+    * broadcast measured 15x at 10x rows from sf1 to sf10 (driver
+    * builds a multi-million-entry hash relation AQE is not allowed
+    * to demote). The HAVING side is tiny, so AQE broadcasts THAT
+    * side instead when it measures small — the direction that stays
+    * bounded at any scale. */
   def q18LargeOrders(s: SparkSession, dir: String,
                      minQty: Double = 300.0): DataFrame = {
     val big = Tables.lineitem(s, dir)
@@ -400,7 +413,7 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     val cust = Tables.customer(s, dir).select("c_custkey", "c_name")
     big.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         unix_millis(to_utc_timestamp(col("o_orderdate"), "UTC"))
           .as("o_orderdate_ms"),
@@ -416,7 +429,7 @@ object Relational {
     val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
     val li = Tables.lineitem(s, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 20)) ||
@@ -457,7 +470,7 @@ object Relational {
         .as("total_revenue"))
     val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
     rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_revenue").cast("double").as("total_revenue"))
@@ -481,8 +494,8 @@ object Relational {
       .select("p_partkey", "p_brand", "p_type", "p_size")
     val badSupp = Tables.supplier(s, dir)
       .filter(col("s_acctbal") < 0).select("s_suppkey")
-    ps.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+    ps.join(parts, col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -497,7 +510,7 @@ object Relational {
       .select("p_partkey")
     val li = Tables.lineitem(s, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy("p_partkey")
       .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
         .as("avg_qty"))
@@ -563,7 +576,7 @@ object Relational {
         max(when(col("supp_late"), col("l_suppkey"))).as("late_suppkey"),
         max(when(col("supp_late"), col("n_late_lines"))).as("late_lines"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
         col("late_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(sum(col("late_lines")).as("numwait"))
@@ -585,14 +598,14 @@ object Relational {
     // window over the already-aggregated pairs, not a second agg+join
     val ps = Tables.lineitem(s, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
     ps.withColumn("min_cost", min(col("unit_cost")).over(
         Window.partitionBy("p_partkey")))
       .filter(col("unit_cost") === col("min_cost"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select("s_suppkey", "s_name", "s_acctbal")),
+      .join(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_acctbal"),
         col("l_suppkey") === col("s_suppkey"))
       .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "unit_cost")
       .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))

@@ -280,6 +280,80 @@ object ReactiveStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming gaps-and-islands: emits each maximal run of equal
+    * event_type per key WHEN IT CLOSES (the first element of a
+    * different type arrives) — the unbounded twin of
+    * [[graft.operators.Reactive.rxIslands]], whose rows it matches
+    * for every closed island when per-key events arrive in event_id
+    * order across triggers (the recurrence caveat all order-
+    * sensitive streaming ops here share). The still-open tail island
+    * lives only in state. State per key = one (type, id, n, first,
+    * last) tuple — O(keys), append-mode output. */
+  case class IslandRow(user_id: Long, island_id: Long, event_type: String,
+                       n_events: Long, first_event_id: Long,
+                       last_event_id: Long)
+  def islandsStream(spark: SparkSession, events: DataFrame)
+      : Dataset[IslandRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long, Long, Long), IslandRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(String, Long, Long, Long, Long)]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[IslandRow]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            cur match {
+              case Some((t, id, n, f, _)) if t == e.event_type =>
+                cur = Some((t, id, n + 1, f, e.event_id))
+              case Some((t, id, n, f, l)) =>
+                out += IslandRow(uid, id, t, n, f, l)
+                cur = Some((e.event_type, id + 1, 1L, e.event_id, e.event_id))
+              case None =>
+                cur = Some((e.event_type, 1L, 1L, e.event_id, e.event_id))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming distinct-count estimate per key via the mergeable KMV
+    * sketch ([[graft.functions.KmvState]]): state per key is at most
+    * k longs FOREVER — the sketch is the eviction policy, unlike
+    * dropDuplicates-style distinct state that grows with every value
+    * seen. Emits the key's refreshed estimate whenever a trigger
+    * touches it (update mode). Hashes go through the engine's md5
+    * family, so the estimate equals what the batch KMV aggregate
+    * (and its SQL oracle) computes over the same prefix of values. */
+  case class DistinctEstRow(user_id: Long, n_est: Long)
+  def kmvDistinctStream(spark: SparkSession, events: DataFrame,
+                        k: Int = 16): Dataset[DistinctEstRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Array[Long], DistinctEstRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Array[Long]]) =>
+          val st = new graft.functions.KmvState(k)
+          state.getOption.foreach(_.foreach(st.insert))
+          rows.foreach(e => st.insert(
+            graft.functions.Kernels.md5Prefix60(e.value.toString)))
+          val arr = new Array[Long](st.set.size)
+          val it = st.set.iterator(); var i = 0
+          while (it.hasNext) { arr(i) = it.next(); i += 1 }
+          state.update(arr)
+          val est =
+            if (st.set.size < k) st.set.size.toLong
+            else (BigInt(k - 1) * (BigInt(1) << 60) /
+              BigInt(st.set.last())).toLong
+          Iterator.single(DistinctEstRow(uid, est))
+      }
+  }
+
   /** Streaming twin of Dedup.incrementalNew: admit an incoming
     * document only if its content fingerprint is absent from the
     * static corpus (stream-static left-anti join — the corpus side

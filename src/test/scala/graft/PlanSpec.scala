@@ -181,6 +181,33 @@ class PlanSpec extends AnyFunSuite {
       !l.contains("ReusedExchange")) <= 3, s"fact reshuffled per step:\n$p")
   }
 
+  test("rx_islands: both windows and the final agg share one user_id shuffle") {
+    val p = plan(Reactive.rxIslands(Tables.events(spark, sf)))
+    assert(!p.contains("Join"), s"islands used a join:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Exchange hashpartitioning") &&
+      !l.contains("ReusedExchange")) === 1, s"more than one exchange:\n$p")
+  }
+
+  test("dedup_substring: no pair join; three bounded-row exchanges") {
+    val p = plan(Dedup.substringRepetition(
+      Tables.documents(spark, sf).limit(50)))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), s"pair join materialized:\n$p")
+    // (doc,h) agg -> h window -> doc agg: nothing else may shuffle
+    assert(p.linesIterator.count(l => l.contains("Exchange hashpartitioning") &&
+      !l.contains("ReusedExchange")) <= 3, s"extra exchanges:\n$p")
+  }
+
+  test("kmv sketch aggregate runs with map-side partials") {
+    val p = plan(TextAnalysis.distinctTokensSketch(
+      Tables.documents(spark, sf)))
+    assert(p.contains("kmv_distinct"), p)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before the exchange — the O(k)-per-group shuffle
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmv_distinct"), s"no map-side partial:\n$p")
+  }
+
   test("resample grid fill is one shuffle, no grid-to-events join") {
     val p = plan(Reactive.rxResample(Tables.events(spark, sf)))
     assert(!p.contains("Join"), s"resample used a join:\n$p")

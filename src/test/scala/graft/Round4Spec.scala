@@ -135,6 +135,43 @@ class Round4Spec extends AnyFunSuite {
     assert(out(4L) === ((9L, 2L, 2.0 / 9.0)))
   }
 
+  test("rxIslands numbers maximal equal-type runs and re-numbers on return") {
+    import spark.implicits._
+    // user 1: a a b a  -> islands (a,2) (b,1) (a,1) — returning to a
+    // starts a NEW island; user 2: single run
+    val events = Seq(
+      (1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"), (4L, 1L, "a"),
+      (10L, 2L, "x"), (11L, 2L, "x")
+    ).toDF("event_id", "user_id", "event_type")
+    val out = graft.operators.Reactive.rxIslands(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out === Set(
+      (1L, 1L, "a", 2L, 1L, 2L),
+      (1L, 2L, "b", 1L, 3L, 3L),
+      (1L, 3L, "a", 1L, 4L, 4L),
+      (2L, 1L, "x", 2L, 10L, 11L)))
+  }
+
+  test("kmv state survives serialize/deserialize and merge order") {
+    import graft.functions.{KmvDistinctAgg, KmvState}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = KmvDistinctAgg(Literal(0L), 8)
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.fill(200)(rnd.nextLong().abs % (1L << 60))
+    // sequential insert vs shuffled two-way merge of partials, with a
+    // serde round-trip in between — all must agree
+    val seqState = new KmvState(8)
+    hashes.foreach(seqState.insert)
+    val (l, r) = rnd.shuffle(hashes).splitAt(97)
+    val a = new KmvState(8); l.foreach(a.insert)
+    val b = new KmvState(8); r.foreach(b.insert)
+    val bRt = agg.deserialize(agg.serialize(b))
+    a.merge(bRt)
+    assert(a.set === seqState.set)
+    assert(agg.eval(a) === agg.eval(seqState))
+  }
+
   test("curriculumOrder buckets quarter the corpus and phase is (bucket-1)*16+stage") {
     val docs = Tables.documents(spark, sf)
     val out = Sampling.curriculumOrder(docs).cache()

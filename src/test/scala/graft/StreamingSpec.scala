@@ -513,4 +513,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(got === Set((5L, Some(6L)), (7L, None)))
     } finally q.stop()
   }
+
+  test("streaming islands emits closed runs matching the batch twin across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"isl_${System.nanoTime()}"
+    val q = ReactiveStreams.islandsStream(spark, mem.toDF()).toDF()
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // split MID-island: user 1's click-click|view-click run crosses
+      // the trigger boundary
+      mem.addData(sample.take(2)); q.processAllAvailable()
+      mem.addData(sample.drop(2)); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island_id"),
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("first_event_id"), r.getAs[Long]("last_event_id")))
+        .toSet
+      // batch twin over the same events, minus each user's OPEN tail
+      // island (streaming emits only closed runs)
+      val batch = graft.operators.Reactive.rxIslands(sample.toDF())
+      val tails = batch.groupBy("user_id")
+        .agg(max("island_id").as("island_id"))
+      val closed = batch.join(tails,
+          Seq("user_id", "island_id"), "left_anti")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("island_id"),
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("first_event_id"), r.getAs[Long]("last_event_id")))
+        .toSet
+      assert(got === closed)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming kmv estimate equals the batch sketch over the same values") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"kmv_${System.nanoTime()}"
+    // 40 distinct values for one user, k=16: estimator branch, split
+    // across two triggers to force state merge through Array[Long]
+    val evs = (1 to 40).map(i =>
+      Ev(i.toLong, ts(i), 1L, "click", i * 1.5))
+    val q = ReactiveStreams.kmvDistinctStream(spark, mem.toDF(), k = 16)
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(25)); q.processAllAvailable()
+      mem.addData(evs.drop(25)); q.processAllAvailable()
+      val last = spark.table(qName)
+        .withColumn("seq", monotonically_increasing_id())
+        .orderBy(col("seq").desc).collect()
+        .find(_.getAs[Long]("user_id") == 1L).get.getAs[Long]("n_est")
+      val ref = new graft.functions.KmvState(16)
+      evs.foreach(e => ref.insert(
+        graft.functions.Kernels.md5Prefix60(e.value.toString)))
+      val expected =
+        (BigInt(15) * (BigInt(1) << 60) / BigInt(ref.set.last())).toLong
+      assert(last === expected)
+    } finally q.stop()
+  }
 }

@@ -50,6 +50,22 @@ class SurfaceSpec extends AnyFunSuite {
       r.getAs[Long]("bucket") < 64L))
   }
 
+  test("sql kmv_distinct aggregate matches the DataFrame sketch") {
+    val viaSql = GraftSql.sql(spark, sf,
+      """SELECT source,
+        |  kmv_distinct(CAST(conv(substring(md5(term), 1, 15), 16, 10)
+        |    AS BIGINT), 16) AS n_est
+        |FROM (SELECT source, explode(split(lower(text), ' ')) AS term
+        |      FROM documents) WHERE term <> ''
+        |GROUP BY source ORDER BY source""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDf = graft.operators.TextAnalysis
+      .distinctTokensSketch(graft.sources.Tables.documents(spark, sf))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaSql === viaDf)
+    assert(viaSql.nonEmpty)
+  }
+
   test("sql cosine_sim matches DataFrame cosine_sim") {
     val viaSql = GraftSql.sql(spark, sf,
       """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
