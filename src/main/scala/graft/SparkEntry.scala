@@ -358,6 +358,9 @@ object SparkEntry {
       TextAnalysis.textNovelty(docs(s, d)).orderBy("doc_id")),
     "curriculum_order" -> ((s, d) =>
       Sampling.curriculumOrder(docs(s, d)).orderBy("doc_id")),
+    "lang_confusion" -> ((s, d) =>
+      TextAnalysis.langConfusion(docs(s, d))
+        .orderBy("labeled_lang", "predicted_lang")),
     "sketch_distinct" -> ((s, d) =>
       TextAnalysis.distinctTokensSketch(docs(s, d)).orderBy("source")),
     "dedup_substring" -> ((s, d) =>
@@ -603,6 +606,8 @@ object SparkEntry {
       Reactive.rxRollingMedian(ev(s, d)).orderBy("event_id")),
     "rx_variance" -> ((s, d) =>
       Reactive.rxVariance(ev(s, d)).orderBy("user_id")),
+    "rx_outliers" -> ((s, d) =>
+      Reactive.rxOutliers(ev(s, d)).orderBy("event_id")),
     "rx_trend_correlation" -> ((s, d) =>
       Reactive.rxTrendCorrelation(ev(s, d)).orderBy("user_id")),
     "profile_table" -> ((s, d) =>
@@ -1637,6 +1642,49 @@ object SparkEntry {
         | SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
         | FROM documents)
         |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin,
+    "rx_outliers" ->
+      """WITH x AS (
+        | SELECT event_id, user_id, value,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xi
+        | FROM events),
+        |m AS (
+        | SELECT event_id, user_id, value, xi,
+        |  count(*) OVER (PARTITION BY user_id) AS n,
+        |  sum(xi) OVER (PARTITION BY user_id) AS sx,
+        |  sum(xi * xi) OVER (PARTITION BY user_id) AS sxx
+        | FROM x)
+        |SELECT event_id, user_id, value FROM m
+        |WHERE n >= 2 AND
+        | (n * xi - sx) * (n * xi - sx) > 9 * (n * sxx - sx * sx)
+        |ORDER BY event_id""".stripMargin,
+    "lang_confusion" ->
+      """SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+        |FROM (
+        | SELECT lang AS labeled_lang,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['der','die','und','das'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_de,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['the','and','of','is'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_en,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['el','la','y','de'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_es,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['le','la','et','de'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_fr,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    t -> list_contains(['de','shi','le','he'], t))) AS DOUBLE)
+        |   / len(string_split(lower(text), ' ')) AS s_zh,
+        |  CASE
+        |   WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |   WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |   WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |   WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |   ELSE 'de' END AS predicted_lang
+        | FROM documents)
+        |GROUP BY labeled_lang, predicted_lang
+        |ORDER BY labeled_lang, predicted_lang""".stripMargin,
     "text_lang_id" ->
       """SELECT doc_id, labeled_lang, predicted_lang,
         | greatest(s_de, s_en, s_es, s_fr, s_zh) AS confidence

@@ -955,6 +955,32 @@ object Reactive {
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
           (col("n") * (col("n") - 1))).as("stddev_samp"))
 
+  /** Per-key 3-sigma outlier detection with an EXACT decision rule:
+    * |x − mean| > 3·sigma_pop is evaluated as
+    * (n·xi − Sx)² > 9·(n·Sxx − Sx²) over scaled-integer moments
+    * (xi = value rounded to cents ×100), so the flag is integer
+    * arithmetic — no float mean/stddev whose summation order could
+    * flip a borderline row between engines or between partitionings.
+    * One user_id shuffle: the moments are unbounded-frame window
+    * sums sharing the partition; no stats-table re-join. Emits the
+    * flagged rows with their raw columns only (every computed value
+    * stays internal, keeping the output schema engine-neutral). */
+  def rxOutliers(events: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val big = DecimalType(38, 0)
+    events
+      .withColumn("xi", (dec(col("value")) * lit(100)).cast(big))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("xi")).over(wAll).cast(big))
+      .withColumn("sxx",
+        sum((col("xi") * col("xi")).cast(big)).over(wAll).cast(big))
+      .filter(col("n") >= 2 &&
+        (col("n") * col("xi") - col("sx")) *
+          (col("n") * col("xi") - col("sx")) >
+        lit(9) * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select("event_id", "user_id", "value")
+  }
+
   /** Rolling median (robust trailing statistic): exact continuous
     * median over the trailing-n frame — the outlier-resistant twin
     * of [[rxRollingStats]]'s mean. Same single user_id shuffle; the

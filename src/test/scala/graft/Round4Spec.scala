@@ -135,6 +135,33 @@ class Round4Spec extends AnyFunSuite {
     assert(out(4L) === ((9L, 2L, 2.0 / 9.0)))
   }
 
+  test("rxOutliers flags exactly the rows violating the integer 3-sigma rule") {
+    import spark.implicits._
+    // a lone deviant among n-1 equal values sits at z_pop = sqrt(n-1)
+    // EXACTLY, so n=10 lands precisely ON the 3-sigma boundary and the
+    // strict > must exclude it; n=16 (z = sqrt(15) ~ 3.87) must flag it
+    val boundary = ((1L to 9L).map(i => (i, 1L, 10.0)) :+ (10L, 1L, 1000.0))
+      .toDF("event_id", "user_id", "value")
+    assert(graft.operators.Reactive.rxOutliers(boundary).count() === 0L)
+    val events = ((1L to 15L).map(i => (i, 1L, 10.0)) :+ (16L, 1L, 1000.0))
+      .toDF("event_id", "user_id", "value")
+    val out = graft.operators.Reactive.rxOutliers(events)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(16L))
+    // uniform stream: zero variance, nothing may fire (0 > 0 is false)
+    val flat = (1L to 5L).map(i => (i, 2L, 7.5))
+      .toDF("event_id", "user_id", "value")
+    assert(graft.operators.Reactive.rxOutliers(flat).count() === 0L)
+  }
+
+  test("langConfusion counts partition the corpus over the 5x5 label space") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.langConfusion(docs).collect()
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    val langs = Set("de", "en", "es", "fr", "zh")
+    assert(out.forall(r => langs(r.getString(1))))
+  }
+
   test("rxIslands numbers maximal equal-type runs and re-numbers on return") {
     import spark.implicits._
     // user 1: a a b a  -> islands (a,2) (b,1) (a,1) — returning to a
