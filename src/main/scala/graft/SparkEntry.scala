@@ -363,6 +363,14 @@ object SparkEntry {
         .orderBy("labeled_lang", "predicted_lang")),
     "sketch_distinct" -> ((s, d) =>
       TextAnalysis.distinctTokensSketch(docs(s, d)).orderBy("source")),
+    "sketch_cms_topk" -> ((s, d) =>
+      Sketches.cmsHeavyHitters(docs(s, d))
+        .orderBy(col("exact_cnt").desc, col("term"))),
+    "source_divergence" -> ((s, d) =>
+      TextAnalysis.sourceDivergence(docs(s, d))
+        .orderBy("source_a", "source_b")),
+    "pipeline_importance_sample" -> ((s, d) =>
+      Sampling.importanceSample(docs(s, d)).orderBy("doc_id")),
     "dedup_substring" -> ((s, d) =>
       Dedup.substringRepetition(docs(s, d)).orderBy("doc_id")),
     "emb_centroids" -> ((s, d) =>
@@ -1974,6 +1982,98 @@ object SparkEntry {
         | FROM r GROUP BY source)
         |SELECT e.source, e.n_exact, s.n_est
         |FROM ex e JOIN est s USING (source) ORDER BY source""".stripMargin,
+    "sketch_cms_topk" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(lower(text), ' ')) AS term
+        | FROM documents),
+        |counts AS (
+        | SELECT term, count(*) AS cnt FROM tok
+        | WHERE term <> '' GROUP BY term),
+        |wh AS (
+        | SELECT term, cnt,
+        |  ('0x' || substr(md5(term), 1, 7))::BIGINT AS h28
+        | FROM counts),
+        |consts AS (
+        | SELECT d,
+        |  1 + ('0x' || substr(md5('cms:a:' || d), 1, 15))::BIGINT
+        |    % 2147483646 AS ca,
+        |  ('0x' || substr(md5('cms:b:' || d), 1, 15))::BIGINT
+        |    % 2147483647 AS cb
+        | FROM (SELECT unnest(generate_series(0, 3)) AS d)),
+        |cells AS (
+        | SELECT d, ((ca * h28 + cb) % 2147483647) % 256 AS bucket,
+        |  CAST(sum(cnt) AS BIGINT) AS cell
+        | FROM wh CROSS JOIN consts GROUP BY 1, 2),
+        |topk AS (
+        | SELECT term, cnt, h28 FROM wh
+        | ORDER BY cnt DESC, term LIMIT 20)
+        |SELECT term, exact_cnt, cms_est,
+        | cms_est - exact_cnt AS overestimate
+        |FROM (
+        | SELECT t.term, t.cnt AS exact_cnt, min(c.cell) AS cms_est
+        | FROM topk t CROSS JOIN consts k
+        | JOIN cells c ON c.d = k.d
+        |  AND c.bucket = ((k.ca * t.h28 + k.cb) % 2147483647) % 256
+        | GROUP BY 1, 2)
+        |ORDER BY exact_cnt DESC, term""".stripMargin,
+    "source_divergence" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split(lower(text), ' ')) AS term
+        | FROM documents),
+        |counts AS (
+        | SELECT source, term, count(*) AS cnt FROM tok
+        | WHERE term <> '' GROUP BY 1, 2),
+        |totals AS (
+        | SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+        | FROM counts GROUP BY 1),
+        |scaled AS (
+        | SELECT c.source, c.term, c.cnt * 1000000000 // t.tot AS p
+        | FROM counts c JOIN totals t USING (source)),
+        |mass AS (
+        | SELECT source, CAST(sum(p) AS BIGINT) AS mass
+        | FROM scaled GROUP BY 1),
+        |shared AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(sum((a.p - b.p) * (a.p - b.p) // (a.p + b.p)) AS BIGINT)
+        |    AS chi2_shared,
+        |  CAST(sum(a.p) AS BIGINT) AS shared_p,
+        |  CAST(sum(b.p) AS BIGINT) AS shared_q,
+        |  count(*) AS n_shared_terms
+        | FROM scaled a JOIN scaled b
+        |  ON a.term = b.term AND a.source < b.source
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT a.source AS source_a, a.mass AS mass_a,
+        |  b.source AS source_b, b.mass AS mass_b
+        | FROM mass a JOIN mass b ON a.source < b.source)
+        |SELECT source_a, source_b,
+        | coalesce(n_shared_terms, 0) AS n_shared_terms,
+        | coalesce(chi2_shared, 0) + (mass_a - coalesce(shared_p, 0))
+        |   + (mass_b - coalesce(shared_q, 0)) AS chi2_scaled,
+        | CAST(coalesce(chi2_shared, 0)
+        |   + (mass_a - coalesce(shared_p, 0))
+        |   + (mass_b - coalesce(shared_q, 0)) AS DOUBLE) / 1e9 AS chi2
+        |FROM pairs LEFT JOIN shared USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+    "pipeline_importance_sample" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  string_split(lower(text), ' ') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, source,
+        |  len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_uniq
+        | FROM t)
+        |SELECT doc_id, source, n_tokens,
+        | n_uniq * 1000000 // n_tokens AS weight_ppm,
+        | ('0x' || substr(md5('is:' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |   ::BIGINT % 1000000 AS u_ppm
+        |FROM w
+        |WHERE ('0x' || substr(md5('is:' || CAST(doc_id AS VARCHAR)), 1, 7))
+        |   ::BIGINT % 1000000 < n_uniq * 1000000 // n_tokens
+        |ORDER BY doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH tk AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),

@@ -134,4 +134,32 @@ object Sampling {
         .when(h2 < "f8", lit("val"))
         .otherwise(lit("test")).as("split"))
   }
+
+  /** Deterministic importance sampling: keep each document with
+    * probability equal to its quality weight (distinct-token ratio),
+    * by comparing an md5-uniform draw against the weight — Bernoulli
+    * thinning that up-weights clean text in the blend without any
+    * shuffle at all (pure narrow filter over the scan).
+    *
+    * Both sides of the comparison are integers: weight_ppm =
+    * (n_uniq * 1e6) div n_tokens, u_ppm = first 28 md5 bits of
+    * "is:"+doc_id mod 1e6 — so the kept set is bit-identical in any
+    * engine and stable under corpus growth (a doc's draw never
+    * depends on other docs — the same property splitAssign relies
+    * on). At 100 TB this composes with the scan: no state, no
+    * joins, partition-local. */
+  def importanceSample(docs: DataFrame): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      .withColumn("weight_ppm", expr("n_uniq * 1000000 div n_tokens"))
+      .withColumn("u_ppm",
+        conv(substring(md5(concat(lit("is:"),
+          col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+          % lit(1000000L))
+      .filter(col("u_ppm") < col("weight_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("weight_ppm"), col("u_ppm"))
+  }
 }

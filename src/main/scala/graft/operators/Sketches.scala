@@ -36,4 +36,92 @@ object Sketches {
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("exact_users"),
         countDistinct(col("value")).as("exact_values"))
+
+  /** Count-min-sketch heavy hitters over the md5 hash family, audited
+    * against exact counts. The CMS is the streaming-mergeable answer
+    * to "which terms dominate the corpus" when the vocabulary is too
+    * large to count exactly: depth×width counters (here 4×256 = 8 KB)
+    * absorb every token, and a term's estimate = min over depths of
+    * its counter — an overestimate, never an under.
+    *
+    * Cross-engine determinism: bucket(d, term) =
+    * ((a_d * h28 + b_d) mod (2^31-1)) mod width with
+    * h28 = first 7 hex chars of md5(term) and a_d/b_d themselves
+    * md5-derived (the same affine-rehash family as the MinHash
+    * kernels) — every value is BIGINT-safe (a_d < 2^31, h28 < 2^28 ⇒
+    * product < 2^59) and reproducible in any engine with md5().
+    *
+    * Scale shape: tokens are exact-counted FIRST (one shuffle on
+    * term — partial-aggregable), so the depth-fanout runs over the
+    * distinct-term frame, not the raw token stream; cells are a
+    * ≤ depth×width frame (broadcast), and the top-k probe is a
+    * narrow broadcast join. At 100 TB you'd feed the cells from a
+    * TypedImperativeAggregate instead of the term frame; the cell
+    * values — and therefore the estimates — would be identical.
+    *
+    * Result: (term, exact_cnt, cms_est, overestimate ≥ 0) for the
+    * top-k exact terms. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 256,
+                      k: Int = 20): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val withH = counts.withColumn("h28", md5Prefix28(col("term")))
+    val cells = withH
+      .select(col("cnt"), explode(cmsPairs(depth, width)).as("db"))
+      .select(col("db.d").as("d"), col("db.bucket").as("bucket"),
+        col("cnt"))
+      .groupBy("d", "bucket").agg(sum("cnt").as("cell"))
+    withH
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("cnt"),
+        explode(cmsPairs(depth, width)).as("db"))
+      .select(col("term"), col("cnt"), col("db.d").as("d"),
+        col("db.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("term", "cnt")
+      .agg(min("cell").as("cms_est"))
+      .select(col("term"), col("cnt").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overestimate"))
+  }
+
+  /** First 28 md5 bits of a string column — the SQL-auditable term
+    * hash (('0x' || substr(md5(term), 1, 7))::BIGINT). 28 bits keeps
+    * a_d * h28 < 2^59: BIGINT-safe in every engine. */
+  private[operators] def md5Prefix28(s: org.apache.spark.sql.Column) =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** The (d, bucket) pairs of a row's `h28` under the md5 affine
+    * family, as a literal struct array — join-free (the constants
+    * fold into codegen), so the SAME column works on a bounded frame
+    * and inside a streaming aggregation. */
+  private[operators] def cmsPairs(depth: Int, width: Int)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.Kernels
+    val P = 2147483647L // 2^31 - 1, the family's Mersenne modulus
+    array((0 until depth).map { d =>
+      val ca = 1L + Kernels.md5Prefix60("cms:a:" + d) % (P - 1)
+      val cb = Kernels.md5Prefix60("cms:b:" + d) % P
+      struct(lit(d.toLong).as("d"),
+        (((lit(ca) * col("h28") + lit(cb)) % P) % width).as("bucket"))
+    }: _*)
+  }
+
+  /** Streaming twin of the CMS cell build: the counters ARE the
+    * running aggregation state (depth×width rows forever — the
+    * sketch is its own state bound), incremented per token by
+    * Structured Streaming's incremental agg. After consuming the
+    * same documents, the cell frame equals the batch build's —
+    * asserted in StreamingSpec. */
+  def cmsCellsStream(docs: DataFrame, depth: Int = 4,
+                     width: Int = 256): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .where(col("term") =!= "")
+      .withColumn("h28", md5Prefix28(col("term")))
+      .select(explode(cmsPairs(depth, width)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell"))
 }

@@ -220,4 +220,74 @@ class Round4Spec extends AnyFunSuite {
       assert(again.exceptAll(out).count() === 0L)
     } finally out.unpersist()
   }
+
+  test("cmsHeavyHitters: estimates never undercount; width=1 collapses to total mass") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "hot hot hot hot cold warm", "en", "s1", 26L),
+      (2L, "hot hot mild cold", "en", "s1", 17L),
+      (3L, "hot warm mild", "en", "s1", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sketches.cmsHeavyHitters(docs, depth = 4, width = 256, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val byTerm = rows.map(t => t._1 -> t._2).toMap
+    assert(byTerm === Map("hot" -> 7L, "cold" -> 2L, "warm" -> 2L,
+      "mild" -> 2L))
+    // the CMS invariant: min-over-depths never undercounts
+    assert(rows.forall { case (_, exact, est) => est >= exact })
+    // width=1: every depth's single cell holds ALL 13 tokens, so
+    // every estimate is exactly the total mass — the degenerate
+    // upper bound, computed not assumed
+    val collapsed = Sketches
+      .cmsHeavyHitters(docs, depth = 4, width = 1, k = 10)
+      .collect()
+    assert(collapsed.forall(_.getLong(2) === 13L))
+  }
+
+  test("sourceDivergence: 0 for identical mixes, mass_a+mass_b for disjoint ones") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1 and s2: the same distribution {x: 2/3, y: 1/3}
+      (1L, "x x y", "en", "s1", 5L),
+      (2L, "x x y", "en", "s2", 5L),
+      // s3: disjoint vocabulary
+      (3L, "z z z", "en", "s3", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.sourceDivergence(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // identical: every (p-q) is 0, all mass shared
+    assert(out(("s1", "s2")) === ((2L, 0L)))
+    // disjoint pairs survive the join with n_shared = 0 and
+    // chi2 = mass_a + mass_b; each mass = 666666666 + 333333333
+    // (floor dust from the ppb scaling)
+    val disjointChi = 666666666L + 333333333L + 1000000000L
+    assert(out(("s1", "s3")) === ((0L, disjointChi)))
+    assert(out(("s2", "s3")) === ((0L, disjointChi)))
+  }
+
+  test("importanceSample keeps all-distinct docs always, and only u<w rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1", 7L),   // uniq ratio 1.0 → always kept
+      (2L, "a a a a", "en", "s1", 7L),   // 0.25 → kept iff u < 250000
+      (3L, "p q r s t", "en", "s1", 9L), // 1.0 → always kept
+      (4L, "b b", "en", "s1", 3L)        // 0.5 → kept iff u < 500000
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Sampling.importanceSample(docs).collect()
+    val kept = rows.map(_.getLong(0)).toSet
+    assert(Set(1L, 3L).subsetOf(kept))
+    assert(rows.forall(r => r.getLong(4) < r.getLong(3)))
+    // the draw matches the md5 definition exactly (independently
+    // recomputed here), so membership of docs 2 and 4 is a pure
+    // function, not chance
+    def u(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(("is:" + id).getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString.take(7), 16) % 1000000L
+    assert(kept.contains(2L) === (u(2L) < 250000L))
+    assert(kept.contains(4L) === (u(4L) < 500000L))
+  }
 }

@@ -576,4 +576,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(last === expected)
     } finally q.stop()
   }
+
+  test("streaming CMS cells equal the batch build over the same documents") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val qName = s"cms_${System.nanoTime()}"
+    val rows = Seq(
+      (1L, "hot hot hot hot cold warm", "en", "s1", 26L),
+      (2L, "hot hot mild cold", "en", "s1", 17L),
+      (3L, "hot warm mild", "en", "s1", 13L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.operators.Sketches
+      .cmsCellsStream(mem.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try {
+      // split across triggers so the counters accumulate, not reset
+      mem.addData(rows.take(2)); q.processAllAvailable()
+      mem.addData(rows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.operators.Sketches
+        .cmsCellsStream(rows.toDF(cols: _*)) // same plan, bounded input
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      // every depth's row of counters absorbs each token exactly once
+      val perDepth = streamed.groupBy(_._1._1).map { case (d, m) =>
+        d -> m.values.sum }
+      assert(perDepth === Map(0L -> 13L, 1L -> 13L, 2L -> 13L, 3L -> 13L))
+    } finally q.stop()
+  }
 }
