@@ -202,6 +202,14 @@ object SparkEntry {
       Relational.qPercentiles(s, d).orderBy("l_returnflag")),
     "q4_late_orders" -> ((s, d) =>
       Relational.q4LateOrders(s, d).orderBy("o_orderpriority")),
+    "dq_check" -> ((s, d) =>
+      Relational.dqCheck(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d)).orderBy("check_name")),
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pageRankTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))
+        .orderBy(col("rank_scaled").desc, col("n_name"))),
     "q7_volume_shipping" -> ((s, d) =>
       Relational.q7VolumeShipping(s, d)
         .withColumn("revenue", col("revenue").cast("double"))
@@ -1197,6 +1205,92 @@ object SparkEntry {
         |   WHERE l_orderkey = o_orderkey
         |   AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dq_check" ->
+      """SELECT * FROM (
+        | SELECT 'orders_fk_customer' AS check_name,
+        |  count(*) AS n_violations
+        | FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        | UNION ALL
+        | SELECT 'lineitem_fk_orders', count(*)
+        | FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        | UNION ALL
+        | SELECT 'lineitem_qty_range', CAST(coalesce(sum(CASE
+        |  WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 ELSE 0 END),
+        |  0) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem_discount_range', CAST(coalesce(sum(CASE
+        |  WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END),
+        |  0) AS BIGINT)
+        | FROM lineitem
+        | UNION ALL
+        | SELECT 'lineitem_pk_unique', CAST(coalesce(sum(cnt - 1), 0)
+        |  AS BIGINT)
+        | FROM (SELECT count(*) AS cnt FROM lineitem
+        |  GROUP BY l_orderkey, l_linenumber) WHERE cnt > 1
+        | UNION ALL
+        | SELECT 'orders_pk_unique', CAST(coalesce(sum(cnt - 1), 0)
+        |  AS BIGINT)
+        | FROM (SELECT count(*) AS cnt FROM orders
+        |  GROUP BY o_orderkey) WHERE cnt > 1
+        | UNION ALL
+        | SELECT 'orders_positive_total', CAST(coalesce(sum(CASE
+        |  WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        | FROM orders)
+        |ORDER BY check_name""".stripMargin,
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        | SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+        |  count(*) AS w
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | GROUP BY 1, 2),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+        | FROM e0 GROUP BY 1),
+        |edges AS (
+        | SELECT e0.src, e0.dst, e0.w * 1000000 // ow.ow AS frac_ppm
+        | FROM e0 JOIN ow USING (src)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+        |r0 AS (
+        | SELECT CAST(n_nationkey AS BIGINT) AS node,
+        |  1000000000000 // (SELECT n FROM nn) AS pr
+        | FROM nation),
+        |r1 AS (
+        | SELECT nd.node,
+        |  ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   + (coalesce(s.c, 0) * 85) // 100 AS pr
+        | FROM (SELECT node FROM r0) nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum((r.pr * e.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1) s
+        |  USING (node)),
+        |r2 AS (
+        | SELECT nd.node,
+        |  ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   + (coalesce(s.c, 0) * 85) // 100 AS pr
+        | FROM (SELECT node FROM r0) nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum((r.pr * e.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1) s
+        |  USING (node)),
+        |r3 AS (
+        | SELECT nd.node,
+        |  ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   + (coalesce(s.c, 0) * 85) // 100 AS pr
+        | FROM (SELECT node FROM r0) nd LEFT JOIN (
+        |  SELECT e.dst AS node,
+        |   CAST(sum((r.pr * e.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1) s
+        |  USING (node))
+        |SELECT nt.n_name, r.pr AS rank_scaled,
+        | CAST(r.pr AS DOUBLE) / 1e12 AS rank_norm
+        |FROM r3 r JOIN nation nt
+        | ON CAST(nt.n_nationkey AS BIGINT) = r.node
+        |ORDER BY rank_scaled DESC, n_name""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | year(l_shipdate) AS l_year,

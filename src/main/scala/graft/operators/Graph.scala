@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond clustering —
+  * [[Dedup.connectedComponents]] covers the equivalence side; this
+  * file holds iterative rank propagation. */
+object Graph {
+  /** Deterministic PageRank over the supplier-nation → customer-nation
+    * trade graph (edge weight = lineitem count between the nations).
+    * Fixed-point integer arithmetic end to end: ranks live at scale
+    * 1e12, edge transition fractions at ppm, damping 0.85 as the
+    * rational 85/100, every division an integer floor — so all
+    * engines compute bit-identical ranks, where a float PageRank's
+    * sum order would diverge by ulps. Per-edge term is
+    * (rank * frac_ppm) div 1e6 ≤ 1e12 BEFORE the sum, so no
+    * intermediate exceeds BIGINT anywhere.
+    *
+    * Scale shape: the expensive part is the ONE pass over the fact
+    * join building the edge frame (q7's join shape — broadcast dims,
+    * partial-aggregated to ≤ N² rows map-side); the iteration then
+    * runs entirely on that tiny frame (localCheckpointed like
+    * connectedComponents, so rounds never re-run the fact join).
+    * Dangling-node mass (a nation with no outbound trade) leaks, the
+    * standard simplification — ranks remain a centrality ORDER, not
+    * a distribution summing to 1. */
+  def pageRankTrade(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, iters: Int = 3): DataFrame = {
+    val S = 1000000000000L // rank scale
+    // dims unhinted (house broadcast policy): AQE broadcasts customer/
+    // supplier while they fit and falls back to shuffle joins at scale
+    val rawEdges = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = rawEdges.groupBy("src").agg(sum("w").as("ow"))
+    val edges = rawEdges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        expr("w * 1000000 div ow").as("frac_ppm"))
+      .localCheckpoint()
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    val n = nodes.count()
+    val base = ((S / n) * 15L) / 100L
+    var ranks = nodes.withColumn("pr", lit(S / n))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(pr * frac_ppm) div 1000000").as("term"))
+        .groupBy("node").agg(sum("term").as("c"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(c, 0L) * 85) div 100"))
+            .as("pr"))
+    }
+    ranks
+      .join(broadcast(nation),
+        ranks("node") === nation("n_nationkey").cast("long"))
+      .select(col("n_name"), col("pr").as("rank_scaled"),
+        (col("pr").cast("double") / lit(1e12)).as("rank_norm"))
+  }
+}

@@ -707,4 +707,53 @@ object Relational {
       .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
         max("o_totalprice").as("hi"))
   }
+
+  /** Data-quality audit: referential integrity, key uniqueness, and
+    * range invariants as ONE result table (check_name, n_violations) —
+    * the pre-ingest gate a production pipeline runs before publishing
+    * a snapshot. Per-table range checks share a single conditional-
+    * aggregate scan (no pass per rule); FK orphan checks are LEFT ANTI
+    * joins (shuffle on the key at scale, broadcast when the parent
+    * side is small — exactly the join the query itself would run, so
+    * the audit costs what one query costs); uniqueness = sum of
+    * (multiplicity - 1) over grouped keys, partial-aggregable. */
+  def dqCheck(lineitem: DataFrame, orders: DataFrame,
+              customer: DataFrame): DataFrame = {
+    def asRow(name: String, agg: DataFrame) =
+      agg.select(lit(name).as("check_name"),
+        coalesce(col("n"), lit(0L)).as("n_violations"))
+    val ordersFk = asRow("orders_fk_customer",
+      orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val lineitemFk = asRow("lineitem_fk_orders",
+      lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    // one shared scan for every lineitem range rule: aggregate once,
+    // unpivot the single row with stack (two result branches off the
+    // same frame would re-run the scan — exchange reuse dedupes
+    // shuffles, not the jobs above them)
+    val liRanges = lineitem.agg(
+      sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0,
+        1L).otherwise(0L)).as("qty"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1,
+        1L).otherwise(0L)).as("disc"))
+      .select(expr("stack(2, 'lineitem_qty_range', qty, " +
+        "'lineitem_discount_range', disc) AS (check_name, n_violations)"))
+    val liDup = asRow("lineitem_pk_unique",
+      lineitem.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(when(col("cnt") > 1L, col("cnt") - 1L)
+          .otherwise(0L)).as("n")))
+    val ordDup = asRow("orders_pk_unique",
+      orders.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+        .agg(sum(when(col("cnt") > 1L, col("cnt") - 1L)
+          .otherwise(0L)).as("n")))
+    val ordTotal = asRow("orders_positive_total",
+      orders.agg(sum(when(col("o_totalprice") <= 0.0, 1L)
+        .otherwise(0L)).as("n")))
+    ordersFk.unionAll(lineitemFk).unionAll(liRanges)
+      .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
+  }
 }

@@ -290,4 +290,53 @@ class Round4Spec extends AnyFunSuite {
     assert(kept.contains(2L) === (u(2L) < 250000L))
     assert(kept.contains(4L) === (u(4L) < 500000L))
   }
+
+  test("dqCheck counts every violation class on deliberately dirty tables") {
+    import spark.implicits._
+    // the sf tables are clean (all checks 0 at the driver gate), so
+    // the violation arithmetic must be proven on dirty data here
+    val orders = Seq(
+      (1L, 10L, 5.0),   // clean
+      (2L, 99L, -1.0),  // orphan custkey + non-positive total
+      (2L, 10L, 3.0)    // duplicate o_orderkey
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq(Tuple1(10L)).toDF("c_custkey")
+    val lineitem = Seq(
+      (1L, 1L, 10.0, 0.05), // clean
+      (1L, 1L, 60.0, 0.20), // dup (orderkey, linenumber) + qty + disc
+      (5L, 1L, 0.0, 0.05)   // orphan orderkey + qty=0
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val out = graft.operators.Relational
+      .dqCheck(lineitem, orders, customer)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "orders_fk_customer" -> 1L,
+      "lineitem_fk_orders" -> 1L,
+      "lineitem_qty_range" -> 2L,
+      "lineitem_discount_range" -> 1L,
+      "lineitem_pk_unique" -> 1L,
+      "orders_pk_unique" -> 1L,
+      "orders_positive_total" -> 1L))
+  }
+
+  test("pageRankTrade matches the hand-computed fixed-point recurrence") {
+    import spark.implicits._
+    // 2 nations, one edge 0→1 (weight 2): after one iteration
+    // r(B) = base + 0.85 * r0(A), r(A) = base (no inbound), with
+    // base = 15% of S/N — all in the op's exact integer arithmetic
+    val nation = Seq((0, "ALPHA"), (1, "BRAVO"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((100L, 0)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((200L, 1)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((1L, 200L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((1L, 100L), (1L, 100L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = graft.operators.Graph
+      .pageRankTrade(lineitem, orders, customer, supplier, nation,
+        iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = ((1000000000000L / 2) * 15) / 100 // 75e9
+    assert(out("ALPHA") === base)
+    assert(out("BRAVO") === base + (500000000000L * 85) / 100)
+  }
 }
