@@ -343,4 +343,31 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(wide.isEmpty, "text column crossed an exchange in snapshotDiff")
   }
+
+  test("importanceSample is a pure narrow filter: zero exchanges") {
+    val p = plan(Sampling.importanceSample(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), s"importance sample shuffled:\n$p")
+  }
+
+  test("CMS heavy hitters: cells and probe ride broadcast joins, one term shuffle") {
+    val p = plan(Sketches.cmsHeavyHitters(Tables.documents(spark, sf)))
+    // the term aggregation is the only hash exchange over data; the
+    // ≤ depth×width cells frame must come back as a broadcast, never
+    // a shuffle join against the top-k probe
+    assert(p.contains("BroadcastHashJoin"), s"cells join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ in CMS plan:\n$p")
+  }
+
+  test("pageRank iterations never re-run the fact join") {
+    val df = Graph.pageRankTrade(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf))
+    df.collect()
+    // the edge frame is localCheckpointed: the executed plan of the
+    // final query must contain scans of the checkpoint RDD, not of
+    // lineitem parquet (which would mean a fact re-read per round)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem.parquet"),
+      s"iteration plan still reads the fact table:\n$p")
+  }
 }
