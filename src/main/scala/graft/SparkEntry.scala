@@ -374,6 +374,11 @@ object SparkEntry {
     "sketch_cms_topk" -> ((s, d) =>
       Sketches.cmsHeavyHitters(docs(s, d))
         .orderBy(col("exact_cnt").desc, col("term"))),
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d))
+        .orderBy(col("n_ab").desc, col("bigram"))),
+    "source_diversity" -> ((s, d) =>
+      TextAnalysis.sourceDiversity(docs(s, d)).orderBy("source")),
     "source_divergence" -> ((s, d) =>
       TextAnalysis.sourceDivergence(docs(s, d))
         .orderBy("source_a", "source_b")),
@@ -2110,6 +2115,53 @@ object SparkEntry {
         |  AND c.bucket = ((k.ca * t.h28 + k.cb) % 2147483647) % 256
         | GROUP BY 1, 2)
         |ORDER BY exact_cnt DESC, term""".stripMargin,
+    "text_collocations" ->
+      """WITH tk AS (
+        | SELECT string_split(lower(text), ' ') AS t FROM documents),
+        |ucnt AS (
+        | SELECT term, count(*) AS cnt
+        | FROM (SELECT unnest(t) AS term FROM tk)
+        | WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM ucnt),
+        |bagg AS (
+        | SELECT bigram, count(*) AS n_ab FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tk WHERE len(t) >= 2)
+        | GROUP BY bigram),
+        |topk AS (
+        | SELECT bigram, n_ab,
+        |  string_split(bigram, ' ')[1] AS a,
+        |  string_split(bigram, ' ')[2] AS b
+        | FROM bagg
+        | WHERE string_split(bigram, ' ')[1] <> ''
+        |  AND string_split(bigram, ' ')[2] <> ''
+        | ORDER BY n_ab DESC, bigram LIMIT 20)
+        |SELECT t.bigram, t.n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+        | ((t.n_ab * 1000000) // ua.cnt) * (SELECT n_total FROM tot)
+        |   // ub.cnt AS lift_ppm
+        |FROM topk t
+        |JOIN ucnt ua ON ua.term = t.a
+        |JOIN ucnt ub ON ub.term = t.b
+        |ORDER BY n_ab DESC, bigram""".stripMargin,
+    "source_diversity" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split(lower(text), ' ')) AS term
+        | FROM documents),
+        |counts AS (
+        | SELECT source, term, count(*) AS cnt FROM tok
+        | WHERE term <> '' GROUP BY 1, 2),
+        |totals AS (
+        | SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+        | FROM counts GROUP BY 1),
+        |scaled AS (
+        | SELECT c.source, c.cnt * 1000000000 // t.tot AS p
+        | FROM counts c JOIN totals t USING (source))
+        |SELECT source, count(*) AS n_terms, max(p) AS top_share_ppb,
+        | 1000000000 - CAST(sum((p * p) // 1000000000) AS BIGINT)
+        |   AS gini_ppb
+        |FROM scaled GROUP BY source ORDER BY source""".stripMargin,
     "source_divergence" ->
       """WITH tok AS (
         | SELECT source,

@@ -291,6 +291,37 @@ class Round4Spec extends AnyFunSuite {
     assert(kept.contains(4L) === (u(4L) < 500000L))
   }
 
+  test("collocations: lift is the staged integer formula, hand-checked") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york new york", "en", "s1", 17L),
+      (2L, "a b", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.collocations(docs, k = 10)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // N = 6 tokens; "new york" occurs twice among consecutive pairs
+    // lift_ppm = ((n_ab*1e6) div n_a) * N div n_b
+    assert(out("new york") === ((2L, 2L, 2L, 3000000L)))
+    assert(out("york new") === ((1L, 2L, 2L, 1500000L)))
+    assert(out("a b") === ((1L, 1L, 1L, 6000000L)))
+  }
+
+  test("sourceDiversity: gini 0 for a one-token source, 1/2 for a uniform pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "only only only", "en", "mono", 14L),
+      (2L, "x y", "en", "duo", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.sourceDiversity(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out("mono") === ((1L, 1000000000L, 0L)))
+    assert(out("duo") === ((2L, 500000000L, 500000000L)))
+  }
+
   test("dqCheck counts every violation class on deliberately dirty tables") {
     import spark.implicits._
     // the sf tables are clean (all checks 0 at the driver gate), so
