@@ -307,6 +307,11 @@ object SparkEntry {
     "text_ngram_jaccard" -> ((s, d) =>
       TextAnalysis.ngramJaccard(docs(s, d))
         .orderBy("source", "doc1", "doc2")),
+    // provably identical result to text_ngram_jaccard (the oracle IS
+    // that query's oracle) from prefix-filtered candidates
+    "text_jaccard_prefix" -> ((s, d) =>
+      TextAnalysis.ngramJaccardPrefix(docs(s, d))
+        .orderBy("source", "doc1", "doc2")),
     "pipeline_filter" -> ((s, d) =>
       TextAnalysis.qualityFilterPipeline(docs(s, d)).orderBy("doc_id")),
     "pipeline_sample" -> ((s, d) =>
@@ -668,7 +673,13 @@ object SparkEntry {
     * query has an oracle: the LSH-family ops run the md5 ("auditable")
     * hash family whose buckets/signatures DuckDB re-derives exactly
     * (fixed seeds, string-min / scaled-integer arithmetic). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleBase +
+    // prefix-filtered candidates must reproduce the exact-join result
+    // bit for bit — the strongest possible gate is literally the same
+    // oracle
+    ("text_jaccard_prefix" -> oracleBase("text_ngram_jaccard"))
+
+  private lazy val oracleBase: Map[String, String] = Map(
     "rx_map" ->
       """SELECT event_id, user_id, value*2.5 AS scaled,
         | upper(event_type) AS tag,

@@ -322,6 +322,22 @@ class Round4Spec extends AnyFunSuite {
     assert(out("duo") === ((2L, 500000000L, 500000000L)))
   }
 
+  test("prefix-filtered Jaccard equals the full inverted-index join") {
+    // the All-Pairs prefix filter must be lossless: identical result
+    // set (pairs AND values) to the exact op on the real corpus, at
+    // a threshold high enough that pruning actually bites
+    val docs = Tables.documents(spark, sf)
+    for (t <- Seq(0.05, 0.3)) {
+      val full = TextAnalysis.ngramJaccard(docs, minJaccard = t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val pref = TextAnalysis.ngramJaccardPrefix(docs, minJaccard = t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(pref === full, s"prefix filter lost/invented pairs at t=$t")
+    }
+  }
+
   test("dqCheck counts every violation class on deliberately dirty tables") {
     import spark.implicits._
     // the sf tables are clean (all checks 0 at the driver gate), so
