@@ -31,6 +31,7 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
+        print(f"... {name}", file=sys.stderr, flush=True)
         try:
             got = norm(con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
