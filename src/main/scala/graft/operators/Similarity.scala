@@ -145,6 +145,64 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** Persist the IVF index: postings PARTITIONED BY centroid_id on
+    * disk — each inverted list is its own partition directory — next
+    * to the centroid table. This is what "build the index once"
+    * means at scale: [[ivfTopKRefined]] re-derives assignment per
+    * query batch; the persisted form pays the k-means + assignment
+    * scan once and every later probe reads only its nprobe
+    * directories (see [[ivfProbeIndex]]). */
+  def ivfWriteIndex(embs: DataFrame, dir: String, nlist: Int = 16,
+                    iters: Int = 3): Unit = {
+    val cents = kmeansCentroids(embs, nlist, iters)
+    assignCentroids(embs, cents)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(dir + "/postings")
+    cents.write.mode("overwrite").parquet(dir + "/centroids")
+  }
+
+  /** Probe the persisted IVF index: top-nprobe centroids per query,
+    * then ONLY those partition directories are listed and scanned —
+    * the probe's `centroid_id IN (...)` literal filter prunes at the
+    * file index (PartitionFilters, asserted in SurfaceSpec), the
+    * disk twin of "probe nprobe of nlist lists". The probe-set
+    * collect is nqueries×nprobe INDEX IDS (the lookup key, not
+    * data) — bounded by contract, like a partition predicate.
+    * Results are identical to [[ivfTopKRefined]] with the same
+    * build parameters (spec-asserted). */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, nprobe: Int = 4, k: Int = 5)
+      : DataFrame = {
+    val cents = spark.read.parquet(dir + "/centroids")
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", GraftFunctions.cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select("query_id", "q_emb", "centroid_id")
+    val probeIds = qprobes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    spark.read.parquet(dir + "/postings")
+      // filter on the raw inferred-int partition attribute FIRST (a
+      // cast above the filter can block PartitionFilters), then
+      // normalize to the long the probe side carries
+      .filter(col("centroid_id").isin(probeIds.map(_.toInt): _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .join(broadcast(qprobes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's
     * random-hyperplane LSH bucket plus every bucket within hamming
     * distance 1 (multi-probe: planes+1 probes per query — the

@@ -329,4 +329,33 @@ class SurfaceSpec extends AnyFunSuite {
       assert(q.lastProgress != null)
     } finally q.stop()
   }
+
+  test("persisted IVF index: probe prunes partitions and matches the inline result") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter(col("vec_id") < 10)
+    Similarity.ivfWriteIndex(embs, dir, nlist = 16, iters = 3)
+    val probed = Similarity.ivfProbeIndex(spark, dir, queries,
+      nprobe = 4, k = 5)
+    // identical results to the recompute-per-batch form with the
+    // same deterministic build (the index adds persistence, not a
+    // different answer)
+    val inline = Similarity.ivfTopKRefined(embs, queries,
+      nlist = 16, nprobe = 4, k = 5, iters = 3)
+    val a = probed.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    val b = inline.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "persisted probe diverged from the inline IVF")
+    // the probe must read ONLY its centroid directories: the scan
+    // carries a PartitionFilters entry on centroid_id, and the
+    // listed partition count is at most the probed id set
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(_.matches(""".*PartitionFilters: \[.*centroid_id.*\].*""")),
+      s"no partition filter on the postings scan:\n$plan")
+  }
 }
