@@ -753,4 +753,81 @@ object ReactiveStreams {
           out.iterator
       }
   }
+
+  /** Streaming resample + forward-fill: the unbounded twin of
+    * [[graft.operators.Reactive.rxResample]]. Emits each key's
+    * regular grid ticks (day-floored anchor, `stepMs` apart)
+    * carrying the last value at-or-before the tick — a tick is
+    * emitted exactly when it becomes FINAL, i.e. when the event-time
+    * watermark passes it (no earlier event can still arrive), via an
+    * event-time timer: a key with pending ticks wakes on watermark
+    * advance even if it never receives another event.
+    *
+    * State per key = the O(watermark-lag) buffer of not-yet-consumed
+    * events + the fill cursor — ticks and their feeding events leave
+    * state as the watermark passes, so state is bounded by lag, not
+    * by history. The grid ends at the key's latest SEEN event day
+    * (the batch twin's max(ts) bound): matching the batch result
+    * requires each key's first-delivered event to be its earliest —
+    * the same cross-trigger ordering caveat ewmaStream documents.
+    * Out-of-order arrival WITHIN the watermark is handled exactly
+    * (events buffer until their tick is final). */
+  case class GridTick(user_id: Long, grid_ms: Long,
+                      value: Option[Double])
+  case class ResampleSt(anchored: Boolean, nextGrid: Long,
+                        lastV: Double, hasLast: Boolean, maxSeen: Long,
+                        buf: Seq[(Long, Double, Long)])
+  def resampleStream(spark: SparkSession, events: DataFrame,
+                     stepMs: Long = 86400000L,
+                     watermark: String = "1 hour"): Dataset[GridTick] = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    events.withWatermark("ts", watermark)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ResampleSt, GridTick](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[ResampleSt]) =>
+          var st = state.getOption
+            .getOrElse(ResampleSt(false, 0L, 0.0, false, Long.MinValue,
+              Seq.empty))
+          val fresh = rows.map(e => (e.ts.getTime, e.value, e.event_id))
+            .toSeq
+          if (fresh.nonEmpty) {
+            val buf = (st.buf ++ fresh).sortBy(t => (t._1, t._3))
+            val mx = math.max(st.maxSeen, buf.map(_._1).max)
+            st =
+              if (!st.anchored) {
+                val t0 = buf.head._1 - buf.head._1 % dayMs
+                st.copy(anchored = true, nextGrid = t0, maxSeen = mx,
+                  buf = buf)
+              } else st.copy(maxSeen = mx, buf = buf)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer[GridTick]()
+          if (st.anchored) {
+            val gridEnd = st.maxSeen - st.maxSeen % dayMs
+            var buf = st.buf
+            var (lastV, hasLast) = (st.lastV, st.hasLast)
+            var g = st.nextGrid
+            // a tick is final once the watermark passes it: every
+            // event with ts <= tick has arrived (watermark contract)
+            while (g <= wm && g <= gridEnd) {
+              while (buf.nonEmpty && buf.head._1 <= g) {
+                lastV = buf.head._2; hasLast = true; buf = buf.tail
+              }
+              out += GridTick(uid, g, if (hasLast) Some(lastV) else None)
+              g += stepMs
+            }
+            st = st.copy(nextGrid = g, lastV = lastV, hasLast = hasLast,
+              buf = buf)
+            state.update(st)
+            // wake when the watermark passes the next pending tick;
+            // a fresh event past gridEnd extends the grid and re-arms
+            if (g <= gridEnd) state.setTimeoutTimestamp(g)
+          } else state.update(st)
+          out.iterator
+      }
+  }
 }

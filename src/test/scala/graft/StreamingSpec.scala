@@ -608,4 +608,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(perDepth === Map(0L -> 13L, 1L -> 13L, 2L -> 13L, 3L -> 13L))
     } finally q.stop()
   }
+
+  test("streaming resample: ticks finalize at the watermark and match the batch fill") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00")
+    val mem = MemoryStream[Ev]
+    val qName = s"resample_${System.nanoTime()}"
+    // 2-day watermark: the day-3 event arrives AFTER the day-4 event
+    // (out of order, within the lag) and must still feed day-4's tick
+    val t1 = Seq(Ev(1L, dayTs(0, 10), 1L, "m", 1.0),
+                 Ev(2L, dayTs(4, 9), 1L, "m", 9.0))
+    val t2 = Seq(Ev(3L, dayTs(3, 6), 1L, "m", 5.0))
+    val t3 = Seq(Ev(4L, dayTs(6, 1), 1L, "m", 7.0))
+    val q = ReactiveStreams
+      .resampleStream(spark, mem.toDF(), watermark = "2 days")
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      mem.addData(t1); q.processAllAvailable()
+      mem.addData(t2); q.processAllAvailable()
+      mem.addData(t3); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      // watermark is day6 01:00 - 2d => ticks day0..day4 are final
+      val dayMs = 86400000L
+      def d(i: Int) = Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00")
+        .getTime - 0L
+      assert(streamed.keySet === (0 to 4).map(d).toSet)
+      // and the values equal the batch twin's fill on the same events
+      val batch = graft.operators.Reactive
+        .rxResample((t1 ++ t2 ++ t3)
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      for (i <- 0 to 4)
+        assert(streamed(d(i)) === batch(d(i)),
+          s"tick day$i diverged from batch")
+      // the out-of-order day-3 event fed day-4's tick
+      assert(streamed(d(4)) === Some(5.0))
+    } finally q.stop()
+  }
 }
