@@ -1714,14 +1714,22 @@ object SparkEntry {
         |         string_split(lower(text), ' ')[i+1] || ' ' ||
         |         string_split(lower(text), ' ')[i+2])) AS sh
         | FROM documents
-        | WHERE len(string_split(lower(text), ' ')) >= 3)
-        |SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
-        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05
-        |ORDER BY a.source, doc1, doc2""".stripMargin,
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |common AS (
+        | SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        |  count(*) AS n_common
+        | FROM post a JOIN post b
+        |  ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3)
+        |SELECT source, doc1, doc2,
+        | CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+        |FROM common
+        |JOIN sz s1 ON s1.doc_id = doc1
+        |JOIN sz s2 ON s2.doc_id = doc2
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.05
+        |ORDER BY source, doc1, doc2""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE
         |sh AS (
@@ -1733,11 +1741,18 @@ object SparkEntry {
         |         string_split(lower(text), ' ')[i+2])) AS sh
         | FROM documents
         | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
         |pairs AS (
-        | SELECT a.doc_id AS doc1, b.doc_id AS doc2
-        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        | SELECT doc1, doc2 FROM (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM post a JOIN post b
+        |   ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) c
+        | JOIN sz s1 ON s1.doc_id = c.doc1
+        | JOIN sz s2 ON s2.doc_id = c.doc2
+        | WHERE CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) >= 0.2),
         |edges AS (
         | SELECT doc1 AS a, doc2 AS b FROM pairs
         | UNION ALL SELECT doc2, doc1 FROM pairs),
@@ -2662,11 +2677,18 @@ object SparkEntry {
         |         string_split(lower(text), ' ')[i+2])) AS sh
         | FROM documents
         | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
         |pairs AS (
-        | SELECT a.doc_id AS doc1, b.doc_id AS doc2
-        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+        | SELECT doc1, doc2 FROM (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM post a JOIN post b
+        |   ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) c
+        | JOIN sz s1 ON s1.doc_id = c.doc1
+        | JOIN sz s2 ON s2.doc_id = c.doc2
+        | WHERE CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) >= 0.2),
         |edges AS (
         | SELECT doc1 AS a, doc2 AS b FROM pairs
         | UNION ALL SELECT doc2, doc1 FROM pairs),
@@ -2846,13 +2868,22 @@ object SparkEntry {
         |         string_split(lower(text), ' ')[i+1] || ' ' ||
         |         string_split(lower(text), ' ')[i+2])) AS sh
         | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
         |pairs AS (
-        | SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2)
+        | SELECT c.source, c.doc1, c.doc2,
+        |  CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) AS jaccard
+        | FROM (
+        |  SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        |   count(*) AS n_common
+        |  FROM post a JOIN post b
+        |   ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3) c
+        | JOIN sz s1 ON s1.doc_id = c.doc1
+        | JOIN sz s2 ON s2.doc_id = c.doc2
+        | WHERE CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) >= 0.2)
         |SELECT p.source, doc1, doc2, p.jaccard,
         |  CAST(levenshtein(substring(lower(d1.text),1,64),
         |       substring(lower(d2.text),1,64)) AS BIGINT) AS edit64
