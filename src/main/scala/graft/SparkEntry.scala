@@ -634,6 +634,8 @@ object SparkEntry {
       Reactive.rxVariance(ev(s, d)).orderBy("user_id")),
     "rx_outliers" -> ((s, d) =>
       Reactive.rxOutliers(ev(s, d)).orderBy("event_id")),
+    "rx_outliers_mad" -> ((s, d) =>
+      Reactive.rxOutliersMad(ev(s, d)).orderBy("event_id")),
     "rx_trend_correlation" -> ((s, d) =>
       Reactive.rxTrendCorrelation(ev(s, d)).orderBy("user_id")),
     "profile_table" -> ((s, d) =>
@@ -1790,6 +1792,22 @@ object SparkEntry {
         |WHERE n >= 2 AND
         | (n * xi - sx) * (n * xi - sx) > 9 * (n * sxx - sx * sx)
         |ORDER BY event_id""".stripMargin,
+    "rx_outliers_mad" ->
+      """WITH med AS (
+        | SELECT user_id, quantile_cont(value, 0.5) AS med,
+        |  count(*) AS n
+        | FROM events GROUP BY user_id HAVING count(*) >= 2),
+        |mad AS (
+        | SELECT e.user_id,
+        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        | FROM events e JOIN med m USING (user_id)
+        | GROUP BY e.user_id)
+        |SELECT e.event_id, e.user_id, e.value, m.med, d.mad
+        |FROM events e
+        |JOIN med m ON e.user_id = m.user_id
+        |JOIN mad d ON e.user_id = d.user_id
+        |WHERE abs(e.value - m.med) > 4.4478 * d.mad
+        |ORDER BY e.event_id""".stripMargin,
     "lang_confusion" ->
       """SELECT labeled_lang, predicted_lang, count(*) AS n_docs
         |FROM (

@@ -981,6 +981,31 @@ object Reactive {
       .select("event_id", "user_id", "value")
   }
 
+  /** Robust per-key outliers via MAD (median absolute deviation):
+    * flag |x − median| > 4.4478 · MAD — the 3σ rule with σ's robust
+    * estimator (1.4826·MAD ≈ σ for normal data; 3·1.4826 pinned as
+    * ONE literal so both engines multiply identically). Unlike
+    * [[rxOutliers]], a single wild value cannot inflate the scale
+    * estimate and mask itself: median and MAD have a 50% breakdown
+    * point. Exact continuous percentiles (the gated house pattern);
+    * two shuffle rounds by necessity (MAD needs the median first),
+    * per-key stats broadcast back, keys with MAD = 0 flag every
+    * off-median value (degenerate but deterministic — documented).
+    * At 100 TB both medians swap for approx_percentile, same shape. */
+  def rxOutliersMad(events: DataFrame): DataFrame = {
+    val med = events.groupBy("user_id")
+      .agg(expr("percentile(value, 0.5)").as("med"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val withMed = events.join(broadcast(med), "user_id")
+    val mad = withMed.groupBy("user_id")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "user_id")
+      .filter(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("med"), col("mad"))
+  }
+
   /** Rolling median (robust trailing statistic): exact continuous
     * median over the trailing-n frame — the outlier-resistant twin
     * of [[rxRollingStats]]'s mean. Same single user_id shuffle; the

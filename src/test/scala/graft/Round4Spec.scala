@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Reactive, Sampling, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-4 curation ops: TF-IDF top terms, n-gram novelty scoring,
@@ -336,6 +336,26 @@ class Round4Spec extends AnyFunSuite {
           r.getDouble(3))).toSet
       assert(pref === full, s"prefix filter lost/invented pairs at t=$t")
     }
+  }
+
+  test("MAD outliers catch the spike that masks itself under 3-sigma") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one wild value among 8: it inflates sigma enough that its own
+    // z-score is sqrt(7) < 3 (rxOutliers stays silent — the masking
+    // problem), while median/MAD barely move and flag it
+    val vals = Seq(9.8, 9.9, 9.95, 10.0, 10.05, 10.1, 10.2, 1000.0)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+        1L, "m", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Reactive.rxOutliers(events).count() === 0L)
+    val mad = Reactive.rxOutliersMad(events).collect()
+    assert(mad.map(_.getDouble(2)).toSeq === Seq(1000.0))
+    // med = 10.025, mad = 0.1 (up to interpolation ulp — the DuckDB
+    // gate, not this test, owns bit-exactness)
+    assert(math.abs(mad.head.getDouble(3) - 10.025) < 1e-9)
+    assert(math.abs(mad.head.getDouble(4) - 0.1) < 1e-9)
   }
 
   test("dqCheck counts every violation class on deliberately dirty tables") {
