@@ -830,4 +830,83 @@ object ReactiveStreams {
           out.iterator
       }
   }
+
+  /** Streaming resample + LINEAR INTERPOLATION: the unbounded twin
+    * of [[graft.operators.Reactive.rxResampleInterp]]. A tick needs
+    * BOTH endpoints final: the last event at-or-before it (final
+    * once the watermark passes the tick) and the first event
+    * strictly after it (final once the watermark passes THAT event's
+    * time — no later arrival can slot in between, it would be below
+    * the watermark). So a tick emits when
+    * wm ≥ max(tick, next_event.ts); the tail-ffill row the batch
+    * twin emits for its very last tick has no streaming analogue (an
+    * unbounded stream can never prove "no further event"), so ticks
+    * pend until their right endpoint arrives — every EMITTED tick's
+    * value equals the batch twin's over the complete stream
+    * (spec-asserted, including an out-of-order right endpoint). The
+    * interpolation is the batch twin's exact IEEE op order:
+    * prv + (nxt − prv) · (tick − t_prv)/(t_nxt − t_prv). */
+  case class InterpTick(user_id: Long, grid_ms: Long, value: Double)
+  case class InterpSt(anchored: Boolean, nextGrid: Long,
+                      prvT: Long, prvV: Double, hasPrv: Boolean,
+                      buf: Seq[(Long, Double, Long)])
+  def resampleInterpStream(spark: SparkSession, events: DataFrame,
+                           stepMs: Long = 86400000L,
+                           watermark: String = "1 hour")
+      : Dataset[InterpTick] = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    events.withWatermark("ts", watermark)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[InterpSt, InterpTick](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[InterpSt]) =>
+          var st = state.getOption
+            .getOrElse(InterpSt(false, 0L, 0L, 0.0, false, Seq.empty))
+          val fresh = rows.map(e => (e.ts.getTime, e.value, e.event_id))
+            .toSeq
+          if (fresh.nonEmpty) {
+            val buf = (st.buf ++ fresh).sortBy(t => (t._1, t._3))
+            st =
+              if (!st.anchored)
+                st.copy(anchored = true,
+                  nextGrid = buf.head._1 - buf.head._1 % dayMs, buf = buf)
+              else st.copy(buf = buf)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer[InterpTick]()
+          if (st.anchored) {
+            var buf = st.buf
+            var (prvT, prvV, hasPrv) = (st.prvT, st.prvV, st.hasPrv)
+            var g = st.nextGrid
+            var blocked = false
+            while (!blocked && g <= wm) {
+              while (buf.nonEmpty && buf.head._1 <= g) {
+                prvT = buf.head._1; prvV = buf.head._2; hasPrv = true
+                buf = buf.tail
+              }
+              if (buf.isEmpty || buf.head._1 > wm) blocked = true
+              else {
+                val (nxtT, nxtV, _) = buf.head
+                val v =
+                  if (!hasPrv) nxtV
+                  else if (nxtT == prvT) prvV
+                  else prvV + (nxtV - prvV) *
+                    ((g - prvT).toDouble / (nxtT - prvT).toDouble)
+                out += InterpTick(uid, g, v)
+                g += stepMs
+              }
+            }
+            st = st.copy(nextGrid = g, prvT = prvT, prvV = prvV,
+              hasPrv = hasPrv, buf = buf)
+            state.update(st)
+            // re-arm for when the watermark reaches both endpoints
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(g, buf.head._1))
+          } else state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -652,4 +652,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(d(4)) === Some(5.0))
     } finally q.stop()
   }
+
+  test("streaming interp resample: emitted ticks equal the batch interpolation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00")
+    val mem = MemoryStream[Ev]
+    val qName = s"interp_${System.nanoTime()}"
+    val t1 = Seq(Ev(1L, dayTs(0, 10), 1L, "m", 10.0),
+                 Ev(2L, dayTs(4, 9), 1L, "m", 90.0))
+    val t2 = Seq(Ev(3L, dayTs(3, 6), 1L, "m", 50.0)) // out-of-order
+    val t3 = Seq(Ev(4L, dayTs(6, 1), 1L, "m", 70.0))
+    val q = ReactiveStreams
+      .resampleInterpStream(spark, mem.toDF(), watermark = "2 days")
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      mem.addData(t1); q.processAllAvailable()
+      mem.addData(t2); q.processAllAvailable()
+      mem.addData(t3); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      def d(i: Int) =
+        Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00").getTime
+      // wm = day6 01:00 - 2d = day4 01:00: day-4's right endpoint
+      // (day4 09:00) is past the watermark, so day4 pends; day0
+      // (head back-fill) .. day3 are final
+      assert(streamed.keySet === (0 to 3).map(d).toSet)
+      val batch = graft.operators.Reactive
+        .rxResampleInterp((t1 ++ t2 ++ t3)
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      for (i <- 0 to 3)
+        assert(streamed(d(i)) === batch(d(i)),
+          s"tick day$i diverged from batch interp")
+      // day1..day3 interpolate across the out-of-order day-3 event's
+      // segment [day0 10:00 -> day3 06:00]
+      assert(streamed(d(0)) === 10.0) // head back-fill from first event
+    } finally q.stop()
+  }
 }
