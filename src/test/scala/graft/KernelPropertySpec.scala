@@ -171,4 +171,33 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(ab >= -1.0000001 && ab <= 1.0000001)
     }
   }
+
+  test("property: CMS bucket family lands in range with distinct per-depth constants") {
+    import graft.functions.Kernels
+    val P = 2147483647L
+    val depth = 8; val width = 256
+    val consts = (0 until depth).map { d =>
+      (1L + Kernels.md5Prefix60("cms:a:" + d) % (P - 1),
+        Kernels.md5Prefix60("cms:b:" + d) % P)
+    }
+    // the affine constants must be pairwise distinct — identical
+    // depths would void the min-over-depths estimate
+    assert(consts.distinct.size === depth)
+    val words = sample(Gen.alphaNumStr.suchThat(_.nonEmpty), 300, 11L)
+    for (w <- words) {
+      val h28 = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString.take(7), 16)
+      assert(h28 >= 0 && h28 < (1L << 28))
+      for ((ca, cb) <- consts) {
+        // the arithmetic the SQL twin runs: every intermediate must
+        // stay BIGINT-positive and the bucket in [0, width)
+        val prod = ca * h28 + cb
+        assert(prod > 0 && prod < (1L << 60))
+        val bucket = (prod % P) % width
+        assert(bucket >= 0 && bucket < width)
+      }
+    }
+  }
 }
