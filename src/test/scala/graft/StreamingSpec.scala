@@ -653,6 +653,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming resample: an idle key's pending ticks fire on another key's watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dayTs(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00")
+    val mem = MemoryStream[Ev]
+    val qName = s"resample_timer_${System.nanoTime()}"
+    val q = ReactiveStreams
+      .resampleStream(spark, mem.toDF(), watermark = "0 seconds")
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // key 1: events on day0 and day2 — with wm at day2 08:00 its
+      // day-2 tick is final but nothing has emitted it yet when the
+      // trigger ends (wm advances AFTER the batch that carried the
+      // events); the EventTimeTimeout timer must fire it
+      mem.addData(Seq(Ev(1L, dayTs(0, 10), 1L, "m", 1.0),
+        Ev(2L, dayTs(2, 8), 1L, "m", 3.0)))
+      q.processAllAvailable()
+      // key 9 alone advances the global watermark; key 1 gets NO new
+      // rows — only its timer can produce the remaining ticks
+      mem.addData(Seq(Ev(3L, dayTs(9, 1), 9L, "m", 0.0)))
+      q.processAllAvailable()
+      val k1 = spark.table(qName).collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      def d(i: Int) =
+        Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00").getTime
+      assert(k1 === Map(
+        d(0) -> None,        // tick before the first event
+        d(1) -> Some(1.0),   // forward-fill from day0
+        d(2) -> Some(1.0)))  // day-2 event is at 08:00 > the tick
+    } finally q.stop()
+  }
+
   test("streaming interp resample: emitted ticks equal the batch interpolation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
