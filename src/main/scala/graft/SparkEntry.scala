@@ -289,6 +289,11 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ann_recall_audit" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.recallAudit(e, e.filter(col("vec_id") < 10))
+        .orderBy("query_id")
+    }),
     "ann_ivf" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10))
@@ -1642,6 +1647,60 @@ object SparkEntry {
         |  FROM cand)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "ann_recall_audit" ->
+      """WITH bq AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM bq, embeddings e WHERE e.vec_id <> bq.query_id),
+        |br AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        | FROM bs),
+        |ex AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e, cents c),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+        |qp AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS pr
+        |  FROM embeddings q, cents c WHERE q.vec_id < 10),
+        |probes AS (SELECT query_id, q_emb, centroid_id FROM qp WHERE pr <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    (list_sum(list_transform(list_zip(p.q_emb, a.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        |  FROM probes p JOIN a USING (centroid_id) WHERE a.vec_id <> p.query_id),
+        |ivr AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM cand),
+        |ap AS (SELECT query_id, neighbor_id FROM ivr WHERE rank <= 5),
+        |mm AS (
+        |  SELECT e.query_id, count(*) AS n_match
+        |  FROM ex e JOIN ap USING (query_id, neighbor_id) GROUP BY 1),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1)
+        |SELECT ne.query_id, coalesce(mm.n_match, 0) AS n_match,
+        | CAST(coalesce(mm.n_match, 0) AS DOUBLE) / ne.n_exact AS recall
+        |FROM ne LEFT JOIN mm ON mm.query_id = ne.query_id
+        |ORDER BY ne.query_id""".stripMargin,
     "media_near_dup" ->
       """WITH hx AS (
         |  SELECT doc_id AS vec_id, hex(encode(text)) AS hs,

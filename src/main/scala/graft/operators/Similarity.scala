@@ -145,6 +145,32 @@ object Similarity {
         col("cos_sim"))
   }
 
+  /** Recall audit: the ANN quality metric as a query — recall@k of
+    * the IVF probe against the exact brute-force top-k, per query.
+    * Both inputs are deterministic (tie-broken rankings), so recall
+    * is a hash-exact gated value, not a statistical estimate: the
+    * number a production index pipeline alerts on when a rebuild
+    * regresses it. Cost shape: the exact side is the audit's price —
+    * run it on a sampled query set (the queries frame IS that
+    * sample), never the full corpus. */
+  def recallAudit(embs: DataFrame, queries: DataFrame, k: Int = 5,
+                  nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val exact = bruteForceTopK(embs, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(embs, queries, nlist = nlist, nprobe = nprobe,
+        k = k)
+      .select(col("query_id"), col("neighbor_id"))
+    val matches = exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_match"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(matches, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (coalesce(col("n_match"), lit(0L)).cast("double") /
+          col("n_exact")).as("recall"))
+  }
+
   /** Persist the IVF index: postings PARTITIONED BY centroid_id on
     * disk — each inverted list is its own partition directory — next
     * to the centroid table. This is what "build the index once"

@@ -358,6 +358,23 @@ class Round4Spec extends AnyFunSuite {
     assert(math.abs(mad.head.getDouble(4) - 0.1) < 1e-9)
   }
 
+  test("recallAudit: probing every list is exact recall 1.0; narrower probes only lose") {
+    import graft.operators.Similarity
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter(col("vec_id") < 10)
+    // nprobe = nlist: the IVF candidate set IS the corpus, so the
+    // audit must read exactly 1.0 for every query — an identity, not
+    // a tolerance
+    val full = Similarity.recallAudit(embs, queries, nprobe = 16)
+      .collect()
+    assert(full.nonEmpty)
+    assert(full.forall(_.getDouble(2) === 1.0))
+    // default probe width: recall can only be <= the full probe's
+    val partial = Similarity.recallAudit(embs, queries)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(partial.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("dqCheck counts every violation class on deliberately dirty tables") {
     import spark.implicits._
     // the sf tables are clean (all checks 0 at the driver gate), so
