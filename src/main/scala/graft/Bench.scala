@@ -58,7 +58,9 @@ object Bench {
       "asof_join", "dedup_exact", "dedup_minhash_lsh", "dedup_cluster",
       "text_ngram_jaccard_capped", "text_bm25", "ann_bruteforce",
       "ann_ivf", "pipeline_filter", "q_bloom_join", "q_merge_upsert",
-      "rx_funnel", "rx_ewma", "media_near_dup", "pipeline_shard")
+      "rx_funnel", "rx_ewma", "media_near_dup", "pipeline_shard",
+      "graph_pagerank", "sketch_cms_topk", "dq_check",
+      "text_jaccard_prefix", "source_divergence")
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + r3(results(k)))
