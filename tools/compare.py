@@ -19,10 +19,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     return df
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
     con = duckdb.connect()
+    # large-SF oracles need out-of-core operators: without a temp
+    # directory an in-memory DuckDB cannot spill and one heavy query
+    # OOMs the whole gate
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='80GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+def main(sf_dir, out_dir):
+    con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
@@ -38,6 +47,13 @@ def main(sf_dir, out_dir):
             want = norm(con.execute(sql).df())
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
+            # an OOM poisons the session; rebuild it so one heavy
+            # oracle cannot cascade into every later comparison
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con(sf_dir)
             continue
         if list(got.columns) != list(want.columns):
             results[name] = f"SCHEMA: spark={list(got.columns)} oracle={list(want.columns)}"
