@@ -659,7 +659,47 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       MergeOps.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
         .orderBy("doc_id")
-    })
+    }),
+    "rx_session_capped" -> ((s, d) =>
+      Reactive.rxSessionCapped(ev(s, d))
+        .orderBy("user_id", "ts_ms", "event_id")),
+    "rx_funnel_windowed" -> ((s, d) =>
+      Reactive.rxFunnelWindowed(ev(s, d)).orderBy("user_id")),
+    "rx_weighted_median" -> ((s, d) =>
+      Reactive.rxWeightedMedian(ev(s, d)).orderBy("user_id")),
+    "graph_triangles" -> ((s, d) =>
+      Graph.trianglesTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d))
+        .orderBy("n1", "n2", "n3")),
+    "q_unpivot" -> ((s, d) =>
+      Relational.qUnpivot(s, d).orderBy("l_returnflag", "measure")),
+    "q_merge_scd2" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_acctbal"))
+      val closed = cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("bal"),
+          lit(0L).as("valid_from"), lit(50L).as("valid_to"))
+      val current = cust.select(col("c_custkey"),
+        col("c_acctbal").as("bal"),
+        when(col("c_custkey") % 4 === 0, 50L).otherwise(0L)
+          .as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val base = closed.unionByName(current)
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 6 === 0, col("c_acctbal"))
+            .otherwise(col("c_acctbal") + 100.0).as("bal"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + 100000000L).as("c_custkey"),
+            col("c_acctbal").as("bal")))
+      MergeOps.scd2Upsert(base, updates, "c_custkey", "bal", 100L)
+        .orderBy("c_custkey", "valid_from")
+    }),
+    "text_bigram_fluency" -> ((s, d) =>
+      TextAnalysis.bigramFluency(docs(s, d)).orderBy("doc_id")),
+    "search_hybrid_rrf" -> ((s, d) =>
+      Similarity.hybridRrf(docs(s, d), embs(s, d),
+        Seq("spark", "join", "window", "stream")).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3199,6 +3239,177 @@ object SparkEntry {
         |       WHEN o.text = n.text THEN 'same'
         |       ELSE 'changed' END AS change
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "rx_session_capped" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, t, rn,
+        |    CAST(1 AS BIGINT) AS session_id, t AS ss
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.t, e.rn,
+        |    CASE WHEN e.t - w.t > 1800000 OR e.t - w.ss > 7200000
+        |         THEN w.session_id + 1 ELSE w.session_id END,
+        |    CASE WHEN e.t - w.t > 1800000 OR e.t - w.ss > 7200000
+        |         THEN e.t ELSE w.ss END
+        |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, t AS ts_ms, session_id
+        |FROM w ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "rx_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t
+        |  FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END)
+        |  OVER (PARTITION BY user_id) AS t1 FROM ev),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |    AND t > t1 AND t <= t1 + 86400000 THEN t END)
+        |  OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |    AND t > t2 AND t <= t2 + 86400000 THEN t END)
+        |  OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT user_id, min(t1) AS view_ms, min(t2) AS click_ms,
+        |  min(t3) AS purchase_ms,
+        |  CAST(CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END
+        |     + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS reached_stage
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rx_weighted_median" ->
+      """WITH e AS (SELECT user_id, event_id, "value",
+        |  event_id % 10 + 1 AS wt FROM events),
+        |c AS (SELECT *,
+        |  sum(wt) OVER (PARTITION BY user_id ORDER BY "value", event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |  sum(wt) OVER (PARTITION BY user_id) AS total FROM e)
+        |SELECT user_id, min("value") AS w_median,
+        |  CAST(min(total) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= total
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "graph_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT
+        |    CAST(least(s.s_nationkey, c.c_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(s.s_nationkey, c.c_nationkey) AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey)
+        |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |FROM und e1
+        |JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+        |JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+        |ORDER BY n1, n2, n3""".stripMargin,
+    "q_unpivot" ->
+      """WITH g AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'quantity' AS measure, qty AS total FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'extendedprice', price FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'discount', disc FROM g
+        |UNION ALL
+        |SELECT l_returnflag, 'tax', tax FROM g
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q_merge_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_acctbal FROM customer),
+        |closed AS (SELECT c_custkey, c_acctbal + 50.0 AS bal,
+        |  CAST(0 AS BIGINT) AS vf, CAST(50 AS BIGINT) AS vt
+        | FROM cust WHERE c_custkey % 4 = 0),
+        |cur AS (SELECT c_custkey, c_acctbal AS bal,
+        |  CAST(CASE WHEN c_custkey % 4 = 0 THEN 50 ELSE 0 END AS BIGINT)
+        |    AS vf,
+        |  CAST(NULL AS BIGINT) AS vt FROM cust),
+        |base AS (SELECT * FROM closed UNION ALL SELECT * FROM cur),
+        |upd AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal
+        |       ELSE c_acctbal + 100.0 END AS u
+        | FROM cust WHERE c_custkey % 3 = 0
+        | UNION ALL
+        | SELECT c_custkey + 100000000 AS c_custkey, c_acctbal AS u
+        | FROM cust WHERE c_custkey % 10 = 0),
+        |merged AS (
+        | SELECT b.c_custkey, b.bal, b.vf, b.vt
+        | FROM base b LEFT JOIN upd u USING (c_custkey)
+        | WHERE NOT (b.vt IS NULL AND u.u IS NOT NULL AND u.u <> b.bal)
+        | UNION ALL
+        | SELECT b.c_custkey, b.bal, b.vf, CAST(100 AS BIGINT)
+        | FROM base b JOIN upd u USING (c_custkey)
+        | WHERE b.vt IS NULL AND u.u <> b.bal
+        | UNION ALL
+        | SELECT b.c_custkey, u.u, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        | FROM base b JOIN upd u USING (c_custkey)
+        | WHERE b.vt IS NULL AND u.u <> b.bal
+        | UNION ALL
+        | SELECT u.c_custkey, u.u, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        | FROM upd u
+        | WHERE u.c_custkey NOT IN (SELECT c_custkey FROM base))
+        |SELECT c_custkey, bal, vf AS valid_from, vt AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
+    "text_bigram_fluency" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |bi AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        | FROM (SELECT doc_id, tk,
+        |   unnest(generate_series(1, len(tk) - 1)) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        | FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+        | FROM c2 GROUP BY 1),
+        |model AS (SELECT w1, w2, c2 * 1000000 // c1 AS p_ppm
+        | FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS fluency_ppm
+        |FROM bi JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "search_hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+        |stats AS (SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE)/count(*)
+        |    AS avgdl, CAST(count(*) AS BIGINT) AS n FROM dl),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        |  WHERE t IN ('spark','join','window','stream') GROUP BY 1,2),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |   CAST(((n - df + 0.5)/(df + 0.5)) *
+        |        ((tf*2.2)/(tf + 1.2*(0.25 + 0.75*(dl/avgdl))))
+        |     AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25 FROM sc
+        |  GROUP BY 1),
+        |lex AS (SELECT doc_id, CAST(row_number()
+        |    OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |  FROM bm QUALIFY lex_rank <= 50),
+        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id AS doc_id,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |   * list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM embeddings e, q WHERE e.vec_id <> 0),
+        |vec AS (SELECT doc_id, CAST(row_number()
+        |    OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS vec_rank
+        |  FROM cs QUALIFY vec_rank <= 50)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+        |  CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+        |     + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
+        |    AS rrf_ppm
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -64,4 +64,68 @@ object Graph {
       .select(col("n_name"), col("pr").as("rank_scaled"),
         (col("pr").cast("double") / lit(1e12)).as("rank_norm"))
   }
+
+  /** Triangle enumeration over the undirected nation trade graph
+    * (an edge joins two nations with any lineitem trade in either
+    * direction). Triangles are the clustering/community primitive —
+    * the output is the sorted node triple set, one row per triangle.
+    *
+    * Scale shape: the classic compact-forward orientation — every
+    * undirected edge is oriented from the (degree, id)-SMALLER
+    * endpoint to the larger, so each wedge is enumerated at exactly
+    * one apex and the per-node fan-out in the wedge self-join is
+    * bounded by O(sqrt(|E|)) on any graph (arboricity bound) — a
+    * hub with degree m contributes min(m, sqrt E)² wedges instead of
+    * m². The closing check is one more equi-join on the oriented
+    * edge list. Node ids never carry payloads; the whole iteration
+    * frame is (src, dst) pairs. Orientation changes only the
+    * intermediate size — the emitted triple set is identical, so the
+    * oracle re-derives it with the plain id-ordered 3-way join. */
+  def trianglesTrade(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val raw = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = raw
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src strictly smaller in the total order
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n")))
+          .as("dstOrd"))
+    val e1 = oriented.select(col("src"), col("dst").as("b"),
+      col("dstOrd").as("bOrd"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"),
+      col("dstOrd").as("cOrd"))
+    val wedges = e1.join(e2, "src")
+      .filter(col("bOrd") < col("cOrd"))
+      .select(col("src").as("apex"), col("b"), col("c"))
+    // ord(b) < ord(c), so a closing edge {b,c} can only be stored
+    // oriented as b -> c: one equi-join, no symmetrized union
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    wedges.join(closing, Seq("b", "c"))
+      .select(least(col("apex"), col("b"), col("c")).as("n1"),
+        greatest(
+          least(col("apex"), col("b")),
+          least(col("apex"), col("c")),
+          least(col("b"), col("c"))).as("n2"),
+        greatest(col("apex"), col("b"), col("c")).as("n3"))
+  }
 }

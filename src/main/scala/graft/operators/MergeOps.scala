@@ -53,6 +53,50 @@ object MergeOps {
     joined.select((outKey +: outCols.toSeq :+ action): _*)
   }
 
+  /** SCD type-2 merge: history-preserving upsert. The base is a
+    * version history — (key, value, valid_from, valid_to NULL for
+    * the current row); `updates` carries one (key, value) per key
+    * effective at `asOf`. Semantics per key:
+    *  - value changed: the current row CLOSES (valid_to = asOf) and
+    *    a new current row (valid_from = asOf) appends;
+    *  - value unchanged or key absent from updates: history carries
+    *    through untouched;
+    *  - brand-new key: one new current row.
+    * Closed history rows always pass through unchanged — only each
+    * key's single current row can be affected, so the same
+    * unique-update-key precondition as [[upsert]] applies.
+    *
+    * Plan: ONE left join of base onto updates (only current rows can
+    * match by construction of the predicate) + a left-anti join for
+    * the inserts, both on the same key partitioning; the close/append
+    * fan-out is a 2-element array explode on changed rows only, a
+    * narrow generator. Bucket the base on the key and the production
+    * form is exchange-free on the history side, exactly as type-1. */
+  def scd2Upsert(base: DataFrame, updates: DataFrame, key: String,
+                 valueCol: String, asOf: Long): DataFrame = {
+    val u = updates.select(col(key), col(valueCol).as("u_value"))
+    val joined = base.join(u, Seq(key), "left")
+    val changed = col("valid_to").isNull && col("u_value").isNotNull &&
+      col("u_value") =!= col(valueCol)
+    val versions = joined.select(
+      col(key), explode(
+        when(changed, array(
+          struct(col(valueCol).as("v"), col("valid_from").as("vf"),
+            lit(asOf).as("vt")),
+          struct(col("u_value").as("v"), lit(asOf).as("vf"),
+            lit(null).cast("long").as("vt"))))
+        .otherwise(array(
+          struct(col(valueCol).as("v"), col("valid_from").as("vf"),
+            col("valid_to").as("vt"))))).as("r"))
+      .select(col(key), col("r.v").as(valueCol),
+        col("r.vf").as("valid_from"), col("r.vt").as("valid_to"))
+    val inserts = u.join(base.select(key).distinct(), Seq(key), "left_anti")
+      .select(col(key), col("u_value").as(valueCol),
+        lit(asOf).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    versions.unionByName(inserts)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Snapshot diff (CDC between two corpus versions): classify every
     * key as added / removed / changed / same by full-outer joining
     * the two snapshots and comparing an xxhash64 of the compared

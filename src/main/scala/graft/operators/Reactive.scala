@@ -1147,4 +1147,97 @@ object Reactive {
       events.groupBy("user_id").agg(aggs.head, aggs.tail: _*))(
       (df, t) => df.filter(col(s"last_$t").isNotNull))
   }
+
+  /** Capped sessionization: a new session opens on the first event,
+    * after a silence > `gapMs`, OR once the running session has
+    * lasted > `capMs` — the production form (analytics stacks cap
+    * session length so a bot pinging every minute can't hold one
+    * session open forever). The cap makes the assignment RECURSIVE —
+    * whether this event splits depends on when its session started,
+    * which depends on every earlier split — so no fixed window frame
+    * expresses it (`session_window` handles the gap only). Same
+    * sequential-scan shape as [[rxExhaustMap]]: `flatMapSortedGroups`
+    * secondary-sorts each key's events in the ONE user_id shuffle and
+    * a forward scan with two Longs of state assigns session ids.
+    * Only (user_id, event_id, ts) shuffles. Oracle = recursive CTE. */
+  def rxSessionCapped(events: DataFrame, gapMs: Long = 1800000L,
+                      capMs: Long = 7200000L): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("t"), col("event_id")) { (uid, it) =>
+        var sessionId = 0L
+        var sessStart = Long.MinValue
+        var prevT = Long.MinValue
+        it.map { case (_, eid, t) =>
+          if (sessionId == 0L || t - prevT > gapMs || t - sessStart > capMs) {
+            sessionId += 1; sessStart = t
+          }
+          prevT = t
+          (uid, eid, t, sessionId)
+        }
+      }
+      .toDF("user_id", "event_id", "ts_ms", "session_id")
+  }
+
+  /** Conversion funnel with a per-stage time window: click within
+    * `windowMs` of the first view, purchase within `windowMs` of that
+    * click — the form product analytics actually runs ("converted
+    * within 7 days"), vs [[rxFunnel]]'s unbounded ordering. Same
+    * plan shape: chained conditional-min windows sharing ONE user_id
+    * shuffle (consecutive WindowExecs, no self-joins); the stage-n
+    * anchor is a min over rows inside the previous anchor's window,
+    * so each stage is one more frame on the same sort. Anchors are
+    * epoch-ms mins (min is deterministic under ties). */
+  def rxFunnelWindowed(events: DataFrame,
+                       windowMs: Long = 86400000L): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events.select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("t"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("t"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("t") > col("t1") &&
+          col("t") <= col("t1") + windowMs, col("t"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("t") > col("t2") &&
+          col("t") <= col("t2") + windowMs, col("t"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("view_ms"), first("t2").as("click_ms"),
+        first("t3").as("purchase_ms"))
+      .select(col("user_id"), col("view_ms"), col("click_ms"),
+        col("purchase_ms"),
+        (when(col("view_ms").isNotNull, 1L).otherwise(0L) +
+          when(col("click_ms").isNotNull, 1L).otherwise(0L) +
+          when(col("purchase_ms").isNotNull, 1L).otherwise(0L))
+          .as("reached_stage"))
+  }
+
+  /** Per-key weighted median: the smallest value whose cumulative
+    * weight reaches half the key's total — the robust location
+    * estimate when observations carry importance (sample weights,
+    * trade sizes). Decision rule 2*cumw >= total runs in BIGINT
+    * (weights are integral here), so no borderline row can flip
+    * between engines. One user_id shuffle: the cumulative window and
+    * the final min_by collapse share the partitioning; total weight
+    * rides the same WindowExec as an unbounded frame, never a
+    * stats re-join. */
+  def rxWeightedMedian(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    events.select(col("user_id"), col("event_id"), col("value"),
+        (col("event_id") % 10 + 1).as("wt"))
+      .withColumn("cumw", sum(col("wt")).over(wOrd))
+      .withColumn("total", sum(col("wt")).over(wAll))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy("user_id")
+      .agg(min(col("value")).as("w_median"),
+        first(col("total")).as("total_weight"))
+  }
 }

@@ -756,4 +756,21 @@ object Relational {
     ordersFk.unionAll(lineitemFk).unionAll(liRanges)
       .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
   }
+
+  /** UNPIVOT (melt) — the inverse of [[qPivot]]: wide per-flag
+    * measure sums to long (l_returnflag, measure, value) rows via
+    * `stack`, a narrow generator on the already-aggregated frame
+    * (4 result rows per group row; the expensive part stays the ONE
+    * partial-aggregable scan-agg below it — never unpivot the fact
+    * first, which would quadruple the shuffle for identical sums). */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("price"),
+        sum(dec2(col("l_discount"))).cast("double").as("disc"),
+        sum(dec2(col("l_tax"))).cast("double").as("tax"))
+      .select(col("l_returnflag"), expr(
+        "stack(4, 'quantity', qty, 'extendedprice', price, " +
+          "'discount', disc, 'tax', tax) AS (measure, total)"))
 }

@@ -326,4 +326,46 @@ object Similarity {
       .select(col("vec_id"), col("qa.scale").as("scale"),
         col("qa.abs_err_scaled").as("abs_err_scaled"),
         col("qa.max_err_scaled").as("max_err_scaled"))
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a lexical (BM25)
+    * ranking and a vector (cosine) ranking — the standard RAG /
+    * training-data-retrieval pattern (dense recall + sparse
+    * precision beat either alone; RRF needs no score calibration
+    * because only RANKS enter the fusion). Each list is cut to its
+    * top `k`, then fused: rrf_ppm = Σ floor(1e6 / (60 + rank)) —
+    * integer arithmetic, so fusion is bit-stable across engines even
+    * though the underlying scores are doubles (ranks are
+    * deterministic: ties break on doc id).
+    *
+    * Plan: the two rankings are independent branches (each one
+    * partial-agg/scan pass over its table); each cuts to k rows via
+    * distributed TakeOrdered BEFORE ranking, so the rank windows run
+    * over k-row frames — bounded by construction, never a
+    * corpus-wide single-task sort. The fusion join is k-vs-k. */
+  def hybridRrf(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+                queryVecId: Long = 0L, k: Int = 50, rrfK: Int = 60)
+      : DataFrame = {
+    val lex = TextAnalysis.bm25(docs, terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("lex_rank"))
+    val q = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val vec = embs.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        GraftFunctions.cosine_sim(col("q_emb"), col("embedding"))
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id")))
+        .cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        (coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + vec_rank)"), lit(0L)))
+          .as("rrf_ppm"))
+  }
 }
