@@ -909,4 +909,53 @@ object ReactiveStreams {
           out.iterator
       }
   }
+
+  /** Streaming capped sessionization — unbounded twin of
+    * [[graft.operators.Reactive.rxSessionCapped]]. Each event is
+    * emitted with its session identity as it arrives (update-style
+    * append); the session identity is the session's START ms, not a
+    * counter — that makes eviction SAFE: once the watermark passes
+    * prev_t + gap, any future event is guaranteed a gap-split (it
+    * cannot be sub-watermark), so the state can be dropped via
+    * event-time timeout without ever mis-assigning a later event —
+    * a counter would restart after eviction, a start-ms identity
+    * cannot collide. State per key = (session_start, prev_t), two
+    * longs, evicted on idle; like the other recurrence ops, events
+    * are processed in event-time order within a trigger and the
+    * recurrence assumes cross-trigger delivery in order. */
+  case class SessionRow(user_id: Long, event_id: Long, ts_ms: Long,
+                        session_start_ms: Long)
+  def sessionCappedStream(spark: SparkSession, events: DataFrame,
+                          gapMs: Long = 1800000L,
+                          capMs: Long = 7200000L): Dataset[SessionRow] = {
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (ss, prevT) = state.getOption.getOrElse((-1L, -1L))
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .map { e =>
+                val t = e.ts.getTime
+                if (ss < 0 || t - prevT > gapMs || t - ss > capMs) ss = t
+                prevT = t
+                SessionRow(uid, e.event_id, t, ss)
+              }
+            state.update((ss, prevT))
+            // state is only needed while a non-gap continuation is
+            // still possible: evict once the watermark passes it
+            // (clamped: an event-time timeout must sit above the
+            // current watermark)
+            state.setTimeoutTimestamp(
+              math.max(prevT + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }

@@ -728,4 +728,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(d(0)) === 10.0) // head back-fill from first event
     } finally q.stop()
   }
+
+  test("streaming capped sessionization matches the batch twin's grouping") {
+    import spark.implicits._
+    // gap 30 min, cap 120 min: user 1 splits by cap at t=145min
+    // (29-min steps, no gap split); user 2 splits by gap at 31 min
+    val evs = Seq(
+      Ev(1, ts(0), 1, "m", 0), Ev(2, ts(29), 1, "m", 0),
+      Ev(3, ts(58), 1, "m", 0), Ev(4, ts(87), 1, "m", 0),
+      Ev(5, ts(116), 1, "m", 0), Ev(6, ts(145), 1, "m", 0),
+      Ev(10, ts(0), 2, "m", 0), Ev(11, ts(31), 2, "m", 0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs)
+    val qName = s"sess_${System.nanoTime()}"
+    val q = ReactiveStreams.sessionCappedStream(spark, mem.toDF(),
+        gapMs = 30 * 60000L, capMs = 120 * 60000L)
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toMap
+      // batch twin emits session counters; its per-session start ms
+      // must equal the stream's session identity
+      val batch = graft.operators.Reactive.rxSessionCapped(
+          evs.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          gapMs = 30 * 60000L, capMs = 120 * 60000L)
+        .withColumn("ss", min("ts_ms").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "session_id")))
+        .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming capped sessionization continues sessions across triggers " +
+      "and evicted keys reopen cleanly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val qName = s"sess2_${System.nanoTime()}"
+    val q = ReactiveStreams.sessionCappedStream(spark, mem.toDF(),
+        gapMs = 30 * 60000L, capMs = 120 * 60000L)
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(Ev(1, ts(0), 1, "m", 0)))
+      q.processAllAvailable()
+      // same session across the trigger boundary (20 < 30 min gap)
+      mem.addData(Seq(Ev(2, ts(20), 1, "m", 0)))
+      q.processAllAvailable()
+      // push the watermark far past prev_t + gap => state evicts;
+      // the next event must open a session at its own timestamp
+      mem.addData(Seq(Ev(90, ts(5000), 99, "wm", 0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(3, ts(6000), 1, "m", 0)))
+      q.processAllAvailable()
+      val rows = spark.table(qName).collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(3))).toMap
+      assert(rows(1L) === rows(2L), "cross-trigger continuation broke")
+      assert(rows(3L) === ts(6000).getTime, "post-eviction reopen broke")
+    } finally q.stop()
+  }
 }
