@@ -60,7 +60,8 @@ object Bench {
       "ann_ivf", "pipeline_filter", "q_bloom_join", "q_merge_upsert",
       "rx_funnel", "rx_ewma", "media_near_dup", "pipeline_shard",
       "graph_pagerank", "sketch_cms_topk", "dq_check",
-      "text_jaccard_prefix", "source_divergence")
+      "text_jaccard_prefix", "source_divergence",
+      "graph_triangles", "search_hybrid_rrf", "rx_session_capped")
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + r3(results(k)))

@@ -697,6 +697,11 @@ object SparkEntry {
     }),
     "text_bigram_fluency" -> ((s, d) =>
       TextAnalysis.bigramFluency(docs(s, d)).orderBy("doc_id")),
+    "q_equiwidth" -> ((s, d) =>
+      Relational.qEquiWidth(s, d).orderBy("bucket")),
+    "rx_rate_limit" -> ((s, d) =>
+      Reactive.rxRateLimit(ev(s, d))
+        .orderBy("user_id", "ts_ms", "event_id")),
     "search_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(docs(s, d), embs(s, d),
         Seq("spark", "join", "window", "stream")).orderBy("doc_id"))
@@ -3240,6 +3245,36 @@ object SparkEntry {
         |       ELSE 'changed' END AS change
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_equiwidth" ->
+      """WITH s AS (SELECT min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi FROM orders)
+        |SELECT least(CAST(9 AS BIGINT),
+        |    CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS BIGINT))
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(o_totalprice) AS b_min, max(o_totalprice) AS b_max
+        |FROM orders, s GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rx_rate_limit" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, t, rn,
+        |    TRUE AS admitted, CAST(2000000 AS BIGINT) AS tokens
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.t, e.rn,
+        |    least(3000000, w.tokens + (e.t - w.t) * 2) >= 1000000
+        |      AS admitted,
+        |    least(3000000, w.tokens + (e.t - w.t) * 2)
+        |      - CASE WHEN least(3000000, w.tokens + (e.t - w.t) * 2)
+        |               >= 1000000 THEN 1000000 ELSE 0 END AS tokens
+        |  FROM e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, t AS ts_ms, admitted,
+        |  tokens AS tokens_micro
+        |FROM w ORDER BY user_id, ts_ms, event_id""".stripMargin,
     "rx_session_capped" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS t,

@@ -1183,6 +1183,42 @@ object Reactive {
       .toDF("user_id", "event_id", "ts_ms", "session_id")
   }
 
+  /** Token-bucket rate limiting (admission control): each key's
+    * bucket holds up to `capacityTokens`, refilling continuously at
+    * `refillMicroPerMs` micro-tokens per ms; an event is ADMITTED if
+    * a full token (1e6 micro) is available and spends it. The
+    * production ingestion-throttle primitive — [[rxThrottleFirst]]
+    * is the degenerate bucket (capacity 1, bucket-aligned refill),
+    * this is the bursty general form. The recurrence (balance
+    * depends on every prior admission) is sequential per key by
+    * nature: `flatMapSortedGroups`, two longs of state, only
+    * (user_id, event_id, ts) shuffles. All-integer micro-token
+    * arithmetic ⇒ no borderline admission can flip between engines;
+    * oracle = recursive CTE. */
+  def rxRateLimit(events: DataFrame, capacityTokens: Int = 3,
+                  refillMicroPerMs: Long = 2L): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val capMicro = capacityTokens * 1000000L
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("t"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("t"), col("event_id")) { (uid, it) =>
+        var tokens = capMicro
+        var last = Long.MinValue
+        it.map { case (_, eid, t) =>
+          if (last != Long.MinValue)
+            tokens = math.min(capMicro, tokens + (t - last) * refillMicroPerMs)
+          last = t
+          val admitted = tokens >= 1000000L
+          if (admitted) tokens -= 1000000L
+          (uid, eid, t, admitted, tokens)
+        }
+      }
+      .toDF("user_id", "event_id", "ts_ms", "admitted", "tokens_micro")
+  }
+
   /** Conversion funnel with a per-stage time window: click within
     * `windowMs` of the first view, purchase within `windowMs` of that
     * click — the form product analytics actually runs ("converted

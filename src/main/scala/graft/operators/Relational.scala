@@ -708,6 +708,28 @@ object Relational {
         max("o_totalprice").as("hi"))
   }
 
+  /** Equi-WIDTH histogram — the profiling twin of [[qEquiDepth]]:
+    * fixed-width buckets over the [min, max] range (depth varies,
+    * width constant). Two-pass shape: the (min, max) pair broadcasts
+    * back over one partial-aggregable scan; bucketing is a fixed
+    * IEEE sequence ((x−lo)·nb)/(hi−lo) floored, identical across
+    * engines, with the x = max edge clamped into the last bucket.
+    * Unlike equi-depth there is no percentile pass — this is the
+    * O(1)-memory histogram a profiler runs first. */
+  def qEquiWidth(s: SparkSession, dir: String, nb: Int = 10): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_totalprice")
+    val stats = o.agg(min("o_totalprice").as("lo"),
+      max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(stats))
+      .select(col("o_totalprice"),
+        least(lit(nb - 1).cast("long"),
+          floor((col("o_totalprice") - col("lo")) * nb /
+            (col("hi") - col("lo")))).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("b_min"),
+        max("o_totalprice").as("b_max"))
+  }
+
   /** Data-quality audit: referential integrity, key uniqueness, and
     * range invariants as ONE result table (check_name, n_violations) —
     * the pre-ingest gate a production pipeline runs before publishing

@@ -910,6 +910,53 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming token-bucket rate limiter — unbounded twin of
+    * [[graft.operators.Reactive.rxRateLimit]]. State per key =
+    * (tokens_micro, last_t), two longs, with SAFE event-time-timeout
+    * eviction: once the watermark passes last_t + the full-refill
+    * horizon (cap/rate), any future event finds a saturated bucket —
+    * exactly the fresh-state initial condition — so dropping the
+    * state cannot change any admission decision. Same in-order
+    * delivery contract as the other recurrence ops. */
+  case class AdmitRow(user_id: Long, event_id: Long, ts_ms: Long,
+                      admitted: Boolean, tokens_micro: Long)
+  def rateLimitStream(spark: SparkSession, events: DataFrame,
+                      capacityTokens: Int = 3,
+                      refillMicroPerMs: Long = 2L): Dataset[AdmitRow] = {
+    import spark.implicits._
+    val capMicro = capacityTokens * 1000000L
+    val refillHorizonMs = capMicro / refillMicroPerMs + 1
+    events.withWatermark("ts", "10 minutes")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AdmitRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (tokens, last) =
+              state.getOption.getOrElse((capMicro, Long.MinValue))
+            val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .map { e =>
+                val t = e.ts.getTime
+                if (last != Long.MinValue)
+                  tokens = math.min(capMicro,
+                    tokens + (t - last) * refillMicroPerMs)
+                last = t
+                val admitted = tokens >= 1000000L
+                if (admitted) tokens -= 1000000L
+                AdmitRow(uid, e.event_id, t, admitted, tokens)
+              }
+            state.update((tokens, last))
+            state.setTimeoutTimestamp(math.max(last + refillHorizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming capped sessionization — unbounded twin of
     * [[graft.operators.Reactive.rxSessionCapped]]. Each event is
     * emitted with its session identity as it arrives (update-style

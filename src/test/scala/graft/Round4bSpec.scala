@@ -179,6 +179,52 @@ class Round4bSpec extends AnyFunSuite {
       (3L, -1L, 2L, 16129L)))
   }
 
+  test("rxRateLimit: bursts drain the bucket, refill restores admission") {
+    val sec = 1000L
+    // cap 3 tokens, refill 2 micro/ms = 1 token per 500 s.
+    // burst of 4 at t=0..3s: first 3 admitted (bucket empties), 4th
+    // rejected; at t=503s one token has refilled -> admitted again
+    val ev = evDf(Seq(
+      (1L, 1L, 0L), (2L, 1L, 1 * sec), (3L, 1L, 2 * sec),
+      (4L, 1L, 3 * sec), (5L, 1L, 503 * sec)))
+    val out = Reactive.rxRateLimit(ev)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true))
+  }
+
+  test("rxRateLimit: the bucket never exceeds capacity after long idling") {
+    val day = 86400000L
+    // a day of idle would refill 172.8 tokens uncapped; capacity
+    // clamps to 3, so a 4-burst still rejects the 4th
+    val ev = evDf(Seq(
+      (1L, 1L, 0L), (2L, 1L, day), (3L, 1L, day + 1), (4L, 1L, day + 2),
+      (5L, 1L, day + 3)))
+    val out = Reactive.rxRateLimit(ev)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false))
+  }
+
+  test("qEquiWidth buckets cover all rows and respect width bounds") {
+    val out = Relational.qEquiWidth(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total === Tables.orders(spark, sf).count())
+    val stats = Tables.orders(spark, sf)
+      .agg(min("o_totalprice"), max("o_totalprice")).head
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (hi - lo) / 10.0
+    out.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0 && b <= 9)
+      // each bucket's observed values sit inside its nominal range
+      // (right edge open except the last bucket)
+      assert(r.getDouble(2) >= lo + b * width - 1e-9)
+      assert(r.getDouble(3) <= lo + (b + 1) * width + 1e-9 ||
+        b == 9)
+    }
+  }
+
   test("rxSessionCapped shuffles once on user_id (secondary-sort scan)") {
     val p = Reactive.rxSessionCapped(Tables.events(spark, sf))
       .queryExecution.executedPlan.toString

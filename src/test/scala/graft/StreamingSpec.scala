@@ -792,4 +792,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(3L) === ts(6000).getTime, "post-eviction reopen broke")
     } finally q.stop()
   }
+
+  test("streaming rate limiter matches the batch twin across triggers; " +
+      "eviction equals a saturated bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val qName = s"rate_${System.nanoTime()}"
+    val q = ReactiveStreams.rateLimitStream(spark, mem.toDF())
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    // burst of 4 within a minute: 3 admitted, 4th rejected — split
+    // across two triggers so the recurrence crosses a batch boundary
+    val t1 = Seq(Ev(1, ts(0), 1, "m", 0), Ev(2, ts(1), 1, "m", 0))
+    val t2 = Seq(Ev(3, ts(2), 1, "m", 0), Ev(4, ts(3), 1, "m", 0))
+    try {
+      mem.addData(t1); q.processAllAvailable()
+      mem.addData(t2); q.processAllAvailable()
+      // push the watermark past the refill horizon => state evicts;
+      // the next event must see a FULL bucket (fresh-state identity)
+      mem.addData(Seq(Ev(90, ts(60000), 99, "wm", 0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(5, ts(70000), 1, "m", 0)))
+      q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getBoolean(3), r.getLong(4))).toSet
+      val batch = graft.operators.Reactive.rxRateLimit(
+          (t1 ++ t2 ++ Seq(Ev(5, ts(70000), 1, "m", 0)))
+            .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(1), r.getBoolean(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
