@@ -40,23 +40,20 @@ object Sources {
     * readable bounded (batch) or unbounded (file-source streaming,
     * one micro-batch per discovered file). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // same session-wide opt-in contract as Tables.events: set by
-    // GraftSession.builder, never mutated here as a read side effect
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is ns-precision: build the session with " +
-        "GraftSession.builder() or set spark.sql.legacy.parquet.nanosAsLong=true")
-    val nsSchema = StructType(eventSchema.fields.map {
-      case StructField("ts", _, n, m) => StructField("ts", LongType, n, m)
-      case f => f
-    })
-    // the streaming file source wants a directory; select the events
-    // file(s) from the sf directory by glob
-    spark.readStream.schema(nsSchema)
+    // The streaming file source needs a declared schema; probe the
+    // batch footer once (cheap, driver-side metadata read) to learn
+    // which ts encoding this testdata generation uses — native us
+    // timestamp, or legacy ns surfaced as LONG under
+    // spark.sql.legacy.parquet.nanosAsLong (set by GraftSession).
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val tsIsLong = fileSchema("ts").dataType == LongType
+    val stream = spark.readStream.schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong) stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream.withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** CSV/JSON ingest with explicit schema (schema inference is a

@@ -43,23 +43,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries ns-precision timestamps, which Spark 4
-    * rejects by default; read them as raw nanos and floor to the
-    * engine's native us precision (integer `div`, no double rounding).
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which
-    * GraftSession sets at construction. It is session-wide (it changes
-    * how ANY ns-precision parquet column in the session is surfaced,
-    * long instead of error), so it is deliberately NOT mutated here as
-    * a read side effect; sessions built elsewhere must opt in
-    * themselves. */
+  /** events.parquet has shipped in two encodings across testdata
+    * generations: `ts` as a native us-precision timestamp, and `ts`
+    * as ns-precision (which Spark 4 surfaces as a raw-nanos LONG
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * GraftSession at construction). Sniff the loaded schema and
+    * normalize both to the engine's native us timestamp — integer
+    * `div`, no double rounding, so the legacy path floors exactly. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is ns-precision: build the session with " +
-        "GraftSession.builder() or set spark.sql.legacy.parquet.nanosAsLong=true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      // NTZ → session-TZ timestamp: the engine standardizes on
+      // TimestampType (unix_millis etc. require it); session TZ is
+      // UTC so the wall-clock values are unchanged.
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
