@@ -309,6 +309,10 @@ object SparkEntry {
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.normalize(docs(s, d)).orderBy("doc_id")),
+    "dedup_normalized" -> ((s, d) =>
+      TextAnalysis.dedupNormalized(docs(s, d)).orderBy("content_hash")),
     "text_ngram_jaccard" -> ((s, d) =>
       TextAnalysis.ngramJaccard(docs(s, d))
         .orderBy("source", "doc1", "doc2")),
@@ -1811,6 +1815,24 @@ object SparkEntry {
         |   string_split(lower(text), ' '))), ' ')) AS content_fp,
         | md5(lower(trim(text))) AS exact_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // whitespace class is the explicit [ \t\n\r\f]+ on BOTH sides:
+    // Java's \s matches \x0B, RE2's does not
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS norm_text FROM documents)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_hash,
+        | CAST(length(text) AS BIGINT) AS len_raw,
+        | CAST(length(norm_text) AS BIGINT) AS len_norm,
+        | CAST(norm_text <> text AS BIGINT) AS is_changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "dedup_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS norm_text FROM documents)
+        |SELECT md5(norm_text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM n GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "text_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id, source,

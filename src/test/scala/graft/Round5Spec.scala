@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.sources.Tables
+
+/** Round-5 ops: canonical text normalization and normalized exact
+  * dedup. Exact semantics on constructed corpora; the driver gate
+  * additionally hash-compares each against its DuckDB oracle at
+  * sf0.01. */
+class Round5Spec extends AnyFunSuite {
+  import TestSession._
+
+  test("normalize strips markup, folds case, collapses whitespace runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   <b>World</b>", "en", "s1", 20L),
+      (2L, "hello world", "en", "s1", 11L),
+      (3L, "line one\n\tline  two ", "en", "s1", 20L),
+      (4L, "untouched", "en", "s1", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.normalize(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(5)))
+      .toSet
+    assert(out === Set(
+      (1L, "hello world", 1L),
+      (2L, "hello world", 0L),
+      (3L, "line one line two", 1L),
+      (4L, "untouched", 0L)))
+  }
+
+  test("normalize keeps \\x0B intact: the explicit class, not Java's \\s") {
+    import spark.implicits._
+    // Java \s matches \x0B, RE2's does not; the op pins the RE2-safe
+    // explicit class so the oracle agrees byte-for-byte
+    val docs = Seq((1L, "a\u000Bb", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val norm = TextAnalysis.normalize(docs).select("norm_text").head.getString(0)
+    assert(norm === "a\u000Bb")
+  }
+
+  test("dedupNormalized clusters case/markup/spacing variants; exact dedup does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "The  Quick <i>Fox</i>", "en", "s1", 21L),
+      (11L, "the quick fox", "en", "s1", 13L),
+      (12L, "THE QUICK FOX", "en", "s1", 13L),
+      (13L, "another doc", "en", "s1", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val clusters = TextAnalysis.dedupNormalized(docs)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(clusters === Set((10L, 3L), (13L, 1L)))
+    // exact dedup's lower(trim()) folds case (11≡12) but not markup
+    // or inner spacing, so it still sees 3 distinct contents
+    assert(graft.operators.Dedup.exact(docs).count() === 3L)
+  }
+
+  test("normalize/dedupNormalized stay shuffle-minimal on the real table") {
+    val docs = Tables.documents(spark, sf)
+    // per-doc normalization is a pure map: zero exchanges
+    val normPlan = TextAnalysis.normalize(docs)
+      .queryExecution.executedPlan.toString
+    assert(!normPlan.contains("Exchange"),
+      s"normalize shuffled:\n$normPlan")
+    // normalized dedup shuffles exactly once (the content-hash agg);
+    // text itself never rides the exchange — only (hash, doc_id)
+    val dedupPlan = TextAnalysis.dedupNormalized(docs)
+      .queryExecution.executedPlan.toString
+    assert(dedupPlan.split("Exchange").length - 1 === 1,
+      s"dedupNormalized should shuffle exactly once:\n$dedupPlan")
+    assert(!dedupPlan.linesIterator
+        .filter(_.contains("Exchange")).mkString.contains("norm_text"),
+      "normalized text must not ride the shuffle")
+  }
+}
