@@ -388,6 +388,8 @@ object SparkEntry {
     "sketch_cms_topk" -> ((s, d) =>
       Sketches.cmsHeavyHitters(docs(s, d))
         .orderBy(col("exact_cnt").desc, col("term"))),
+    "sketch_quantiles" -> ((s, d) =>
+      Sketches.quantileSketch(docs(s, d)).orderBy("source")),
     "text_collocations" -> ((s, d) =>
       TextAnalysis.collocations(docs(s, d))
         .orderBy(col("n_ab").desc, col("bigram"))),
@@ -2251,6 +2253,20 @@ object SparkEntry {
         | FROM r GROUP BY source)
         |SELECT e.source, e.n_exact, s.n_est
         |FROM ex e JOIN est s USING (source) ORDER BY source""".stripMargin,
+    "sketch_quantiles" ->
+      """WITH s AS (
+        | SELECT source, n_chars FROM (
+        |  SELECT source, n_chars,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 256),
+        |a AS (SELECT source, list_sort(list(n_chars)) AS vals,
+        |  count(*) AS sample_m FROM s GROUP BY source)
+        |SELECT source, sample_m,
+        | vals[CAST(greatest(1, ceil(sample_m * 0.5)) AS BIGINT)] AS est_p50,
+        | vals[CAST(greatest(1, ceil(sample_m * 0.9)) AS BIGINT)] AS est_p90,
+        | vals[CAST(greatest(1, ceil(sample_m * 0.99)) AS BIGINT)] AS est_p99
+        |FROM a ORDER BY source""".stripMargin,
     "sketch_cms_topk" ->
       """WITH tok AS (
         | SELECT unnest(string_split(lower(text), ' ')) AS term

@@ -109,6 +109,37 @@ object Sketches {
     }: _*)
   }
 
+  /** Mergeable bottom-k sample quantiles over the md5 family — the
+    * deterministic cousin of a KLL/t-digest, inside the hash-exact
+    * gate like [[graft.functions.KmvSketch]]: the per-key state is
+    * the k rows with the smallest md5(id) (a uniform fixed-size
+    * sample, mergeable by keep-k-smallest like KMV), and the
+    * quantile estimate is the ceil(q·m)-th order statistic of the
+    * sample. Any engine with md5() re-derives the identical sample
+    * and therefore the identical estimates — impossible for
+    * percentile_approx, whose t-digest is implementation-defined.
+    *
+    * Scale shape: [[Sampling.samplePerKey]]'s one shuffle on the key
+    * (window top-k never materializes a full per-key sort beyond the
+    * shuffle's own ordering); the sort_array/element_at finish runs
+    * on ≤ k values per key. Audit it against the exact twin
+    * (`source_percentiles`) exactly like sketch_distinct audits
+    * count_distinct. */
+  def quantileSketch(docs: DataFrame, k: Int = 256,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val sample = Sampling.samplePerKey(docs, "source", "doc_id", k)
+    val agged = sample.groupBy("source").agg(
+      sort_array(collect_list(col("n_chars"))).as("vals"),
+      count(lit(1)).as("sample_m"))
+    val ests = qs.map { q =>
+      val tag = (q * 100).round.toInt
+      element_at(col("vals"),
+        greatest(lit(1L), ceil(col("sample_m") * lit(q)))
+          .cast("int")).as(s"est_p$tag")
+    }
+    agged.select(col("source") +: col("sample_m") +: ests: _*)
+  }
+
   /** Streaming twin of the CMS cell build: the counters ARE the
     * running aggregation state (depth×width rows forever — the
     * sketch is its own state bound), incremented per token by

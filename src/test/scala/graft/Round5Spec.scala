@@ -56,6 +56,38 @@ class Round5Spec extends AnyFunSuite {
     assert(graft.operators.Dedup.exact(docs).count() === 3L)
   }
 
+  test("quantileSketch: bottom-k samples merge losslessly (KMV property)") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val k = 32
+    // the k-smallest-md5 sample of the whole corpus equals re-sampling
+    // the union of per-half samples: fixed-size mergeable state, the
+    // property that lets 1000 executors each keep k rows and a final
+    // reduce recover the exact global sample
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Sampling.samplePerKey(
+      Sampling.samplePerKey(half1, "source", "doc_id", k)
+        .unionByName(Sampling.samplePerKey(half2, "source", "doc_id", k)),
+      "source", "doc_id", k)
+      .select("source", "doc_id")
+    val whole = Sampling.samplePerKey(docs, "source", "doc_id", k)
+      .select("source", "doc_id")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("quantileSketch estimates are ordered ranks inside the value range") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sf)
+    val out = Sketches.quantileSketch(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99,
+        s"quantile estimates must be monotone: $r")
+    }
+  }
+
   test("normalize/dedupNormalized stay shuffle-minimal on the real table") {
     val docs = Tables.documents(spark, sf)
     // per-doc normalization is a pure map: zero exchanges
