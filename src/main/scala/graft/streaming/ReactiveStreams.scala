@@ -354,6 +354,49 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Sketches.quantileSketch]]:
+    * per-key state is the bottom-k (md5(id), id, value) triples —
+    * bounded FOREVER like the KMV sketch, merging new rows by
+    * keep-k-smallest — and the emitted estimates are the
+    * ceil(q·m)-th order statistics of that sample. The md5 hex
+    * ordering is byte-identical to the batch op's (lowercase hex is
+    * ASCII, so String ordering = UTF8 binary ordering), so after
+    * consuming the same documents the stream's last emission per key
+    * EQUALS the batch sketch — asserted in StreamingSpec. */
+  case class DocIn(doc_id: Long, source: String, n_chars: Long)
+  case class QuantRow(source: String, sample_m: Long, est_p50: Long,
+                      est_p90: Long, est_p99: Long)
+  def quantileSketchStream(spark: SparkSession, docs: DataFrame,
+                           k: Int = 256): Dataset[QuantRow] = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "source", "n_chars").as[DocIn]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[List[(String, Long, Long)], QuantRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[DocIn],
+         state: GroupState[List[(String, Long, Long)]]) =>
+          val incoming = rows.map(d =>
+            (md5HexAscii(d.doc_id.toString), d.doc_id, d.n_chars)).toList
+          val kept = (state.getOption.getOrElse(Nil) ++ incoming)
+            .sortBy(t => (t._1, t._2)).take(k)
+          state.update(kept)
+          val vals = kept.map(_._3).sorted.toArray
+          val m = vals.length
+          def est(q: Double): Long =
+            vals(math.max(1L, math.ceil(m * q).toLong).toInt - 1)
+          Iterator.single(QuantRow(src, m.toLong,
+            est(0.5), est(0.9), est(0.99)))
+      }
+  }
+
+  private def md5HexAscii(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
+    sb.toString
+  }
+
   /** Streaming twin of Dedup.incrementalNew: admit an incoming
     * document only if its content fingerprint is absent from the
     * static corpus (stream-static left-anti join — the corpus side

@@ -577,6 +577,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch equals the batch sketch over the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Long)]
+    val qName = s"qsk_${System.nanoTime()}"
+    // 40 docs across 2 sources, k=8 < per-source count so the
+    // bottom-k sample actually evicts; split across two triggers to
+    // force the state merge path
+    val rows = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "s1" else "s2", (i * 7 % 23).toLong))
+    val q = ReactiveStreams.quantileSketchStream(spark,
+        mem.toDF().toDF("doc_id", "source", "n_chars"), k = 8)
+      .toDF().writeStream.format("memory").queryName(qName)
+      .outputMode("update").start()
+    try {
+      mem.addData(rows.take(25)); q.processAllAvailable()
+      mem.addData(rows.drop(25)); q.processAllAvailable()
+      val streamed = spark.table(qName)
+        .withColumn("seq", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1)
+        .select("source", "sample_m", "est_p50", "est_p90", "est_p99")
+      val batch = graft.operators.Sketches.quantileSketch(
+        rows.toDF("doc_id", "source", "n_chars"), k = 8)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        s"stream=${streamed.collect().mkString} batch=${batch.collect().mkString}")
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch build over the same documents") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
