@@ -2,13 +2,16 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+         [--only=a,b] [--skip=a,b]
+(GRAFT_ORACLE_MEM overrides the 48GB DuckDB memory cap; per-query
+verdicts stream to stderr so a crash keeps earlier evidence)
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 oracle SQL from <verifyOutDir>/oracle_sql.json against DuckDB views
 over <sfDir>/*.parquet, and compares schema + values exactly
 (order-sensitive AND as sorted multisets, columns sorted by name).
 """
-import json, sys, glob
+import json, os, sys, glob, time
 import duckdb
 import pandas as pd
 
@@ -23,28 +26,65 @@ def fresh_con(sf_dir):
     con = duckdb.connect()
     # large-SF oracles need out-of-core operators: without a temp
     # directory an in-memory DuckDB cannot spill and one heavy query
-    # OOMs the whole gate
+    # OOMs the whole gate. The cap must leave headroom below the
+    # BOX's memory: at 80GB one allocation spike killed the PROCESS
+    # (unrecoverable, unlike the in-limit OutOfMemoryException that
+    # the per-query rebuild handles), so default lower and make it
+    # overridable.
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='80GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_ORACLE_MEM", "48GB"))
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None, skip=None):
     con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+    if skip:
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     results = {}
-    for name in sorted(oracle):
-        sql = oracle[name]
+
+    def check(name, sql):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            results[name] = "NO_SPARK_OUTPUT"
-            continue
+            return "NO_SPARK_OUTPUT"
+        got = norm(con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+        want = norm(con.execute(sql).df())
+        if list(got.columns) != list(want.columns):
+            return f"SCHEMA: spark={list(got.columns)} oracle={list(want.columns)}"
+        note = ""
+        if got.dtypes.astype(str).tolist() != want.dtypes.astype(str).tolist():
+            # keep going; value compare may still pass
+            note = (f"DTYPES: spark={got.dtypes.astype(str).tolist()} "
+                    f"oracle={want.dtypes.astype(str).tolist()}")
+        if len(got) != len(want):
+            return f"ROWS: spark={len(got)} oracle={len(want)}"
+        if got.equals(want):
+            return note + " (values OK in-order)" if note else "OK"
+        # order-insensitive compare
+        g2 = got.sort_values(by=list(got.columns), ignore_index=True)
+        w2 = want.sort_values(by=list(want.columns), ignore_index=True)
+        if g2.equals(w2):
+            return note + " ORDER_ONLY_MISMATCH"
+        # find first differing cell
+        diff_desc = []
+        for c in got.columns:
+            if not got[c].equals(want[c]):
+                neq = (got[c] != want[c]) & ~(got[c].isna() & want[c].isna())
+                idx = neq[neq].index[:3].tolist()
+                for i in idx:
+                    diff_desc.append(f"{c}[{i}]: spark={got[c][i]!r} oracle={want[c][i]!r}")
+        return "VALUES: " + "; ".join(diff_desc[:6])
+
+    for name in sorted(oracle):
         print(f"... {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
         try:
-            got = norm(con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
-            want = norm(con.execute(sql).df())
+            results[name] = check(name, oracle[name])
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
             # an OOM poisons the session; rebuild it so one heavy
@@ -54,39 +94,16 @@ def main(sf_dir, out_dir):
             except Exception:
                 pass
             con = fresh_con(sf_dir)
-            continue
-        if list(got.columns) != list(want.columns):
-            results[name] = f"SCHEMA: spark={list(got.columns)} oracle={list(want.columns)}"
-            continue
-        if got.dtypes.astype(str).tolist() != want.dtypes.astype(str).tolist():
-            results[name] = (f"DTYPES: spark={got.dtypes.astype(str).tolist()} "
-                             f"oracle={want.dtypes.astype(str).tolist()}")
-            # keep going; value compare may still pass
-        if len(got) != len(want):
-            results[name] = f"ROWS: spark={len(got)} oracle={len(want)}"
-            continue
-        if got.equals(want):
-            results[name] = results.get(name, "OK")
-            if results[name] != "OK":
-                results[name] += " (values OK in-order)"
-            continue
-        # order-insensitive compare
-        g2 = got.sort_values(by=list(got.columns), ignore_index=True)
-        w2 = want.sort_values(by=list(want.columns), ignore_index=True)
-        if g2.equals(w2):
-            results[name] = results.get(name, "") + " ORDER_ONLY_MISMATCH"
-            continue
-        # find first differing cell
-        diff_desc = []
-        for c in got.columns:
-            if not got[c].equals(want[c]):
-                neq = (got[c] != want[c]) & ~(got[c].isna() & want[c].isna())
-                idx = neq[neq].index[:3].tolist()
-                for i in idx:
-                    diff_desc.append(f"{c}[{i}]: spark={got[c][i]!r} oracle={want[c][i]!r}")
-        results[name] = "VALUES: " + "; ".join(diff_desc[:6])
-    # rows-only queries (no oracle)
-    all_outs = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if "." not in p.split("/")[-1]}
+        # incremental verdict: a later crash must not erase earlier
+        # evidence (an 80GB allocation spike once killed the process
+        # with every finished comparison unprinted)
+        print(f"[{time.time()-t0:7.1f}s] {name}: {results[name][:200]}",
+              file=sys.stderr, flush=True)
+    # rows-only queries (no oracle) — skipped under --only/--skip
+    # (a filtered run would misread every unfiltered dump as rows-only)
+    all_outs = set() if (only or skip) else {
+        p.split("/")[-1] for p in glob.glob(f"{out_dir}/*")
+        if "." not in p.split("/")[-1]}
     for name in sorted(all_outs - set(oracle)):
         n = con.execute(f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
         results[name] = f"ROWS_ONLY: {n} rows" + ("" if n > 0 else "  <-- EMPTY, FAILS rows>0")
@@ -97,4 +114,10 @@ def main(sf_dir, out_dir):
     print(f"\n{ok}/{len(oracle)} oracle-exact, {len(results)} total")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    only, skip = None, None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+        elif a.startswith("--skip="):
+            skip = set(a[len("--skip="):].split(","))
+    main(sys.argv[1], sys.argv[2], only=only, skip=skip)
