@@ -1887,11 +1887,15 @@ object SparkEntry {
         | SELECT doc1 AS a, doc2 AS b FROM pairs
         | UNION ALL SELECT doc2, doc1 FROM pairs),
         |reach(node, lab) AS (
-        | SELECT doc_id, doc_id FROM documents
+        | SELECT DISTINCT a, a FROM edges
         | UNION
-        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a)
-        |SELECT node AS doc_id, min(lab) AS cluster_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (
+        | SELECT node AS doc_id, min(lab) AS cluster_id
+        | FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "pipeline_sample" ->
       """SELECT doc_id, lang, h FROM (
         | SELECT doc_id, lang,
@@ -3361,16 +3365,24 @@ object SparkEntry {
         |  CAST(min(total) AS BIGINT) AS total_weight
         |FROM c WHERE cumw * 2 >= total
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // staged MATERIALIZED CTEs with per-stage DISTINCT collapse: the
+    // single-block form let DuckDB's reorderer pair supplier x
+    // customer on the <> predicate (a near-cross-product that needed
+    // >79GB of spill at sf1); pinning fact->supplier->customer keeps
+    // every intermediate <= distinct(nation, custkey) and the result
+    // identical
     "graph_triangles" ->
-      """WITH und AS (
-        |  SELECT DISTINCT
-        |    CAST(least(s.s_nationkey, c.c_nationkey) AS BIGINT) AS u,
-        |    CAST(greatest(s.s_nationkey, c.c_nationkey) AS BIGINT) AS v
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  WHERE s.s_nationkey <> c.c_nationkey)
+      """WITH lo AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sn AS MATERIALIZED (
+        |  SELECT DISTINCT s.s_nationkey AS a, lo.o_custkey
+        |  FROM lo JOIN supplier s ON lo.l_suppkey = s.s_suppkey),
+        |und AS (
+        |  SELECT DISTINCT CAST(least(sn.a, c.c_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(sn.a, c.c_nationkey) AS BIGINT) AS v
+        |  FROM sn JOIN customer c ON sn.o_custkey = c.c_custkey
+        |  WHERE sn.a <> c.c_nationkey)
         |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
         |FROM und e1
         |JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
