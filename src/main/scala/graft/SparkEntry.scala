@@ -710,7 +710,11 @@ object SparkEntry {
         .orderBy("user_id", "ts_ms", "event_id")),
     "search_hybrid_rrf" -> ((s, d) =>
       Similarity.hybridRrf(docs(s, d), embs(s, d),
-        Seq("spark", "join", "window", "stream")).orderBy("doc_id"))
+        Seq("spark", "join", "window", "stream")).orderBy("doc_id")),
+    "rx_transitions" -> ((s, d) =>
+      Reactive.rxTransitions(ev(s, d)).orderBy("from_type", "to_type")),
+    "rx_twap" -> ((s, d) =>
+      Reactive.rxTwap(ev(s, d)).orderBy("user_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3495,6 +3499,33 @@ object SparkEntry {
         |     + COALESCE(1000000 // (60 + v.vec_rank), 0) AS BIGINT)
         |    AS rrf_ppm
         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "rx_transitions" ->
+      """WITH nx AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS to_type
+        | FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_trans
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n_trans,
+        | CAST((n_trans * 1000000) // n_from AS BIGINT) AS p_micro
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, to_type""".stripMargin,
+    "rx_twap" ->
+      """WITH seg AS (
+        | SELECT user_id, value, epoch_ms(ts) AS ts_ms,
+        |  lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS next_ms
+        | FROM events)
+        |SELECT user_id, count(*) AS n_segments,
+        | CAST(sum(next_ms - ts_ms) AS BIGINT) AS span_ms,
+        | CAST(sum(CAST(value AS DECIMAL(18,2)) * (next_ms - ts_ms))
+        |     AS DOUBLE)
+        |  / CAST(CAST(sum(next_ms - ts_ms) AS BIGINT) AS DOUBLE) AS twap
+        |FROM seg WHERE next_ms IS NOT NULL AND next_ms > ts_ms
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1276,4 +1276,59 @@ object Reactive {
       .agg(min(col("value")).as("w_median"),
         first(col("total")).as("total_weight"))
   }
+
+  /** Markov transition matrix over the event stream: for every
+    * (from_type → to_type) pair of consecutive events within a key,
+    * the transition count and its probability — the standard path /
+    * next-action model behind funnels and session generators.
+    *
+    * Shape at scale: ONE user_id shuffle for the `lead` (shared with
+    * every other per-key operator), then an aggregation whose key
+    * space is |event_type|² — tiny regardless of corpus size — so
+    * the per-state totals join is a broadcast, never a second wide
+    * exchange. Probability surfaces as an exact BIGINT micro-prob
+    * (`n*1e6 div total`): integral arithmetic is bit-identical on
+    * any engine and any partitioning, where a double ratio would be
+    * rounding-dependent. */
+  def rxTransitions(events: DataFrame): DataFrame = {
+    val next = events
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+    val cnt = next
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = cnt.groupBy("from_type")
+      .agg(sum("n_trans").as("n_from"))
+    cnt.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        expr("(n_trans * 1000000L) div n_from").as("p_micro"))
+  }
+
+  /** Per-key time-weighted average (TWAP): each observation holds
+    * until the next one, so its weight is the ms it was "live" —
+    * the estimator that is robust to irregular sampling (a burst of
+    * identical readings doesn't drag the mean). Zero-length
+    * segments (same-ms ticks) carry zero weight and are dropped.
+    *
+    * Exactness: value quantizes to DECIMAL(18,2) per row and the
+    * numerator Σ(value·dt) accumulates as exact decimal × BIGINT
+    * ms — order-independent — with one final double division on the
+    * exact sums (fixed IEEE op, bit-stable; same contract as
+    * [[rxTrendCorrelation]]). One user_id shuffle total: the `lead`
+    * window and the aggregation share the partitioning. */
+  def rxTwap(events: DataFrame): DataFrame = {
+    val seg = events
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("next_ms", lead("ts_ms", 1).over(byUser))
+      .filter(col("next_ms").isNotNull && col("next_ms") > col("ts_ms"))
+    seg.groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("next_ms") - col("ts_ms")).as("span_ms"),
+        sum(dec(col("value")) * (col("next_ms") - col("ts_ms"))).as("num"))
+      .select(col("user_id"), col("n_segments"), col("span_ms"),
+        (col("num").cast("double") / col("span_ms").cast("double"))
+          .as("twap"))
+  }
 }

@@ -105,4 +105,39 @@ class Round5Spec extends AnyFunSuite {
         .filter(_.contains("Exchange")).mkString.contains("norm_text"),
       "normalized text must not ride the shuffle")
   }
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.map { case (id, ms, u, t, v) =>
+      (id, new java.sql.Timestamp(ms), u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("rxTransitions counts consecutive pairs per key; micro-probs sum to ~1e6 per state") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "A", 0.0), (2L, 1L, 1L, "B", 0.0),
+      (3L, 2L, 1L, "A", 0.0), (4L, 3L, 1L, "C", 0.0),
+      (5L, 0L, 2L, "B", 0.0), (6L, 1L, 2L, "A", 0.0)))
+    val out = Reactive.rxTransitions(ev)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // user 1: A→B, B→A, A→C; user 2: B→A. No cross-user transition.
+    assert(out === Map(
+      ("A", "B") -> (1L, 500000L), ("A", "C") -> (1L, 500000L),
+      ("B", "A") -> (2L, 1000000L)))
+  }
+
+  test("rxTwap weights each value by its live duration, dropping zero-length segments") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "m", 10.0), (2L, 1000L, 1L, "m", 20.0),
+      (3L, 1000L, 1L, "m", 77.0), // supersedes 20 within the same ms
+      (4L, 3000L, 1L, "m", 99.0))) // last observation: no segment
+    val r = Reactive.rxTwap(ev).head
+    assert(r.getAs[Long]("n_segments") === 2L)
+    assert(r.getAs[Long]("span_ms") === 3000L)
+    // (10*1000 + 77*2000) / 3000 — the 20 tick was live for 0 ms
+    assert(math.abs(r.getAs[Double]("twap") - 164000.0 / 3000.0) < 1e-12)
+  }
 }
