@@ -714,7 +714,9 @@ object SparkEntry {
     "rx_transitions" -> ((s, d) =>
       Reactive.rxTransitions(ev(s, d)).orderBy("from_type", "to_type")),
     "rx_twap" -> ((s, d) =>
-      Reactive.rxTwap(ev(s, d)).orderBy("user_id"))
+      Reactive.rxTwap(ev(s, d)).orderBy("user_id")),
+    "q_skyline" -> ((s, d) =>
+      Relational.qSkyline(s, d).orderBy("p_retailprice", "p_partkey"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3526,6 +3528,25 @@ object SparkEntry {
         |     AS DOUBLE)
         |  / CAST(CAST(sum(next_ms - ts_ms) AS BIGINT) AS DOUBLE) AS twap
         |FROM seg WHERE next_ms IS NOT NULL AND next_ms > ts_ms
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the oracle uses the running-max window form (so the oracle
+    // itself scales past sf0.01 — same lesson as graph_triangles);
+    // strict > against the max over strictly-lower prices is the
+    // dominance test
+    "q_skyline" ->
+      """WITH champ AS (
+        | SELECT p_retailprice AS price, max(p_size) AS best_size
+        | FROM part GROUP BY 1),
+        |r AS (
+        | SELECT price, best_size,
+        |  max(best_size) OVER (ORDER BY price
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS prior_max
+        | FROM champ)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN r
+        | ON p.p_retailprice = r.price AND p.p_size = r.best_size
+        |WHERE r.prior_max IS NULL OR r.best_size > r.prior_max
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
   )
 }

@@ -795,4 +795,51 @@ object Relational {
       .select(col("l_returnflag"), expr(
         "stack(4, 'quantity', qty, 'extendedprice', price, " +
           "'discount', disc, 'tax', tax) AS (measure, total)"))
+
+  /** 2-D skyline (Pareto frontier): parts no other part beats on
+    * BOTH objectives — cheaper-or-equal price AND larger-or-equal
+    * size, strictly better in at least one. The multi-objective
+    * shortlist query (price/quality trade-off curves).
+    *
+    * Scale shape — the textbook formulations both die at 100 TB:
+    * the NOT-EXISTS self-join is O(n²), and the single `ORDER BY
+    * price` running-max window is one task holding every distinct
+    * price. Instead: (1) per-price champions (groupBy, partial-agg);
+    * (2) champions range-repartition by price, and the running
+    * strict-prefix max of size decomposes into an in-partition
+    * window plus a per-partition-maxima prefix (the maxima frame is
+    * ≤ one row per partition — driver-size by construction, so ITS
+    * window is trivially cheap); (3) frontier (price,size) pairs
+    * join back to the fact broadcast — the frontier is strictly
+    * increasing in size, so it can never exceed |distinct sizes|
+    * rows. No step touches more than one full-table scan + one
+    * champion-only exchange. */
+  def qSkyline(s: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    val part = Tables.part(s, dir)
+    val champ = part.groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("best_size"))
+      .repartitionByRange(parts, col("price"))
+      .withColumn("pid", spark_partition_id())
+    val inPart = Window.partitionBy("pid").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val acrossParts = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrefix = champ.groupBy("pid")
+      .agg(max(col("best_size")).as("bucket_max"))
+      .withColumn("prefix_max", max(col("bucket_max")).over(acrossParts))
+      .select("pid", "prefix_max")
+    val frontier = champ
+      .withColumn("run_max", max(col("best_size")).over(inPart))
+      .join(broadcast(bucketPrefix), "pid")
+      // greatest() skips nulls; both-null means "first champion
+      // ever seen" — nothing can dominate it, so floor at MinValue
+      .filter(col("best_size") >
+        coalesce(greatest(col("run_max"), col("prefix_max")),
+          lit(Int.MinValue)))
+      .select(col("price"), col("best_size"))
+    part.join(broadcast(frontier),
+        part("p_retailprice") === frontier("price") &&
+          part("p_size") === frontier("best_size"))
+      .select("p_partkey", "p_retailprice", "p_size")
+  }
 }

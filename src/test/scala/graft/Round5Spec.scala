@@ -140,4 +140,26 @@ class Round5Spec extends AnyFunSuite {
     // (10*1000 + 77*2000) / 3000 — the 20 tick was live for 0 ms
     assert(math.abs(r.getAs[Double]("twap") - 164000.0 / 3000.0) < 1e-12)
   }
+
+  test("qSkyline equals the brute-force dominance filter on the real table") {
+    import graft.operators.Relational
+    val part = Tables.part(spark, sf).select("p_partkey", "p_retailprice", "p_size")
+    val rows = part.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = rows.filter { case (_, pr, sz) =>
+      !rows.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz) }
+    }.map(_._1).toSet
+    val got = Relational.qSkyline(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+    // the running-max decomposition must not create a full-table
+    // single-partition sort: only the per-partition-maxima frame
+    // (<= one row per range partition) may hit a global window
+    val plan = Relational.qSkyline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"),
+      s"champions should range-repartition:\n$plan")
+  }
 }
