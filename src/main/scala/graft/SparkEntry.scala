@@ -716,7 +716,10 @@ object SparkEntry {
     "rx_twap" -> ((s, d) =>
       Reactive.rxTwap(ev(s, d)).orderBy("user_id")),
     "q_skyline" -> ((s, d) =>
-      Relational.qSkyline(s, d).orderBy("p_retailprice", "p_partkey"))
+      Relational.qSkyline(s, d).orderBy("p_retailprice", "p_partkey")),
+    "text_keywords" -> ((s, d) =>
+      TextAnalysis.keywords(docs(s, d)).orderBy("doc_id", "kw_rank")),
+    "text_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(docs(s, d)))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3547,6 +3550,32 @@ object SparkEntry {
         |FROM part p JOIN r
         | ON p.p_retailprice = r.price AND p.p_size = r.best_size
         |WHERE r.prior_max IS NULL OR r.best_size > r.prior_max
-        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin,
+    "text_keywords" ->
+      """WITH toks AS (
+        | SELECT doc_id, t FROM documents,
+        |  unnest(string_split(lower(text), ' ')) AS u(t)
+        | WHERE length(t) >= 3
+        |  AND t NOT IN ('the','a','of','and','to','in','is','it')),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, tf.t AS term, tf.tf, df.df,
+        |  CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score
+        | FROM tf JOIN df ON tf.t = df.t)
+        |SELECT doc_id, term, tf, df, score,
+        | CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, term) AS BIGINT) AS kw_rank
+        |FROM sc QUALIFY kw_rank <= 3
+        |ORDER BY doc_id, kw_rank""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH words AS (
+        | SELECT w FROM documents,
+        |  unnest(string_split(lower(text), ' ')) AS u(w)
+        | WHERE length(w) >= 2 AND regexp_full_match(w, '[a-z0-9]+')),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+        | FROM words,
+        |  unnest(generate_series(1, length(w) - 1)) AS g(i))
+        |SELECT pair, count(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 100""".stripMargin
   )
 }

@@ -162,4 +162,33 @@ class Round5Spec extends AnyFunSuite {
     assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"),
       s"champions should range-repartition:\n$plan")
   }
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", "s1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("keywords ranks rare repeated terms above corpus-wide ones") {
+    val docs = mkDocs(Seq(
+      (1L, "zebra zebra common common common"),
+      (2L, "common stuff here"),
+      (3L, "common stuff also")))
+    val out = TextAnalysis.keywords(docs, k = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"))).toMap
+    // doc 1: zebra tf=2 df=1 → 2e6; common tf=3 df=3 → 1e6
+    assert(out(1L) === "zebra")
+    // stopwords and short tokens never surface
+    val all = TextAnalysis.keywords(docs, k = 3).collect().map(_.getAs[String]("term"))
+    assert(!all.exists(t => t.length < 3 || Seq("the", "and").contains(t)))
+  }
+
+  test("bpePairs counts adjacent char pairs weighted by occurrences; non-ascii words excluded") {
+    val docs = mkDocs(Seq(
+      (1L, "abab abab"), // 2x: ab, ba, ab
+      (2L, "ab café")))  // café excluded (non-ascii)
+    val out = TextAnalysis.bpePairs(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("ab" -> 5L, "ba" -> 2L))
+  }
 }
