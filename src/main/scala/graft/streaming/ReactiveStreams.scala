@@ -1048,4 +1048,38 @@ object ReactiveStreams {
           }
       }
   }
+
+  case class TransRow(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming Markov transition counts — the unbounded twin of
+    * `Reactive.rxTransitions`. Per-key state is ONE string (the last
+    * seen event_type): each arrival emits its (from → to) pair row,
+    * and a downstream unwindowed count aggregates the matrix —
+    * chained stateful operators, so the running transition model is
+    * queryable at any moment while state stays O(keys) + O(types²).
+    * Late/out-of-order arrivals inside a micro-batch are re-ordered
+    * by event_id before pairing, same contract as the batch op. */
+  def transitionsStream(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val pairs = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, TransRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val out = scala.collection.mutable.ArrayBuffer[TransRow]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(f => out += TransRow(uid, f, e.event_type))
+            last = Some(e.event_type)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_trans"))
+  }
 }

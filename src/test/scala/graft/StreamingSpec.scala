@@ -858,4 +858,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming transition counts equal the batch Markov matrix across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"trans_${System.nanoTime()}"
+    val q = ReactiveStreams.transitionsStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try {
+      // split mid-stream: the A→B pair for user 1 crosses the
+      // trigger boundary, so it must come from carried state
+      mem.addData(sample.take(3)); q.processAllAvailable()
+      mem.addData(sample.drop(3)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      val batch = graft.operators.Reactive.rxTransitions(sample.toDF())
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
