@@ -719,7 +719,11 @@ object SparkEntry {
       Relational.qSkyline(s, d).orderBy("p_retailprice", "p_partkey")),
     "text_keywords" -> ((s, d) =>
       TextAnalysis.keywords(docs(s, d)).orderBy("doc_id", "kw_rank")),
-    "text_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(docs(s, d)))
+    "text_bpe_pairs" -> ((s, d) => TextAnalysis.bpePairs(docs(s, d))),
+    "q_period_growth" -> ((s, d) =>
+      Relational.qPeriodGrowth(s, d).orderBy("ym")),
+    "rx_rolling_actives" -> ((s, d) =>
+      Reactive.rxRollingActives(ev(s, d)).orderBy("wday"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3576,6 +3580,28 @@ object SparkEntry {
         | FROM words,
         |  unnest(generate_series(1, length(w) - 1)) AS g(i))
         |SELECT pair, count(*) AS n FROM p GROUP BY 1
-        |ORDER BY n DESC, pair LIMIT 100""".stripMargin
+        |ORDER BY n DESC, pair LIMIT 100""".stripMargin,
+    "q_period_growth" ->
+      """WITH m AS (
+        | SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+        |    AS BIGINT) AS ym,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS rev_cents
+        | FROM orders GROUP BY 1)
+        |SELECT ym, rev_cents,
+        | lag(rev_cents) OVER (ORDER BY ym) AS prev_cents,
+        | CAST(((rev_cents - lag(rev_cents) OVER (ORDER BY ym)) * 1000000)
+        |   // lag(rev_cents) OVER (ORDER BY ym) AS BIGINT) AS growth_ppm
+        |FROM m ORDER BY ym""".stripMargin,
+    "rx_rolling_actives" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        | FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |w AS (SELECT DISTINCT user_id, day + i AS wday
+        | FROM ud, unnest(generate_series(0, 6)) AS g(i))
+        |SELECT CAST(wday AS BIGINT) AS wday, count(*) AS active_users
+        |FROM w, mx WHERE wday <= max_day
+        |GROUP BY 1 ORDER BY wday""".stripMargin
   )
 }

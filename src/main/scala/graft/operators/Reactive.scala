@@ -1305,6 +1305,29 @@ object Reactive {
         expr("(n_trans * 1000000L) div n_from").as("p_micro"))
   }
 
+  /** Rolling N-day active users (the DAU/WAU family): for every
+    * observed day, the count of distinct keys active in the trailing
+    * N-day window. A sliding DISTINCT is not window-frameable;
+    * the scalable identity is contribution explosion: a (user, day)
+    * presence contributes to exactly the N windows ending at
+    * day..day+N-1, so explode by a constant factor N, dedupe
+    * (user, window-day), and count — every stage partial-aggregates,
+    * and the shuffled object is the distinct user-day frame (already
+    * tiny next to the event stream), never raw events. Trailing
+    * windows past the last observed day are cut with one broadcast
+    * scalar. */
+  def rxRollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events.select(col("user_id"),
+      expr("unix_millis(ts) div 86400000").as("day")).distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wday"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("max_day"))
+      .groupBy("wday").agg(count(lit(1)).as("active_users"))
+  }
+
   /** Per-key time-weighted average (TWAP): each observation holds
     * until the next one, so its weight is the ms it was "live" —
     * the estimator that is robust to irregular sampling (a burst of

@@ -796,6 +796,27 @@ object Relational {
         "stack(4, 'quantity', qty, 'extendedprice', price, " +
           "'discount', disc, 'tax', tax) AS (measure, total)"))
 
+  /** Period-over-period growth: monthly revenue with previous-month
+    * delta and growth rate — the dashboard staple. Revenue
+    * accumulates as exact DECIMAL cents (BIGINT after the agg) and
+    * growth is an exact ppm integer ratio, so no row can flip
+    * between engines. The lag window runs over the MONTH frame —
+    * bounded by the calendar (#months), not by data size — which is
+    * the one place a global-order window is legitimate; the
+    * expensive part stays the ONE partial-aggregable scan-agg. */
+  def qPeriodGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 100 +
+        month(col("o_orderdate"))).cast("long").as("ym"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+        .as("rev_cents"))
+    monthly
+      .withColumn("prev_cents",
+        lag("rev_cents", 1).over(Window.orderBy("ym")))
+      .withColumn("growth_ppm",
+        expr("((rev_cents - prev_cents) * 1000000L) div prev_cents"))
+  }
+
   /** 2-D skyline (Pareto frontier): parts no other part beats on
     * BOTH objectives — cheaper-or-equal price AND larger-or-equal
     * size, strictly better in at least one. The multi-objective

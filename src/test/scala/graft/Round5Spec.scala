@@ -183,6 +183,39 @@ class Round5Spec extends AnyFunSuite {
     assert(!all.exists(t => t.length < 3 || Seq("the", "and").contains(t)))
   }
 
+  test("rxRollingActives: trailing 7-day distinct actives via contribution explosion") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    // user 1 active days 0 and 2; user 2 active day 8 only
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 5L, 1L, "a", 0.0), // same day dup
+      (3L, 2 * day, 1L, "a", 0.0), (4L, 8 * day, 2L, "a", 0.0)))
+    val out = Reactive.rxRollingActives(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // day 8 window covers days 2..8: user 1 (day 2) and user 2 → 2
+    assert(out(8L) === 2L)
+    // day 2 window covers days -4..2: only user 1, counted ONCE
+    assert(out(2L) === 1L)
+    // windows never extend past the last observed day
+    assert(out.keys.max === 8L)
+    // user 1's day-0 presence stops contributing after day 6
+    assert(out(7L) === 1L) // only day-2 presence remains
+  }
+
+  test("qPeriodGrowth: exact cents revenue, ppm growth, null first period") {
+    import graft.operators.Relational
+    val rows = Relational.qPeriodGrowth(spark, sf).orderBy("ym").collect()
+    assert(rows.length > 1)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_cents")))
+    // every later row links to its predecessor's revenue exactly
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(b.fieldIndex("prev_cents")) ===
+        a.getLong(a.fieldIndex("rev_cents")))
+      val expect = (b.getLong(1) - b.getLong(2)) * 1000000L / b.getLong(2)
+      assert(b.getLong(b.fieldIndex("growth_ppm")) === expect)
+    }
+  }
+
   test("bpePairs counts adjacent char pairs weighted by occurrences; non-ascii words excluded") {
     val docs = mkDocs(Seq(
       (1L, "abab abab"), // 2x: ab, ba, ab
