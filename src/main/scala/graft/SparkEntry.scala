@@ -723,7 +723,9 @@ object SparkEntry {
     "q_period_growth" -> ((s, d) =>
       Relational.qPeriodGrowth(s, d).orderBy("ym")),
     "rx_rolling_actives" -> ((s, d) =>
-      Reactive.rxRollingActives(ev(s, d)).orderBy("wday"))
+      Reactive.rxRollingActives(ev(s, d)).orderBy("wday")),
+    "rx_streaks" -> ((s, d) =>
+      Reactive.rxStreaks(ev(s, d)).orderBy("user_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3602,6 +3604,25 @@ object SparkEntry {
         | FROM ud, unnest(generate_series(0, 6)) AS g(i))
         |SELECT CAST(wday AS BIGINT) AS wday, count(*) AS active_users
         |FROM w, mx WHERE wday <= max_day
-        |GROUP BY 1 ORDER BY wday""".stripMargin
+        |GROUP BY 1 ORDER BY wday""".stripMargin,
+    "rx_streaks" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        | FROM events),
+        |r AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |   AS grp FROM ud),
+        |runs AS (SELECT user_id, grp, count(*) AS len,
+        |  CAST(min(day) AS BIGINT) AS start_day
+        | FROM r GROUP BY 1, 2),
+        |best AS (SELECT user_id, len, start_day,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, grp) AS rn
+        | FROM runs),
+        |agg AS (SELECT user_id, count(*) AS n_streaks FROM runs GROUP BY 1)
+        |SELECT b.user_id, b.len AS longest_streak,
+        | b.start_day AS streak_start_day, a.n_streaks
+        |FROM best b JOIN agg a ON b.user_id = a.user_id
+        |WHERE rn = 1 ORDER BY b.user_id""".stripMargin
   )
 }

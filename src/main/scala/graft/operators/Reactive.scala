@@ -1328,6 +1328,29 @@ object Reactive {
       .groupBy("wday").agg(count(lit(1)).as("active_users"))
   }
 
+  /** Longest consecutive-day activity streak per key (engagement
+    * streaks): distinct active days, then the gaps-and-islands
+    * identity `day − row_number = group` turns "consecutive run"
+    * into a plain groupBy — no self-join, no iteration. The chain
+    * (distinct → window → two aggs) shares ONE user_id-compatible
+    * partitioning end to end; raw events collapse to distinct
+    * user-days at the first shuffle. */
+  def rxStreaks(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+      expr("unix_millis(ts) div 86400000").as("day")).distinct()
+    val runs = ud
+      .withColumn("grp",
+        col("day") - row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    runs.groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        max_by(col("start_day"), struct(col("len"), -col("grp")))
+          .as("streak_start_day"),
+        count(lit(1)).as("n_streaks"))
+  }
+
   /** Per-key time-weighted average (TWAP): each observation holds
     * until the next one, so its weight is the ms it was "live" —
     * the estimator that is robust to irregular sampling (a burst of

@@ -1082,4 +1082,43 @@ object ReactiveStreams {
     pairs.groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_trans"))
   }
+
+  case class TwapSeg(user_id: Long, dt_ms: Long, weighted: Double)
+
+  /** Streaming TWAP — the unbounded twin of `Reactive.rxTwap`.
+    * State per key is one (last_ts, last_value) pair: each arrival
+    * closes the previous observation's live segment and emits its
+    * (dt, value·dt) contribution into a chained running aggregate,
+    * so the time-weighted mean is queryable at any moment. Same
+    * in-order contract as the EWMA stream: event_id-ordered within
+    * triggers; zero-length segments carry no weight, exactly like
+    * the batch op. */
+  def twapStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val segs = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), TwapSeg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Double)]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val out = scala.collection.mutable.ArrayBuffer[TwapSeg]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            last.foreach { case (lt, lv) =>
+              if (t > lt) out += TwapSeg(uid, t - lt, lv * (t - lt))
+            }
+            last = Some((t, e.value))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    segs.groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum("dt_ms").as("span_ms"),
+        (sum("weighted") / sum("dt_ms")).as("twap"))
+  }
 }

@@ -202,6 +202,23 @@ class Round5Spec extends AnyFunSuite {
     assert(out(7L) === 1L) // only day-2 presence remains
   }
 
+  test("rxStreaks finds the longest consecutive-day run, earliest on ties") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    // user 1: days 0,1,2 then 5,6 → longest 3 starting day 0
+    // user 2: days 1,2 and 9,10 → tie of 2, earliest (day 1) wins
+    val ev = mkEvents(
+      Seq(0L, 1L, 2L, 5L, 6L).zipWithIndex.map { case (d, i) =>
+        (i.toLong, d * day, 1L, "a", 0.0) } ++
+      Seq(1L, 2L, 9L, 10L).zipWithIndex.map { case (d, i) =>
+        (10L + i, d * day + 30, 2L, "a", 0.0) })
+    val out = Reactive.rxStreaks(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((3L, 0L, 2L)))
+    assert(out(2L) === ((2L, 1L, 2L)))
+  }
+
   test("qPeriodGrowth: exact cents revenue, ppm growth, null first period") {
     import graft.operators.Relational
     val rows = Relational.qPeriodGrowth(spark, sf).orderBy("ym").collect()

@@ -859,6 +859,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TWAP equals the batch time-weighted average across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"twap_${System.nanoTime()}"
+    val q = ReactiveStreams.twapStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try {
+      // the segment between events 2 and 3 crosses the trigger split
+      mem.addData(sample.take(3)); q.processAllAvailable()
+      mem.addData(sample.drop(3)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      graft.operators.Reactive.rxTwap(sample.toDF()).collect().foreach { r =>
+        val (n, span, tw) = streamed(r.getLong(0))
+        assert(n === r.getLong(1) && span === r.getLong(2))
+        assert(math.abs(tw - r.getDouble(3)) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
   test("streaming transition counts equal the batch Markov matrix across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
