@@ -725,7 +725,9 @@ object SparkEntry {
     "rx_rolling_actives" -> ((s, d) =>
       Reactive.rxRollingActives(ev(s, d)).orderBy("wday")),
     "rx_streaks" -> ((s, d) =>
-      Reactive.rxStreaks(ev(s, d)).orderBy("user_id"))
+      Reactive.rxStreaks(ev(s, d)).orderBy("user_id")),
+    "q_corr_matrix" -> ((s, d) =>
+      Relational.qCorrMatrix(s, d).orderBy("col_a", "col_b"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3623,6 +3625,37 @@ object SparkEntry {
         |SELECT b.user_id, b.len AS longest_streak,
         | b.start_day AS streak_start_day, a.n_streaks
         |FROM best b JOIN agg a ON b.user_id = a.user_id
-        |WHERE rn = 1 ORDER BY b.user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY b.user_id""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        | CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_t,
+        | CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ss_q,
+        | CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS ss_e,
+        | CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS ss_d,
+        | CAST(sum(CAST(l_tax * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS ss_t,
+        | CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sp_qe,
+        | CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sp_qd,
+        | CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS sp_qt,
+        | CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sp_ed,
+        | CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS sp_et,
+        | CAST(sum(CAST(l_discount * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS sp_dt
+        | FROM lineitem)
+        |SELECT col_a, col_b, pearson_r FROM (
+        | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  (n * sp_qe - s_q * s_e) / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_e - s_e * s_e)) AS pearson_r FROM m
+        | UNION ALL SELECT 'l_quantity', 'l_discount',
+        |  (n * sp_qd - s_q * s_d) / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d)) FROM m
+        | UNION ALL SELECT 'l_quantity', 'l_tax',
+        |  (n * sp_qt - s_q * s_t) / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_t - s_t * s_t)) FROM m
+        | UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |  (n * sp_ed - s_e * s_d) / (sqrt(n * ss_e - s_e * s_e) * sqrt(n * ss_d - s_d * s_d)) FROM m
+        | UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |  (n * sp_et - s_e * s_t) / (sqrt(n * ss_e - s_e * s_e) * sqrt(n * ss_t - s_t * s_t)) FROM m
+        | UNION ALL SELECT 'l_discount', 'l_tax',
+        |  (n * sp_dt - s_d * s_t) / (sqrt(n * ss_d - s_d * s_d) * sqrt(n * ss_t - s_t * s_t)) FROM m)
+        |ORDER BY col_a, col_b""".stripMargin
   )
 }

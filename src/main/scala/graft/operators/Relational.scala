@@ -796,6 +796,37 @@ object Relational {
         "stack(4, 'quantity', qty, 'extendedprice', price, " +
           "'discount', disc, 'tax', tax) AS (measure, total)"))
 
+  /** One-pass Pearson correlation matrix over lineitem's numeric
+    * measures — the profiling query behind feature selection. All
+    * C(4,2)=6 pairs come from ONE scan: per-column sums/squares and
+    * per-pair cross-products accumulate as exact decimals in a
+    * single partial-aggregable agg (a per-pair `corr()` would be 6
+    * scans of partitioning-dependent float summation), then each
+    * Pearson identity is a fixed IEEE sequence on exact inputs —
+    * bit-stable at any cluster size, same contract as
+    * `Reactive.rxTrendCorrelation`. */
+  def qCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, dir)
+    val d4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(28, 4))
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(dec2(col(c))).cast("double").as(s"s_$c")) ++
+        cols.map(c => sum(d4(col(c) * col(c))).cast("double").as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(d4(col(a) * col(b))).cast("double").as(s"sp_${a}_$b") }.toSeq
+    val m = li.agg(moments.head, moments.tail: _*)
+    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        ((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+            sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))))
+          .as("pearson_r"))
+    }.toSeq
+    m.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
+  }
+
   /** Period-over-period growth: monthly revenue with previous-month
     * delta and growth rate — the dashboard staple. Revenue
     * accumulates as exact DECIMAL cents (BIGINT after the agg) and

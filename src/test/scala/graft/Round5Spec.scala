@@ -233,6 +233,23 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("qCorrMatrix agrees with corr() and is a single-scan single-exchange plan") {
+    import graft.operators.Relational
+    val out = Relational.qCorrMatrix(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out.size === 6)
+    val li = Tables.lineitem(spark, sf)
+    out.foreach { case ((a, b), r) =>
+      assert(r >= -1.0 && r <= 1.0)
+      val ref = li.agg(corr(col(a), col(b))).head.getDouble(0)
+      assert(math.abs(r - ref) < 1e-6, s"$a x $b: $r vs $ref")
+    }
+    val plan = Relational.qCorrMatrix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"moment agg should be the only exchange:\n$plan")
+  }
+
   test("bpePairs counts adjacent char pairs weighted by occurrences; non-ascii words excluded") {
     val docs = mkDocs(Seq(
       (1L, "abab abab"), // 2x: ab, ba, ab
