@@ -727,7 +727,13 @@ object SparkEntry {
     "rx_streaks" -> ((s, d) =>
       Reactive.rxStreaks(ev(s, d)).orderBy("user_id")),
     "q_corr_matrix" -> ((s, d) =>
-      Relational.qCorrMatrix(s, d).orderBy("col_a", "col_b"))
+      Relational.qCorrMatrix(s, d).orderBy("col_a", "col_b")),
+    "rx_cusum" -> ((s, d) =>
+      Reactive.rxCusum(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_attribution" -> ((s, d) =>
+      Reactive.rxAttribution(ev(s, d)).orderBy("channel")),
+    "text_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplate(docs(s, d)).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3656,6 +3662,68 @@ object SparkEntry {
         |  (n * sp_et - s_e * s_t) / (sqrt(n * ss_e - s_e * s_e) * sqrt(n * ss_t - s_t * s_t)) FROM m
         | UNION ALL SELECT 'l_discount', 'l_tax',
         |  (n * sp_dt - s_d * s_t) / (sqrt(n * ss_d - s_d * s_d) * sqrt(n * ss_t - s_t * s_t)) FROM m)
-        |ORDER BY col_a, col_b""".stripMargin
+        |ORDER BY col_a, col_b""".stripMargin,
+    // CUSUM via the drawdown identity: prefix sum minus its running
+    // min — window-frameable on both engines, exact integer cents
+    "rx_cusum" ->
+      """WITH x AS (
+        | SELECT event_id, user_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xi
+        | FROM events),
+        |m AS (
+        | SELECT event_id, user_id, xi,
+        |  CAST(sum(xi) OVER (PARTITION BY user_id)
+        |    // count(*) OVER (PARTITION BY user_id) AS BIGINT) AS ref
+        | FROM x),
+        |p AS (
+        | SELECT event_id, user_id,
+        |  sum(xi - ref) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        | FROM m),
+        |s AS (
+        | SELECT event_id, user_id,
+        |  pp - least(min(pp) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+        | FROM p)
+        |SELECT event_id, user_id, CAST(cusum AS BIGINT) AS cusum_cents,
+        | cusum > 100000 AS alarm
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
+    "rx_attribution" ->
+      """WITH t AS (
+        | SELECT event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        | count(*) AS n_conversions,
+        | CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS BIGINT) AS attributed_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "text_boilerplate" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(generate_series(1, len(tk) - 4),
+        |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+        |        || tk[i+3] || ' ' || tk[i+4]) AS g
+        | FROM toks WHERE len(tk) >= 5),
+        |occ AS (SELECT doc_id, s.s AS gram FROM sh, unnest(sh.g) AS s(s)),
+        |top AS (
+        | SELECT gram FROM (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+        |  ORDER BY df DESC, gram LIMIT 20)),
+        |cnt AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM sh),
+        |hits AS (
+        | SELECT doc_id, count(*) AS boiler_hits FROM occ
+        | WHERE gram IN (SELECT gram FROM top) GROUP BY 1)
+        |SELECT c.doc_id, c.n_grams,
+        | CAST(coalesce(h.boiler_hits, 0) AS BIGINT) AS boiler_hits,
+        | CAST(coalesce(h.boiler_hits, 0) * 1000000 // c.n_grams AS BIGINT)
+        |  AS boiler_ppm
+        |FROM cnt c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin
   )
 }

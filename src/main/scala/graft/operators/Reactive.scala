@@ -1377,4 +1377,61 @@ object Reactive {
         (col("num").cast("double") / col("span_ms").cast("double"))
           .as("twap"))
   }
+
+  /** Per-key CUSUM change-point statistic (Page 1954). The textbook
+    * recurrence S_i = max(0, S_{i−1} + (x_i − ref)) is sequential,
+    * but the drawdown identity makes it window-frameable:
+    * S_i = P_i − min(0, min_{j≤i} P_j) where P is the prefix sum of
+    * deviations — so the whole detector is one cumulative SUM plus
+    * one cumulative MIN over the SAME user_id partitioning (zero
+    * extra exchanges; the per-key reference mean is a full-partition
+    * frame on that partitioning too).
+    *
+    * Exactness: values quantize to BIGINT cents, the reference is
+    * the floor-division mean (`sx div n` — integral, so deterministic
+    * on any engine), and every prefix/min is integer arithmetic —
+    * bit-stable at any cluster size. Sums ride DECIMAL(38,0) so 100 TB
+    * of cents cannot overflow; only the final statistic narrows to
+    * BIGINT. Alarm threshold is explicit cents, not a float sigma. */
+  def rxCusum(events: DataFrame, alarmCents: Long = 100000L): DataFrame = {
+    val big = DecimalType(38, 0)
+    val wAll = Window.partitionBy("user_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"),
+        (dec(col("value")) * 100).cast(big).as("xi"))
+      .withColumn("sx", sum("xi").over(wAll).cast(big))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ref", expr("sx div n").cast(big))
+      .withColumn("p", sum(col("xi") - col("ref")).over(cum).cast(big))
+      .withColumn("runmin", min(col("p")).over(cum))
+      .select(col("event_id"), col("user_id"),
+        (col("p") - least(col("runmin"), lit(0).cast(big)))
+          .cast("long").as("cusum_cents"))
+      .withColumn("alarm", col("cusum_cents") > alarmCents)
+  }
+
+  /** Last-touch conversion attribution: each purchase credits the
+    * most recent PRECEDING non-purchase event of the same key (its
+    * type is the "channel"; no prior touch → 'direct'), then revenue
+    * rolls up per channel. The lookup is not a join — it's a running
+    * last-non-null over the already-required user_id window
+    * (`last(..., ignoreNulls)` over an unbounded-preceding-exclusive
+    * frame), so the whole attribution costs the one per-key shuffle
+    * every other Rx operator shares, plus a tiny |event_type|-keyed
+    * final rollup (partial-aggregated map-side, never wide).
+    * Revenue accumulates as exact BIGINT cents. */
+  def rxAttribution(events: DataFrame): DataFrame = {
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(prior))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("touch"), lit("direct")).as("channel"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("cents").as("attributed_cents"))
+  }
 }

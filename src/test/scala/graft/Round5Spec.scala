@@ -258,4 +258,70 @@ class Round5Spec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out === Map("ab" -> 5L, "ba" -> 2L))
   }
+
+  test("rxCusum: drawdown identity equals the sequential max(0, S+d) recurrence") {
+    import graft.operators.Reactive
+    // hand case: ref = floor-mean 2000c; S = 0, 1000, 1000
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "m", 10.0), (2L, 1L, 1L, "m", 30.0),
+      (3L, 2L, 1L, "m", 20.0)))
+    val s = Reactive.rxCusum(ev).orderBy("event_id")
+      .collect().map(_.getAs[Long]("cusum_cents")).toSeq
+    assert(s === Seq(0L, 1000L, 1000L))
+    // property: on a mixed-key series the window form must equal the
+    // textbook recurrence replayed sequentially per key
+    val vals = Seq.tabulate(60)(i =>
+      ((i + 1).toLong, i.toLong, (i % 3).toLong, "m",
+        ((i * 37) % 200 + (if (i % 7 == 0) 500 else 0)).toDouble))
+    val out = Reactive.rxCusum(mkEvents(vals), alarmCents = 20000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        ((r.getAs[Long]("cusum_cents"), r.getAs[Boolean]("alarm")))).toMap
+    vals.groupBy(_._3).foreach { case (u, rows) =>
+      val xs = rows.sortBy(_._1).map(v => (v._5 * 100).round)
+      val ref = xs.sum / xs.length // floor mean in cents
+      var st = 0L
+      rows.sortBy(_._1).zip(xs).foreach { case (r, x) =>
+        st = math.max(0L, st + (x - ref))
+        assert(out((u, r._1)) === ((st, st > 20000L)),
+          s"user $u event ${r._1}")
+      }
+    }
+  }
+
+  test("rxAttribution credits the last preceding non-purchase touch, else 'direct'") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "click", 0.0), (2L, 1L, 1L, "purchase", 10.0),
+      (3L, 2L, 1L, "purchase", 5.0),   // still click: purchases don't re-touch
+      (4L, 3L, 1L, "signup", 0.0), (5L, 4L, 1L, "purchase", 2.5),
+      (6L, 0L, 2L, "purchase", 7.0))) // no prior touch → direct
+    val out = Reactive.rxAttribution(ev)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(
+      "click" -> ((2L, 1500L)), "signup" -> ((1L, 250L)),
+      "direct" -> ((1L, 700L))))
+  }
+
+  test("boilerplate: top-df grams by distinct docs; per-doc coverage in exact ppm") {
+    val docs = mkDocs(Seq(
+      (1L, "a b c d e f"), // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e"),
+      (3L, "x y z w v"),
+      (4L, "tiny")))       // <5 tokens → excluded
+    val out = TextAnalysis.boilerplate(docs, topK = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // df: "a b c d e" in 2 docs, others in 1 → top1 is "a b c d e"
+    assert(out === Map(
+      1L -> ((2L, 1L, 500000L)),
+      2L -> ((1L, 1L, 1000000L)),
+      3L -> ((1L, 0L, 0L))))
+    // the raw text column must never ride an exchange
+    val plan = TextAnalysis.boilerplate(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.filter(_.contains("Exchange"))
+        .mkString.contains("text#"),
+      s"text must not ride a shuffle:\n$plan")
+  }
 }
