@@ -733,7 +733,11 @@ object SparkEntry {
     "rx_attribution" -> ((s, d) =>
       Reactive.rxAttribution(ev(s, d)).orderBy("channel")),
     "text_boilerplate" -> ((s, d) =>
-      TextAnalysis.boilerplate(docs(s, d)).orderBy("doc_id"))
+      TextAnalysis.boilerplate(docs(s, d)).orderBy("doc_id")),
+    "q_basket_pairs" -> ((s, d) => Relational.qBasketPairs(s, d)),
+    "rx_paths" -> ((s, d) => Reactive.rxPaths(ev(s, d))),
+    "rx_survival" -> ((s, d) =>
+      Reactive.rxSurvival(ev(s, d)).orderBy("day"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3724,6 +3728,59 @@ object SparkEntry {
         | CAST(coalesce(h.boiler_hits, 0) * 1000000 // c.n_grams AS BIGINT)
         |  AS boiler_ppm
         |FROM cnt c LEFT JOIN hits h ON c.doc_id = h.doc_id
-        |ORDER BY c.doc_id""".stripMargin
+        |ORDER BY c.doc_id""".stripMargin,
+    // oracle uses the self-join form (fine at oracle SF; the engine's
+    // grouped emission is the 100 TB shape)
+    "q_basket_pairs" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        | count(*) AS support
+        |FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        | AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 100""".stripMargin,
+    "rx_paths" ->
+      """WITH f AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        | FROM events),
+        |p AS (
+        | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM f WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 50""".stripMargin,
+    "rx_survival" ->
+      """WITH b AS (
+        | SELECT user_id, event_id, event_type,
+        |  epoch_ms(ts) // 86400000 AS day
+        | FROM events),
+        |s AS (
+        | SELECT user_id, min(event_id) AS sid,
+        |  min_by(day, event_id) AS sday
+        | FROM b WHERE event_type = 'signup' GROUP BY 1),
+        |fp AS (
+        | SELECT b.user_id, min_by(b.day, b.event_id) AS pday
+        | FROM b JOIN s ON b.user_id = s.user_id
+        | WHERE b.event_type = 'purchase' AND b.event_id > s.sid
+        | GROUP BY 1),
+        |hz AS (SELECT max(day) AS max_day FROM b),
+        |pu AS (
+        | SELECT CASE WHEN fp.pday IS NOT NULL THEN fp.pday - s.sday
+        |   ELSE hz.max_day - s.sday END AS day,
+        |  CASE WHEN fp.pday IS NOT NULL THEN 1 ELSE 0 END AS event
+        | FROM s LEFT JOIN fp ON s.user_id = fp.user_id, hz),
+        |bd AS (
+        | SELECT day, count(*) AS n_ended, sum(event) AS n_events
+        | FROM pu GROUP BY 1),
+        |cum AS (
+        | SELECT day, n_events,
+        |  sum(n_ended) OVER () -
+        |   coalesce(sum(n_ended) OVER (ORDER BY day
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS n_risk
+        | FROM bd)
+        |SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | CAST(n_events * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+        |FROM cum WHERE n_events > 0 ORDER BY day""".stripMargin
   )
 }

@@ -1393,16 +1393,24 @@ object Reactive {
     * bit-stable at any cluster size. Sums ride DECIMAL(38,0) so 100 TB
     * of cents cannot overflow; only the final statistic narrows to
     * BIGINT. Alarm threshold is explicit cents, not a float sigma. */
-  def rxCusum(events: DataFrame, alarmCents: Long = 100000L): DataFrame = {
+  def rxCusum(events: DataFrame, alarmCents: Long = 100000L,
+              refCents: Option[Long] = None): DataFrame = {
     val big = DecimalType(38, 0)
     val wAll = Window.partitionBy("user_id")
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
+    val withRef = events
       .select(col("event_id"), col("user_id"),
         (dec(col("value")) * 100).cast(big).as("xi"))
-      .withColumn("sx", sum("xi").over(wAll).cast(big))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("ref", expr("sx div n").cast(big))
+    val reffed = refCents match {
+      // fixed reference: the streaming twin's form (an unbounded
+      // stream has no full-series mean to subtract)
+      case Some(r) => withRef.withColumn("ref", lit(r).cast(big))
+      case None => withRef
+        .withColumn("sx", sum("xi").over(wAll).cast(big))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("ref", expr("sx div n").cast(big))
+    }
+    reffed
       .withColumn("p", sum(col("xi") - col("ref")).over(cum).cast(big))
       .withColumn("runmin", min(col("p")).over(cum))
       .select(col("event_id"), col("user_id"),
@@ -1433,5 +1441,76 @@ object Reactive {
       .groupBy("channel")
       .agg(count(lit(1)).as("n_conversions"),
         sum("cents").as("attributed_cents"))
+  }
+
+  /** Top user-journey prefixes (path analysis): each key's first
+    * `depth` event types joined into one path string, then path
+    * frequencies. The per-key prefix costs the shared user_id
+    * shuffle; the path rollup's key space is |event_type|^depth —
+    * bounded, partial-aggregated, never wide. `collect_list` order
+    * is partitioning-dependent, so elements carry their row_number
+    * and sort INSIDE the aggregate (array_sort of (rn, type)
+    * structs) — deterministic on any cluster. */
+  def rxPaths(events: DataFrame, depth: Int = 3, k: Int = 50): DataFrame =
+    events
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= depth)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(k)
+
+  /** Time-to-event (survival) hazard table for the signup→purchase
+    * funnel: per key, days from first signup to the first LATER
+    * purchase (event_id order — monotone in event time), censored at
+    * the corpus horizon when no purchase follows. Output is the
+    * Kaplan-Meier ingredient table — per event day: the at-risk
+    * count, event count, and the discrete hazard in integral ppm
+    * (`d*1e6 div n_risk`; the KM survival curve itself is a running
+    * product of these rationals — left to the consumer because a
+    * float Π would be the one engine-dependent step).
+    *
+    * Shape at scale: signup/purchase firsts are partial-aggregable
+    * min-structs on the shared user_id key; the corpus collapses to
+    * ONE row per user before the day rollup, and the day frame is
+    * horizon-bounded (≤ a few thousand rows at any corpus size), so
+    * its global cumulative window is a deliberate single-task step
+    * over a tiny frame — same contract as [[Relational.qPeriodGrowth]]. */
+  def rxSurvival(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+    val signup = base.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(struct(col("event_id"), col("day"))).as("s"))
+      .select(col("user_id"), col("s.event_id").as("sid"),
+        col("s.day").as("sday"))
+    val firstPurchase = base.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("event_id") > col("sid"))
+      .groupBy("user_id")
+      .agg(min(struct(col("event_id"), col("day"))).as("p"))
+      .select(col("user_id"), col("p.day").as("pday"))
+    val horizon = base.agg(max("day").as("max_day"))
+    val perUser = signup.join(firstPurchase, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("pday").isNotNull, col("pday") - col("sday"))
+          .otherwise(col("max_day") - col("sday")).as("day"),
+        when(col("pday").isNotNull, 1L).otherwise(0L).as("event"))
+    val byDay = perUser.groupBy("day")
+      .agg(count(lit(1)).as("n_ended"), sum("event").as("n_events"))
+    val ordered = Window.orderBy("day")
+    byDay
+      .withColumn("ended_before",
+        coalesce(sum("n_ended").over(
+          ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum("n_ended").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("n_events") > 0)
+      .select(col("day"), (col("total") - col("ended_before")).as("n_risk"),
+        col("n_events"))
+      .withColumn("hazard_ppm", expr("n_events * 1000000 div n_risk"))
   }
 }

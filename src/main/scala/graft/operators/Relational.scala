@@ -894,4 +894,34 @@ object Relational {
           part("p_size") === frontier("best_size"))
       .select("p_partkey", "p_retailprice", "p_size")
   }
+
+  /** Market-basket pair mining (the support-counting round of
+    * frequent-itemset/association-rule mining): parts co-ordered in
+    * the same order, top-k pairs by support. Grouped emission, not
+    * the textbook self-join: per-order DISTINCT item sets collapse
+    * on the orderkey shuffle FIRST, pairs are generated narrowly
+    * from each (sorted, capped) set, and only (p1,p2) count keys —
+    * partial-aggregated — ride the second exchange. The self-join
+    * form shuffles the fact twice and materializes the same pairs as
+    * join output rows; grouped emission bounds the blowup at
+    * C(cap,2) per order (TPC-H baskets hold ≤7 distinct parts; the
+    * cap guards adversarial baskets the same way ngramJaccardCapped
+    * caps posting lists). */
+  def qBasketPairs(s: SparkSession, dir: String, k: Int = 100,
+                   basketCap: Int = 64): DataFrame = {
+    val sets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
+        .as("items"))
+      .filter(size(col("items")) >= 2)
+    sets
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items)), " +
+          "y -> struct(x AS p1, y AS p2))))")).as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2")).limit(k)
+  }
 }

@@ -1121,4 +1121,42 @@ object ReactiveStreams {
         sum("dt_ms").as("span_ms"),
         (sum("weighted") / sum("dt_ms")).as("twap"))
   }
+
+  case class CusumRow(event_id: Long, user_id: Long,
+                      cusum_cents: Long, alarm: Boolean)
+
+  /** Streaming CUSUM change-point detector: the unbounded twin of
+    * [[graft.operators.Reactive.rxCusum]] run against a FIXED
+    * reference (an unbounded stream has no full-series mean; in
+    * production the reference comes from a trained baseline). State
+    * per key is ONE long — the textbook recurrence
+    * S = max(0, S + (x − ref)) applied per element, which the batch
+    * op's drawdown identity provably equals. Cents quantization uses
+    * the same DECIMAL(18,2) HALF_UP rule as the batch `dec()` cast,
+    * so the two forms are bit-identical on shared history. */
+  def cusumStream(spark: SparkSession, events: DataFrame,
+                  refCents: Long, alarmCents: Long = 100000L)
+      : Dataset[CusumRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, CusumRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            // valueOf = Double.toString semantics — what Spark's
+            // cast(DECIMAL) uses; the raw binary expansion would
+            // round 0.004999… differently
+            val cents = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            s = math.max(0L, s + (cents - refCents))
+            CusumRow(e.event_id, uid, s, s > alarmCents)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

@@ -324,4 +324,61 @@ class Round5Spec extends AnyFunSuite {
         .mkString.contains("text#"),
       s"text must not ride a shuffle:\n$plan")
   }
+
+  test("qBasketPairs: grouped emission equals the brute-force pair count; no self-join") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val rows = li.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = rows.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2)
+        .map(c => (c(0), c(1))))
+      .toSeq.groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+    val expectTop = brute.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(100).toMap
+    val got = Relational.qBasketPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === expectTop)
+    // grouped emission: the plan must not join the fact to itself
+    val plan = Relational.qBasketPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"basket pairs must not self-join:\n$plan")
+  }
+
+  test("rxPaths: depth-3 prefix paths in event order, frequency-ranked") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 1L, 1L, "click", 0.0),
+      (3L, 2L, 1L, "purchase", 0.0), (4L, 3L, 1L, "error", 0.0),
+      (5L, 0L, 2L, "view", 0.0), (6L, 1L, 2L, "click", 0.0),
+      (7L, 2L, 2L, "purchase", 0.0),
+      (8L, 0L, 3L, "view", 0.0))) // short history → short path
+    val out = Reactive.rxPaths(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("view>click>purchase", 2L), ("view", 1L)))
+  }
+
+  test("rxSurvival: signup→purchase hazard table with horizon censoring") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    val ev = mkEvents(Seq(
+      // user 1: signup day 0, purchase day 2 → event at t=2
+      (1L, 0L, 1L, "signup", 0.0), (2L, 2 * day, 1L, "purchase", 5.0),
+      // user 2: purchase BEFORE signup doesn't count; censored at
+      // horizon (day 4) → duration 4, no event
+      (3L, 0L, 2L, "purchase", 1.0), (4L, 0L, 2L, "signup", 0.0),
+      // user 3: signup day 1, purchase day 3 → event at t=2
+      (5L, 1 * day, 3L, "signup", 0.0), (6L, 3 * day, 3L, "purchase", 2.0),
+      // user 4: no signup → excluded entirely; sets horizon day 4
+      (7L, 4 * day, 4L, "click", 0.0)))
+    val out = Reactive.rxSurvival(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // only day 2 carries events: at risk = all 3 tracked users
+    // (user 2 is censored at day 4, still at risk on day 2),
+    // events = 2 → hazard 2e6 div 3 = 666666 ppm
+    assert(out === Map(2L -> ((3L, 2L, 666666L))))
+  }
 }

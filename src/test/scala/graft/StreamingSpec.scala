@@ -903,4 +903,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming CUSUM matches the batch drawdown identity across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = (0 until 30).map(i =>
+      Ev(i, ts(i), i % 2, "m", (i * 53 % 200 + (if (i % 5 == 0) 400 else 0)) * 1.0))
+    val refCents = 10000L // fixed 100.00 baseline
+    val mem = MemoryStream[Ev]
+    val qName = s"cusum_${System.nanoTime()}"
+    val q = ReactiveStreams.cusumStream(spark, mem.toDF(), refCents,
+        alarmCents = 30000L).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id < 11)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.event_id >= 11 && e.event_id < 23))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 23)); q.processAllAvailable()
+      val streamed = spark.table(qName)
+        .select("event_id", "cusum_cents", "alarm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val batch = graft.operators.Reactive
+        .rxCusum(evs.toDF(), alarmCents = 30000L, refCents = Some(refCents))
+        .select("event_id", "cusum_cents", "alarm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._3), "constructed series must trip an alarm")
+    } finally q.stop()
+  }
 }
