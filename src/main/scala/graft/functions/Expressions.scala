@@ -149,6 +149,22 @@ object Kernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Long-array twin of [[sortedJaccard]]: same merge walk over
+    * sorted distinct hash arrays — 8 bytes/element through the
+    * shuffle where the string form ships whole shingles. */
+  def sortedJaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Deterministic pseudo-random +-1 hyperplane component for plane j,
     * dimension d (hash-derived; no RNG state to ship to executors). */
   @inline private def planeSign(j: Int, d: Int): Double =
@@ -534,6 +550,20 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
       : SortedJaccardExpr = copy(left = l, right = r)
 }
 
+/** Merge-based Jaccard of two sorted distinct long (hash) arrays. */
+case class SortedJaccardLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedJaccardLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.sortedJaccardLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : SortedJaccardLongExpr = copy(left = l, right = r)
+}
+
 /** MinHash-LSH band keys (array<long>, 60-bit) over the md5 hash
   * family — cross-engine reproducible (see Kernels.md5MinhashBands). */
 case class Md5MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
@@ -650,6 +680,10 @@ object GraftFunctions {
   /** Merge-based Jaccard of two sorted distinct string arrays. */
   def sorted_jaccard(a: Column, b: Column): Column =
     toCol(SortedJaccardExpr(toExpr(a), toExpr(b)))
+
+  /** Merge-based Jaccard of two sorted distinct long (hash) arrays. */
+  def sorted_jaccard_long(a: Column, b: Column): Column =
+    toCol(SortedJaccardLongExpr(toExpr(a), toExpr(b)))
 
   /** MinHash-LSH band keys over the md5 family (auditable: any engine
     * with md5() re-derives the buckets). */
