@@ -737,7 +737,9 @@ object SparkEntry {
     "q_basket_pairs" -> ((s, d) => Relational.qBasketPairs(s, d)),
     "rx_paths" -> ((s, d) => Reactive.rxPaths(ev(s, d))),
     "rx_survival" -> ((s, d) =>
-      Reactive.rxSurvival(ev(s, d)).orderBy("day"))
+      Reactive.rxSurvival(ev(s, d)).orderBy("day")),
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.dedupSemantic(embs(s, d)).orderBy("vec_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3781,6 +3783,48 @@ object SparkEntry {
         |SELECT CAST(day AS BIGINT) AS day, CAST(n_risk AS BIGINT) AS n_risk,
         | CAST(n_events AS BIGINT) AS n_events,
         | CAST(n_events * 1000000 // n_risk AS BIGINT) AS hazard_ppm
-        |FROM cum WHERE n_events > 0 ORDER BY day""".stripMargin
+        |FROM cum WHERE n_events > 0 ORDER BY day""".stripMargin,
+    // SemDeDup: same argmax-assignment SQL as emb_kmeans, same
+    // cosine as dedup_embedding — cluster-then-prune composition
+    "dedup_semantic" ->
+      """WITH c0 AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb
+        | FROM embeddings WHERE vec_id < 8),
+        |a AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |   ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |     s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |    * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC,
+        |   c.centroid_id) AS rn
+        | FROM embeddings e, c0 c),
+        |asg AS (SELECT vec_id, embedding, centroid_id FROM a WHERE rn = 1),
+        |st AS (
+        | SELECT centroid_id, count(*) AS csize, min(vec_id) AS rep
+        | FROM asg GROUP BY 1),
+        |pairs AS (
+        | SELECT l.centroid_id, l.vec_id AS id1, l.embedding AS e1,
+        |  r.vec_id AS id2, r.embedding AS e2
+        | FROM asg l JOIN st USING (centroid_id) JOIN asg r USING (centroid_id)
+        | WHERE st.csize <= 256 AND l.vec_id < r.vec_id
+        | UNION ALL
+        | SELECT m.centroid_id, rb.vec_id, rb.embedding, m.vec_id, m.embedding
+        | FROM asg m JOIN st USING (centroid_id)
+        |  JOIN asg rb ON rb.vec_id = st.rep
+        | WHERE st.csize > 256 AND m.vec_id <> st.rep),
+        |scored AS (
+        | SELECT centroid_id, id1, id2,
+        |  (list_sum(list_transform(list_zip(e1, e2),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e1, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |   * list_sum(list_transform(e2, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        | FROM pairs),
+        |d AS (
+        | SELECT id2 AS vec_id, centroid_id, id1, cos_sim,
+        |  row_number() OVER (PARTITION BY id2 ORDER BY id1) AS rn
+        | FROM scored WHERE cos_sim >= 0.25)
+        |SELECT vec_id, centroid_id AS cluster_id, id1 AS dup_of, cos_sim
+        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

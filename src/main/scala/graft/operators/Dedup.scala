@@ -379,4 +379,58 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("n_dup_win"),
         (col("n_dup_win").cast("double") / col("n_windows")).as("dup_ratio"))
   }
+
+  /** SemDeDup-style semantic deduplication (cluster-then-prune,
+    * Abbas et al. 2023): embeddings are coarse-clustered, then only
+    * WITHIN-cluster pairs are cosine-compared — the clustering turns
+    * the O(n²) semantic pair space into nclusters independent
+    * problems, which is the whole trick that makes semantic dedup
+    * feasible at corpus scale. A vector is a duplicate when a
+    * SMALLER-id vector in its cluster is ≥ minCosine similar; output
+    * is the dropped set with its canonical survivor.
+    *
+    * Determinism/scale, reusing the proven machinery: assignment is
+    * [[Similarity.assignCentroids]]' NARROW broadcast argmax (zero
+    * corpus exchanges — seeded, like IVF, from the first nclusters
+    * vectors); within-cluster pruning mirrors [[embeddingNearDup]] —
+    * all-pairs while a cluster is ≤ maxCluster, degrading to the
+    * star-vs-representative comparison above it, so a hot cluster is
+    * bounded-linear instead of quadratic (the honest trade: past the
+    * cap, only rep-duplicates are caught; tighten nclusters instead
+    * of raising the cap). minCosine 0.25 is corpus-calibrated like
+    * [[embeddingNearDup]]'s (the synthetic vectors are near-
+    * orthogonal: max observed pairwise cosine ≈ 0.51). */
+  def dedupSemantic(embs: DataFrame, nclusters: Int = 8,
+                    minCosine: Double = 0.25,
+                    maxCluster: Int = 256): DataFrame = {
+    val centroids = embs.filter(col("vec_id") < nclusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val assigned = Similarity.assignCentroids(embs, centroids)
+    val stats = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("csize"),
+        min_by(struct(col("vec_id"), col("embedding")), col("vec_id"))
+          .as("rep"))
+    val annotated = assigned.join(broadcast(stats), Seq("centroid_id"))
+    val small = annotated.filter(col("csize") <= maxCluster)
+    val pairsAll = small
+      .select(col("centroid_id"), col("vec_id").as("id1"),
+        col("embedding").as("e1"))
+      .join(small.select(col("centroid_id"), col("vec_id").as("id2"),
+        col("embedding").as("e2")), Seq("centroid_id"))
+      .filter(col("id1") < col("id2"))
+    val pairsStar = annotated.filter(col("csize") > maxCluster)
+      .filter(col("vec_id") =!= col("rep.vec_id"))
+      .select(col("centroid_id"),
+        col("rep.vec_id").as("id1"), col("rep.embedding").as("e1"),
+        col("vec_id").as("id2"), col("embedding").as("e2"))
+    pairsAll.select("centroid_id", "id1", "e1", "id2", "e2")
+      .unionByName(pairsStar)
+      .withColumn("cos_sim", GraftFunctions.cosine_sim(col("e1"), col("e2")))
+      .filter(col("cos_sim") >= minCosine)
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min_by(struct(col("centroid_id"), col("id1"), col("cos_sim")),
+        col("id1")).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("cluster_id"),
+        col("m.id1").as("dup_of"), col("m.cos_sim").as("cos_sim"))
+  }
 }

@@ -91,7 +91,7 @@ object Similarity {
     * exchange — at 100 TB this is one scan instead of a full-dataset
     * shuffle per assignment pass. Ties resolve to the lowest
     * centroid_id (same order as ORDER BY sim DESC, centroid_id). */
-  private def assignCentroids(embs: DataFrame, centroids: DataFrame)
+  private[operators] def assignCentroids(embs: DataFrame, centroids: DataFrame)
       : DataFrame = {
     val centsRow = centroids.agg(
       array_sort(collect_list(struct(

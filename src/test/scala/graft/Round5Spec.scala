@@ -381,4 +381,31 @@ class Round5Spec extends AnyFunSuite {
     // events = 2 → hazard 2e6 div 3 = 666666 ppm
     assert(out === Map(2L -> ((3L, 2L, 666666L))))
   }
+
+  test("dedupSemantic: cluster-then-prune drops within-cluster near-dups; star cap degrades honestly") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),      // centroid 0
+      (1L, Seq(0.0f, 1.0f), 1),      // centroid 1
+      (2L, Seq(1.0f, 0.01f), 0),     // ≈ c0 → dup of 0
+      (3L, Seq(0.01f, 1.0f), 1),     // ≈ c1 → dup of 1
+      (4L, Seq(-1.0f, 0.5f), 1),     // cluster 1 but dissimilar → kept
+      (5L, Seq(0.7f, -0.714f), 0),   // cluster 0 but dissimilar → kept
+      (7L, Seq(0.6f, 0.8f), 1),      // near-dup PAIR inside cluster 1,
+      (8L, Seq(0.61f, 0.79f), 1))    //  neither close to the rep
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.dedupSemantic(embs, nclusters = 2, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(2L -> ((0L, 0L)), 3L -> ((1L, 1L)),
+      8L -> ((1L, 7L))))
+    // star degradation: cluster 1 = {1,3,4,7,8} over the cap → only
+    // rep-vs-member pairs remain, so the (7,8) duplicate is missed
+    // (the documented trade) while rep-duplicates survive
+    val capped = Dedup.dedupSemantic(embs, nclusters = 2,
+        minCosine = 0.9, maxCluster = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped === Set(2L, 3L))
+  }
 }
