@@ -739,7 +739,11 @@ object SparkEntry {
     "rx_survival" -> ((s, d) =>
       Reactive.rxSurvival(ev(s, d)).orderBy("day")),
     "dedup_semantic" -> ((s, d) =>
-      Dedup.dedupSemantic(embs(s, d)).orderBy("vec_id"))
+      Dedup.dedupSemantic(embs(s, d)).orderBy("vec_id")),
+    "q_decile_lift" -> ((s, d) =>
+      Relational.qDecileLift(s, d).orderBy("decile")),
+    "emb_whitening" -> ((s, d) =>
+      Similarity.whitenEmbeddings(embs(s, d)).orderBy("vec_id", "dim"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3825,6 +3829,48 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY id2 ORDER BY id1) AS rn
         | FROM scored WHERE cos_sim >= 0.25)
         |SELECT vec_id, centroid_id AS cluster_id, id1 AS dup_of, cos_sim
-        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM d WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_decile_lift" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders GROUP BY 1),
+        |r AS (
+        | SELECT cents,
+        |  row_number() OVER (ORDER BY cents DESC, o_custkey) - 1 AS rank0,
+        |  count(*) OVER () AS n FROM pc),
+        |g AS (
+        | SELECT rank0 * 10 // n AS decile, count(*) AS n_customers,
+        |  sum(cents) AS decile_cents
+        | FROM r GROUP BY 1),
+        |c AS (
+        | SELECT decile, n_customers, decile_cents,
+        |  sum(decile_cents) OVER (ORDER BY decile) AS cum,
+        |  sum(decile_cents) OVER () AS tot
+        | FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        | CAST(decile_cents AS BIGINT) AS decile_cents,
+        | CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm
+        |FROM c ORDER BY decile""".stripMargin,
+    // whitening: 1e-6-quantized BIGINT moments; mean/sigma are one
+    // fixed IEEE sequence each (sqrt is correctly rounded)
+    "emb_whitening" ->
+      """WITH q AS (
+        | SELECT vec_id, CAST(d.d - 1 AS INT) AS dim,
+        |  CAST(embedding[d.d] AS DOUBLE) AS x,
+        |  CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT) AS qd
+        | FROM embeddings, range(1, 65) d(d)),
+        |st AS (
+        | SELECT dim, sum(qd) AS s, sum(qd * qd) AS ss, count(*) AS n
+        | FROM q GROUP BY 1),
+        |st2 AS (
+        | SELECT dim, CAST(s AS DOUBLE) / n / 1e6 AS mu,
+        |  sqrt(CAST(n * ss - s * s AS DOUBLE)) / n / 1e6 AS sigma
+        | FROM st)
+        |SELECT q.vec_id, q.dim,
+        | CASE WHEN sigma = 0 THEN 0.0 ELSE (x - mu) / sigma END AS w
+        |FROM q JOIN st2 ON q.dim = st2.dim
+        |ORDER BY q.vec_id, q.dim""".stripMargin
   )
 }

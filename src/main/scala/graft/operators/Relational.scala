@@ -924,4 +924,46 @@ object Relational {
       .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p1"), col("p2")).limit(k)
   }
+
+  /** Decile lift / gains table: customers ranked by exact-cents
+    * lifetime spend, split into 10 exact-rank deciles, each decile's
+    * revenue and cumulative gains share — the targeting curve
+    * ("which tenth of the base carries what share of revenue").
+    *
+    * The global rank is the [[Sampling.shuffleShard]] pattern, NOT a
+    * single-task window: the per-customer frame range-repartitions
+    * on (spend desc, key), sorts within partitions, and zipWithIndex
+    * composes per-partition offsets — exact total order with the
+    * biggest sorted run bounded by a partition. Everything after the
+    * rank is a 10-row frame. Cumulative share is integral ppm of
+    * exact BIGINT cents. */
+  def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("long").as("cents"))
+    val ranked = perCust
+      .repartitionByRange(32, col("cents").desc, col("o_custkey"))
+      .sortWithinPartitions(col("cents").desc, col("o_custkey"))
+      .select("o_custkey", "cents")
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((k, c), idx) => (k, c, idx) }
+      .toDF("o_custkey", "cents", "rank0")
+    val n = perCust.agg(count(lit(1)).as("n_cust"))
+    val deciles = ranked.crossJoin(broadcast(n))
+      .withColumn("decile", expr("rank0 * 10 div n_cust"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("decile_cents"))
+    val w = Window.orderBy("decile")
+    deciles
+      .withColumn("cum", sum("decile_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("decile_cents").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        expr("cum * 1000000 div tot").as("cum_share_ppm"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.GraftFunctions
 
@@ -367,5 +368,40 @@ object Similarity {
         (coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
           coalesce(expr(s"1000000 div ($rrfK + vec_rank)"), lit(0L)))
           .as("rrf_ppm"))
+  }
+
+  /** Per-dimension whitening (mean-center + unit-variance) — the
+    * standard embedding preprocessing before ANN indexing or cosine
+    * thresholds, so no dimension dominates the dot product.
+    *
+    * Cross-engine exactness: moments accumulate over 1e-6-quantized
+    * BIGINT components (a raw double sum is partitioning-dependent),
+    * then mean and sigma come from ONE fixed IEEE sequence each
+    * (sqrt is correctly rounded, unlike log/exp — the same contract
+    * as qCorrMatrix); sums ride DECIMAL(38,0) so corpus size cannot
+    * overflow. Constant dimensions whiten to 0 by definition.
+    *
+    * Shape at scale: the moment pass partial-aggregates to dim rows
+    * (≤ the embedding width — broadcast by construction); assignment
+    * is a narrow map. Two corpus scans total (moments, then apply) —
+    * at 100 TB persist the source once if the scan dominates. */
+  def whitenEmbeddings(embs: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    val q = embs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("qd", floor(col("x").cast("double") * 1e6).cast("long"))
+    val stats = q.groupBy("dim").agg(
+      sum(col("qd").cast(big)).as("s"),
+      sum((col("qd") * col("qd")).cast(big)).as("ss"),
+      count(lit(1)).as("n"))
+    q.join(broadcast(stats), "dim")
+      .withColumn("mu", col("s").cast("double") / col("n") / 1e6)
+      .withColumn("sigma",
+        sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double"))
+          / col("n") / 1e6)
+      .select(col("vec_id"), col("dim"),
+        when(col("sigma") === 0.0, 0.0)
+          .otherwise((col("x").cast("double") - col("mu")) / col("sigma"))
+          .as("w"))
   }
 }

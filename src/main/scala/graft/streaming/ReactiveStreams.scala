@@ -1122,6 +1122,41 @@ object ReactiveStreams {
         (sum("weighted") / sum("dt_ms")).as("twap"))
   }
 
+  case class AttrRow(channel: String, cents: Long)
+
+  /** Streaming last-touch attribution: the unbounded twin of
+    * [[graft.operators.Reactive.rxAttribution]]. State per key is
+    * ONE string — the latest non-purchase event type seen — and each
+    * purchase emits an attributed (channel, cents) row chained into
+    * an unwindowed rollup, so the running attribution table is
+    * queryable mid-stream. Cents quantize with the batch DECIMAL
+    * cast's valueOf semantics (same rule as [[cusumStream]]). */
+  def attributionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttrRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[String]) =>
+          var touch = state.getOption.getOrElse("direct")
+          val out = rows.toSeq.sortBy(_.event_id).flatMap { e =>
+            if (e.event_type == "purchase") {
+              val cents = java.math.BigDecimal.valueOf(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+              Some(AttrRow(touch, cents))
+            } else { touch = e.event_type; None }
+          }
+          state.update(touch)
+          out.iterator
+      }
+    rows.groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("cents").as("attributed_cents"))
+  }
+
   case class CusumRow(event_id: Long, user_id: Long,
                       cusum_cents: Long, alarm: Boolean)
 

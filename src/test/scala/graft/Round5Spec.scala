@@ -408,4 +408,45 @@ class Round5Spec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(capped === Set(2L, 3L))
   }
+
+  test("whitenEmbeddings: per-dim mean ~0 / var ~1 on the real corpus; constant dims to 0") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    import spark.implicits._
+    val out = Similarity.whitenEmbeddings(Tables.embeddings(spark, sf))
+    val stats = out.groupBy("dim")
+      .agg(avg("w").as("m"), var_pop(col("w")).as("v")).collect()
+    assert(stats.length === 64)
+    stats.foreach { r =>
+      // the 1e-6 floor quantization biases the mean by up to
+      // ~0.5e-6/sigma (sigma ~0.1 here) — deterministic, tiny
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"mean off: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-3, s"var off: $r")
+    }
+    // constant dimension whitens to exactly 0, not NaN
+    val const = Seq((0L, Seq(1.0f, 2.0f), 0), (1L, Seq(1.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val w0 = Similarity.whitenEmbeddings(const)
+      .filter(col("dim") === 0).collect().map(_.getDouble(2))
+    assert(w0.toSeq === Seq(0.0, 0.0))
+  }
+
+  test("qDecileLift: exact-rank deciles, monotone gains, no single-task global sort") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    val out = Relational.qDecileLift(spark, sf).orderBy("decile").collect()
+    assert(out.length === 10)
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getLong(1)).sum === nCust)
+    // deciles differ by at most 1 customer (exact rank split)
+    val sizes = out.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // gains curve: top decile carries the largest share; cumulative
+    // share is monotone and ends at 1e6 ppm
+    assert(out.head.getLong(2) === out.map(_.getLong(2)).max)
+    val cum = out.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last === 1000000L)
+  }
 }

@@ -931,4 +931,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.exists(_._3), "constructed series must trip an alarm")
     } finally q.stop()
   }
+
+  test("streaming attribution matches the batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val types = Seq("click", "view", "signup", "purchase")
+    val evs = (0 until 40).map(i =>
+      Ev(i, ts(i), i % 3, types((i * 7) % 4), (i % 9) * 10.0 + 0.25))
+    val mem = MemoryStream[Ev]
+    val qName = s"attr_${System.nanoTime()}"
+    val q = ReactiveStreams.attributionStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("complete").start()
+    try {
+      mem.addData(evs.filter(_.event_id < 13)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.event_id >= 13 && e.event_id < 29))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 29)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.operators.Reactive.rxAttribution(evs.toDF())
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed === batch)
+      assert(streamed.size > 1, "constructed stream must hit several channels")
+    } finally q.stop()
+  }
 }
