@@ -61,7 +61,9 @@ object Bench {
       "rx_funnel", "rx_ewma", "media_near_dup", "pipeline_shard",
       "graph_pagerank", "sketch_cms_topk", "dq_check",
       "text_jaccard_prefix", "source_divergence",
-      "graph_triangles", "search_hybrid_rrf", "rx_session_capped")
+      "graph_triangles", "search_hybrid_rrf", "rx_session_capped",
+      "dedup_semantic", "q_basket_pairs", "q_decile_lift",
+      "rx_cusum", "rx_survival", "text_boilerplate", "emb_whitening")
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + r3(results(k)))

@@ -964,6 +964,9 @@ object Relational {
         Window.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .select(col("decile"), col("n_customers"), col("decile_cents"),
-        expr("cum * 1000000 div tot").as("cum_share_ppm"))
+        // cents totals overflow cents×1e6 in BIGINT past ~9e12 cents
+        // — the ppm numerator rides DECIMAL(38,0)
+        expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div tot")
+          .as("cum_share_ppm"))
   }
 }
