@@ -743,7 +743,9 @@ object SparkEntry {
     "q_decile_lift" -> ((s, d) =>
       Relational.qDecileLift(s, d).orderBy("decile")),
     "emb_whitening" -> ((s, d) =>
-      Similarity.whitenEmbeddings(embs(s, d)).orderBy("vec_id", "dim"))
+      Similarity.whitenEmbeddings(embs(s, d)).orderBy("vec_id", "dim")),
+    "text_dup_ngrams" -> ((s, d) =>
+      TextAnalysis.dupNgrams(docs(s, d)).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3871,6 +3873,29 @@ object SparkEntry {
         |SELECT q.vec_id, q.dim,
         | CASE WHEN sigma = 0 THEN 0.0 ELSE (x - mu) / sigma END AS w
         |FROM q JOIN st2 ON q.dim = st2.dim
-        |ORDER BY q.vec_id, q.dim""".stripMargin
+        |ORDER BY q.vec_id, q.dim""".stripMargin,
+    "text_dup_ngrams" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+        |   i -> t[i] || ' ' || t[i+1]) AS s2,
+        |  list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s3,
+        |  list_transform(generate_series(1, greatest(len(t) - 3, 0)),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS s4
+        | FROM tk)
+        |SELECT doc_id,
+        | CASE WHEN len(s2) > 0 THEN
+        |  (len(s2) - len(list_distinct(s2))) * 1000000 // len(s2)
+        |  ELSE 0 END AS dup2_ppm,
+        | CASE WHEN len(s3) > 0 THEN
+        |  (len(s3) - len(list_distinct(s3))) * 1000000 // len(s3)
+        |  ELSE 0 END AS dup3_ppm,
+        | CASE WHEN len(s4) > 0 THEN
+        |  (len(s4) - len(list_distinct(s4))) * 1000000 // len(s4)
+        |  ELSE 0 END AS dup4_ppm
+        |FROM sh ORDER BY doc_id""".stripMargin
   )
 }

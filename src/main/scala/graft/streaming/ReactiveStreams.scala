@@ -1157,6 +1157,42 @@ object ReactiveStreams {
         sum("cents").as("attributed_cents"))
   }
 
+  case class PathRow(user_id: Long, path: String)
+
+  /** Streaming journey paths: the unbounded twin of
+    * [[graft.operators.Reactive.rxPaths]]. State per key is the
+    * growing prefix (≤ depth event types); the path row emits ONCE,
+    * when the depth-th event arrives, and chains into an unwindowed
+    * frequency rollup. The deliberate semantic delta vs batch: a
+    * bounded run can close short histories at EOF, an unbounded
+    * stream cannot — users still short of `depth` have not emitted
+    * yet (spec compares against the batch op restricted to
+    * depth-complete users). */
+  def pathsStream(spark: SparkSession, events: DataFrame, depth: Int = 3)
+      : DataFrame = {
+    import spark.implicits._
+    val paths = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[String], PathRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[List[String]]) =>
+          var seen = state.getOption.getOrElse(Nil) // reversed prefix
+          val out = scala.collection.mutable.ArrayBuffer[PathRow]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            if (seen.length < depth) {
+              seen = e.event_type :: seen
+              if (seen.length == depth)
+                out += PathRow(uid, seen.reverse.mkString(">"))
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+  }
+
   case class CusumRow(event_id: Long, user_id: Long,
                       cusum_cents: Long, alarm: Boolean)
 

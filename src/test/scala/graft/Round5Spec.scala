@@ -449,4 +449,23 @@ class Round5Spec extends AnyFunSuite {
     assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
     assert(cum.last === 1000000L)
   }
+
+  test("dupNgrams: exact per-n duplicate fractions; zero-shuffle plan") {
+    val docs = mkDocs(Seq(
+      (1L, "a b a b a"),   // 2-grams: ab,ba,ab,ba → 2 dups of 4
+      (2L, "x y z"),       // no repeats at any n
+      (3L, "w")))          // too short for any n-gram
+    val out = TextAnalysis.dupNgrams(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1 3-grams: aba,bab,aba → 1 dup of 3; 4-grams: abab,baba → 0
+    assert(out === Map(
+      1L -> ((500000L, 333333L, 0L)),
+      2L -> ((0L, 0L, 0L)),
+      3L -> ((0L, 0L, 0L))))
+    val plan = TextAnalysis.dupNgrams(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"dupNgrams must be a pure scan pipeline:\n$plan")
+  }
 }

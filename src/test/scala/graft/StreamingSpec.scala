@@ -956,4 +956,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size > 1, "constructed stream must hit several channels")
     } finally q.stop()
   }
+
+  test("streaming paths matches batch on depth-complete users; short users pending") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase", "error")
+    // users 0..4: user u gets u+1 events → users 2,3,4 complete depth 3
+    val evs = for (u <- 0 until 5; i <- 0 to u)
+      yield Ev(u * 10 + i, ts(i), u, types((u + i) % 4), 1.0)
+    val mem = MemoryStream[Ev]
+    val qName = s"paths_${System.nanoTime()}"
+    val q = ReactiveStreams.pathsStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("complete").start()
+    try {
+      // split so user 3's third event crosses a trigger boundary
+      mem.addData(evs.filter(_.event_id % 10 < 2)); q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id % 10 >= 2)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val batch = graft.operators.Reactive.rxPaths(evs.toDF())
+        .filter(size(split(col("path"), ">")) === 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(streamed === batch)
+      assert(streamed.values.sum === 3L, "exactly users 2,3,4 complete")
+    } finally q.stop()
+  }
 }
