@@ -745,7 +745,13 @@ object SparkEntry {
     "emb_whitening" -> ((s, d) =>
       Similarity.whitenEmbeddings(embs(s, d)).orderBy("vec_id", "dim")),
     "text_dup_ngrams" -> ((s, d) =>
-      TextAnalysis.dupNgrams(docs(s, d)).orderBy("doc_id"))
+      TextAnalysis.dupNgrams(docs(s, d)).orderBy("doc_id")),
+    "rx_pattern_match" -> ((s, d) =>
+      Reactive.rxPatternMatch(ev(s, d))
+        .orderBy("user_id", "purchase_event_id")),
+    "rx_trending" -> ((s, d) =>
+      Reactive.rxTrending(ev(s, d)).orderBy("day", "rank")),
+    "rx_ab_test" -> ((s, d) => Reactive.rxAbTest(ev(s, d)).orderBy("arm"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3896,6 +3902,55 @@ object SparkEntry {
         | CASE WHEN len(s4) > 0 THEN
         |  (len(s4) - len(list_distinct(s4))) * 1000000 // len(s4)
         |  ELSE 0 END AS dup4_ppm
-        |FROM sh ORDER BY doc_id""".stripMargin
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "rx_pattern_match" ->
+      """WITH p AS (
+        | SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS pos
+        | FROM events),
+        |q AS (
+        | SELECT user_id, event_id, event_type, pos,
+        |  max(CASE WHEN event_type <> 'error' THEN pos END)
+        |   OVER (PARTITION BY user_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pne
+        | FROM p)
+        |SELECT user_id, event_id AS purchase_event_id,
+        | CAST(pos - 1 - coalesce(pne, 0) AS BIGINT) AS n_errors
+        |FROM q
+        |WHERE event_type = 'purchase' AND pos - 1 - coalesce(pne, 0) >= 1
+        |ORDER BY user_id, purchase_event_id""".stripMargin,
+    "rx_trending" ->
+      """WITH c AS (
+        | SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT day, event_type, n,
+        |  CAST(row_number() OVER (PARTITION BY day
+        |    ORDER BY n DESC, event_type) AS BIGINT) AS rank
+        | FROM c)
+        |SELECT CAST(day AS BIGINT) AS day, rank, event_type, n
+        |FROM r WHERE rank <= 3 ORDER BY day, rank""".stripMargin,
+    "rx_ab_test" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS converted,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS rev
+        | FROM events GROUP BY 1),
+        |a AS (
+        | SELECT CASE WHEN strpos('01234567',
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) > 0
+        |   THEN 'A' ELSE 'B' END AS arm,
+        |  converted, rev
+        | FROM u)
+        |SELECT arm, count(*) AS n_users,
+        | CAST(sum(converted) AS BIGINT) AS n_converted,
+        | CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+        | CAST(sum(rev) AS BIGINT) AS rev_cents,
+        | CAST(sum(rev) // count(*) AS BIGINT) AS arpu_cents
+        |FROM a GROUP BY 1 ORDER BY arm""".stripMargin
   )
 }

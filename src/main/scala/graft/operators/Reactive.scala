@@ -1462,6 +1462,75 @@ object Reactive {
       .groupBy("path").agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path")).limit(k)
 
+  /** Complex-event pattern match (the MATCH_RECOGNIZE / CEP shape):
+    * `error+ purchase` — purchases immediately preceded by an
+    * unbroken run of errors, with the run length attached. The run
+    * length is position arithmetic, not a state machine or
+    * self-join: n = pos − 1 − (position of the last NON-error before
+    * this row, a running conditional max). Two consecutive window
+    * steps over the ONE shared user_id partitioning; linear at any
+    * scale. */
+  def rxPatternMatch(events: DataFrame): DataFrame = {
+    val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("pos", row_number().over(byUser))
+      .withColumn("prev_non_err",
+        max(when(col("event_type") =!= "error", col("pos"))).over(prior))
+      .filter(col("event_type") === "purchase")
+      .withColumn("n_errors",
+        (col("pos") - lit(1) - coalesce(col("prev_non_err"), lit(0)))
+          .cast("long"))
+      .filter(col("n_errors") >= 1)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+        col("n_errors"))
+  }
+
+  /** Trending per calendar day: each day's top-k event types by
+    * count with rank — the "what moved today" leaderboard. The
+    * (day, type) rollup partial-aggregates map-side (key space =
+    * days × |event_type|, calendar-bounded); the rank window runs
+    * over THAT frame, never raw events. */
+  def rxTrending(events: DataFrame, k: Int = 3): DataFrame = {
+    val counts = events
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("day").orderBy(col("n").desc, col("event_type")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("day", "rank", "event_type", "n")
+  }
+
+  /** A/B experiment readout with a deterministic hash split: arm A =
+    * first md5 hex digit of the key in 0-7 (the reproducible 50/50
+    * assignment every experimentation system needs — no RNG state,
+    * re-derivable by any engine); per arm: users, converters,
+    * conversion ppm, revenue and ARPU in exact cents. The corpus
+    * collapses to one row per user on the shared key shuffle before
+    * the two-row arm rollup; revenue rides DECIMAL(38,0). */
+  def rxAbTest(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"),
+      sum(when(col("event_type") === "purchase",
+        (dec(col("value")) * 100).cast(DecimalType(38, 0)))
+        .otherwise(lit(0).cast(DecimalType(38, 0)))).as("rev"))
+    users
+      .withColumn("arm",
+        when(expr("instr('01234567', substr(md5(cast(user_id AS string)), 1, 1))") > 0,
+          lit("A")).otherwise(lit("B")))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("converted").as("n_converted"),
+        sum("rev").as("r"))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 div n_users").as("conv_ppm"),
+        col("r").cast("long").as("rev_cents"),
+        expr("r div n_users").as("arpu_cents"))
+  }
+
   /** Time-to-event (survival) hazard table for the signup→purchase
     * funnel: per key, days from first signup to the first LATER
     * purchase (event_id order — monotone in event time), censored at

@@ -468,4 +468,62 @@ class Round5Spec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"dupNgrams must be a pure scan pipeline:\n$plan")
   }
+
+  test("rxPatternMatch: error+ purchase runs via position arithmetic, join-free") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "error", 0.0), (2L, 1L, 1L, "error", 0.0),
+      (3L, 2L, 1L, "purchase", 5.0),  // run of 2
+      (4L, 3L, 1L, "purchase", 5.0),  // preceded by purchase → no match
+      (5L, 4L, 1L, "error", 0.0),     // trailing error, no purchase
+      (6L, 0L, 2L, "purchase", 1.0),  // stream starts with purchase
+      (7L, 1L, 2L, "error", 0.0), (8L, 2L, 2L, "purchase", 1.0)))
+    val out = Reactive.rxPatternMatch(ev)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((3L, 2L), (8L, 1L)))
+    val plan = Reactive.rxPatternMatch(ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"pattern match must be join-free:\n$plan")
+  }
+
+  test("rxTrending ranks each day's event types with deterministic tiebreak") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "b", 0.0), (2L, 1L, 1L, "b", 0.0),
+      (3L, 2L, 2L, "a", 0.0), (4L, 3L, 2L, "c", 0.0), // a ties c → a first
+      (5L, day, 1L, "c", 0.0)))
+    val out = Reactive.rxTrending(ev, k = 2)
+      .orderBy("day", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 1L, "b", 2L), (0L, 2L, "a", 1L), (1L, 1L, "c", 1L)))
+  }
+
+  test("rxAbTest: md5 split is deterministic; exact per-arm conversion and revenue") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 10L, "purchase", 10.00), (2L, 1L, 10L, "click", 0.0),
+      (3L, 0L, 11L, "click", 0.0),
+      (4L, 0L, 12L, "purchase", 2.50), (5L, 1L, 12L, "purchase", 2.50)))
+    val out = Reactive.rxAbTest(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // arms derive from md5 hex digit — recompute the split here
+    def arm(u: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes)
+      if ((d(0) >> 4 & 0xF) < 8) "A" else "B"
+    }
+    val byArm = Map(10L -> (1L, 1000L), 11L -> (0L, 0L), 12L -> (1L, 500L))
+      .groupBy { case (u, _) => arm(u) }
+    byArm.foreach { case (a, users) =>
+      val (n, conv, rev) = (users.size.toLong,
+        users.values.map(_._1).sum, users.values.map(_._2).sum)
+      assert(out(a) === ((n, conv, conv * 1000000L / n, rev, rev / n)),
+        s"arm $a")
+    }
+    assert(out.values.map(_._1).sum === 3L)
+  }
 }
