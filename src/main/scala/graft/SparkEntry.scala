@@ -751,7 +751,9 @@ object SparkEntry {
         .orderBy("user_id", "purchase_event_id")),
     "rx_trending" -> ((s, d) =>
       Reactive.rxTrending(ev(s, d)).orderBy("day", "rank")),
-    "rx_ab_test" -> ((s, d) => Reactive.rxAbTest(ev(s, d)).orderBy("arm"))
+    "rx_ab_test" -> ((s, d) => Reactive.rxAbTest(ev(s, d)).orderBy("arm")),
+    "emb_pca" -> ((s, d) =>
+      Similarity.pcaTopComponent(embs(s, d)).orderBy("dim"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -3951,6 +3953,57 @@ object SparkEntry {
         | CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
         | CAST(sum(rev) AS BIGINT) AS rev_cents,
         | CAST(sum(rev) // count(*) AS BIGINT) AS arpu_cents
-        |FROM a GROUP BY 1 ORDER BY arm""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY arm""".stripMargin,
+    // power iteration unrolled 3 rounds — per-row projections via
+    // sequential list_sum, corpus reductions over quantized BIGINTs
+    // (the emb_kmeans oracle pattern)
+    "emb_pca" ->
+      """WITH q AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
+        |  count(*) AS n
+        | FROM embeddings, range(1, 65) d(d) GROUP BY 1),
+        |mu AS (SELECT list(CAST(s AS DOUBLE) / n / 1e6 ORDER BY dim) AS m FROM q),
+        |t1 AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * 1.0)) AS t
+        | FROM embeddings e, mu),
+        |c1 AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor((CAST(t1.embedding[d.d] AS DOUBLE) - mu.m[d.d])
+        |    * t1.t * 1e6) AS BIGINT)) AS w
+        | FROM t1, mu, range(1, 65) d(d) GROUP BY 1),
+        |w1 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c1),
+        |v1 AS (SELECT list_transform(wl,
+        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w1),
+        |t2 AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v1.v[d])) AS t
+        | FROM embeddings e, mu, v1),
+        |c2 AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor((CAST(t2.embedding[d.d] AS DOUBLE) - mu.m[d.d])
+        |    * t2.t * 1e6) AS BIGINT)) AS w
+        | FROM t2, mu, range(1, 65) d(d) GROUP BY 1),
+        |w2 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c2),
+        |v2 AS (SELECT list_transform(wl,
+        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w2),
+        |t3 AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v2.v[d])) AS t
+        | FROM embeddings e, mu, v2),
+        |c3 AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor((CAST(t3.embedding[d.d] AS DOUBLE) - mu.m[d.d])
+        |    * t3.t * 1e6) AS BIGINT)) AS w
+        | FROM t3, mu, range(1, 65) d(d) GROUP BY 1),
+        |w3 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c3),
+        |v3 AS (SELECT list_transform(wl,
+        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w3)
+        |SELECT CAST(u.i - 1 AS INT) AS dim, v3.v[u.i] AS loading
+        |FROM v3, range(1, 65) u(i) ORDER BY dim""".stripMargin
   )
 }

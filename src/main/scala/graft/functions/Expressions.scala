@@ -149,6 +149,30 @@ object Kernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** One power-iteration scan step for PCA: per row, the centered
+    * projection t = Σ_d (x_d − μ_d)·v_d (sequential — one fixed IEEE
+    * order, matching DuckDB's list_sum), then the per-dim
+    * contribution (x_d − μ_d)·t quantized to BIGINT micro-units so
+    * the CORPUS sum is exact integer arithmetic — order-independent
+    * under any partitioning, where a raw double Σ_rows would drift. */
+  def centeredPowerContrib(emb: ArrayData, mu: Array[Double],
+                           v: Array[Double]): ArrayData = {
+    val n = emb.numElements()
+    var t = 0.0
+    var d = 0
+    while (d < n) {
+      t += (emb.getFloat(d).toDouble - mu(d)) * v(d); d += 1
+    }
+    val out = new Array[Long](n)
+    d = 0
+    while (d < n) {
+      out(d) = math.floor((emb.getFloat(d).toDouble - mu(d)) * t * 1e6)
+        .toLong
+      d += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Long-array twin of [[sortedJaccard]]: same merge walk over
     * sorted distinct hash arrays — 8 bytes/element through the
     * shuffle where the string form ships whole shingles. */
@@ -550,6 +574,24 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
       : SortedJaccardExpr = copy(left = l, right = r)
 }
 
+/** Power-iteration contribution array (see
+  * [[Kernels.centeredPowerContrib]]); μ and v ride as broadcast
+  * reference objects inside whole-stage codegen. */
+case class PowerContribExpr(child: Expression, mu: Array[Double],
+                            v: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.centeredPowerContrib(input.asInstanceOf[ArrayData], mu, v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val vRef = ctx.addReferenceObj("v", v, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.centeredPowerContrib($c, $muRef, $vRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): PowerContribExpr =
+    copy(child = c)
+}
+
 /** Merge-based Jaccard of two sorted distinct long (hash) arrays. */
 case class SortedJaccardLongExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -684,6 +726,10 @@ object GraftFunctions {
   /** Merge-based Jaccard of two sorted distinct long (hash) arrays. */
   def sorted_jaccard_long(a: Column, b: Column): Column =
     toCol(SortedJaccardLongExpr(toExpr(a), toExpr(b)))
+
+  /** Quantized power-iteration contributions for PCA. */
+  def power_contrib(emb: Column, mu: Array[Double], v: Array[Double]): Column =
+    toCol(PowerContribExpr(toExpr(emb), mu, v))
 
   /** MinHash-LSH band keys over the md5 family (auditable: any engine
     * with md5() re-derives the buckets). */

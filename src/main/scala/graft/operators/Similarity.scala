@@ -404,4 +404,52 @@ object Similarity {
           .otherwise((col("x").cast("double") - col("mu")) / col("sigma"))
           .as("w"))
   }
+
+  /** Top principal component by power iteration — the PCA axis used
+    * for embedding diagnostics (dominant-direction removal, ABTT
+    * "all-but-the-top") and as the first step of any spectral
+    * dimensionality reduction. v_{k+1} ∝ Σ_rows (x−μ)·((x−μ)·v_k),
+    * seeded from all-ones, `iters` fixed rounds.
+    *
+    * Cross-engine exactness (the kmeans contract, extended): the
+    * per-row projection is ONE sequential IEEE dot (codegen
+    * [[graft.functions.PowerContribExpr]], same order as list_sum);
+    * each row's contribution quantizes to BIGINT micro-units so the
+    * corpus reduction is exact integer arithmetic under any
+    * partitioning; the normalization is a fixed IEEE sequence per
+    * round (sqrt correctly rounded). Same arithmetic unrolled in the
+    * DuckDB oracle → bit-identical loadings.
+    *
+    * Shape at scale: each round is one NARROW scan (μ and v ride the
+    * closure as 64-double references) + a dim-keyed partial-agg
+    * reduction to an embedding-width frame; the driver holds only
+    * 2×64 doubles. iters scans total — the Lloyd-round structure. */
+  def pcaTopComponent(embs: DataFrame, iters: Int = 3): DataFrame = {
+    val big = DecimalType(38, 0)
+    val stats = embs
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("qd", floor(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("dim")
+      .agg(sum(col("qd").cast(big)).as("s"), count(lit(1)).as("n"))
+      .orderBy("dim").collect()
+    val mu = stats.map(r =>
+      r.getDecimal(1).doubleValue() / r.getLong(2) / 1e6)
+    var v = Array.fill(mu.length)(1.0)
+    for (_ <- 1 to iters) {
+      val w = embs
+        .select(posexplode(GraftFunctions
+          .power_contrib(col("embedding"), mu, v)).as(Seq("dim", "c")))
+        .groupBy("dim").agg(sum(col("c").cast(big)).as("w"))
+        .orderBy("dim").collect()
+        .map(_.getDecimal(1).doubleValue() / 1e6)
+      var ss = 0.0
+      w.foreach(x => ss += x * x)
+      val norm = math.sqrt(ss)
+      v = w.map(_ / norm)
+    }
+    val s = embs.sparkSession
+    import s.implicits._
+    v.toSeq.zipWithIndex.map { case (l, d) => (d, l) }
+      .toDF("dim", "loading").select(col("dim"), col("loading"))
+  }
 }

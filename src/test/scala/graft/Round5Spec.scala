@@ -469,6 +469,46 @@ class Round5Spec extends AnyFunSuite {
       s"dupNgrams must be a pure scan pipeline:\n$plan")
   }
 
+  test("pcaTopComponent: unit-norm dominant axis matching a dense reference iteration") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val embs = Tables.embeddings(spark, sf)
+    val v = Similarity.pcaTopComponent(embs).orderBy("dim")
+      .collect().map(_.getDouble(1))
+    assert(v.length === 64)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    // dense double-precision reference (no quantization): 3 power
+    // rounds from all-ones over the centered data
+    val x = embs.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = x.length
+    val mu = Array.tabulate(64)(d => x.map(_(d)).sum / n)
+    var ref = Array.fill(64)(1.0)
+    for (_ <- 1 to 3) {
+      val w = Array.fill(64)(0.0)
+      x.foreach { row =>
+        var t = 0.0
+        var d = 0
+        while (d < 64) { t += (row(d) - mu(d)) * ref(d); d += 1 }
+        d = 0
+        while (d < 64) { w(d) += (row(d) - mu(d)) * t; d += 1 }
+      }
+      val norm = math.sqrt(w.map(y => y * y).sum)
+      ref = w.map(_ / norm)
+    }
+    // quantization perturbs at ~1e-6 scale; directions must agree
+    val dot = v.zip(ref).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) > 0.9999, s"axis mismatch: |cos|=$dot")
+    // dominant axis: variance along v >= variance of any coordinate
+    val varAlong = x.map { row =>
+      val t = row.indices.map(d => (row(d) - mu(d)) * v(d)).sum; t * t
+    }.sum / n
+    val maxCoordVar = (0 until 64).map { d =>
+      x.map(r => math.pow(r(d) - mu(d), 2)).sum / n }.max
+    assert(varAlong >= maxCoordVar * 0.999,
+      s"$varAlong should dominate $maxCoordVar")
+  }
+
   test("rxPatternMatch: error+ purchase runs via position arithmetic, join-free") {
     import graft.operators.Reactive
     val ev = mkEvents(Seq(
