@@ -753,7 +753,8 @@ object SparkEntry {
       Reactive.rxTrending(ev(s, d)).orderBy("day", "rank")),
     "rx_ab_test" -> ((s, d) => Reactive.rxAbTest(ev(s, d)).orderBy("arm")),
     "emb_pca" -> ((s, d) =>
-      Similarity.pcaTopComponent(embs(s, d)).orderBy("dim"))
+      Similarity.pcaTopComponent(embs(s, d)).orderBy("dim")),
+    "q_rfm" -> ((s, d) => Relational.qRfm(s, d).orderBy("segment"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4004,6 +4005,41 @@ object SparkEntry {
         |v3 AS (SELECT list_transform(wl,
         |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w3)
         |SELECT CAST(u.i - 1 AS INT) AS dim, v3.v[u.i] AS loading
-        |FROM v3, range(1, 65) u(i) ORDER BY dim""".stripMargin
+        |FROM v3, range(1, 65) u(i) ORDER BY dim""".stripMargin,
+    "q_rfm" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(max(datediff('day', DATE '1990-01-01', o_orderdate))
+        |    AS DOUBLE) AS recency,
+        |  CAST(count(*) AS DOUBLE) AS frequency,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders GROUP BY 1),
+        |cuts AS (
+        | SELECT quantile_cont(recency, 0.25) AS r1,
+        |  quantile_cont(recency, 0.5) AS r2,
+        |  quantile_cont(recency, 0.75) AS r3,
+        |  quantile_cont(frequency, 0.25) AS f1,
+        |  quantile_cont(frequency, 0.5) AS f2,
+        |  quantile_cont(frequency, 0.75) AS f3,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.25) AS m1,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.5) AS m2,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.75) AS m3
+        | FROM pc),
+        |sc AS (
+        | SELECT
+        |  1 + CAST(recency > r1 AS INT) + CAST(recency > r2 AS INT)
+        |    + CAST(recency > r3 AS INT) AS r_score,
+        |  1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+        |    + CAST(frequency > f3 AS INT) AS f_score,
+        |  1 + CAST(CAST(cents AS DOUBLE) > m1 AS INT)
+        |    + CAST(CAST(cents AS DOUBLE) > m2 AS INT)
+        |    + CAST(CAST(cents AS DOUBLE) > m3 AS INT) AS m_score,
+        |  cents
+        | FROM pc, cuts)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |  AS segment,
+        | count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS seg_cents
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin
   )
 }

@@ -925,6 +925,52 @@ object Relational {
       .orderBy(col("support").desc, col("p1"), col("p2")).limit(k)
   }
 
+  /** RFM segmentation (recency / frequency / monetary): the classic
+    * customer-base cut. Orders collapse to one (r, f, m) row per
+    * customer on the key shuffle; quartile cuts come from ONE exact
+    * percentile aggregate broadcast back (the curriculum_order
+    * pattern — value-based assignment, not a per-bucket rank, so no
+    * single-task sorts); the segment rollup's key space is 4³. Spark
+    * `percentile` and DuckDB `quantile_cont` share the standard
+    * interpolation definition (gate-proven by curriculum_order). */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max(expr("datediff(o_orderdate, DATE '1990-01-01')")).cast("double")
+          .as("recency"),
+        count(lit(1)).cast("double").as("frequency"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+      .withColumn("monetary", col("cents").cast("double"))
+    val cuts = perCust.agg(
+      expr("percentile(recency, 0.25)").as("r1"),
+      expr("percentile(recency, 0.5)").as("r2"),
+      expr("percentile(recency, 0.75)").as("r3"),
+      expr("percentile(frequency, 0.25)").as("f1"),
+      expr("percentile(frequency, 0.5)").as("f2"),
+      expr("percentile(frequency, 0.75)").as("f3"),
+      expr("percentile(monetary, 0.25)").as("m1"),
+      expr("percentile(monetary, 0.5)").as("m2"),
+      expr("percentile(monetary, 0.75)").as("m3"))
+    perCust.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(1L) +
+        (col("recency") > col("r1")).cast("long") +
+        (col("recency") > col("r2")).cast("long") +
+        (col("recency") > col("r3")).cast("long"))
+      .withColumn("f_score", lit(1L) +
+        (col("frequency") > col("f1")).cast("long") +
+        (col("frequency") > col("f2")).cast("long") +
+        (col("frequency") > col("f3")).cast("long"))
+      .withColumn("m_score", lit(1L) +
+        (col("monetary") > col("m1")).cast("long") +
+        (col("monetary") > col("m2")).cast("long") +
+        (col("monetary") > col("m3")).cast("long"))
+      .groupBy((col("r_score") * 100 + col("f_score") * 10 +
+        col("m_score")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("seg_cents"))
+  }
+
   /** Decile lift / gains table: customers ranked by exact-cents
     * lifetime spend, split into 10 exact-rank deciles, each decile's
     * revenue and cumulative gains share — the targeting curve

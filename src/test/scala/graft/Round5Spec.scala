@@ -469,6 +469,32 @@ class Round5Spec extends AnyFunSuite {
       s"dupNgrams must be a pure scan pipeline:\n$plan")
   }
 
+  test("qRfm: value-based quartile scoring conserves customers and orders by spend") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    val out = Relational.qRfm(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_._2).sum === nCust, "every customer lands in a segment")
+    out.foreach { case (seg, _, _) =>
+      val (r, f, m) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4, s"seg $seg")
+    }
+    // monetary scoring must order segments: average spend per customer
+    // strictly increases with m_score when r and f are held fixed
+    val byRf = out.groupBy { case (seg, _, _) => seg / 10 }
+    byRf.values.foreach { segs =>
+      val avg = segs.sortBy(_._1)
+        .map { case (seg, n, c) => (seg % 10, c.toDouble / n) }.toSeq
+      avg.sliding(2).foreach {
+        case Seq((m1, a1), (m2, a2)) =>
+          if (m1 < m2) assert(a1 < a2, s"m-score ordering violated: $avg")
+        case _ => ()
+      }
+    }
+  }
+
   test("pcaTopComponent: unit-norm dominant axis matching a dense reference iteration") {
     import graft.operators.Similarity
     import graft.sources.Tables
