@@ -754,7 +754,9 @@ object SparkEntry {
     "rx_ab_test" -> ((s, d) => Reactive.rxAbTest(ev(s, d)).orderBy("arm")),
     "emb_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(embs(s, d)).orderBy("dim")),
-    "q_rfm" -> ((s, d) => Relational.qRfm(s, d).orderBy("segment"))
+    "q_rfm" -> ((s, d) => Relational.qRfm(s, d).orderBy("segment")),
+    "pipeline_contrastive" -> ((s, d) =>
+      Similarity.contrastivePairs(embs(s, d)).orderBy("vec_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4040,6 +4042,33 @@ object SparkEntry {
         |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
         |  AS segment,
         | count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS seg_cents
-        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin
+        |FROM sc GROUP BY 1 ORDER BY segment""".stripMargin,
+    "pipeline_contrastive" ->
+      """WITH a AS (
+        | SELECT vec_id, label,
+        |  lag(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS pos_id
+        | FROM embeddings),
+        |anch AS (SELECT * FROM a WHERE pos_id IS NOT NULL),
+        |ring AS (
+        | SELECT label AS neg_label, vec_id AS neg_id,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk
+        | FROM embeddings),
+        |cnt AS (SELECT neg_label, count(*) AS cnt FROM ring GROUP BY 1),
+        |lab AS (
+        | SELECT neg_label AS label,
+        |  coalesce(lead(neg_label) OVER (ORDER BY neg_label),
+        |    min(neg_label) OVER ()) AS neg_label
+        | FROM cnt),
+        |slot AS (
+        | SELECT anch.vec_id, anch.label, anch.pos_id, lab.neg_label,
+        |  ('0x' || substr(md5(CAST(anch.vec_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % cnt.cnt AS rk
+        | FROM anch JOIN lab ON anch.label = lab.label
+        |  JOIN cnt ON lab.neg_label = cnt.neg_label)
+        |SELECT s.vec_id, s.label, s.pos_id, r.neg_id
+        |FROM slot s JOIN ring r
+        | ON s.neg_label = r.neg_label AND s.rk = r.rk
+        |ORDER BY s.vec_id""".stripMargin
   )
 }

@@ -405,6 +405,47 @@ object Similarity {
           .as("w"))
   }
 
+  /** Contrastive training-pair mining over labeled embeddings — the
+    * data-prep step for embedding fine-tuning (triplet/InfoNCE):
+    * every anchor gets one positive (its same-label predecessor by
+    * id) and one deterministic negative drawn from the NEXT label's
+    * md5-ordered ring at slot md5(anchor) mod ring-size. No RNG — the
+    * triple set is a pure function of the corpus, reproducible on
+    * any engine/cluster (the same contract as the md5 samplers).
+    *
+    * Shape at scale: positives ride the label-partitioned window;
+    * the negative lookup is ONE co-partitioned join on
+    * (label, slot) — never a cross join or per-anchor scan; the
+    * label universe frames are label-cardinality-sized broadcasts. */
+  def contrastivePairs(embs: DataFrame): DataFrame = {
+    val anchors = embs.select(col("vec_id"), col("label"))
+      .withColumn("pos_id", lag("vec_id", 1).over(
+        Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("pos_id").isNotNull)
+    val ring = embs
+      .select(col("label").as("neg_label"), col("vec_id").as("neg_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("neg_label")
+          .orderBy(md5(col("neg_id").cast("string")), col("neg_id")))
+        .cast("long") - 1)
+    val counts = ring.groupBy("neg_label").agg(count(lit(1)).as("cnt"))
+    // label universe (tiny by construction): cyclic next-label ring
+    val nextLabel = counts
+      .select(col("neg_label").as("label"))
+      .withColumn("nxt", lead("label", 1).over(Window.orderBy("label")))
+      .crossJoin(broadcast(counts.agg(min("neg_label").as("min_lab"))))
+      .select(col("label"), coalesce(col("nxt"), col("min_lab"))
+        .as("neg_label"))
+    anchors
+      .join(broadcast(nextLabel), "label")
+      .join(broadcast(counts), "neg_label")
+      .withColumn("rk",
+        expr("CAST(conv(substr(md5(cast(vec_id AS string)), 1, 15), 16, 10) AS BIGINT)")
+          % col("cnt"))
+      .join(ring, Seq("neg_label", "rk"))
+      .select(col("vec_id"), col("label"), col("pos_id"), col("neg_id"))
+  }
+
   /** Top principal component by power iteration — the PCA axis used
     * for embedding diagnostics (dominant-direction removal, ABTT
     * "all-but-the-top") and as the first step of any spectral

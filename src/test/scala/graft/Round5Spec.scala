@@ -495,6 +495,28 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("contrastivePairs: positives share the label, negatives never do; deterministic") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val embs = Tables.embeddings(spark, sf)
+    val out = Similarity.contrastivePairs(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val labelOf = embs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val perLabel = labelOf.values.groupBy(identity).map { case (l, v) => l -> v.size }
+    // one anchor per vec except the first of each label
+    assert(out.length === labelOf.size - perLabel.size)
+    out.foreach { case (a, l, p, n) =>
+      assert(labelOf(a) === l && labelOf(p) === l, s"positive label: $a")
+      assert(p < a, "positive is the same-label predecessor")
+      assert(labelOf(n) !== l, s"negative must differ in label: $a -> $n")
+    }
+    // determinism: a second evaluation yields the identical triple set
+    val again = Similarity.contrastivePairs(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === again.toSet)
+  }
+
   test("pcaTopComponent: unit-norm dominant axis matching a dense reference iteration") {
     import graft.operators.Similarity
     import graft.sources.Tables
