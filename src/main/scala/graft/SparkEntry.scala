@@ -3656,22 +3656,28 @@ object SparkEntry {
         |FROM best b JOIN agg a ON b.user_id = a.user_id
         |WHERE rn = 1 ORDER BY b.user_id""".stripMargin,
     "q_corr_matrix" ->
-      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
-        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
-        | CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS s_t,
-        | CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS ss_q,
-        | CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS ss_e,
-        | CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS ss_d,
-        | CAST(sum(CAST(l_tax * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS ss_t,
-        | CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sp_qe,
-        | CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sp_qd,
-        | CAST(sum(CAST(l_quantity * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS sp_qt,
-        | CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS sp_ed,
-        | CAST(sum(CAST(l_extendedprice * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS sp_et,
-        | CAST(sum(CAST(l_discount * l_tax AS DECIMAL(28,4))) AS DOUBLE) AS sp_dt
-        | FROM lineitem)
+      """WITH x AS (SELECT
+        | CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS e,
+        | CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+        | CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+        | FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(q) AS DOUBLE) AS s_q,
+        | CAST(sum(e) AS DOUBLE) AS s_e,
+        | CAST(sum(d) AS DOUBLE) AS s_d,
+        | CAST(sum(t) AS DOUBLE) AS s_t,
+        | CAST(sum(q * q) AS DOUBLE) AS ss_q,
+        | CAST(sum(e * e) AS DOUBLE) AS ss_e,
+        | CAST(sum(d * d) AS DOUBLE) AS ss_d,
+        | CAST(sum(t * t) AS DOUBLE) AS ss_t,
+        | CAST(sum(q * e) AS DOUBLE) AS sp_qe,
+        | CAST(sum(q * d) AS DOUBLE) AS sp_qd,
+        | CAST(sum(q * t) AS DOUBLE) AS sp_qt,
+        | CAST(sum(e * d) AS DOUBLE) AS sp_ed,
+        | CAST(sum(e * t) AS DOUBLE) AS sp_et,
+        | CAST(sum(d * t) AS DOUBLE) AS sp_dt
+        | FROM x)
         |SELECT col_a, col_b, pearson_r FROM (
         | SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
         |  (n * sp_qe - s_q * s_e) / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_e - s_e * s_e)) AS pearson_r FROM m
