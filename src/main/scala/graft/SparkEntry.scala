@@ -756,7 +756,9 @@ object SparkEntry {
       Similarity.pcaTopComponent(embs(s, d)).orderBy("dim")),
     "q_rfm" -> ((s, d) => Relational.qRfm(s, d).orderBy("segment")),
     "pipeline_contrastive" -> ((s, d) =>
-      Similarity.contrastivePairs(embs(s, d)).orderBy("vec_id"))
+      Similarity.contrastivePairs(embs(s, d)).orderBy("vec_id")),
+    "rx_burst" -> ((s, d) =>
+      Reactive.rxBurst(ev(s, d)).orderBy("event_type", "minute"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4075,6 +4077,22 @@ object SparkEntry {
         |SELECT s.vec_id, s.label, s.pos_id, r.neg_id
         |FROM slot s JOIN ring r
         | ON s.neg_label = r.neg_label AND s.rk = r.rk
-        |ORDER BY s.vec_id""".stripMargin
+        |ORDER BY s.vec_id""".stripMargin,
+    "rx_burst" ->
+      """WITH c AS (
+        | SELECT event_type, epoch_ms(ts) // 60000 AS minute,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT event_type, minute, n,
+        |  coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY minute
+        |    RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING), 0) AS trail_sum
+        | FROM c),
+        |m AS (SELECT min(minute) AS m0 FROM c)
+        |SELECT event_type, CAST(minute AS BIGINT) AS minute, n,
+        | CAST(trail_sum AS BIGINT) AS trail_sum
+        |FROM t, m
+        |WHERE minute >= m0 + 10 AND n * 10 > 3 * trail_sum
+        |ORDER BY event_type, minute""".stripMargin
   )
 }

@@ -1503,6 +1503,34 @@ object Reactive {
       .select("day", "rank", "event_type", "n")
   }
 
+  /** Rate-spike (burst) detection per event type: each minute
+    * bucket's count against `factor`× the trailing `windowBuckets`-
+    * minute average. The RANGE frame on the minute key makes silent
+    * minutes IMPLICIT ZEROS (a ROWS frame would skip them and
+    * under-detect bursts after quiet periods); the verdict is the
+    * integer cross-multiplication n·w > k·Σ — no ratio to flip
+    * between engines. Events collapse to the (type, minute) count
+    * frame on the one shuffle; the window runs over that
+    * calendar-bounded frame. Warm-up minutes (before a full trailing
+    * window exists) are cut with one broadcast scalar. */
+  def rxBurst(events: DataFrame, windowBuckets: Int = 10,
+              factor: Int = 3): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 60000").as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy("event_type").orderBy("minute")
+      .rangeBetween(-windowBuckets, -1)
+    val first = counts.agg(min("minute").as("m0"))
+    counts
+      .withColumn("trail_sum",
+        coalesce(sum("n").over(trail), lit(0L)))
+      .crossJoin(broadcast(first))
+      .filter(col("minute") >= col("m0") + windowBuckets)
+      .filter(col("n") * windowBuckets > col("trail_sum") * factor)
+      .select("event_type", "minute", "n", "trail_sum")
+  }
+
   /** A/B experiment readout with a deterministic hash split: arm A =
     * first md5 hex digit of the key in 0-7 (the reproducible 50/50
     * assignment every experimentation system needs — no RNG state,

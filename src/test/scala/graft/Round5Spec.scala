@@ -557,6 +557,24 @@ class Round5Spec extends AnyFunSuite {
       s"$varAlong should dominate $maxCoordVar")
   }
 
+  test("rxBurst: RANGE frame counts silent minutes as zero; integer verdict") {
+    import graft.operators.Reactive
+    val min = 60000L
+    // type "m": minutes 0-9 calm (1 event each), minute 10 quiet gap
+    // at 11-19, burst at minute 20 (4 events). With a ROWS frame the
+    // gap would dilute nothing; with RANGE, minutes 11-19 are implicit
+    // zeros so the trailing sum at 20 is only minute 10's one event.
+    val ev = mkEvents(
+      (0 until 10).map(i => (i.toLong, i * min, 1L, "m", 0.0)) ++
+      Seq((10L, 10 * min, 1L, "m", 0.0)) ++
+      (0 until 4).map(i => (20L + i, 20 * min + i, 1L, "m", 0.0)))
+    val out = Reactive.rxBurst(ev)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // minute 20: n=4, trailing RANGE sum = minute-10 count only (1);
+    // 4*10 > 3*1 → burst. No other minute fires (calm run: 1*10 < 3*k).
+    assert(out.toSeq === Seq((20L, 4L, 1L)))
+  }
+
   test("rxPatternMatch: error+ purchase runs via position arithmetic, join-free") {
     import graft.operators.Reactive
     val ev = mkEvents(Seq(

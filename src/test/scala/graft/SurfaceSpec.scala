@@ -48,6 +48,12 @@ class SurfaceSpec extends AnyFunSuite {
     assert(qa.length === 3)
     assert(qa.forall(r => r.getAs[Long]("bucket") >= 0L &&
       r.getAs[Long]("bucket") < 64L))
+    // merge-jaccard kernels, both element types
+    val jc = GraftSql.sql(spark, sf,
+      """SELECT sorted_jaccard(array('a','b','c'), array('b','c','d')) AS js,
+        |  sorted_jaccard_long(array(1L,2L,3L), array(2L,3L,4L)) AS jl"""
+        .stripMargin).head
+    assert(jc.getDouble(0) === 0.5 && jc.getDouble(1) === 0.5)
   }
 
   test("sql kmv_distinct aggregate matches the DataFrame sketch") {
