@@ -758,7 +758,11 @@ object SparkEntry {
     "pipeline_contrastive" -> ((s, d) =>
       Similarity.contrastivePairs(embs(s, d)).orderBy("vec_id")),
     "rx_burst" -> ((s, d) =>
-      Reactive.rxBurst(ev(s, d)).orderBy("event_type", "minute"))
+      Reactive.rxBurst(ev(s, d)).orderBy("event_type", "minute")),
+    "pipeline_padding_waste" -> ((s, d) =>
+      TextAnalysis.paddingWaste(docs(s, d)).orderBy("ctx")),
+    "text_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(docs(s, d)).orderBy("pct"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4093,6 +4097,41 @@ object SparkEntry {
         | CAST(trail_sum AS BIGINT) AS trail_sum
         |FROM t, m
         |WHERE minute >= m0 + 10 AND n * 10 > 3 * trail_sum
-        |ORDER BY event_type, minute""".stripMargin
+        |ORDER BY event_type, minute""".stripMargin,
+    "pipeline_padding_waste" ->
+      """WITH t AS (
+        | SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+        |  AS n_tok
+        | FROM documents),
+        |x AS (SELECT n_tok, c.c AS ctx FROM t,
+        |  unnest([512, 1024, 2048]) AS c(c)),
+        |g AS (
+        | SELECT ctx, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+        |  sum(((n_tok + ctx - 1) // ctx) * ctx) AS padded_slots
+        | FROM x GROUP BY 1)
+        |SELECT CAST(ctx AS INT) AS ctx, n_docs,
+        | CAST(total_tokens AS BIGINT) AS total_tokens,
+        | CAST(padded_slots AS BIGINT) AS padded_slots,
+        | CAST((padded_slots - total_tokens) * 1000000 // padded_slots
+        |   AS BIGINT) AS waste_ppm
+        |FROM g ORDER BY ctx""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH fs AS (
+        | SELECT t.t, min(doc_id) AS first_doc
+        | FROM documents, unnest(string_split(lower(text), ' ')) AS t(t)
+        | WHERE t.t <> '' GROUP BY 1),
+        |cuts AS (
+        | SELECT quantile_cont(CAST(doc_id AS DOUBLE), 0.1) AS c10,
+        |  quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS c50,
+        |  CAST(max(doc_id) AS DOUBLE) AS c100
+        | FROM documents)
+        |SELECT pct, count(*) AS vocab_size FROM (
+        | SELECT CAST(10 AS BIGINT) AS pct FROM fs, cuts
+        |  WHERE fs.first_doc <= cuts.c10
+        | UNION ALL SELECT CAST(50 AS BIGINT) FROM fs, cuts
+        |  WHERE fs.first_doc <= cuts.c50
+        | UNION ALL SELECT CAST(100 AS BIGINT) FROM fs, cuts
+        |  WHERE fs.first_doc <= cuts.c100)
+        |GROUP BY 1 ORDER BY pct""".stripMargin
   )
 }

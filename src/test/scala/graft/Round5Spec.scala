@@ -557,6 +557,32 @@ class Round5Spec extends AnyFunSuite {
       s"$varAlong should dominate $maxCoordVar")
   }
 
+  test("paddingWaste: exact padded-slot accounting per context length") {
+    val docs = mkDocs(Seq(
+      (1L, Seq.fill(600)("w").mkString(" ")),  // 600 tokens
+      (2L, Seq.fill(100)("w").mkString(" ")))) // 100 tokens
+    val out = TextAnalysis.paddingWaste(docs, lengths = Seq(512))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 600 → 2 slots of 512 = 1024; 100 → 512. padded 1536, tokens 700
+    assert(out.toSeq === Seq((512, 2L, 700L, 1536L,
+      836L * 1000000L / 1536L)))
+  }
+
+  test("vocabGrowth: monotone curve driven by first-seen doc ids") {
+    val docs = mkDocs(Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "d"), (3L, "a e f"),
+      (4L, "g"), (5L, "a"), (6L, "h"), (7L, "a"), (8L, "i"), (9L, "a")))
+    val out = TextAnalysis.vocabGrowth(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // percentile(doc_id, .1) of 0..9 = 0.9 → terms first seen in doc 0
+    assert(out(10L) === 2L)  // a, b
+    // c50 = 4.5 → docs 0..4: a b c d e f g
+    assert(out(50L) === 7L)
+    assert(out(100L) === 9L) // all terms
+    assert(out(10L) <= out(50L) && out(50L) <= out(100L))
+  }
+
   test("rxBurst: RANGE frame counts silent minutes as zero; integer verdict") {
     import graft.operators.Reactive
     val min = 60000L
