@@ -1514,18 +1514,24 @@ object Reactive {
     * calendar-bounded frame. Warm-up minutes (before a full trailing
     * window exists) are cut with one broadcast scalar. */
   def rxBurst(events: DataFrame, windowBuckets: Int = 10,
-              factor: Int = 3): DataFrame = {
+              factor: Int = 3, globalWarmup: Boolean = true): DataFrame = {
     val counts = events
       .groupBy(col("event_type"),
         expr("unix_millis(ts) div 60000").as("minute"))
       .agg(count(lit(1)).as("n"))
     val trail = Window.partitionBy("event_type").orderBy("minute")
       .rangeBetween(-windowBuckets, -1)
-    val first = counts.agg(min("minute").as("m0"))
-    counts
+    val base = counts
       .withColumn("trail_sum",
         coalesce(sum("n").over(trail), lit(0L)))
-      .crossJoin(broadcast(first))
+    // warm-up: global corpus start (gated default) or per-type first
+    // minute (the streaming twin's only knowable form)
+    val cut =
+      if (globalWarmup)
+        base.crossJoin(broadcast(counts.agg(min("minute").as("m0"))))
+      else base.withColumn("m0",
+        min("minute").over(Window.partitionBy("event_type")))
+    cut
       .filter(col("minute") >= col("m0") + windowBuckets)
       .filter(col("n") * windowBuckets > col("trail_sum") * factor)
       .select("event_type", "minute", "n", "trail_sum")

@@ -1157,6 +1157,58 @@ object ReactiveStreams {
         sum("cents").as("attributed_cents"))
   }
 
+  case class BurstRow(event_type: String, minute: Long,
+                      n: Long, trail_sum: Long)
+
+  /** Streaming burst detection: the unbounded twin of
+    * [[graft.operators.Reactive.rxBurst]] with per-key warm-up (an
+    * unbounded stream knows no global corpus start — batch twin run
+    * with `globalWarmup = false` for parity). State per event type is
+    * (first minute, the last `windowBuckets`+1 non-silent minute
+    * counts); a minute's verdict emits when a LATER minute arrives
+    * (close-on-advance — the final open minute stays pending, the
+    * same no-EOF delta as [[pathsStream]]). Silent minutes are
+    * implicit zeros exactly as the batch RANGE frame counts them. */
+  def burstStream(spark: SparkSession, events: DataFrame,
+                  windowBuckets: Int = 10, factor: Int = 3)
+      : Dataset[BurstRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, List[(Long, Long)]), BurstRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Ev],
+         state: GroupState[(Long, List[(Long, Long)])]) =>
+          var (first, hist) = state.getOption.getOrElse((Long.MaxValue, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[BurstRow]()
+          def close(m: Long, c: Long): Unit =
+            if (m >= first + windowBuckets) {
+              val trail = hist
+                .filter { case (hm, _) => hm >= m - windowBuckets && hm < m }
+                .map(_._2).sum
+              if (c * windowBuckets > trail * factor)
+                out += BurstRow(etype, m, c, trail)
+            }
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val m = e.ts.getTime / 60000L
+            if (first == Long.MaxValue) first = m
+            hist match {
+              case (lm, lc) :: rest if lm == m => hist = (m, lc + 1) :: rest
+              case (lm, lc) :: _ if m > lm =>
+                close(lm, lc)
+                hist = ((m, 1L) :: hist)
+                  .filter { case (hm, _) => hm >= m - windowBuckets }
+              case Nil => hist = List((m, 1L))
+              case _ => // late minute (shouldn't occur: ids order time)
+                hist = (m, 1L) :: hist
+            }
+          }
+          state.update((first, hist))
+          out.iterator
+      }
+  }
+
   case class PathRow(user_id: Long, path: String)
 
   /** Streaming journey paths: the unbounded twin of

@@ -981,4 +981,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.values.sum === 3L, "exactly users 2,3,4 complete")
     } finally q.stop()
   }
+
+  test("streaming burst matches the batch twin on closed minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val min = 60000L
+    def at(id: Long, m: Long, t: String) =
+      Ev(id, new Timestamp(m * min + id % 50), 1L, t, 0.0)
+    // type "a": calm 0-11 (1/min), burst at 12 (5 events), closer 13
+    // type "b": minutes 0-10, quiet, spike at 20 after silence, closer 21
+    val evs =
+      (0 to 11).map(i => at(i, i, "a")) ++
+      (100 to 104).map(i => at(i, 12, "a")) ++ Seq(at(110, 13, "a")) ++
+      (200 to 210).map(i => at(i, i - 200, "b")) ++
+      (300 to 303).map(i => at(i, 20, "b")) ++ Seq(at(310, 21, "b"))
+    val sorted = evs.sortBy(_.event_id)
+    val mem = MemoryStream[Ev]
+    val qName = s"burst_${System.nanoTime()}"
+    val q = ReactiveStreams.burstStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(sorted.filter(_.event_id < 103)); q.processAllAvailable()
+      mem.addData(sorted.filter(e => e.event_id >= 103 && e.event_id < 301))
+      q.processAllAvailable()
+      mem.addData(sorted.filter(_.event_id >= 301)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch twin with per-type warm-up, minus each type's final
+      // (never-closed) minute
+      val lastMinute = sorted.groupBy(_.event_type)
+        .map { case (t, es) => t -> es.map(_.ts.getTime / min).max }
+      val batch = graft.operators.Reactive
+        .rxBurst(sorted.toDF(), globalWarmup = false)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter { case (t, m, _, _) => m < lastMinute(t) }.toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set("a", "b"),
+        "both constructed bursts must fire")
+    } finally q.stop()
+  }
 }
