@@ -762,7 +762,9 @@ object SparkEntry {
     "pipeline_padding_waste" -> ((s, d) =>
       TextAnalysis.paddingWaste(docs(s, d)).orderBy("ctx")),
     "text_vocab_growth" -> ((s, d) =>
-      TextAnalysis.vocabGrowth(docs(s, d)).orderBy("pct"))
+      TextAnalysis.vocabGrowth(docs(s, d)).orderBy("pct")),
+    "rx_seasonality" -> ((s, d) =>
+      Reactive.rxSeasonality(ev(s, d)).orderBy("day"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4132,6 +4134,32 @@ object SparkEntry {
         |  WHERE fs.first_doc <= cuts.c50
         | UNION ALL SELECT CAST(100 AS BIGINT) FROM fs, cuts
         |  WHERE fs.first_doc <= cuts.c100)
-        |GROUP BY 1 ORDER BY pct""".stripMargin
+        |GROUP BY 1 ORDER BY pct""".stripMargin,
+    "rx_seasonality" ->
+      """WITH d AS (
+        | SELECT epoch_ms(ts) // 86400000 AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |   AS cents
+        | FROM events GROUP BY 1),
+        |t AS (
+        | SELECT day, cents,
+        |  sum(cents) OVER (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_sum,
+        |  count(*) OVER (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n
+        | FROM d),
+        |f AS (
+        | SELECT day, cents, CAST(w_sum // w_n AS BIGINT) AS trend_cents,
+        |  cents - CAST(w_sum // w_n AS BIGINT) AS detrended,
+        |  (day + 4) % 7 AS dow
+        | FROM t WHERE w_n = 7),
+        |s AS (
+        | SELECT dow,
+        |  CAST(sum(detrended) // count(*) AS BIGINT) AS seasonal_cents
+        | FROM f GROUP BY 1)
+        |SELECT CAST(f.day AS BIGINT) AS day, f.cents, f.trend_cents,
+        | s.seasonal_cents,
+        | CAST(f.detrended - s.seasonal_cents AS BIGINT) AS residual_cents
+        |FROM f JOIN s ON f.dow = s.dow ORDER BY day""".stripMargin
   )
 }

@@ -1537,6 +1537,37 @@ object Reactive {
       .select("event_type", "minute", "n", "trail_sum")
   }
 
+  /** Seasonal decomposition (STL-lite): daily value series split into
+    * trend (centered 7-day moving average), weekday seasonal (mean of
+    * the detrended series per day-of-week) and residual — the
+    * smoothing-free classical decomposition, entirely in exact
+    * integer cents (floor-division means; `div` truncation verified
+    * identical to DuckDB's `//` incl. negatives by q_period_growth).
+    * The RANGE frame makes calendar gaps disqualify a window (w_n<7)
+    * rather than silently widen it. Events collapse to the
+    * calendar-bounded day frame on the one aggregation; the global
+    * windows run over THAT frame (the qPeriodGrowth contract); dow
+    * from epoch-day arithmetic, no dow() convention dependence. */
+  def rxSeasonality(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("cents"))
+    val w = Window.orderBy("day").rangeBetween(-3, 3)
+    val t = daily
+      .withColumn("w_sum", sum("cents").over(w))
+      .withColumn("w_n", count(lit(1)).over(w))
+      .filter(col("w_n") === 7)
+      .withColumn("trend_cents", expr("w_sum div w_n"))
+      .withColumn("detrended", col("cents") - col("trend_cents"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val seasonal = t.groupBy("dow")
+      .agg(expr("sum(detrended) div count(1)").as("seasonal_cents"))
+    t.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("cents"), col("trend_cents"),
+        col("seasonal_cents"),
+        (col("detrended") - col("seasonal_cents")).as("residual_cents"))
+  }
+
   /** A/B experiment readout with a deterministic hash split: arm A =
     * first md5 hex digit of the key in 0-7 (the reproducible 50/50
     * assignment every experimentation system needs — no RNG state,

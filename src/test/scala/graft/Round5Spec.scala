@@ -583,6 +583,35 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("rxSeasonality: exact integer decomposition identities on the real series") {
+    import graft.operators.Reactive
+    import graft.sources.Tables
+    val out = Reactive.rxSeasonality(Tables.events(spark, sf))
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    // residual identity holds exactly
+    out.foreach { case (_, c, t, s, res) => assert(res === c - t - s) }
+    // trend equals the centered 7-day floor mean recomputed directly
+    val daily = Tables.events(spark, sf)
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types
+        .DecimalType(18, 2))) * 100).cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (d, _, t, _, _) =>
+      val win = (d - 3 to d + 3).flatMap(daily.get)
+      assert(win.size === 7, s"day $d should have a full window")
+      assert(t === Math.floorDiv(win.sum, 7L) ||
+        t === win.sum / 7L, s"trend mismatch at $d")
+    }
+    // per-dow seasonal components are constant across weeks
+    val byDow = out.groupBy { case (d, _, _, _, _) => (d + 4) % 7 }
+    byDow.values.foreach { rows =>
+      assert(rows.map(_._4).distinct.size === 1)
+    }
+  }
+
   test("rxBurst: RANGE frame counts silent minutes as zero; integer verdict") {
     import graft.operators.Reactive
     val min = 60000L
