@@ -764,7 +764,11 @@ object SparkEntry {
     "text_vocab_growth" -> ((s, d) =>
       TextAnalysis.vocabGrowth(docs(s, d)).orderBy("pct")),
     "rx_seasonality" -> ((s, d) =>
-      Reactive.rxSeasonality(ev(s, d)).orderBy("day"))
+      Reactive.rxSeasonality(ev(s, d)).orderBy("day")),
+    "q_basket_rules" -> ((s, d) =>
+      Relational.qBasketRules(s, d).orderBy("lhs", "rhs")),
+    "pipeline_dataset_card" -> ((s, d) =>
+      TextAnalysis.datasetCard(docs(s, d)))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4160,6 +4164,47 @@ object SparkEntry {
         |SELECT CAST(f.day AS BIGINT) AS day, f.cents, f.trend_cents,
         | s.seasonal_cents,
         | CAST(f.detrended - s.seasonal_cents AS BIGINT) AS residual_cents
-        |FROM f JOIN s ON f.dow = s.dow ORDER BY day""".stripMargin
+        |FROM f JOIN s ON f.dow = s.dow ORDER BY day""".stripMargin,
+    "q_basket_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT p1, p2, support FROM (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |   count(*) AS support
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 ORDER BY support DESC, p1, p2 LIMIT 50)),
+        |nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM d),
+        |sup AS (
+        | SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS s_item
+        | FROM d GROUP BY 1),
+        |dir AS (
+        | SELECT p1 AS lhs, p2 AS rhs, support FROM pairs
+        | UNION ALL SELECT p2, p1, support FROM pairs)
+        |SELECT lhs, rhs, support,
+        | CAST(support * 1000000 // sl.s_item AS BIGINT)
+        |  AS confidence_ppm,
+        | CAST(nb.n_baskets * support * 1000000
+        |   // (sl.s_item * sr.s_item) AS BIGINT) AS lift_ppm
+        |FROM dir JOIN sup sl ON dir.lhs = sl.item
+        | JOIN sup sr ON dir.rhs = sr.item, nb
+        |ORDER BY lhs, rhs""".stripMargin,
+    "pipeline_dataset_card" ->
+      """WITH b AS (
+        | SELECT source, lang,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(lower(trim(text))) AS fp
+        | FROM documents)
+        |SELECT count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | count(DISTINCT fp) AS n_unique_docs,
+        | CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens,
+        | CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
+        |   AS BIGINT) AS dup_ppm
+        |FROM b""".stripMargin
   )
 }

@@ -935,6 +935,43 @@ object Relational {
       .orderBy(col("support").desc, col("p1"), col("p2")).limit(k)
   }
 
+  /** Association rules from the basket pairs: for the top-k pairs by
+    * support, both directed rules a→b with confidence
+    * (support(a,b)/support(a)) and lift
+    * (N·support(a,b)/(support(a)·support(b))) in exact integral ppm.
+    * Item supports are a second partial-aggregable rollup of the SAME
+    * per-order item sets; the rule join probes it with 2k rows (the
+    * top-k cut runs BEFORE the metric join — the text_collocations
+    * ordering). Lift numerator rides DECIMAL(38,0): N×support
+    * overflows BIGINT×1e6 at corpus scale. */
+  def qBasketRules(s: SparkSession, dir: String, k: Int = 50,
+                   basketCap: Int = 64): DataFrame = {
+    val sets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
+        .as("items"))
+    val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
+    val itemSupport = sets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("s_item"))
+    val topPairs = qBasketPairs(s, dir, k, basketCap)
+    val directed = topPairs
+      .select(col("p1").as("lhs"), col("p2").as("rhs"), col("support"))
+      .unionByName(topPairs.select(col("p2").as("lhs"),
+        col("p1").as("rhs"), col("support")))
+    directed
+      .join(itemSupport.withColumnsRenamed(
+        Map("item" -> "lhs", "s_item" -> "s_lhs")), "lhs")
+      .join(itemSupport.withColumnsRenamed(
+        Map("item" -> "rhs", "s_item" -> "s_rhs")), "rhs")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("lhs"), col("rhs"), col("support"),
+        expr("support * 1000000 div s_lhs").as("confidence_ppm"),
+        expr("CAST(n_baskets AS DECIMAL(38,0)) * support * 1000000 " +
+          "div (CAST(s_lhs AS DECIMAL(38,0)) * s_rhs)").as("lift_ppm"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary): the classic
     * customer-base cut. Orders collapse to one (r, f, m) row per
     * customer on the key shuffle; quartile cuts come from ONE exact

@@ -583,6 +583,45 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("datasetCard: exact one-row summary with duplicate accounting") {
+    val docs = mkDocs(Seq(
+      (1L, "a b c"), (2L, "a b c"),           // exact dup pair
+      (3L, "  A B C "), (4L, "x y")))         // trim+case folds to dup
+    val r = TextAnalysis.datasetCard(docs).head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("n_unique_docs") === 2L)
+    assert(r.getAs[Long]("dup_ppm") === 500000L)
+    // split keeps empty fields (limit -1): "  A B C " → 6 elements
+    assert(r.getAs[Long]("total_tokens") === 14L)
+    assert(r.getAs[Long]("mean_tokens") === 3L)
+  }
+
+  test("qBasketRules: confidence and lift recomputed from brute-force supports") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nBaskets = rows.map(_._1).distinct.length.toLong
+    val itemSup = rows.groupBy(_._2).map { case (p, v) =>
+      p -> v.map(_._1).distinct.length.toLong }
+    val pairSup = rows.groupBy(_._1).values
+      .flatMap(b => b.map(_._2).distinct.sorted.combinations(2)
+        .map(c => (c(0), c(1))))
+      .toSeq.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val out = Relational.qBasketRules(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size === 100) // 50 pairs, both directions
+    out.foreach { case ((lhs, rhs), (sup, conf, lift)) =>
+      val key = (math.min(lhs, rhs), math.max(lhs, rhs))
+      assert(sup === pairSup(key))
+      assert(conf === sup * 1000000L / itemSup(lhs))
+      assert(lift ===
+        nBaskets * sup * 1000000L / (itemSup(lhs) * itemSup(rhs)))
+    }
+  }
+
   test("rxSeasonality: exact integer decomposition identities on the real series") {
     import graft.operators.Reactive
     import graft.sources.Tables
