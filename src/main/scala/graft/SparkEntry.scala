@@ -768,7 +768,9 @@ object SparkEntry {
     "q_basket_rules" -> ((s, d) =>
       Relational.qBasketRules(s, d).orderBy("lhs", "rhs")),
     "pipeline_dataset_card" -> ((s, d) =>
-      TextAnalysis.datasetCard(docs(s, d)))
+      TextAnalysis.datasetCard(docs(s, d))),
+    "text_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d)).orderBy("merge_rank"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4205,6 +4207,44 @@ object SparkEntry {
         | CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens,
         | CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*)
         |   AS BIGINT) AS dup_ppm
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    // two unrolled greedy merge rounds over the weighted vocabulary;
+    // replace()'s left-to-right non-overlap scan is greedy BPE in
+    // both engines; ties break on the space-joined pair string
+    "text_bpe_train" ->
+      """WITH w AS (
+        | SELECT t.t AS w, count(*) AS cnt
+        | FROM documents, unnest(string_split(lower(text), ' ')) AS t(t)
+        | WHERE regexp_full_match(t.t, '[a-z0-9]+') AND length(t.t) >= 2
+        | GROUP BY 1),
+        |s0 AS (
+        | SELECT ' ' || array_to_string(list_transform(
+        |   generate_series(1, length(w)),
+        |   i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS s, cnt
+        | FROM w),
+        |p1 AS (
+        | SELECT syms[i] || ' ' || syms[i+1] AS pr, sum(cnt) AS n FROM (
+        |  SELECT string_split(trim(s), ' ') AS syms, cnt FROM s0),
+        |  unnest(generate_series(1, len(syms) - 1)) AS g(i)
+        | GROUP BY 1),
+        |t1 AS (SELECT pr, n FROM p1 ORDER BY n DESC, pr LIMIT 1),
+        |s1 AS (
+        | SELECT replace(s0.s, ' ' || t1.pr || ' ',
+        |   ' ' || replace(t1.pr, ' ', '') || ' ') AS s, cnt
+        | FROM s0, t1),
+        |p2 AS (
+        | SELECT syms[i] || ' ' || syms[i+1] AS pr, sum(cnt) AS n FROM (
+        |  SELECT string_split(trim(s), ' ') AS syms, cnt FROM s1),
+        |  unnest(generate_series(1, len(syms) - 1)) AS g(i)
+        | GROUP BY 1),
+        |t2 AS (SELECT pr, n FROM p2 ORDER BY n DESC, pr LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS merge_rank,
+        | string_split(pr, ' ')[1] AS left_sym,
+        | string_split(pr, ' ')[2] AS right_sym,
+        | CAST(n AS BIGINT) AS pair_count FROM t1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), string_split(pr, ' ')[1],
+        | string_split(pr, ' ')[2], CAST(n AS BIGINT) FROM t2
+        |ORDER BY merge_rank""".stripMargin
   )
 }

@@ -583,6 +583,22 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("bpeTrain: greedy merges on the weighted vocabulary with deterministic ties") {
+    val docs = mkDocs(Seq((1L, "low low low lower lowest")))
+    val out = TextAnalysis.bpeTrain(docs, rounds = 2).orderBy("merge_rank")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: "l o" and "o w" tie at 5 → "l o" wins lexicographically;
+    // round 2: after the merge, "lo w" carries the same 5
+    assert(out.toSeq === Seq((1L, "l", "o", 5L), (2L, "lo", "w", 5L)))
+    // greedy left-to-right fusion: "l l l" merges to "ll l", not "l ll"
+    val tripled = mkDocs(Seq((1L, "lll lll")))
+    val m = TextAnalysis.bpeTrain(tripled, rounds = 2).orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === (("l", "l", 4L)))   // 2 adjacent pairs x weight 2
+    assert(m(1) === (("ll", "l", 2L)))  // greedy leaves "ll l"
+  }
+
   test("datasetCard: exact one-row summary with duplicate accounting") {
     val docs = mkDocs(Seq(
       (1L, "a b c"), (2L, "a b c"),           // exact dup pair
