@@ -770,7 +770,11 @@ object SparkEntry {
     "pipeline_dataset_card" -> ((s, d) =>
       TextAnalysis.datasetCard(docs(s, d))),
     "text_bpe_train" -> ((s, d) =>
-      TextAnalysis.bpeTrain(docs(s, d)).orderBy("merge_rank"))
+      TextAnalysis.bpeTrain(docs(s, d)).orderBy("merge_rank")),
+    "rx_cohort_ltv" -> ((s, d) =>
+      Reactive.rxCohortLtv(ev(s, d)).orderBy("cohort_week", "age_weeks")),
+    "pipeline_token_budget" -> ((s, d) =>
+      Sampling.tokenBudget(docs(s, d)).orderBy("source"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4245,6 +4249,65 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), string_split(pr, ' ')[1],
         | string_split(pr, ' ')[2], CAST(n AS BIGINT) FROM t2
-        |ORDER BY merge_rank""".stripMargin
+        |ORDER BY merge_rank""".stripMargin,
+    "rx_cohort_ltv" ->
+      """WITH b AS (
+        | SELECT user_id, epoch_ms(ts) // 604800000 AS week,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM b GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_users
+        | FROM c GROUP BY 1),
+        |cells AS (
+        | SELECT c.cohort_week, b.week - c.cohort_week AS age_weeks,
+        |  CAST(sum(b.cents) AS BIGINT) AS rev_cents,
+        |  count(DISTINCT b.user_id) AS active_users
+        | FROM b JOIN c ON b.user_id = c.user_id GROUP BY 1, 2),
+        |cum AS (
+        | SELECT cohort_week, age_weeks, rev_cents, active_users,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY age_weeks) AS BIGINT) AS cum_cents
+        | FROM cells)
+        |SELECT CAST(cum.cohort_week AS BIGINT) AS cohort_week,
+        | CAST(age_weeks AS BIGINT) AS age_weeks,
+        | sz.cohort_users, active_users, rev_cents, cum_cents,
+        | CAST(cum_cents // sz.cohort_users AS BIGINT)
+        |  AS ltv_cents_per_user
+        |FROM cum JOIN sz ON cum.cohort_week = sz.cohort_week
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
+    "pipeline_token_budget" ->
+      """WITH a AS (
+        | SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |   AS available
+        | FROM documents GROUP BY 1),
+        |g AS (SELECT count(*) AS n_src,
+        |  CAST(sum(available) // 2 AS BIGINT) AS budget FROM a),
+        |r AS (
+        | SELECT source, available,
+        |  CAST(row_number() OVER (ORDER BY available, source) AS BIGINT)
+        |   AS i,
+        |  CAST(coalesce(sum(available) OVER (ORDER BY available, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cum_before
+        | FROM a),
+        |f AS (
+        | SELECT r.*, g.n_src, g.budget,
+        |  cum_before + available * (g.n_src - i + 1) <= g.budget
+        |   AS feasible
+        | FROM r, g),
+        |t AS (
+        | SELECT CAST(sum(CASE WHEN feasible THEN available ELSE 0 END)
+        |   AS BIGINT) AS cum_taken,
+        |  CAST(sum(CASE WHEN feasible THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_taken
+        | FROM f)
+        |SELECT f.source, f.available,
+        | CAST(CASE WHEN f.feasible THEN f.available
+        |  ELSE (f.budget - t.cum_taken) // (f.n_src - t.n_taken)
+        |  END AS BIGINT) AS allocated
+        |FROM f, t ORDER BY f.source""".stripMargin
   )
 }

@@ -1503,6 +1503,36 @@ object Reactive {
       .select("day", "rank", "event_type", "n")
   }
 
+  /** Cohort LTV curves: users grouped by first-seen week, cumulative
+    * revenue per cohort-age cell and per-user LTV — the monetary twin
+    * of [[rxCohortRetention]]. The corpus collapses to cohort×age
+    * cells on the shared user_id partitioning (first-seen and the
+    * revenue rollup co-partition); the cumulative window runs over
+    * the calendar-bounded cell frame; LTV is an exact floor-division
+    * of BIGINT cents. */
+  def rxCohortLtv(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"),
+      expr("unix_millis(ts) div 604800000").as("week"),
+      when(col("event_type") === "purchase",
+        (dec(col("value")) * 100).cast("long")).otherwise(0L).as("cents"))
+    val cohorts = base.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = base.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(sum("cents").as("rev_cents"),
+        count_distinct(col("user_id")).as("active_users"))
+    cells
+      .withColumn("cum_cents", sum("rev_cents").over(
+        Window.partitionBy("cohort_week").orderBy("age_weeks")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_weeks"), col("cohort_users"),
+        col("active_users"), col("rev_cents"), col("cum_cents"),
+        expr("cum_cents div cohort_users").as("ltv_cents_per_user"))
+  }
+
   /** Rate-spike (burst) detection per event type: each minute
     * bucket's count against `factor`× the trailing `windowBuckets`-
     * minute average. The RANGE frame on the minute key makes silent

@@ -86,6 +86,45 @@ object Sampling {
       .toDF("doc_id", "source", "shard", "pos_in_shard")
   }
 
+  /** Token-budget allocation across sources by water-filling (the
+    * domain-mixing primitive: spend budget B as evenly as possible,
+    * capping abundant sources, fully taking scarce ones). Budget
+    * self-calibrates to half the corpus tokens so the op is
+    * parameter-free at any scale. Closed form, no iteration:
+    * over sources sorted by availability ascending, source i is
+    * FULLY taken while cum_{i−1} + a_i·(n−i+1) ≤ B (even capping
+    * everyone at a_i cannot exhaust B); the rest share the exact
+    * floor cap (B − cum_taken) div n_capped. Every window runs over
+    * the |sources| frame — trivially bounded; all arithmetic BIGINT
+    * (the B·n cross-multiplication rides DECIMAL(38,0)). */
+  def tokenBudget(docs: DataFrame): DataFrame = {
+    val avail = docs
+      .groupBy("source")
+      .agg(sum(size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("available"))
+    val w = Window.orderBy(col("available"), col("source"))
+    val ranked = avail
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(sum("available").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(avail.agg(
+        count(lit(1)).as("n_src"),
+        expr("sum(available) div 2").as("budget"))))
+      .withColumn("feasible",
+        expr("cum_before + CAST(available AS DECIMAL(38,0)) " +
+          "* (n_src - i + 1) <= budget"))
+    val taken = ranked.agg(
+      sum(when(col("feasible"), col("available")).otherwise(0L))
+        .as("cum_taken"),
+      sum(when(col("feasible"), 1L).otherwise(0L)).as("n_taken"))
+    ranked.crossJoin(broadcast(taken))
+      .select(col("source"), col("available"),
+        when(col("feasible"), col("available"))
+          .otherwise(expr(
+            "(budget - cum_taken) div (n_src - n_taken)"))
+          .as("allocated"))
+  }
+
   /** Curriculum ordering: difficulty-quartile buckets with a
     * deterministic 16-way training stage inside each bucket. The
     * difficulty proxy is the token-uniqueness ratio (one exact

@@ -583,6 +583,44 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("tokenBudget: water-filling takes scarce sources fully, caps abundant ones") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", src, n.toLong)
+    val docs = Seq(doc(1, "s1", 10), doc(2, "s2", 50), doc(3, "s3", 100))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.tokenBudget(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // total 160 → budget 80: s1 fully (10), s2/s3 capped at (80-10)/2
+    assert(out === Map("s1" -> ((10L, 10L)), "s2" -> ((50L, 35L)),
+      "s3" -> ((100L, 35L))))
+    assert(out.values.map(_._2).sum === 80L, "budget exactly spent")
+  }
+
+  test("rxCohortLtv: cumulative identities and per-user LTV on the real table") {
+    import graft.operators.Reactive
+    import graft.sources.Tables
+    val out = Reactive.rxCohortLtv(Tables.events(spark, sf))
+      .orderBy("cohort_week", "age_weeks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rows =>
+      var run = 0L
+      rows.sortBy(_._2).foreach {
+        case (_, _, users, active, rev, cum, ltv) =>
+          run += rev
+          assert(cum === run, "cumulative revenue identity")
+          assert(ltv === cum / users)
+          assert(active <= users, "active users bounded by cohort size")
+      }
+    }
+    // age-0 cell exists for every cohort (users are active when born)
+    out.groupBy(_._1).values.foreach(rows =>
+      assert(rows.map(_._2).min === 0L))
+  }
+
   test("bpeTrain: greedy merges on the weighted vocabulary with deterministic ties") {
     val docs = mkDocs(Seq((1L, "low low low lower lowest")))
     val out = TextAnalysis.bpeTrain(docs, rounds = 2).orderBy("merge_rank")
