@@ -774,7 +774,9 @@ object SparkEntry {
     "rx_cohort_ltv" -> ((s, d) =>
       Reactive.rxCohortLtv(ev(s, d)).orderBy("cohort_week", "age_weeks")),
     "pipeline_token_budget" -> ((s, d) =>
-      Sampling.tokenBudget(docs(s, d)).orderBy("source"))
+      Sampling.tokenBudget(docs(s, d)).orderBy("source")),
+    "rx_funnel_rates" -> ((s, d) =>
+      Reactive.rxFunnelRates(ev(s, d)).orderBy("stage"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4308,6 +4310,42 @@ object SparkEntry {
         | CAST(CASE WHEN f.feasible THEN f.available
         |  ELSE (f.budget - t.cum_taken) // (f.n_src - t.n_taken)
         |  END AS BIGINT) AS allocated
-        |FROM f, t ORDER BY f.source""".stripMargin
+        |FROM f, t ORDER BY f.source""".stripMargin,
+    "rx_funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, event_type, event_id,
+        |  min(CASE WHEN event_type = 'view' THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM events),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |    AND event_id > t1 THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+        |    AND event_id > t2 THEN event_id END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |pu AS (SELECT user_id, min(t1) AS v, min(t2) AS c, min(t3) AS p
+        | FROM s3 GROUP BY 1),
+        |st AS (
+        | SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name,
+        |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_users FROM pu
+        | UNION ALL
+        | SELECT CAST(2 AS BIGINT), 'click',
+        |  CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM pu
+        | UNION ALL
+        | SELECT CAST(3 AS BIGINT), 'purchase',
+        |  CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM pu),
+        |w AS (
+        | SELECT stage, name, n_users,
+        |  lag(n_users) OVER (ORDER BY stage) AS prev,
+        |  first_value(n_users) OVER (ORDER BY stage) AS top
+        | FROM st)
+        |SELECT stage, name, n_users,
+        | CAST(CASE WHEN prev IS NULL THEN 1000000
+        |  WHEN prev = 0 THEN 0
+        |  ELSE n_users * 1000000 // prev END AS BIGINT) AS step_ppm,
+        | CAST(CASE WHEN top = 0 THEN 0
+        |  ELSE n_users * 1000000 // top END AS BIGINT) AS overall_ppm
+        |FROM w ORDER BY stage""".stripMargin
   )
 }

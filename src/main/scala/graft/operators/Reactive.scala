@@ -935,6 +935,38 @@ object Reactive {
           .as("reached_stage"))
   }
 
+  /** Aggregate funnel report: the stage table on top of [[rxFunnel]]
+    * — per stage, how many keys reached it, step conversion from the
+    * previous stage, and overall conversion from stage 1, both in
+    * exact integral ppm. The per-user frame collapses to THREE rows
+    * before any window; the lag runs over that constant frame. */
+  def rxFunnelRates(events: DataFrame): DataFrame = {
+    val perUser = rxFunnel(events)
+    val stages = perUser.agg(
+        sum(when(col("view_id").isNotNull, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("click_id").isNotNull, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("purchase_id").isNotNull, 1L).otherwise(0L)).as("s3"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("name"),
+          col("s1").as("n_users")),
+        struct(lit(2L).as("stage"), lit("click").as("name"),
+          col("s2").as("n_users")),
+        struct(lit(3L).as("stage"), lit("purchase").as("name"),
+          col("s3").as("n_users")))).as("s"))
+      .select(col("s.stage"), col("s.name"), col("s.n_users"))
+    stages
+      .withColumn("prev", lag("n_users", 1).over(Window.orderBy("stage")))
+      .withColumn("top", first("n_users").over(
+        Window.orderBy("stage")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage"), col("name"), col("n_users"),
+        expr("CASE WHEN prev IS NULL THEN 1000000L " +
+          "WHEN prev = 0 THEN 0L " +
+          "ELSE n_users * 1000000 div prev END").as("step_ppm"),
+        expr("CASE WHEN top = 0 THEN 0L " +
+          "ELSE n_users * 1000000 div top END").as("overall_ppm"))
+  }
+
   /** Per-key exact sample variance/stddev: the grouped form of
     * [[rxRollingStats]]'s identity — both moments accumulate as
     * EXACT decimals (partial-aggregable, order-independent), and the

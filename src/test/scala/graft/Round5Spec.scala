@@ -583,6 +583,28 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("rxFunnelRates: stage table consistent with the per-user funnel") {
+    import graft.operators.Reactive
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val out = Reactive.rxFunnelRates(ev).orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, "view"), (2L, "click"), (3L, "purchase")))
+    val perUser = Reactive.rxFunnel(ev).collect()
+    val expect = Seq(
+      perUser.count(!_.isNullAt(1)).toLong,
+      perUser.count(!_.isNullAt(2)).toLong,
+      perUser.count(!_.isNullAt(3)).toLong)
+    assert(out.map(_._3).toSeq === expect)
+    // funnel is monotone and the ratios are the exact floor divisions
+    assert(expect(0) >= expect(1) && expect(1) >= expect(2))
+    assert(out(0)._4 === 1000000L && out(0)._5 === 1000000L)
+    assert(out(1)._4 === expect(1) * 1000000L / expect(0))
+    assert(out(2)._5 === expect(2) * 1000000L / expect(0))
+  }
+
   test("tokenBudget: water-filling takes scarce sources fully, caps abundant ones") {
     import graft.operators.Sampling
     import spark.implicits._
