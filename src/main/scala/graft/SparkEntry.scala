@@ -776,7 +776,9 @@ object SparkEntry {
     "pipeline_token_budget" -> ((s, d) =>
       Sampling.tokenBudget(docs(s, d)).orderBy("source")),
     "rx_funnel_rates" -> ((s, d) =>
-      Reactive.rxFunnelRates(ev(s, d)).orderBy("stage"))
+      Reactive.rxFunnelRates(ev(s, d)).orderBy("stage")),
+    "emb_abtt" -> ((s, d) =>
+      Similarity.abttCorrect(embs(s, d)).orderBy("vec_id", "dim"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -802,6 +804,56 @@ object SparkEntry {
     // bit for bit — the strongest possible gate is literally the same
     // oracle
     ("text_jaccard_prefix" -> oracleBase("text_ngram_jaccard"))
+
+  /** Shared 3-round power-iteration CTE chain (q..v3) used verbatim
+    * by BOTH the emb_pca and emb_abtt oracles so the axis derivation
+    * cannot drift between them. */
+  private val pcaOracleCtes: String =
+    """q AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
+        |  count(*) AS n
+        | FROM embeddings, range(1, 65) d(d) GROUP BY 1),
+        |mu AS (SELECT list(CAST(s AS DOUBLE) / n / 1e6 ORDER BY dim) AS m FROM q),
+        |t1 AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * 1.0)) AS t
+        | FROM embeddings e, mu),
+        |c1 AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor((CAST(t1.embedding[d.d] AS DOUBLE) - mu.m[d.d])
+        |    * t1.t * 1e6) AS BIGINT)) AS w
+        | FROM t1, mu, range(1, 65) d(d) GROUP BY 1),
+        |w1 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c1),
+        |v1 AS (SELECT list_transform(wl,
+        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w1),
+        |t2 AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v1.v[d])) AS t
+        | FROM embeddings e, mu, v1),
+        |c2 AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor((CAST(t2.embedding[d.d] AS DOUBLE) - mu.m[d.d])
+        |    * t2.t * 1e6) AS BIGINT)) AS w
+        | FROM t2, mu, range(1, 65) d(d) GROUP BY 1),
+        |w2 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c2),
+        |v2 AS (SELECT list_transform(wl,
+        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w2),
+        |t3 AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v2.v[d])) AS t
+        | FROM embeddings e, mu, v2),
+        |c3 AS (
+        | SELECT CAST(d.d - 1 AS INT) AS dim,
+        |  sum(CAST(floor((CAST(t3.embedding[d.d] AS DOUBLE) - mu.m[d.d])
+        |    * t3.t * 1e6) AS BIGINT)) AS w
+        | FROM t3, mu, range(1, 65) d(d) GROUP BY 1),
+        |w3 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c3),
+        |v3 AS (SELECT list_transform(wl,
+        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w3)""".stripMargin
 
   private lazy val oracleBase: Map[String, String] = Map(
     "rx_map" ->
@@ -3985,55 +4037,23 @@ object SparkEntry {
         |FROM a GROUP BY 1 ORDER BY arm""".stripMargin,
     // power iteration unrolled 3 rounds — per-row projections via
     // sequential list_sum, corpus reductions over quantized BIGINTs
-    // (the emb_kmeans oracle pattern)
+    // (the emb_kmeans oracle pattern); CTE chain shared with emb_abtt
     "emb_pca" ->
-      """WITH q AS (
-        | SELECT CAST(d.d - 1 AS INT) AS dim,
-        |  sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6) AS BIGINT)) AS s,
-        |  count(*) AS n
-        | FROM embeddings, range(1, 65) d(d) GROUP BY 1),
-        |mu AS (SELECT list(CAST(s AS DOUBLE) / n / 1e6 ORDER BY dim) AS m FROM q),
-        |t1 AS (
-        | SELECT e.vec_id, e.embedding,
-        |  list_sum(list_transform(generate_series(1, 64),
-        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * 1.0)) AS t
-        | FROM embeddings e, mu),
-        |c1 AS (
-        | SELECT CAST(d.d - 1 AS INT) AS dim,
-        |  sum(CAST(floor((CAST(t1.embedding[d.d] AS DOUBLE) - mu.m[d.d])
-        |    * t1.t * 1e6) AS BIGINT)) AS w
-        | FROM t1, mu, range(1, 65) d(d) GROUP BY 1),
-        |w1 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c1),
-        |v1 AS (SELECT list_transform(wl,
-        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w1),
-        |t2 AS (
-        | SELECT e.vec_id, e.embedding,
-        |  list_sum(list_transform(generate_series(1, 64),
-        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v1.v[d])) AS t
-        | FROM embeddings e, mu, v1),
-        |c2 AS (
-        | SELECT CAST(d.d - 1 AS INT) AS dim,
-        |  sum(CAST(floor((CAST(t2.embedding[d.d] AS DOUBLE) - mu.m[d.d])
-        |    * t2.t * 1e6) AS BIGINT)) AS w
-        | FROM t2, mu, range(1, 65) d(d) GROUP BY 1),
-        |w2 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c2),
-        |v2 AS (SELECT list_transform(wl,
-        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w2),
-        |t3 AS (
-        | SELECT e.vec_id, e.embedding,
-        |  list_sum(list_transform(generate_series(1, 64),
-        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v2.v[d])) AS t
-        | FROM embeddings e, mu, v2),
-        |c3 AS (
-        | SELECT CAST(d.d - 1 AS INT) AS dim,
-        |  sum(CAST(floor((CAST(t3.embedding[d.d] AS DOUBLE) - mu.m[d.d])
-        |    * t3.t * 1e6) AS BIGINT)) AS w
-        | FROM t3, mu, range(1, 65) d(d) GROUP BY 1),
-        |w3 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c3),
-        |v3 AS (SELECT list_transform(wl,
-        |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w3)
+      s"""WITH $pcaOracleCtes
         |SELECT CAST(u.i - 1 AS INT) AS dim, v3.v[u.i] AS loading
         |FROM v3, range(1, 65) u(i) ORDER BY dim""".stripMargin,
+    "emb_abtt" ->
+      s"""WITH $pcaOracleCtes,
+        |tt AS (
+        | SELECT e.vec_id, e.embedding,
+        |  list_sum(list_transform(generate_series(1, 64),
+        |   d -> (CAST(e.embedding[d] AS DOUBLE) - mu.m[d]) * v3.v[d])) AS t
+        | FROM embeddings e, mu, v3)
+        |SELECT tt.vec_id, CAST(d.d - 1 AS INT) AS dim,
+        | CAST(tt.embedding[d.d] AS DOUBLE) - mu.m[d.d]
+        |  - v3.v[d.d] * tt.t AS corrected
+        |FROM tt, mu, v3, range(1, 65) d(d)
+        |ORDER BY tt.vec_id, dim""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

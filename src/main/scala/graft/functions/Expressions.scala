@@ -173,6 +173,20 @@ object Kernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Centered projection t = Σ_d (x_d − μ_d)·v_d — the sequential
+    * IEEE dot shared by [[centeredPowerContrib]], exposed alone for
+    * the all-but-the-top correction. */
+  def centeredDot(emb: ArrayData, mu: Array[Double],
+                  v: Array[Double]): Double = {
+    val n = emb.numElements()
+    var t = 0.0
+    var d = 0
+    while (d < n) {
+      t += (emb.getFloat(d).toDouble - mu(d)) * v(d); d += 1
+    }
+    t
+  }
+
   /** Long-array twin of [[sortedJaccard]]: same merge walk over
     * sorted distinct hash arrays — 8 bytes/element through the
     * shuffle where the string form ships whole shingles. */
@@ -592,6 +606,22 @@ case class PowerContribExpr(child: Expression, mu: Array[Double],
     copy(child = c)
 }
 
+/** Centered projection (see [[Kernels.centeredDot]]). */
+case class CenteredDotExpr(child: Expression, mu: Array[Double],
+                           v: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.centeredDot(input.asInstanceOf[ArrayData], mu, v)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val muRef = ctx.addReferenceObj("mu", mu, "double[]")
+    val vRef = ctx.addReferenceObj("v", v, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.centeredDot($c, $muRef, $vRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): CenteredDotExpr =
+    copy(child = c)
+}
+
 /** Merge-based Jaccard of two sorted distinct long (hash) arrays. */
 case class SortedJaccardLongExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -730,6 +760,10 @@ object GraftFunctions {
   /** Quantized power-iteration contributions for PCA. */
   def power_contrib(emb: Column, mu: Array[Double], v: Array[Double]): Column =
     toCol(PowerContribExpr(toExpr(emb), mu, v))
+
+  /** Centered projection onto a fixed axis (for ABTT correction). */
+  def centered_dot(emb: Column, mu: Array[Double], v: Array[Double]): Column =
+    toCol(CenteredDotExpr(toExpr(emb), mu, v))
 
   /** MinHash-LSH band keys over the md5 family (auditable: any engine
     * with md5() re-derives the buckets). */

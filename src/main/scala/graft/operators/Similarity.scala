@@ -466,6 +466,15 @@ object Similarity {
     * reduction to an embedding-width frame; the driver holds only
     * 2×64 doubles. iters scans total — the Lloyd-round structure. */
   def pcaTopComponent(embs: DataFrame, iters: Int = 3): DataFrame = {
+    val (_, v) = pcaAxis(embs, iters)
+    val s = embs.sparkSession
+    import s.implicits._
+    v.toSeq.zipWithIndex.map { case (l, d) => (d, l) }
+      .toDF("dim", "loading").select(col("dim"), col("loading"))
+  }
+
+  private[operators] def pcaAxis(embs: DataFrame, iters: Int)
+      : (Array[Double], Array[Double]) = {
     val big = DecimalType(38, 0)
     val stats = embs
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -488,9 +497,30 @@ object Similarity {
       val norm = math.sqrt(ss)
       v = w.map(_ / norm)
     }
-    val s = embs.sparkSession
-    import s.implicits._
-    v.toSeq.zipWithIndex.map { case (l, d) => (d, l) }
-      .toDF("dim", "loading").select(col("dim"), col("loading"))
+    (mu, v)
+  }
+
+  /** All-but-the-top correction (Mu & Viswanath 2018): subtract the
+    * mean and the projection onto the dominant axis — the standard
+    * post-processing that removes the "common direction" every
+    * embedding shares and sharpens cosine geometry. Composes
+    * [[pcaAxis]]: the correction itself is a NARROW map (one codegen
+    * projection dot + per-dim arithmetic against broadcast μ/v
+    * literal arrays); output posexploded to scalar rows like
+    * emb_whitening. Same bit-exactness contract as emb_pca — the
+    * oracle re-derives the axis and the correction end-to-end. */
+  def abttCorrect(embs: DataFrame, iters: Int = 3): DataFrame = {
+    val (mu, v) = pcaAxis(embs, iters)
+    val muLit = typedLit(mu.toSeq)
+    val vLit = typedLit(v.toSeq)
+    embs
+      .withColumn("t",
+        GraftFunctions.centered_dot(col("embedding"), mu, v))
+      .select(col("vec_id"), col("t"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        (col("x").cast("double")
+          - element_at(muLit, col("dim") + 1)
+          - element_at(vLit, col("dim") + 1) * col("t")).as("corrected"))
   }
 }

@@ -583,6 +583,28 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("abttCorrect: corrected embeddings have ~zero mean and zero axis projection") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val embs = Tables.embeddings(spark, sf)
+    val v = Similarity.pcaTopComponent(embs).orderBy("dim")
+      .collect().map(_.getDouble(1))
+    val corrected = Similarity.abttCorrect(embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byVec = corrected.groupBy(_._1)
+    byVec.values.foreach { rows =>
+      val w = rows.sortBy(_._2).map(_._3)
+      // projection onto the removed axis collapses to ~0
+      val proj = w.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) < 1e-9, s"axis not removed: $proj")
+    }
+    // per-dim mean is ~0 (1e-6 quantized mu ⇒ sub-1e-5 bias)
+    corrected.groupBy(_._2).values.foreach { rows =>
+      val m = rows.map(_._3).sum / rows.size
+      assert(math.abs(m) < 1e-4, s"mean off: $m")
+    }
+  }
+
   test("rxFunnelRates: stage table consistent with the per-user funnel") {
     import graft.operators.Reactive
     import graft.sources.Tables
