@@ -778,7 +778,9 @@ object SparkEntry {
     "rx_funnel_rates" -> ((s, d) =>
       Reactive.rxFunnelRates(ev(s, d)).orderBy("stage")),
     "emb_abtt" -> ((s, d) =>
-      Similarity.abttCorrect(embs(s, d)).orderBy("vec_id", "dim"))
+      Similarity.abttCorrect(embs(s, d)).orderBy("vec_id", "dim")),
+    "rx_lifecycle" -> ((s, d) =>
+      Reactive.rxLifecycle(ev(s, d)).orderBy("week"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4054,6 +4056,37 @@ object SparkEntry {
         |  - v3.v[d.d] * tt.t AS corrected
         |FROM tt, mu, v3, range(1, 65) d(d)
         |ORDER BY tt.vec_id, dim""".stripMargin,
+    "rx_lifecycle" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+        | FROM events),
+        |st AS (
+        | SELECT user_id, week,
+        |  lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+        |  lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+        | FROM uw),
+        |act AS (
+        | SELECT week,
+        |  CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_new,
+        |  CAST(sum(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev < week - 1
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        | FROM st GROUP BY 1),
+        |mx AS (SELECT max(week) AS maxw FROM uw),
+        |ch AS (
+        | SELECT week + 1 AS week, count(*) AS n_churned
+        | FROM st, mx
+        | WHERE week < maxw AND (nxt IS NULL OR nxt > week + 1)
+        | GROUP BY 1)
+        |SELECT CAST(coalesce(act.week, ch.week) AS BIGINT) AS week,
+        | CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        | CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        | CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+        | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON act.week = ch.week
+        |ORDER BY week""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

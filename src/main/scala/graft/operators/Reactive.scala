@@ -935,6 +935,42 @@ object Reactive {
           .as("reached_stage"))
   }
 
+  /** Growth accounting (lifecycle states): per week, how many keys
+    * are NEW (first ever week), RETAINED (active the week before),
+    * RESURRECTED (returning after a gap), and CHURNED (active the
+    * prior week, absent this one — attributed to the week they went
+    * missing, never past the observed horizon). The corpus collapses
+    * to the distinct user-week frame on the one key shuffle; state
+    * classification is a lag/lead pass on that frame; both rollups
+    * partial-aggregate on the calendar-bounded week key. */
+  def rxLifecycle(events: DataFrame): DataFrame = {
+    val uw = events.select(col("user_id"),
+      expr("unix_millis(ts) div 604800000").as("week")).distinct()
+    val byUserWeek = Window.partitionBy("user_id").orderBy("week")
+    val active = uw
+      .withColumn("prev", lag("week", 1).over(byUserWeek))
+      .groupBy("week").agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("week") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev").isNotNull && col("prev") < col("week") - 1,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val churn = uw
+      .withColumn("next", lead("week", 1).over(byUserWeek))
+      .crossJoin(broadcast(uw.agg(max("week").as("maxw"))))
+      .filter(col("week") < col("maxw") &&
+        (col("next").isNull || col("next") > col("week") + 1))
+      .groupBy((col("week") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    // full outer: an all-churn week (nobody active) still gets a row
+    active.join(churn, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
   /** Aggregate funnel report: the stage table on top of [[rxFunnel]]
     * — per stage, how many keys reached it, step conversion from the
     * previous stage, and overall conversion from stage 1, both in

@@ -583,6 +583,27 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("rxLifecycle: growth-accounting states on a constructed history") {
+    import graft.operators.Reactive
+    val wk = 604800000L
+    // u1: weeks 0,1,3 → new@0, retained@1, churn@2, resurrected@3
+    // u2: week 1 only → new@1, churn@2
+    // u3: weeks 2,3 → new@2, retained@3 (never churns: horizon=3)
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 1 * wk, 1L, "a", 0.0),
+      (3L, 3 * wk, 1L, "a", 0.0),
+      (4L, 1 * wk, 2L, "a", 0.0),
+      (5L, 2 * wk, 3L, "a", 0.0), (6L, 3 * wk + 5, 3L, "a", 0.0)))
+    val out = Reactive.rxLifecycle(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      0L -> ((1L, 0L, 0L, 0L)),
+      1L -> ((1L, 1L, 0L, 0L)),
+      2L -> ((1L, 0L, 0L, 2L)),
+      3L -> ((0L, 1L, 1L, 0L))))
+  }
+
   test("abttCorrect: corrected embeddings have ~zero mean and zero axis projection") {
     import graft.operators.Similarity
     import graft.sources.Tables
