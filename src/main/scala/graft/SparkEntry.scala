@@ -780,7 +780,8 @@ object SparkEntry {
     "emb_abtt" -> ((s, d) =>
       Similarity.abttCorrect(embs(s, d)).orderBy("vec_id", "dim")),
     "rx_lifecycle" -> ((s, d) =>
-      Reactive.rxLifecycle(ev(s, d)).orderBy("week"))
+      Reactive.rxLifecycle(ev(s, d)).orderBy("week")),
+    "rx_ts_match" -> ((s, d) => Reactive.rxTsMatch(ev(s, d)))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4087,6 +4088,45 @@ object SparkEntry {
         | CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
         |FROM act FULL OUTER JOIN ch ON act.week = ch.week
         |ORDER BY week""".stripMargin,
+    // z-normalized distance: every list_sum mirrors one kernel loop,
+    // every scalar step the same IEEE op in the same order
+    "rx_ts_match" ->
+      """WITH q AS (
+        | SELECT [0.0, 0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 0.0] AS qs),
+        |qstat AS (
+        | SELECT qs, list_sum(qs) / 8 AS mq,
+        |  list_sum(list_transform(qs, v -> v * v)) / 8
+        |   - (list_sum(qs) / 8) * (list_sum(qs) / 8) AS vq
+        | FROM q),
+        |w AS (
+        | SELECT user_id,
+        |  min(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS start_event_id,
+        |  list("value") OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS seq
+        | FROM events),
+        |f AS (SELECT * FROM w WHERE len(seq) = 8),
+        |s AS (
+        | SELECT user_id, start_event_id, seq,
+        |  list_sum(seq) / 8 AS mx,
+        |  list_sum(list_transform(seq, v -> v * v)) / 8
+        |   - (list_sum(seq) / 8) * (list_sum(seq) / 8) AS vx
+        | FROM f),
+        |d AS (
+        | SELECT s.user_id, s.start_event_id,
+        |  list_sum(list_transform(generate_series(1, 8), i ->
+        |   ((CASE WHEN s.vx <= 0 THEN 0.0
+        |      ELSE (s.seq[i] - s.mx) / sqrt(s.vx) END)
+        |    - (CASE WHEN qstat.vq <= 0 THEN 0.0
+        |      ELSE (qstat.qs[i] - qstat.mq) / sqrt(qstat.vq) END))
+        |   * ((CASE WHEN s.vx <= 0 THEN 0.0
+        |      ELSE (s.seq[i] - s.mx) / sqrt(s.vx) END)
+        |    - (CASE WHEN qstat.vq <= 0 THEN 0.0
+        |      ELSE (qstat.qs[i] - qstat.mq) / sqrt(qstat.vq) END))))
+        |   AS dist
+        | FROM s, qstat)
+        |SELECT user_id, start_event_id, dist FROM d
+        |ORDER BY dist, user_id, start_event_id LIMIT 10""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

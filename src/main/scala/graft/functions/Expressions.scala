@@ -187,6 +187,39 @@ object Kernels {
     t
   }
 
+  /** Z-normalized squared Euclidean distance between a value
+    * subsequence and a fixed query pattern (UCR-style subsequence
+    * matching). Every Σ is a separate left-to-right pass and every
+    * scalar step a fixed IEEE op, matching the oracle's list_sum
+    * formulation term for term; degenerate (zero-variance) sides
+    * z-normalize to 0. */
+  def znDist(x: ArrayData, q: Array[Double]): Double = {
+    val n = x.numElements()
+    var sx = 0.0; var i = 0
+    while (i < n) { sx += x.getDouble(i); i += 1 }
+    val mx = sx / n
+    var sxx = 0.0; i = 0
+    while (i < n) { val v = x.getDouble(i); sxx += v * v; i += 1 }
+    val vx = sxx / n - mx * mx
+    var sq = 0.0; i = 0
+    while (i < n) { sq += q(i); i += 1 }
+    val mq = sq / n
+    var sqq = 0.0; i = 0
+    while (i < n) { sqq += q(i) * q(i); i += 1 }
+    val vq = sqq / n - mq * mq
+    val sdx = if (vx <= 0) 0.0 else math.sqrt(vx)
+    val sdq = if (vq <= 0) 0.0 else math.sqrt(vq)
+    var acc = 0.0; i = 0
+    while (i < n) {
+      val zx = if (sdx == 0.0) 0.0 else (x.getDouble(i) - mx) / sdx
+      val zq = if (sdq == 0.0) 0.0 else (q(i) - mq) / sdq
+      val d = zx - zq
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Long-array twin of [[sortedJaccard]]: same merge walk over
     * sorted distinct hash arrays — 8 bytes/element through the
     * shuffle where the string form ships whole shingles. */
@@ -622,6 +655,21 @@ case class CenteredDotExpr(child: Expression, mu: Array[Double],
     copy(child = c)
 }
 
+/** Z-normalized subsequence distance (see [[Kernels.znDist]]). */
+case class ZnDistExpr(child: Expression, q: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.znDist(input.asInstanceOf[ArrayData], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("q", q, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.znDist($c, $qRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): ZnDistExpr =
+    copy(child = c)
+}
+
 /** Merge-based Jaccard of two sorted distinct long (hash) arrays. */
 case class SortedJaccardLongExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -764,6 +812,10 @@ object GraftFunctions {
   /** Centered projection onto a fixed axis (for ABTT correction). */
   def centered_dot(emb: Column, mu: Array[Double], v: Array[Double]): Column =
     toCol(CenteredDotExpr(toExpr(emb), mu, v))
+
+  /** Z-normalized subsequence distance to a fixed query pattern. */
+  def zn_dist(seq: Column, q: Array[Double]): Column =
+    toCol(ZnDistExpr(toExpr(seq), q))
 
   /** MinHash-LSH band keys over the md5 family (auditable: any engine
     * with md5() re-derives the buckets). */

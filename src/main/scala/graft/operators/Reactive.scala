@@ -935,6 +935,32 @@ object Reactive {
           .as("reached_stage"))
   }
 
+  /** Time-series subsequence similarity search (the UCR-suite shape;
+    * cf. PAPERS.md "Time Series Similarity Search for Streaming
+    * Data", EDBT 2019): the top-k per-key value subsequences closest
+    * to a fixed query pattern under z-normalized squared Euclidean
+    * distance — shape matching invariant to each window's offset and
+    * scale. Subsequences materialize from the ONE shared user_id
+    * window (ordered collect_list frame, L values per row — constant
+    * fan-out); the distance is a single codegen kernel whose every
+    * Σ/op order the oracle reproduces; TakeOrdered keeps k rows, no
+    * global sort. */
+  def rxTsMatch(events: DataFrame,
+                pattern: Seq[Double] = Seq(0, 0, 0, 10, 10, 0, 0, 0),
+                k: Int = 10): DataFrame = {
+    val L = pattern.length
+    val win = byUser.rowsBetween(-(L - 1), 0)
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("seq", collect_list(col("value")).over(win))
+      .withColumn("start_event_id", min(col("event_id")).over(win))
+      .filter(size(col("seq")) === L)
+      .select(col("user_id"), col("start_event_id"),
+        graft.functions.GraftFunctions
+          .zn_dist(col("seq"), pattern.toArray).as("dist"))
+      .orderBy(col("dist"), col("user_id"), col("start_event_id"))
+      .limit(k)
+  }
+
   /** Growth accounting (lifecycle states): per week, how many keys
     * are NEW (first ever week), RETAINED (active the week before),
     * RESURRECTED (returning after a gap), and CHURNED (active the

@@ -583,6 +583,28 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("rxTsMatch: z-normalized matching is offset/scale invariant") {
+    import graft.operators.Reactive
+    // user 1 embeds the pattern shifted by +1; user 2 scaled x3 +5;
+    // user 3 is noise. Both transformed copies must match at ~0.
+    val p = Seq(0.0, 0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 0.0)
+    val vals =
+      (Seq(7.0, 3.0) ++ p.map(_ + 1) ++ Seq(5.0)).zipWithIndex.map {
+        case (v, i) => (i.toLong, i.toLong, 1L, "m", v) } ++
+      p.map(_ * 3 + 5).zipWithIndex.map {
+        case (v, i) => (100L + i, i.toLong, 2L, "m", v) } ++
+      Seq.tabulate(10)(i => (200L + i, i.toLong, 3L, "m", (i * 37 % 11) * 1.0))
+    val out = Reactive.rxTsMatch(mkEvents(vals), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 3)
+    val exact = out.filter(_._3 < 1e-12)
+    assert(exact.map(_._1).toSet === Set(1L, 2L),
+      s"both transformed copies must match exactly: ${out.toSeq}")
+    // user 1's match starts at the pattern's first element (id 2)
+    assert(exact.find(_._1 == 1L).get._2 === 2L)
+    assert(out(2)._3 > 1.0, "noise must rank far behind")
+  }
+
   test("rxLifecycle: growth-accounting states on a constructed history") {
     import graft.operators.Reactive
     val wk = 604800000L
