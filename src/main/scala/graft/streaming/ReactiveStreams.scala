@@ -1209,6 +1209,48 @@ object ReactiveStreams {
       }
   }
 
+  case class ShapeAlert(user_id: Long, start_event_id: Long, dist: Double)
+
+  /** Streaming shape-match alerting: the unbounded form of
+    * [[graft.operators.Reactive.rxTsMatch]] — fire whenever a key's
+    * LAST L values z-normalize within `maxDist` of the query
+    * pattern. State per key is an L-value ring (the minimal
+    * subsequence memory); the distance kernel is the SAME
+    * [[graft.functions.Kernels.znDist]] the batch op codegens, so
+    * alerts equal the batch op's thresholded distance set exactly
+    * across trigger splits (spec-asserted). */
+  def shapeAlertStream(spark: SparkSession, events: DataFrame,
+                       pattern: Seq[Double] =
+                         Seq(0, 0, 0, 10, 10, 0, 0, 0),
+                       maxDist: Double = 0.5): Dataset[ShapeAlert] = {
+    import spark.implicits._
+    val q = pattern.toArray
+    val L = q.length
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Double)], ShapeAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[List[(Long, Double)]]) =>
+          var ring = state.getOption.getOrElse(Nil) // newest first
+          val out = scala.collection.mutable.ArrayBuffer[ShapeAlert]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            ring = ((e.event_id, e.value) :: ring).take(L)
+            if (ring.length == L) {
+              val window = ring.reverse
+              val arr = org.apache.spark.sql.catalyst.util.ArrayData
+                .toArrayData(window.map(_._2).toArray)
+              val d = graft.functions.Kernels.znDist(arr, q)
+              if (d <= maxDist)
+                out += ShapeAlert(uid, window.head._1, d)
+            }
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   case class PathRow(user_id: Long, path: String)
 
   /** Streaming journey paths: the unbounded twin of

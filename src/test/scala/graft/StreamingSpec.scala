@@ -982,6 +982,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming shape alerts equal the batch thresholded distances") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val p = Seq(0.0, 0.0, 0.0, 10.0, 10.0, 0.0, 0.0, 0.0)
+    // user 1 embeds a scaled pattern copy mid-stream; user 2 is noise
+    val vals =
+      (Seq(4.0, 9.0) ++ p.map(_ * 2 + 3) ++ Seq(1.0, 8.0)).zipWithIndex
+        .map { case (v, i) => Ev(i.toLong, ts(i), 1L, "m", v) } ++
+      Seq.tabulate(12)(i => Ev(100L + i, ts(i), 2L, "m", (i * 29 % 13) * 1.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"shape_${System.nanoTime()}"
+    val q = ReactiveStreams.shapeAlertStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      // split right through the embedded pattern occurrence
+      mem.addData(vals.filter(_.event_id % 100 < 6)); q.processAllAvailable()
+      mem.addData(vals.filter(_.event_id % 100 >= 6)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Reactive
+        .rxTsMatch(vals.toDF(), k = 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._3 <= 0.5).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(a => a._1 == 1L && a._3 < 1e-12),
+        "the embedded copy must alert at ~0")
+    } finally q.stop()
+  }
+
   test("streaming burst matches the batch twin on closed minutes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
