@@ -781,7 +781,9 @@ object SparkEntry {
       Similarity.abttCorrect(embs(s, d)).orderBy("vec_id", "dim")),
     "rx_lifecycle" -> ((s, d) =>
       Reactive.rxLifecycle(ev(s, d)).orderBy("week")),
-    "rx_ts_match" -> ((s, d) => Reactive.rxTsMatch(ev(s, d)))
+    "rx_ts_match" -> ((s, d) => Reactive.rxTsMatch(ev(s, d))),
+    "text_charset_profile" -> ((s, d) =>
+      TextAnalysis.charsetProfile(docs(s, d)).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4127,6 +4129,23 @@ object SparkEntry {
         | FROM s, qstat)
         |SELECT user_id, start_event_id, dist FROM d
         |ORDER BY dist, user_id, start_event_id LIMIT 10""".stripMargin,
+    "text_charset_profile" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |   AS BIGINT) AS n_alpha,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |   AS BIGINT) AS n_digit,
+        |  CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+        |   AS BIGINT) AS n_space
+        | FROM documents)
+        |SELECT doc_id, n_chars,
+        | CAST(n_alpha * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+        | CAST(n_digit * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+        | CAST(n_space * 1000000 // n_chars AS BIGINT) AS space_ppm,
+        | CAST((n_chars - n_alpha - n_digit - n_space) * 1000000
+        |   // n_chars AS BIGINT) AS other_ppm
+        |FROM b WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

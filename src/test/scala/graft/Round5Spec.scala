@@ -583,6 +583,20 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("charsetProfile: exact ppm byte-class ratios; zero-shuffle plan") {
+    val docs = mkDocs(Seq((1L, "ab 12!"), (2L, "xyz")))
+    val out = TextAnalysis.charsetProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // "ab 12!": 6 chars, 2 alpha, 2 digit, 1 space, 1 other
+    assert(out(1L) === ((6L, 333333L, 333333L, 166666L, 166666L)))
+    assert(out(2L) === ((3L, 1000000L, 0L, 0L, 0L)))
+    val plan = TextAnalysis.charsetProfile(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"charset profile must be a pure scan pipeline:\n$plan")
+  }
+
   test("rxTsMatch: z-normalized matching is offset/scale invariant") {
     import graft.operators.Reactive
     // user 1 embeds the pattern shifted by +1; user 2 scaled x3 +5;
