@@ -783,7 +783,9 @@ object SparkEntry {
       Reactive.rxLifecycle(ev(s, d)).orderBy("week")),
     "rx_ts_match" -> ((s, d) => Reactive.rxTsMatch(ev(s, d))),
     "text_charset_profile" -> ((s, d) =>
-      TextAnalysis.charsetProfile(docs(s, d)).orderBy("doc_id"))
+      TextAnalysis.charsetProfile(docs(s, d)).orderBy("doc_id")),
+    "rx_session_stats" -> ((s, d) =>
+      Reactive.rxSessionStats(ev(s, d)).orderBy("day"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4146,6 +4148,33 @@ object SparkEntry {
         | CAST((n_chars - n_alpha - n_digit - n_space) * 1000000
         |   // n_chars AS BIGINT) AS other_ppm
         |FROM b WHERE n_chars > 0 ORDER BY doc_id""".stripMargin,
+    "rx_session_stats" ->
+      """WITH g AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |   AS prev_ms
+        | FROM events),
+        |m AS (
+        | SELECT user_id, ms,
+        |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |   THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM g),
+        |s AS (
+        | SELECT user_id, sess_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |  count(*) AS n_events
+        | FROM m GROUP BY 1, 2),
+        |d AS (
+        | SELECT start_ms // 86400000 AS day, count(*) AS n_sessions,
+        |  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounce,
+        |  sum(end_ms - start_ms) AS dur_sum, sum(n_events) AS ev_sum
+        | FROM s GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, n_sessions,
+        | CAST(n_bounce * 1000000 // n_sessions AS BIGINT) AS bounce_ppm,
+        | CAST(dur_sum // n_sessions AS BIGINT) AS mean_duration_ms,
+        | CAST(ev_sum * 1000 // n_sessions AS BIGINT) AS mean_events_milli
+        |FROM d ORDER BY day""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

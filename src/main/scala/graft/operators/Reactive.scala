@@ -961,6 +961,41 @@ object Reactive {
       .limit(k)
   }
 
+  /** Daily session report: the product-analytics rollup over gap
+    * sessionization — sessions, bounce share (single-event
+    * sessions), exact mean duration and mean events per session,
+    * keyed by the session's start day. Sessions derive from the
+    * gaps-and-islands identity on the shared user_id partitioning
+    * (NOT a second session_window pass — one shuffle, and the
+    * session id is the in-partition run id); the daily rollup
+    * partial-aggregates on the calendar-bounded day key; means are
+    * floor divisions of exact BIGINT sums. */
+  def rxSessionStats(events: DataFrame, gapMs: Long = 1800000L)
+      : DataFrame = {
+    val withGap = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"))
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = withGap.groupBy("user_id", "sess_id")
+      .agg(min("ms").as("start_ms"), max("ms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+    sessions
+      .groupBy(expr("start_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("end_ms") - col("start_ms")).as("dur_sum"),
+        sum("n_events").as("ev_sum"))
+      .select(col("day"), col("n_sessions"),
+        expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
+        expr("dur_sum div n_sessions").as("mean_duration_ms"),
+        expr("ev_sum * 1000 div n_sessions").as("mean_events_milli"))
+  }
+
   /** Growth accounting (lifecycle states): per week, how many keys
     * are NEW (first ever week), RETAINED (active the week before),
     * RESURRECTED (returning after a gap), and CHURNED (active the

@@ -583,6 +583,26 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) <= out(50L) && out(50L) <= out(100L))
   }
 
+  test("rxSessionStats: gap sessionization rollup with exact means and bounce share") {
+    import graft.operators.Reactive
+    val m = 60000L
+    // user 1, day 0: session A (3 events over 10 min), then a 40-min
+    // gap → session B (1 event, a bounce). user 2, day 1: one bounce.
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 5 * m, 1L, "a", 0.0),
+      (3L, 10 * m, 1L, "a", 0.0),
+      (4L, 50 * m, 1L, "a", 0.0),
+      (5L, 86400000L + 3 * m, 2L, "a", 0.0)))
+    val out = Reactive.rxSessionStats(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // day 0: 2 sessions, 1 bounce → 500000 ppm; durations 10min + 0
+    // → mean 5min; events 3+1 → mean 2000 milli
+    assert(out === Map(
+      0L -> ((2L, 500000L, 5 * m, 2000L)),
+      1L -> ((1L, 1000000L, 0L, 1000L))))
+  }
+
   test("charsetProfile: exact ppm byte-class ratios; zero-shuffle plan") {
     val docs = mkDocs(Seq((1L, "ab 12!"), (2L, "xyz")))
     val out = TextAnalysis.charsetProfile(docs).collect()
