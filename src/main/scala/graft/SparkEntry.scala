@@ -785,7 +785,9 @@ object SparkEntry {
     "text_charset_profile" -> ((s, d) =>
       TextAnalysis.charsetProfile(docs(s, d)).orderBy("doc_id")),
     "rx_session_stats" -> ((s, d) =>
-      Reactive.rxSessionStats(ev(s, d)).orderBy("day"))
+      Reactive.rxSessionStats(ev(s, d)).orderBy("day")),
+    "rx_concurrency" -> ((s, d) =>
+      Reactive.rxConcurrency(ev(s, d)).orderBy("minute"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4175,6 +4177,34 @@ object SparkEntry {
         | CAST(dur_sum // n_sessions AS BIGINT) AS mean_duration_ms,
         | CAST(ev_sum * 1000 // n_sessions AS BIGINT) AS mean_events_milli
         |FROM d ORDER BY day""".stripMargin,
+    "rx_concurrency" ->
+      """WITH g AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+        |   AS prev_ms
+        | FROM events),
+        |m AS (
+        | SELECT user_id, ms,
+        |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |   THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM g),
+        |s AS (
+        | SELECT user_id, sess_id, min(ms) AS start_ms, max(ms) AS end_ms
+        | FROM m GROUP BY 1, 2),
+        |dl AS (
+        | SELECT start_ms // 60000 AS minute, 1 AS d FROM s
+        | UNION ALL
+        | SELECT end_ms // 60000 + 1 AS minute, -1 AS d FROM s),
+        |agg AS (
+        | SELECT minute, CAST(sum(d) AS BIGINT) AS delta FROM dl
+        | GROUP BY 1 HAVING sum(d) <> 0)
+        |SELECT CAST(minute AS BIGINT) AS minute, delta,
+        | CAST(sum(delta) OVER (ORDER BY minute
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS active_sessions
+        |FROM agg ORDER BY minute""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

@@ -971,20 +971,8 @@ object Reactive {
     * partial-aggregates on the calendar-bounded day key; means are
     * floor divisions of exact BIGINT sums. */
   def rxSessionStats(events: DataFrame, gapMs: Long = 1800000L)
-      : DataFrame = {
-    val withGap = events
-      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
-        col("event_id"))
-      .withColumn("prev_ms", lag("ms", 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ms").isNull ||
-          col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
-      .withColumn("sess_id", sum("new_sess").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sessions = withGap.groupBy("user_id", "sess_id")
-      .agg(min("ms").as("start_ms"), max("ms").as("end_ms"),
-        count(lit(1)).as("n_events"))
-    sessions
+      : DataFrame =
+    gapSessions(events, gapMs)
       .groupBy(expr("start_ms div 86400000").as("day"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
@@ -994,6 +982,48 @@ object Reactive {
         expr("n_bounce * 1000000 div n_sessions").as("bounce_ppm"),
         expr("dur_sum div n_sessions").as("mean_duration_ms"),
         expr("ev_sum * 1000 div n_sessions").as("mean_events_milli"))
+
+  /** Gap sessions: one (start, end, n_events) row per session via
+    * gaps-and-islands on the shared user_id partitioning. */
+  private def gapSessions(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"))
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ms").as("start_ms"), max("ms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+
+  /** Concurrency curve (active sessions per minute) by SWEEP-LINE,
+    * not interval explosion: each session contributes a +1 delta at
+    * its start minute and a −1 after its end minute; the cumulative
+    * sum over the minute-delta frame is the concurrency — O(sessions)
+    * deltas regardless of session LENGTH, where the naive
+    * minute-explode is O(Σ durations) and unbounded under long
+    * sessions. Deltas partial-aggregate per minute; the running sum
+    * runs over the calendar-bounded minute frame. Only minutes where
+    * the level CHANGES are emitted (the curve is a step function —
+    * consumers ffill, exactly like [[rxResample]]'s contract). */
+  def rxConcurrency(events: DataFrame, gapMs: Long = 1800000L)
+      : DataFrame = {
+    val deltas = gapSessions(events, gapMs)
+      .select(explode(array(
+        struct(expr("start_ms div 60000").as("minute"), lit(1L).as("d")),
+        struct(expr("end_ms div 60000 + 1").as("minute"),
+          lit(-1L).as("d")))).as("x"))
+      .select(col("x.minute"), col("x.d"))
+      .groupBy("minute").agg(sum("d").as("delta"))
+      .filter(col("delta") =!= 0)
+    deltas
+      .withColumn("active_sessions", sum("delta").over(
+        Window.orderBy("minute")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("minute", "delta", "active_sessions")
   }
 
   /** Growth accounting (lifecycle states): per week, how many keys

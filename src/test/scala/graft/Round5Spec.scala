@@ -603,6 +603,23 @@ class Round5Spec extends AnyFunSuite {
       1L -> ((1L, 1000000L, 0L, 1000L))))
   }
 
+  test("rxConcurrency: sweep-line levels match interval stabbing; ends at zero") {
+    import graft.operators.Reactive
+    val m = 60000L
+    // u1 session minutes [0,10]; u2 [5,8]; u3 bounce at 7
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 10 * m, 1L, "a", 0.0),
+      (3L, 5 * m, 2L, "a", 0.0), (4L, 8 * m, 2L, "a", 0.0),
+      (5L, 7 * m, 3L, "a", 0.0)))
+    val out = Reactive.rxConcurrency(ev).orderBy("minute").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // levels: min0→1, min5→2, min7→3, min8→2 (u3 closes), min9→1
+    // (u2 closes), min11→0 (u1 closes)
+    assert(out.toSeq === Seq((0L, 1L), (5L, 2L), (7L, 3L),
+      (8L, 2L), (9L, 1L), (11L, 0L)))
+    assert(out.last._2 === 0L, "every session eventually closes")
+  }
+
   test("charsetProfile: exact ppm byte-class ratios; zero-shuffle plan") {
     val docs = mkDocs(Seq((1L, "ab 12!"), (2L, "xyz")))
     val out = TextAnalysis.charsetProfile(docs).collect()
