@@ -205,6 +205,8 @@ object SparkEntry {
     "dq_check" -> ((s, d) =>
       Relational.dqCheck(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d)).orderBy("check_name")),
+    "dq_benford" -> ((s, d) =>
+      Relational.benfordAudit(Tables.lineitem(s, d)).orderBy("digit")),
     "graph_pagerank" -> ((s, d) =>
       Graph.pageRankTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
@@ -300,6 +302,10 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ann_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(embs(s, d)).orderBy("src_id", "rank")),
+    "ann_hubness" -> ((s, d) =>
+      Similarity.hubnessAudit(embs(s, d)).orderBy("in_degree")),
     // ---- §2.8 text analysis + multimodal ----
     "text_quality" -> ((s, d) =>
       TextAnalysis.textQuality(docs(s, d)).orderBy("doc_id")),
@@ -316,6 +322,9 @@ object SparkEntry {
     "text_ngram_jaccard" -> ((s, d) =>
       TextAnalysis.ngramJaccard(docs(s, d))
         .orderBy("source", "doc1", "doc2")),
+    "text_containment" -> ((s, d) =>
+      TextAnalysis.ngramContainment(docs(s, d))
+        .orderBy("source", "src_id", "dst_id")),
     // provably identical result to text_ngram_jaccard (the oracle IS
     // that query's oracle) from prefix-filtered candidates
     "text_jaccard_prefix" -> ((s, d) =>
@@ -787,7 +796,9 @@ object SparkEntry {
     "rx_session_stats" -> ((s, d) =>
       Reactive.rxSessionStats(ev(s, d)).orderBy("day")),
     "rx_concurrency" -> ((s, d) =>
-      Reactive.rxConcurrency(ev(s, d)).orderBy("minute"))
+      Reactive.rxConcurrency(ev(s, d)).orderBy("minute")),
+    "rx_acf" -> ((s, d) =>
+      Reactive.rxAcf(ev(s, d)).orderBy("event_type", "lag"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1406,6 +1417,25 @@ object SparkEntry {
         |   WHERE l_orderkey = o_orderkey
         |   AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dq_benford" ->
+      """WITH c AS (
+        | SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT) AS cents
+        | FROM lineitem),
+        |d AS (
+        | SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |   AS digit
+        | FROM c WHERE cents > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        | n * 1000000 // total AS observed_ppm,
+        | CAST(([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+        |   51152, 45757])[digit] AS BIGINT) AS expected_ppm,
+        | abs(n * 1000000 // total -
+        |  CAST(([301029, 176091, 124938, 96910, 79181, 66946, 57991,
+        |    51152, 45757])[digit] AS BIGINT)) AS dev_ppm
+        |FROM g, t ORDER BY digit""".stripMargin,
     "dq_check" ->
       """SELECT * FROM (
         | SELECT 'orders_fk_customer' AS check_name,
@@ -1672,6 +1702,50 @@ object SparkEntry {
         | FROM s)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_knn_graph" ->
+      """WITH p AS (
+        | SELECT a.label, a.vec_id AS src_id, b.vec_id AS dst_id,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(a.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(b.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        | SELECT label, src_id, dst_id, cos_sim,
+        |  row_number() OVER (PARTITION BY src_id
+        |    ORDER BY cos_sim DESC, dst_id) AS rank
+        | FROM p)
+        |SELECT CAST(label AS BIGINT) AS label, src_id,
+        | CAST(rank AS BIGINT) AS rank, dst_id, cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
+    "ann_hubness" ->
+      """WITH p AS (
+        | SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(a.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(b.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        | SELECT src_id, dst_id,
+        |  row_number() OVER (PARTITION BY src_id
+        |    ORDER BY cos_sim DESC, dst_id) AS rank
+        | FROM p),
+        |ind AS (
+        | SELECT dst_id AS vec_id, count(*) AS in_degree
+        | FROM r WHERE rank <= 5 GROUP BY 1),
+        |alln AS (
+        | SELECT v.vec_id, coalesce(ind.in_degree, 0) AS in_degree
+        | FROM embeddings v LEFT JOIN ind ON v.vec_id = ind.vec_id)
+        |SELECT CAST(in_degree AS BIGINT) AS in_degree,
+        | count(*) AS n_vecs
+        |FROM alln GROUP BY 1 ORDER BY in_degree""".stripMargin,
     // ---- md5 ("auditable") hash-family oracles: DuckDB re-derives
     // the LSH buckets / signatures exactly (md5 is md5 everywhere;
     // mins compare as ASCII hex; dot products are scaled-integer) ----
@@ -1987,6 +2061,35 @@ object SparkEntry {
         |JOIN sz s2 ON s2.doc_id = doc2
         |WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.05
         |ORDER BY source, doc1, doc2""".stripMargin,
+    "text_containment" ->
+      """WITH sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |common AS (
+        | SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        |  count(*) AS n_common
+        | FROM post a JOIN post b
+        |  ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2, 3),
+        |dirs AS (
+        | SELECT source, doc1 AS src_id, doc2 AS dst_id,
+        |  CAST(n_common AS DOUBLE) / s1.n AS containment
+        | FROM common JOIN sz s1 ON s1.doc_id = doc1
+        | UNION ALL
+        | SELECT source, doc2 AS src_id, doc1 AS dst_id,
+        |  CAST(n_common AS DOUBLE) / s2.n AS containment
+        | FROM common JOIN sz s2 ON s2.doc_id = doc2)
+        |SELECT source, src_id, dst_id, containment FROM dirs
+        |WHERE containment >= 0.5
+        |ORDER BY source, src_id, dst_id""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE
         |sh AS (
@@ -4205,6 +4308,32 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |  AS active_sessions
         |FROM agg ORDER BY minute""".stripMargin,
+    "rx_acf" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type, l.lag, a.cents AS x, b.cents AS y
+        | FROM daily a
+        | CROSS JOIN (SELECT CAST(range AS BIGINT) AS lag
+        |             FROM range(1, 8)) l
+        | JOIN daily b
+        |  ON b.event_type = a.event_type AND b.day = a.day - l.lag),
+        |m AS (
+        | SELECT event_type, lag, count(*) AS n,
+        |  CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        | FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n,
+        | (n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS acf_r
+        |FROM m
+        |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY event_type, lag""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

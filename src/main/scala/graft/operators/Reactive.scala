@@ -1836,4 +1836,48 @@ object Reactive {
         col("n_events"))
       .withColumn("hazard_ppm", expr("n_events * 1000000 div n_risk"))
   }
+
+  /** Autocorrelation function (ACF) of the daily value series per
+    * event_type at calendar lags 1..maxLag — the standard seasonality
+    * / memory diagnostic a forecasting pipeline runs before picking a
+    * model (a spike at lag 7 = weekly cycle). The corpus collapses
+    * FIRST to the daily frame (one shuffle with map-side partials;
+    * O(days × types) rows at any corpus size), so the lag pairing and
+    * moment math run on the collapsed frame only. Calendar-aligned
+    * pairing (day t with day t−L, both present), not sequence-lag —
+    * gaps must break pairs, or a missing week would silently
+    * correlate across it. Daily sums are exact BIGINT cents; moments
+    * accumulate as DECIMAL(38,0) integer products (order-independent)
+    * and each Pearson is the same fixed IEEE tail as
+    * [[rxTrendCorrelation]] — bit-stable at any cluster size. */
+  def rxAcf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("cents"))
+    val x = daily.withColumn("lag_i", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("event_type"), col("lag_i").cast("long").as("lag"),
+        (col("day") - col("lag_i")).as("match_day"), col("cents").as("x"))
+    val y = daily.select(col("event_type"), col("day").as("match_day"),
+      col("cents").as("y"))
+    x.join(y, Seq("event_type", "match_day"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(big)).cast("double").as("sx"),
+        sum(col("y").cast(big)).cast("double").as("sy"),
+        sum((col("x").cast(big) * col("x"))).cast("double").as("sxx"),
+        sum((col("y").cast(big) * col("y"))).cast("double").as("syy"),
+        sum((col("x").cast(big) * col("y"))).cast("double").as("sxy"))
+      .filter(col("n") >= 3 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("event_type"), col("lag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("acf_r"))
+  }
 }

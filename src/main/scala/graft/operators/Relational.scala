@@ -779,6 +779,35 @@ object Relational {
       .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
   }
 
+  /** Benford first-digit audit — the classic synthetic-data /
+    * fabrication smell test: naturally-grown monetary amounts follow
+    * log10(1+1/d) first-digit frequencies; uniform or hand-made
+    * numbers don't. One scan collapses to 9 digit-count rows at the
+    * single partial-aggregable groupBy (the first digit is a narrow
+    * string op on exact cents — no log, no float); expected shares
+    * are the fixed floor(1e6·log10(1+1/d)) ppm constants compiled
+    * into BOTH engines as literals, so the whole audit stays inside
+    * exact integer arithmetic. The 9-row total rides a broadcast —
+    * nothing but digit counts ever shuffles. */
+  def benfordAudit(lineitem: DataFrame): DataFrame = {
+    val expectedPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val counts = lineitem
+      .select((dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("total"))))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("observed_ppm"),
+        element_at(typedLit(expectedPpm), col("digit").cast("int"))
+          .as("expected_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("observed_ppm") - col("expected_ppm")))
+  }
+
   /** UNPIVOT (melt) — the inverse of [[qPivot]]: wide per-flag
     * measure sums to long (l_returnflag, measure, value) rows via
     * `stack`, a narrow generator on the already-aggregated frame

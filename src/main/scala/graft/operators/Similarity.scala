@@ -523,4 +523,55 @@ object Similarity {
           - element_at(muLit, col("dim") + 1)
           - element_at(vLit, col("dim") + 1) * col("t")).as("corrected"))
   }
+
+  /** Within-cluster exact kNN graph: each vector's top-k nearest
+    * same-label neighbors by cosine — the neighbor structure behind
+    * SemDeDup pruning, kNN-classification audits and graph-based
+    * diversity sampling. The partition key is the coarse cluster
+    * (here the `label` column; in production the IVF assignment from
+    * [[assignCentroids]], whose list sizes are bounded by the k-means
+    * balance), so the pair scan is co-partitioned: ONE shuffle of
+    * each side on the cluster key, O(m²) work strictly inside a
+    * bounded list, never across the corpus. This is the honest 100 TB
+    * form of a kNN graph — the global-exact variant is inherently
+    * quadratic and exists only as [[bruteForceTopK]] for bounded
+    * query sets. Cosine is the shared codegen kernel; rank ties break
+    * on neighbor id, so the graph is a pure function of the corpus. */
+  def knnGraph(embs: DataFrame, k: Int = 5): DataFrame = {
+    val a = embs.select(col("label").cast("long").as("label"),
+      col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+    val b = embs.select(col("label").cast("long").as("label"),
+      col("vec_id").as("dst_id"), col("embedding").as("dst_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("src_emb"), col("dst_emb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src_id")
+          .orderBy(col("cos_sim").desc, col("dst_id"))))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("src_id"),
+        col("rank").cast("long").as("rank"), col("dst_id"), col("cos_sim"))
+  }
+
+  /** Hubness audit over the [[knnGraph]]: the in-degree distribution
+    * of the directed kNN graph — how many vectors' top-k lists each
+    * vector appears in. High-dimensional embedding spaces concentrate
+    * in-degree mass on a few "hub" points (Radovanović JMLR'10) while
+    * anti-hubs (in-degree 0) vanish from every neighbor list; a
+    * skewed histogram is the standard early-warning that cosine
+    * retrieval quality is degrading. The graph's edge frame collapses
+    * to per-dst counts (partial-aggregable), the right join against
+    * the corpus id frame restores the in-degree-0 anti-hubs, and the
+    * final histogram is a second tiny rollup — nothing wider than
+    * (vec_id, count) ever shuffles. */
+  def hubnessAudit(embs: DataFrame, k: Int = 5): DataFrame = {
+    val indeg = knnGraph(embs, k)
+      .groupBy(col("dst_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    embs.select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_vecs"))
+  }
 }

@@ -918,4 +918,85 @@ class Round5Spec extends AnyFunSuite {
     }
     assert(out.values.map(_._1).sum === 3L)
   }
+
+  test("knnGraph: within-label top-k by cosine, cross-label pairs never meet") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Seq(
+      (1L, Array(1f, 0f), 0),    // a
+      (2L, Array(1f, 0.1f), 0),  // b — nearest to both a and c
+      (3L, Array(0f, 1f), 0),    // c
+      (4L, Array(1f, 0f), 1)     // d: identical to a but another label
+    ).toDF("vec_id", "embedding", "label")
+    val edges = Similarity.knnGraph(embs, k = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(edges === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    // d is alone in its label: no edge out, and never anyone's neighbor
+    // despite being bit-identical to a
+    assert(!edges.contains(4L) && !edges.values.toSet.contains(4L))
+  }
+
+  test("hubnessAudit: in-degree histogram restores the in-degree-0 anti-hubs") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0.1f), 0),
+      (3L, Array(0f, 1f), 0),
+      (4L, Array(1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val hist = Similarity.hubnessAudit(embs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // edges: 1→2, 2→1, 3→2 ⇒ in-degree: v1=1, v2=2, v3=0, v4=0
+    assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("rxAcf: perfect linear series → r≈1; calendar gaps break pairs") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    // type a: one event per day, values 1..5 dollars (daily = value)
+    val a = (0 to 4).map(i =>
+      (i.toLong + 1, i * day, 1L, "a", (i + 1).toDouble))
+    // type b: days 0,2,4 only — no adjacent days, so lag-1 pairs are
+    // empty and lag-2 has n=2 < 3: b must be absent entirely
+    val b = Seq((10L, 0L, 2L, "b", 1.0), (11L, 2 * day, 2L, "b", 2.0),
+      (12L, 4 * day, 2L, "b", 3.0))
+    val out = Reactive.rxAcf(mkEvents(a ++ b), maxLag = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(("a", 1L), ("a", 2L)))
+    assert(out(("a", 1L))._1 === 4L && out(("a", 2L))._1 === 3L)
+    assert(math.abs(out(("a", 1L))._2 - 1.0) < 1e-9)
+    assert(math.abs(out(("a", 2L))._2 - 1.0) < 1e-9)
+  }
+
+  test("ngramContainment: doc-in-doc scores 1.0 forward, filtered reverse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "s1", 7L),            // 2 shingles, both in doc 2
+      (2L, "a b c d e f g h", "s1", 15L),   // 6 shingles
+      (3L, "x y z w", "s1", 7L)             // disjoint
+    ).map { case (id, t, src, n) => (id, t, "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.ngramContainment(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 1→2 containment = 2/2 = 1.0; 2→1 = 2/6 < 0.5 filtered; 3 disjoint
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("benfordAudit: exact digit counts, ppm shares, fixed expected table") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val li = Seq(1.00, 1.50, 2.00, 9.99, 0.50, 0.00)
+      .toDF("l_extendedprice")
+    val out = Relational.benfordAudit(li).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 0.00 is filtered; digits of cents: 100→1, 150→1, 200→2, 999→9, 50→5
+    assert(out === Map(
+      1L -> ((2L, 400000L, 301029L, 98971L)),
+      2L -> ((1L, 200000L, 176091L, 23909L)),
+      5L -> ((1L, 200000L, 79181L, 120819L)),
+      9L -> ((1L, 200000L, 45757L, 154243L))))
+  }
 }
