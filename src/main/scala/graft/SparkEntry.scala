@@ -306,6 +306,16 @@ object SparkEntry {
       Similarity.knnGraph(embs(s, d)).orderBy("src_id", "rank")),
     "ann_hubness" -> ((s, d) =>
       Similarity.hubnessAudit(embs(s, d)).orderBy("in_degree")),
+    "emb_outliers" -> ((s, d) =>
+      Similarity.embOutliers(embs(s, d)).orderBy("label", "rank_in_label")),
+    "ann_knn_classify" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.knnClassifyAudit(e, e.filter(col("vec_id") < 50))
+        .orderBy("true_label")
+    }),
+    "graph_degree_hist" -> ((s, d) =>
+      Graph.degreeHistogram(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("degree")),
     // ---- §2.8 text analysis + multimodal ----
     "text_quality" -> ((s, d) =>
       TextAnalysis.textQuality(docs(s, d)).orderBy("doc_id")),
@@ -1746,6 +1756,82 @@ object SparkEntry {
         |SELECT CAST(in_degree AS BIGINT) AS in_degree,
         | count(*) AS n_vecs
         |FROM alln GROUP BY 1 ORDER BY in_degree""".stripMargin,
+    "emb_outliers" ->
+      """WITH c AS (
+        | SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS m
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS g(i)
+        | GROUP BY label, i),
+        |ce AS (
+        | SELECT label, list(CAST(m AS REAL) ORDER BY dim) AS c_emb
+        | FROM c GROUP BY label),
+        |s AS (
+        | SELECT ce.label, e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, ce.c_emb),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(ce.c_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+        |   AS cos_to_centroid
+        | FROM embeddings e JOIN ce ON CAST(e.label AS BIGINT) = ce.label),
+        |r AS (
+        | SELECT label, vec_id, cos_to_centroid,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY cos_to_centroid ASC, vec_id) AS rank_in_label,
+        |  count(*) OVER (PARTITION BY label) AS n_label
+        | FROM s)
+        |SELECT label, vec_id, cos_to_centroid,
+        | CAST(rank_in_label AS BIGINT) AS rank_in_label
+        |FROM r WHERE rank_in_label <= n_label // 10
+        |ORDER BY label, rank_in_label""".stripMargin,
+    "ann_knn_classify" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, CAST(label AS BIGINT) AS true_label,
+        |  embedding AS q_emb
+        | FROM embeddings WHERE vec_id < 50),
+        |s AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  CAST(e.label AS BIGINT) AS n_label,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (
+        | SELECT query_id, n_label,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        | FROM s),
+        |v AS (
+        | SELECT query_id, n_label, count(*) AS votes
+        | FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        |p AS (
+        | SELECT query_id, n_label AS pred_label FROM (
+        |  SELECT query_id, n_label,
+        |   row_number() OVER (PARTITION BY query_id
+        |     ORDER BY votes DESC, n_label) AS rr
+        |  FROM v) WHERE rr = 1)
+        |SELECT q.true_label, count(*) AS n,
+        | CAST(sum(CASE WHEN p.pred_label = q.true_label
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | CAST(sum(CASE WHEN p.pred_label = q.true_label
+        |   THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |  AS accuracy_ppm
+        |FROM q JOIN p ON p.query_id = q.query_id
+        |GROUP BY 1 ORDER BY true_label""".stripMargin,
+    "graph_degree_hist" ->
+      """WITH d AS (
+        | SELECT DISTINCT o_custkey, l_suppkey
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        | SELECT o_custkey, count(*) AS degree FROM d GROUP BY 1)
+        |SELECT degree, count(*) AS n_customers
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
     // ---- md5 ("auditable") hash-family oracles: DuckDB re-derives
     // the LSH buckets / signatures exactly (md5 is md5 everywhere;
     // mins compare as ASCII hex; dot products are scaled-integer) ----

@@ -128,4 +128,23 @@ object Graph {
           least(col("b"), col("c"))).as("n2"),
         greatest(col("apex"), col("b"), col("c")).as("n3"))
   }
+
+  /** Degree histogram of the customer↔supplier trade graph: how many
+    * distinct suppliers each buying customer touched, rolled up to a
+    * (degree, n_customers) distribution — the shape diagnostic run
+    * before any graph algorithm (a heavy tail says salt the hot
+    * nodes; connectedComponents and pageRank both care). One fact
+    * join (runtime-filterable dims), the distinct collapses on the
+    * composite (customer, supplier) key with map-side partials, then
+    * two count-only rollups — after the distinct nothing wider than
+    * two BIGINTs shuffles. Customers with no orders have no degree
+    * row by definition (a zero bucket would need the dim scan this
+    * histogram deliberately avoids). */
+  def degreeHistogram(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame =
+    lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_customers"))
 }

@@ -554,6 +554,72 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("dst_id"), col("cos_sim"))
   }
 
+  /** Per-label embedding outlier report: the bottom decile of each
+    * label by cosine to the label's own centroid — the curation pass
+    * that surfaces mislabeled / noisy vectors before they poison
+    * contrastive pairs or kNN retrieval. Centroids come from
+    * [[labelCentroids]]' scaled-integer means (order-independent,
+    * engine-neutral), assembled per label and rounded ONCE to float
+    * (one deterministic IEEE op both engines repeat) so the corpus
+    * pass reuses the float cosine kernel unchanged. The centroid
+    * frame is nlabels rows and rides a broadcast; the per-label
+    * rank window is the only exchange, and the decile cut is integer
+    * (rank ≤ n div 10) — no float percentile boundary to disagree
+    * over. Emits only the flagged rows: output is O(corpus/10),
+    * shaped by the report, not the scan. */
+  def embOutliers(embs: DataFrame, decile: Int = 10): DataFrame = {
+    val cents = labelCentroids(embs)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          col("centroid").cast("float").as("m")))),
+        e => e.getField("m")).as("c_emb"))
+    embs.select(col("label").cast("long").as("label"), col("vec_id"),
+        col("embedding"))
+      .join(broadcast(cents), Seq("label"))
+      .withColumn("cos_to_centroid",
+        GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
+      .withColumn("rank_in_label", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(col("cos_to_centroid").asc, col("vec_id"))))
+      .withColumn("n_label",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .filter(expr(s"rank_in_label <= n_label div $decile"))
+      .select(col("label"), col("vec_id"), col("cos_to_centroid"),
+        col("rank_in_label").cast("long").as("rank_in_label"))
+  }
+
+  /** Leave-one-out kNN classification audit: predict each sampled
+    * query's label from its k nearest corpus neighbors (majority
+    * vote, ties to the smallest label) and report per-label accuracy
+    * — the standard embedding-quality number (a space whose kNN can't
+    * recover its own labels won't retrieve either). Reuses
+    * [[bruteForceTopK]]'s broadcast-query scan: the corpus never
+    * shuffles; the vote/argmax/rollup frames are all O(queries×k).
+    * Accuracy is exact ppm floor division. */
+  def knnClassifyAudit(embs: DataFrame, queries: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val nbrLabels = embs.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("n_label"))
+    val votes = bruteForceTopK(embs, queries, k)
+      .join(nbrLabels, Seq("neighbor_id"))
+      .groupBy("query_id", "n_label").agg(count(lit(1)).as("votes"))
+    val predicted = votes
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("n_label"))))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"))
+    queries.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label"))
+      .join(predicted, Seq("query_id"))
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n"))
+  }
+
   /** Hubness audit over the [[knnGraph]]: the in-degree distribution
     * of the directed kNN graph — how many vectors' top-k lists each
     * vector appears in. High-dimensional embedding spaces concentrate

@@ -951,6 +951,53 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("embOutliers: integer decile cut flags exactly the off-centroid vector") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 9 vectors hugging (1, ~0) plus one at (0,1): n=10 ⇒ rank ≤ 1
+    val embs = ((1 to 9).map(i => (i.toLong, Array(1f, i * 0.01f), 0)) :+
+      (10L, Array(0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embOutliers(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 10L, 1L)))
+  }
+
+  test("knnClassifyAudit: per-label accuracy catches the mislabeled point") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0.01f), 0),
+      (3L, Array(1f, 0.02f), 0),
+      (4L, Array(0f, 1f), 1), (5L, Array(0.01f, 1f), 1),
+      (6L, Array(0.02f, 1f), 1),
+      (7L, Array(0f, 1f), 0) // mislabeled: sits in the label-1 cluster
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassifyAudit(embs, embs, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // v7 (mislabeled) predicts 1 — the audit finds it. Collateral: v4's
+    // top-2 is {v7 (cos 1.0, label 0), v5} — a 1-1 vote tie that breaks
+    // to the smaller label 0, so label 1 reads 2/3. Deliberately kept:
+    // duplicated-but-differently-labeled points degrading their twin's
+    // prediction is exactly the signal this audit exists to surface.
+    assert(out === Map(
+      0L -> ((4L, 3L, 750000L)),
+      1L -> ((3L, 2L, 666666L))))
+  }
+
+  test("degreeHistogram: distinct counterparties per customer, rolled up") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val li = Seq((100L, 10L), (100L, 11L), (101L, 10L), (102L, 10L),
+      (102L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    // cust 1 → suppliers {10, 11}; cust 2 → {10} (dup rows collapse)
+    val out = Graph.degreeHistogram(li, ord).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("rxAcf: perfect linear series → r≈1; calendar gaps break pairs") {
     import graft.operators.Reactive
     val day = 86400000L
