@@ -808,7 +808,13 @@ object SparkEntry {
     "rx_concurrency" -> ((s, d) =>
       Reactive.rxConcurrency(ev(s, d)).orderBy("minute")),
     "rx_acf" -> ((s, d) =>
-      Reactive.rxAcf(ev(s, d)).orderBy("event_type", "lag"))
+      Reactive.rxAcf(ev(s, d)).orderBy("event_type", "lag")),
+    "rx_state_dwell" -> ((s, d) =>
+      Reactive.rxStateDwell(ev(s, d)).orderBy("event_type")),
+    "q_latency_hist" -> ((s, d) =>
+      Relational.qLatencyHist(s, d).orderBy("week_bucket")),
+    "text_lexical_diversity" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -4420,6 +4426,41 @@ object SparkEntry {
         |FROM m
         |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |ORDER BY event_type, lag""".stripMargin,
+    "rx_state_dwell" ->
+      """WITH g AS (
+        | SELECT event_type, epoch_ms(ts) AS ms,
+        |  lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY event_id) AS next_ms
+        | FROM events)
+        |SELECT event_type, count(*) AS n,
+        | CAST(sum(next_ms - ms) AS BIGINT) AS total_dwell_ms,
+        | CAST(sum(next_ms - ms) // count(*) AS BIGINT)
+        |  AS mean_dwell_ms,
+        | CAST(max(next_ms - ms) AS BIGINT) AS max_dwell_ms
+        |FROM g WHERE next_ms IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_latency_hist" ->
+      """WITH l AS (
+        | SELECT (epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+        |   // 86400000 // 7 AS week_bucket
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT week_bucket, count(*) AS n_items
+        |FROM l GROUP BY 1 ORDER BY week_bucket""".stripMargin,
+    "text_lexical_diversity" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        | FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        |d AS (
+        | SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types, CAST(sum(n * (n - 1)) AS BIGINT) AS s2
+        | FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        | n_types * 1000000 // n_tokens AS ttr_ppm,
+        | CASE WHEN n_tokens >= 2
+        |  THEN s2 * 1000000 // (n_tokens * (n_tokens - 1))
+        |  ELSE 0 END AS simpson_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_rfm" ->
       """WITH pc AS (
         | SELECT o_custkey,

@@ -1837,6 +1837,30 @@ object Reactive {
       .withColumn("hazard_ppm", expr("n_events * 1000000 div n_risk"))
   }
 
+  /** Time-in-state (dwell) report: for each event_type, how long
+    * users sit in that state before their next event — the
+    * engagement/funnel-friction number behind "where do sessions
+    * stall". Dwell is the per-user gap to the NEXT event (one `lead`
+    * on the shared user_id partitioning — the same single shuffle
+    * every sequential op in this file rides), each user's last event
+    * is open-ended and excluded by contract, and the rollup is a
+    * partial-aggregable groupBy on the tiny event_type key. Mean is
+    * an exact floor division of BIGINT ms. */
+  def rxStateDwell(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("next_ms", lead("ms", 1).over(byUser))
+      .filter(col("next_ms").isNotNull)
+      .select(col("event_type"), (col("next_ms") - col("ms")).as("dwell"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("dwell").as("total_dwell_ms"),
+        max("dwell").as("max_dwell_ms"))
+      .withColumn("mean_dwell_ms", expr("total_dwell_ms div n"))
+      .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
+        "max_dwell_ms")
+
   /** Autocorrelation function (ACF) of the daily value series per
     * event_type at calendar lags 1..maxLag — the standard seasonality
     * / memory diagnostic a forecasting pipeline runs before picking a

@@ -779,6 +779,28 @@ object Relational {
       .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
   }
 
+  /** Order-to-ship latency distribution: days from order placement
+    * to line-item shipment, bucketed to calendar weeks — the
+    * fulfillment-SLA histogram. The fact join is the q12 shape
+    * (orders broadcast-able, runtime-filterable); everything after
+    * is a two-level count rollup on a single small integer key, so
+    * the histogram costs one scan + one tiny exchange. Latency is
+    * exact integer day arithmetic; negative buckets are kept —
+    * ship-before-order rows are a data-quality finding this
+    * histogram should SURFACE, not hide (both engines' integer
+    * division truncates toward zero, so the negative tail buckets
+    * identically). */
+  def qLatencyHist(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      // dates read as TIMESTAMP_NTZ; cast to session-TZ timestamp
+      // (UTC session ⇒ value-identical) for unix_millis
+      .select((unix_millis(col("l_shipdate").cast("timestamp")) -
+        unix_millis(col("o_orderdate").cast("timestamp"))).as("lat_ms"))
+      .select(expr("lat_ms div 86400000 div 7").as("week_bucket"))
+      .groupBy("week_bucket").agg(count(lit(1)).as("n_items"))
+
   /** Benford first-digit audit — the classic synthetic-data /
     * fabrication smell test: naturally-grown monetary amounts follow
     * log10(1+1/d) first-digit frequencies; uniform or hand-made

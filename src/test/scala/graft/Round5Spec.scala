@@ -951,6 +951,46 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("rxStateDwell: gap to next event per user; open last events excluded") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 1000L, 1L, "b", 0.0),
+      (3L, 4000L, 1L, "a", 0.0), // open-ended: excluded
+      (4L, 99L, 2L, "c", 0.0)))  // single event: excluded
+    val out = Reactive.rxStateDwell(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "a" -> ((1L, 1000L, 1000L, 1000L)),
+      "b" -> ((1L, 3000L, 3000L, 3000L))))
+  }
+
+  test("qLatencyHist: buckets partition every lineitem, negative tail kept") {
+    import graft.operators.Relational
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.qLatencyHist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(out.map(_._2).sum === total)
+    // the synthetic data ships some items BEFORE the order date —
+    // the histogram must surface that tail, not clamp it away
+    assert(out.exists(_._1 < 0) && out.exists(_._1 > 0))
+  }
+
+  test("lexicalDiversity: exact ppm TTR and Simpson on constructed bags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "en", "s1", 5L),  // N=3 V=2 s2=2
+      (2L, "x", "en", "s1", 1L)       // single token: simpson 0
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 2L, 666666L, 333333L)),
+      2L -> ((1L, 1L, 1000000L, 0L))))
+  }
+
   test("embOutliers: integer decile cut flags exactly the off-centroid vector") {
     import spark.implicits._
     import graft.operators.Similarity
