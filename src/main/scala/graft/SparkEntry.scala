@@ -308,6 +308,13 @@ object SparkEntry {
       Similarity.hubnessAudit(embs(s, d)).orderBy("in_degree")),
     "emb_outliers" -> ((s, d) =>
       Similarity.embOutliers(embs(s, d)).orderBy("label", "rank_in_label")),
+    "ann_truncation" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.truncationAudit(e, e.filter(col("vec_id") < 10))
+        .orderBy("query_id")
+    }),
+    "q_abc_pareto" -> ((s, d) =>
+      Relational.qAbcPareto(s, d).orderBy("abc_class")),
     "ann_knn_classify" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.knnClassifyAudit(e, e.filter(col("vec_id") < 50))
@@ -1830,6 +1837,72 @@ object SparkEntry {
         |  AS accuracy_ppm
         |FROM q JOIN p ON p.query_id = q.query_id
         |GROUP BY 1 ORDER BY true_label""".stripMargin,
+    "ann_truncation" ->
+      """WITH q AS (
+        | SELECT vec_id AS query_id, embedding AS q_emb
+        | FROM embeddings WHERE vec_id < 10),
+        |fs AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |fr AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+        |   AS rank FROM fs) WHERE rank <= 5),
+        |ts AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(
+        |    list_zip(q_emb[1:32], e.embedding[1:32]),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb[1:32],
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(e.embedding[1:32],
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |tr AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+        |   AS rank FROM ts) WHERE rank <= 5),
+        |kept AS (
+        | SELECT fr.query_id, count(*) AS n_kept
+        | FROM fr JOIN tr USING (query_id, neighbor_id)
+        | GROUP BY 1)
+        |SELECT q.query_id,
+        | CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(coalesce(kept.n_kept, 0) * 1000000 // 5 AS BIGINT)
+        |  AS recall_ppm
+        |FROM q LEFT JOIN kept ON kept.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
+    "q_abc_pareto" ->
+      """WITH r AS (
+        | SELECT o_custkey,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1),
+        |c AS (
+        | SELECT o_custkey, cents,
+        |  coalesce(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cum_before
+        | FROM r),
+        |t AS (SELECT sum(cents) AS tot FROM r),
+        |k AS (
+        | SELECT CASE WHEN cum_before * 100 < 70 * tot THEN 'A'
+        |   WHEN cum_before * 100 < 90 * tot THEN 'B'
+        |   ELSE 'C' END AS abc_class, cents
+        | FROM c, t)
+        |SELECT abc_class, count(*) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        | CAST(sum(cents) * 1000000 // tot AS BIGINT) AS share_ppm
+        |FROM k, t GROUP BY abc_class, tot
+        |ORDER BY abc_class""".stripMargin,
     "graph_degree_hist" ->
       """WITH d AS (
         | SELECT DISTINCT o_custkey, l_suppkey

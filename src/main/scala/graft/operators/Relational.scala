@@ -779,6 +779,56 @@ object Relational {
       .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
   }
 
+  /** ABC / Pareto revenue classification: customers bucketed A/B/C
+    * by whether they sit inside the top 70% / 90% of cumulative
+    * revenue — the "how concentrated is my revenue" report. The
+    * global cumulative sum over revenue-desc order is built WITHOUT
+    * a single-task window (the classic trap a 100 TB global cumsum
+    * cannot survive): range-repartition the per-customer frame on
+    * the total order (cents desc, custkey), per-partition prefix
+    * sums run in parallel, and the 32-row per-partition totals frame
+    * alone rides a driver-size window to produce the offsets each
+    * partition adds back via broadcast — the two-level prefix-sum
+    * identity holds for ANY contiguous range partitioning, so the
+    * classification is partitioning-independent. Threshold tests and
+    * shares are exact integer cross-multiplications through
+    * DECIMAL(38,0) (cum·100 overflows BIGINT at warehouse scale). */
+  def qAbcPareto(s: SparkSession, dir: String, parts: Int = 32)
+      : DataFrame = {
+    val r = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val parted = r
+      .repartitionByRange(parts, col("cents").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parted.groupBy("pid").agg(sum("cents").as("ptot"))
+      .withColumn("offset", coalesce(sum("ptot").over(
+        Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val tot = r.agg(sum("cents").as("tot"))
+    parted.join(broadcast(offsets), "pid")
+      .withColumn("local_cum_before", coalesce(sum("cents").over(
+        Window.partitionBy("pid")
+          .orderBy(col("cents").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_before", col("offset") + col("local_cum_before"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(expr("CAST(cum_before AS DECIMAL(38,0)) * 100 " +
+          "< 70 * CAST(tot AS DECIMAL(38,0))"), "A")
+          .when(expr("CAST(cum_before AS DECIMAL(38,0)) * 100 " +
+            "< 90 * CAST(tot AS DECIMAL(38,0))"), "B")
+          .otherwise("C"))
+      .groupBy("abc_class", "tot")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").as("revenue_cents"))
+      .select(col("abc_class"), col("n_customers"), col("revenue_cents"),
+        expr("CAST(revenue_cents AS DECIMAL(38,0)) * 1000000 div tot")
+          .as("share_ppm"))
+  }
+
   /** Order-to-ship latency distribution: days from order placement
     * to line-item shipment, bucketed to calendar weeks — the
     * fulfillment-SLA histogram. The fact join is the q12 shape

@@ -554,6 +554,33 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("dst_id"), col("cos_sim"))
   }
 
+  /** Matryoshka truncation audit: recall@k of brute-force retrieval
+    * when each vector keeps only its first `keepDims` dimensions —
+    * the number that decides whether storing/searching half the
+    * vector is safe (MRL-style embeddings are trained so prefixes
+    * stay usable; this audit verifies the claim on YOUR corpus
+    * instead of trusting the model card). Both sides are the same
+    * broadcast-query corpus scan ([[bruteForceTopK]]); the truncated
+    * branch slices in the scan projection so the cosine kernel sees
+    * a genuinely shorter array. Overlap via left-semi on the two
+    * O(queries×k) edge frames; queries losing every neighbor still
+    * report (right join restores recall 0). Exact ppm floor. */
+  def truncationAudit(embs: DataFrame, queries: DataFrame,
+                      keepDims: Int = 32, k: Int = 5): DataFrame = {
+    def trunc(df: DataFrame) = df.withColumn("embedding",
+      slice(col("embedding"), 1, keepDims))
+    val full = bruteForceTopK(embs, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val truncated = bruteForceTopK(trunc(embs), trunc(queries), k)
+      .select(col("query_id"), col("neighbor_id"))
+    full.join(truncated, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_kept"))
+      .join(queries.select(col("vec_id").as("query_id")),
+        Seq("query_id"), "right")
+      .select(col("query_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("recall_ppm", expr(s"n_kept * 1000000 div $k"))
+  }
+
   /** Per-label embedding outlier report: the bottom decile of each
     * label by cosine to the label's own centroid — the curation pass
     * that surfaces mislabeled / noisy vectors before they poison

@@ -951,6 +951,55 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("truncationAudit: recall drops exactly where the prefix flips the neighbor") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // query 1
+      (1L, Array(0.9f, 0.1f, 0f, 0f)), // full NN of q1
+      (2L, Array(1f, 0f, 1f, 0f)),   // 2-dim prefix looks perfect for q1
+      (3L, Array(0f, 1f, 0f, 0f)),   // query 2
+      (4L, Array(0f, 0.9f, 0f, 0.1f)) // NN of q2 under both metrics
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.truncationAudit(embs,
+        embs.filter(col("vec_id").isin(0L, 3L)), keepDims = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(0L -> ((0L, 0L)), 3L -> ((1L, 1000000L))))
+  }
+
+  test("qAbcPareto: two-level prefix sum matches the naive global window") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.qAbcPareto(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // naive single-window reference (fine at spec scale)
+    val r = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val tot = r.agg(sum("cents")).head.getLong(0)
+    val naive = r.withColumn("cum_before", coalesce(sum("cents").over(
+        Window.orderBy(col("cents").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("abc_class",
+        when(col("cum_before") * 100 < lit(70L) * tot, "A")
+          .when(col("cum_before") * 100 < lit(90L) * tot, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n"), sum("cents").as("rev"))
+      .collect().map(r2 => r2.getString(0) ->
+        ((r2.getLong(1), r2.getLong(2)))).toMap
+    assert(out.keySet === naive.keySet)
+    naive.foreach { case (k, (n, rev)) =>
+      assert(out(k)._1 === n && out(k)._2 === rev, s"class $k") }
+    assert(out.values.map(_._3).sum >= 999998L) // floor-rounded shares
+  }
+
   test("rxStateDwell: gap to next event per user; open last events excluded") {
     import graft.operators.Reactive
     val ev = mkEvents(Seq(
