@@ -411,6 +411,8 @@ object SparkEntry {
         .orderBy("labeled_lang", "predicted_lang")),
     "sketch_distinct" -> ((s, d) =>
       TextAnalysis.distinctTokensSketch(docs(s, d)).orderBy("source")),
+    "sketch_set_ops" -> ((s, d) =>
+      Sketches.kmvSetOps(docs(s, d)).orderBy("source_a", "source_b")),
     "sketch_cms_topk" -> ((s, d) =>
       Sketches.cmsHeavyHitters(docs(s, d))
         .orderBy(col("exact_cnt").desc, col("term"))),
@@ -2652,6 +2654,62 @@ object SparkEntry {
         | FROM r GROUP BY source)
         |SELECT e.source, e.n_exact, s.n_est
         |FROM ex e JOIN est s USING (source) ORDER BY source""".stripMargin,
+    "sketch_set_ops" ->
+      """WITH tok AS (
+        | SELECT source,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tk AS (
+        | SELECT DISTINCT source, term,
+        |  ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+        | FROM tok WHERE term <> ''),
+        |d AS (SELECT DISTINCT source, h FROM tk),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        | FROM d),
+        |km AS (
+        | SELECT source, list_sort(list(h)) AS mins FROM r
+        | WHERE rn <= 16 GROUP BY source),
+        |ex AS (SELECT DISTINCT source, term FROM tk),
+        |exn AS (SELECT source, count(*) AS n_ex FROM ex GROUP BY 1),
+        |exi AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_inter_exact
+        | FROM ex a JOIN ex b
+        |  ON a.term = b.term AND a.source < b.source GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  (list_sort(list_distinct(list_concat(a.mins, b.mins))))[1:16]
+        |   AS merged,
+        |  a.mins AS mins_a, b.mins AS mins_b
+        | FROM km a JOIN km b ON a.source < b.source),
+        |q AS (
+        | SELECT source_a, source_b, merged,
+        |  len(merged) AS n_merged,
+        |  len(list_intersect(merged,
+        |    list_intersect(mins_a, mins_b))) AS rho
+        | FROM p),
+        |e AS (
+        | SELECT source_a, source_b, rho, n_merged,
+        |  CASE WHEN n_merged < 16 THEN CAST(n_merged AS BIGINT)
+        |   ELSE CAST((15::HUGEINT * 1152921504606846976::HUGEINT)
+        |     // merged[16] AS BIGINT) END AS union_est
+        | FROM q)
+        |SELECT e.source_a, e.source_b, union_est,
+        | CAST(CASE WHEN n_merged < 16 THEN rho
+        |   ELSE rho * union_est // 16 END AS BIGINT) AS inter_est,
+        | CAST(CASE WHEN n_merged < 16 THEN rho * 1000000 // n_merged
+        |   ELSE rho * 1000000 // 16 END AS BIGINT)
+        |  AS jaccard_est_ppm,
+        | CAST(na.n_ex + nb.n_ex - coalesce(exi.n_inter_exact, 0)
+        |   AS BIGINT) AS n_union_exact,
+        | CAST(coalesce(exi.n_inter_exact, 0) AS BIGINT)
+        |  AS n_inter_exact
+        |FROM e
+        |LEFT JOIN exi ON exi.source_a = e.source_a
+        | AND exi.source_b = e.source_b
+        |JOIN exn na ON na.source = e.source_a
+        |JOIN exn nb ON nb.source = e.source_b
+        |ORDER BY e.source_a, e.source_b""".stripMargin,
     "sketch_quantiles" ->
       """WITH s AS (
         | SELECT source, n_chars FROM (

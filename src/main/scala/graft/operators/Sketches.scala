@@ -155,4 +155,85 @@ object Sketches {
       .select(explode(cmsPairs(depth, width)).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell"))
+
+  /** KMV set-operation estimates per source PAIR: |A∪B| from the
+    * merged k-minimum-values set and |A∩B| via the ρ = |M∩A∩B|/k
+    * identity (Beyer SIGMOD'07) — the sketch algebra that answers
+    * "how much do two corpora overlap" from two O(k) states instead
+    * of the vocabulary-shuffling exact join the source-overlap
+    * matrix pays. The same deterministic md5-prefix family as
+    * [[graft.operators.TextAnalysis.distinctTokensSketch]], so the
+    * cross-engine gate re-derives the identical estimates; exact
+    * union/intersection ride along as audit columns (gate-scale
+    * only — at 100 TB you drop them and keep the sketch).
+    *
+    * Shape: ONE distinct-collapse of (source, hash) with map-side
+    * partials, a per-source rank window cut to the k smallest
+    * (bounded: k rows survive per source), then every pair/merge/
+    * intersect runs on the nsources×k array frame — driver-size,
+    * broadcast both sides. The 15·2⁶⁰ numerator rides DECIMAL(38,0)
+    * exactly like the agg kernel's BigInt path. */
+  def kmvSetOps(docs: DataFrame, k: Int = 16): DataFrame = {
+    val tk = docs
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), col("term"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val dist = tk.select("source", "h").distinct()
+    val kmin = dist
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("source")
+      .agg(array_sort(collect_list(col("h"))).as("mins"),
+        count(lit(1)).as("n_mins"))
+    val exact = tk.select("source", "term").distinct()
+    val exactPair = exact.select(col("source").as("source_a"),
+        col("term"))
+      .join(exact.select(col("source").as("source_b"), col("term")),
+        Seq("term"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val exactN = exact.groupBy("source").agg(count(lit(1)).as("n_ex"))
+    val a = kmin.select(col("source").as("source_a"),
+      col("mins").as("mins_a"), col("n_mins").as("nm_a"))
+    val b = kmin.select(col("source").as("source_b"),
+      col("mins").as("mins_b"), col("n_mins").as("nm_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("source_a") < col("source_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("mins_a"), col("mins_b"))),
+          1, k))
+      .withColumn("n_merged", size(col("merged")).cast("long"))
+      .withColumn("union_est",
+        when(col("n_merged") < k, col("n_merged"))
+          .otherwise(expr("CAST(" + (k - 1) +
+            " AS DECIMAL(38,0)) * 1152921504606846976 " +
+            s"div element_at(merged, $k)")))
+      .withColumn("rho", size(array_intersect(col("merged"),
+        array_intersect(col("mins_a"), col("mins_b")))).cast("long"))
+      // unsaturated merged sketch ⇒ the union is known EXACTLY and ρ
+      // IS the intersection — the ρ·|U|/k scaling applies only once
+      // the k-th minimum truncates the view
+      .withColumn("inter_est",
+        when(col("n_merged") < k, col("rho"))
+          .otherwise(expr(s"rho * union_est div $k")))
+      .withColumn("jaccard_est_ppm",
+        when(col("n_merged") < k, expr("rho * 1000000 div n_merged"))
+          .otherwise(expr(s"rho * 1000000 div $k")))
+      .join(broadcast(exactPair), Seq("source_a", "source_b"), "left")
+      .join(broadcast(exactN.withColumnsRenamed(
+        Map("source" -> "source_a", "n_ex" -> "n_a"))), "source_a")
+      .join(broadcast(exactN.withColumnsRenamed(
+        Map("source" -> "source_b", "n_ex" -> "n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("union_est"),
+        col("inter_est"), col("jaccard_est_ppm"),
+        (col("n_a") + col("n_b") -
+          coalesce(col("n_inter_exact"), lit(0L))).as("n_union_exact"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+  }
 }

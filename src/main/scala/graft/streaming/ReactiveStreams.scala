@@ -1122,6 +1122,49 @@ object ReactiveStreams {
         (sum("weighted") / sum("dt_ms")).as("twap"))
   }
 
+  case class DwellSeg(event_type: String, dwell_ms: Long)
+
+  /** Streaming time-in-state: the unbounded twin of
+    * [[graft.operators.Reactive.rxStateDwell]]. State per user is
+    * one (ts, event_type) pair — the event whose dwell is still
+    * open; each arriving event closes the previous one's dwell and
+    * emits a (state, dwell) segment into an unwindowed rollup keyed
+    * by event_type, so the running dwell table is queryable
+    * mid-stream and each user's LAST event stays open exactly like
+    * the batch contract. Same [[twapStream]] state shape; dwell
+    * segments of zero ms are kept (the batch `lead` keeps them). */
+  def dwellStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val segs = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), DwellSeg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(_.event_id)
+          val out = scala.collection.mutable.ArrayBuffer[DwellSeg]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            last.foreach { case (lt, ltype) =>
+              out += DwellSeg(ltype, t - lt)
+            }
+            last = Some((t, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+    segs.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("dwell_ms").as("total_dwell_ms"),
+        max("dwell_ms").as("max_dwell_ms"))
+      .withColumn("mean_dwell_ms", expr("total_dwell_ms div n"))
+      .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
+        "max_dwell_ms")
+  }
+
   case class AttrRow(channel: String, cents: Long)
 
   /** Streaming last-touch attribution: the unbounded twin of

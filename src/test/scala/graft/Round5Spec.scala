@@ -951,6 +951,24 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("kmvSetOps: unsaturated sketch returns the exact set algebra") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val docs = Seq(
+      (1L, "a b c d", "s1", 7L), (2L, "c d e", "s2", 5L)
+    ).map { case (id, t, src, n) => (id, t, "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Sketches.kmvSetOps(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // vocab below k=16: the merged sketch IS the union, estimates exact
+    assert(row.getString(0) === "s1" && row.getString(1) === "s2")
+    assert(row.getLong(2) === 5L)      // union_est = |{a,b,c,d,e}|
+    assert(row.getLong(3) === 2L)      // inter_est = |{c,d}|
+    assert(row.getLong(4) === 400000L) // 2/5 in ppm
+    assert(row.getLong(5) === 5L && row.getLong(6) === 2L) // exact audit
+  }
+
   test("truncationAudit: recall drops exactly where the prefix flips the neighbor") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -859,6 +859,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dwell equals the batch time-in-state across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val qName = s"dwell_${System.nanoTime()}"
+    val q = ReactiveStreams.dwellStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try {
+      // the dwell between events 2 and 3 crosses the trigger split
+      mem.addData(sample.take(3)); q.processAllAvailable()
+      mem.addData(sample.drop(3)); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val batch = graft.operators.Reactive.rxStateDwell(sample.toDF())
+        .collect().map(r => r.getString(0) -> ((r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming TWAP equals the batch time-weighted average across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
