@@ -820,6 +820,10 @@ object SparkEntry {
       Reactive.rxAcf(ev(s, d)).orderBy("event_type", "lag")),
     "rx_state_dwell" -> ((s, d) =>
       Reactive.rxStateDwell(ev(s, d)).orderBy("event_type")),
+    "rx_stickiness" -> ((s, d) =>
+      Reactive.rxStickiness(ev(s, d)).orderBy("day")),
+    "emb_cluster_quality" -> ((s, d) =>
+      Similarity.clusterQuality(embs(s, d)).orderBy("label")),
     "q_latency_hist" -> ((s, d) =>
       Relational.qLatencyHist(s, d).orderBy("week_bucket")),
     "text_lexical_diversity" -> ((s, d) =>
@@ -1802,6 +1806,62 @@ object SparkEntry {
         | CAST(rank_in_label AS BIGINT) AS rank_in_label
         |FROM r WHERE rank_in_label <= n_label // 10
         |ORDER BY label, rank_in_label""".stripMargin,
+    "rx_stickiness" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        | FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |mw AS (
+        | SELECT DISTINCT user_id, ud.day + g.i AS wday
+        | FROM ud, unnest(generate_series(0, 29)) AS g(i)),
+        |mau AS (SELECT wday AS day, count(*) AS mau FROM mw GROUP BY 1)
+        |SELECT d.day, d.dau, m.mau,
+        | d.dau * 1000000 // m.mau AS stickiness_ppm
+        |FROM dau d JOIN mau m USING (day) ORDER BY day""".stripMargin,
+    "emb_cluster_quality" ->
+      """WITH c AS (
+        | SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6)
+        |    AS BIGINT)) AS BIGINT) AS DOUBLE) / count(*) / 1e6 AS m
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS g(i)
+        | GROUP BY label, i),
+        |ce AS (
+        | SELECT label, list(CAST(m AS REAL) ORDER BY dim) AS c_emb
+        | FROM c GROUP BY label),
+        |sv AS (
+        | SELECT ce.label,
+        |  CAST(floor((list_sum(list_transform(
+        |     list_zip(e.embedding, ce.c_emb),
+        |     z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(ce.c_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) * 1e9)
+        |   AS BIGINT) AS s
+        | FROM embeddings e JOIN ce ON CAST(e.label AS BIGINT) = ce.label),
+        |iagg AS (
+        | SELECT label, count(*) AS n, sum(s) AS intra_sum
+        | FROM sv GROUP BY 1),
+        |p AS (
+        | SELECT a.label, b.label AS other_label,
+        |  list_sum(list_transform(list_zip(a.c_emb, b.c_emb),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(a.c_emb,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(b.c_emb,
+        |       x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS sim
+        | FROM ce a JOIN ce b ON a.label <> b.label),
+        |nn AS (
+        | SELECT label, other_label AS nearest_label,
+        |  sim AS nearest_centroid_sim
+        | FROM (SELECT label, other_label, sim, row_number() OVER (
+        |    PARTITION BY label ORDER BY sim DESC, other_label) AS r
+        |   FROM p) WHERE r = 1)
+        |SELECT i.label, i.n,
+        | CAST(i.intra_sum // i.n AS BIGINT) AS mean_intra_nano,
+        | nn.nearest_label, nn.nearest_centroid_sim
+        |FROM iagg i JOIN nn USING (label) ORDER BY label""".stripMargin,
     "ann_knn_classify" ->
       """WITH q AS (
         | SELECT vec_id AS query_id, CAST(label AS BIGINT) AS true_label,

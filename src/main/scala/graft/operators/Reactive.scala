@@ -1487,6 +1487,29 @@ object Reactive {
       .groupBy("wday").agg(count(lit(1)).as("active_users"))
   }
 
+  /** DAU/MAU stickiness per day — the engagement-health ratio: what
+    * fraction of the trailing-30-day actives showed up today. Shares
+    * [[rxRollingActives]]' machinery: the corpus collapses ONCE to
+    * distinct user-days, DAU is a plain rollup of that frame, MAU is
+    * the bounded 30× contribution fan-out + distinct (each user-day
+    * tells the next 29 days "I count for you" — no per-day distinct
+    * windows, no state), and the ratio is an exact ppm floor
+    * division on the joined day frame. Only days with activity
+    * emit (a silent day has DAU 0 by inspection). */
+  def rxStickiness(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val ud = events.select(col("user_id"),
+      expr("unix_millis(ts) div 86400000").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud.select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${windowDays - 1})"))
+          .as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
+
   /** Longest consecutive-day activity streak per key (engagement
     * streaks): distinct active days, then the gaps-and-islands
     * identity `day − row_number = group` turns "consecutive run"

@@ -595,12 +595,7 @@ object Similarity {
     * over. Emits only the flagged rows: output is O(corpus/10),
     * shaped by the report, not the scan. */
   def embOutliers(embs: DataFrame, decile: Int = 10): DataFrame = {
-    val cents = labelCentroids(embs)
-      .groupBy("label")
-      .agg(transform(
-        array_sort(collect_list(struct(col("dim"),
-          col("centroid").cast("float").as("m")))),
-        e => e.getField("m")).as("c_emb"))
+    val cents = centroidArrays(embs)
     embs.select(col("label").cast("long").as("label"), col("vec_id"),
         col("embedding"))
       .join(broadcast(cents), Seq("label"))
@@ -614,6 +609,59 @@ object Similarity {
       .filter(expr(s"rank_in_label <= n_label div $decile"))
       .select(col("label"), col("vec_id"), col("cos_to_centroid"),
         col("rank_in_label").cast("long").as("rank_in_label"))
+  }
+
+  /** Per-label centroids as float arrays — [[labelCentroids]]'
+    * scaled-integer means assembled per label, rounded ONCE to float
+    * (one deterministic IEEE op both engines repeat) so corpus
+    * passes reuse the float cosine kernel. nlabels rows — broadcast
+    * material. */
+  private def centroidArrays(embs: DataFrame): DataFrame =
+    labelCentroids(embs)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          col("centroid").cast("float").as("m")))),
+        e => e.getField("m")).as("c_emb"))
+
+  /** Cluster-quality report per label: compactness as the mean
+    * cosine of members to their own centroid, separation as the
+    * nearest OTHER centroid's cosine — the Davies-Bouldin-style
+    * health check run before trusting labels for SemDeDup pruning or
+    * contrastive mining (a label whose nearest-centroid similarity
+    * approaches its compactness is bleeding into its neighbor). The
+    * corpus pass is one broadcast join + narrow cosine, collapsed by
+    * a partial-aggregable per-label rollup; per-vector cosines round
+    * deterministically to integer nano-units BEFORE summation so the
+    * mean is order-independent (float sums would drift with
+    * partitioning). The centroid-pair matrix is nlabels² on the
+    * broadcast-size frame. */
+  def clusterQuality(embs: DataFrame): DataFrame = {
+    val cents = centroidArrays(embs)
+    val intra = embs
+      .select(col("label").cast("long").as("label"), col("embedding"))
+      .join(broadcast(cents), Seq("label"))
+      .select(col("label"),
+        floor(GraftFunctions.cosine_sim(col("embedding"), col("c_emb"))
+          * 1e9).cast("long").as("s"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("s").as("intra_sum"))
+      .withColumn("mean_intra_nano", expr("intra_sum div n"))
+    val a = cents.select(col("label"), col("c_emb").as("ca"))
+    val b = cents.select(col("label").as("other_label"),
+      col("c_emb").as("cb"))
+    val inter = a.crossJoin(broadcast(b))
+      .filter(col("label") =!= col("other_label"))
+      .withColumn("sim", GraftFunctions.cosine_sim(col("ca"), col("cb")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("label")
+          .orderBy(col("sim").desc, col("other_label"))))
+      .filter(col("r") === 1)
+      .select(col("label"), col("other_label").as("nearest_label"),
+        col("sim").as("nearest_centroid_sim"))
+    intra.join(inter, Seq("label"))
+      .select("label", "n", "mean_intra_nano", "nearest_label",
+        "nearest_centroid_sim")
   }
 
   /** Leave-one-out kNN classification audit: predict each sampled

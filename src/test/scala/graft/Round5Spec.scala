@@ -951,6 +951,36 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("rxStickiness: exact DAU over trailing-window MAU in ppm") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 10L, 2L, "a", 0.0), // day 0: {1,2}
+      (3L, day, 1L, "a", 0.0)))                        // day 1: {1}
+    val out = Reactive.rxStickiness(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // MAU on both days is {1,2}: both day-0 actives stay in the window
+    assert(out === Map(
+      0L -> ((2L, 2L, 1000000L)),
+      1L -> ((1L, 2L, 500000L))))
+  }
+
+  test("clusterQuality: perfect clusters read 1e9 compactness, 0 separation") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(0f, 1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterQuality(embs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(0L) === ((2L, 1000000000L, 1L, 0.0)))
+    assert(out(1L) === ((1L, 1000000000L, 0L, 0.0)))
+  }
+
   test("kmvSetOps: unsaturated sketch returns the exact set algebra") {
     import spark.implicits._
     import graft.operators.Sketches
