@@ -827,7 +827,13 @@ object SparkEntry {
     "q_latency_hist" -> ((s, d) =>
       Relational.qLatencyHist(s, d).orderBy("week_bucket")),
     "text_lexical_diversity" -> ((s, d) =>
-      TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("doc_id"))
+      TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("doc_id")),
+    "rx_forecast_backtest" -> ((s, d) =>
+      Reactive.rxForecastBacktest(ev(s, d)).orderBy("event_type")),
+    "text_length_powerlaw" -> ((s, d) =>
+      TextAnalysis.lengthPowerlaw(docs(s, d)).orderBy("log2_bucket")),
+    "text_readability" -> ((s, d) =>
+      TextAnalysis.readability(docs(s, d)).orderBy("doc_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1806,6 +1812,52 @@ object SparkEntry {
         | CAST(rank_in_label AS BIGINT) AS rank_in_label
         |FROM r WHERE rank_in_label <= n_label // 10
         |ORDER BY label, rank_in_label""".stripMargin,
+    "rx_forecast_backtest" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |  sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+        | FROM events GROUP BY 1, 2),
+        |j AS (
+        | SELECT a.event_type, a.cents AS y, b.cents AS pred
+        | FROM daily a JOIN daily b
+        |  ON b.event_type = a.event_type AND b.day = a.day - 7),
+        |m AS (
+        | SELECT event_type, count(*) AS n_days,
+        |  sum(abs(y - pred)) AS abs_err,
+        |  sum(pred - y) AS signed_err,
+        |  sum(abs(y)) AS abs_actual
+        | FROM j GROUP BY 1)
+        |SELECT event_type, n_days,
+        | CAST(abs_err * 1000000 // abs_actual AS BIGINT) AS wape_ppm,
+        | CAST(signed_err * 1000000 // abs_actual AS BIGINT) AS bias_ppm
+        |FROM m WHERE abs_actual > 0 ORDER BY event_type""".stripMargin,
+    "text_length_powerlaw" ->
+      """WITH b AS (
+        | SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+        |  n_chars
+        | FROM documents WHERE n_chars > 0)
+        |SELECT log2_bucket, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+    "text_readability" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |wa AS (
+        | SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(length(tok)) AS BIGINT) AS word_chars
+        | FROM w WHERE tok <> '' GROUP BY 1),
+        |sa AS (
+        | SELECT doc_id,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sentences
+        | FROM documents)
+        |SELECT sa.doc_id, sa.n_sentences, wa.n_words, wa.word_chars,
+        | wa.n_words * 1000 // sa.n_sentences
+        |  AS words_per_sentence_milli,
+        | wa.word_chars * 1000 // wa.n_words AS chars_per_word_milli
+        |FROM sa JOIN wa USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "rx_stickiness" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day

@@ -1884,6 +1884,39 @@ object Reactive {
       .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
         "max_dwell_ms")
 
+  /** Seasonal-naive forecast backtest: predict each day's value as
+    * the value `season` days earlier and score per event_type with
+    * WAPE (Σ|y−ŷ| / Σ|y|) and signed bias — the baseline every
+    * forecasting pipeline must beat, and the backtest harness that
+    * scores it without leaving exact arithmetic (per-day MAPE would
+    * average ratios and lose exactness; WAPE is a ratio OF exact
+    * sums). Corpus collapses to the daily frame first; the forecast
+    * join is the calendar self-join of [[rxAcf]]; the ×1e6 rides
+    * DECIMAL(38,0) (an sf10 year of cents overflows BIGINT). */
+  def rxForecastBacktest(events: DataFrame, season: Int = 7)
+      : DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("cents"))
+    val pred = daily.select(col("event_type"),
+      (col("day") + season).as("day"), col("cents").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cents") - col("pred"))).as("abs_err"),
+        sum(col("pred") - col("cents")).as("signed_err"),
+        sum(abs(col("cents"))).as("abs_actual"))
+      .filter(col("abs_actual") > 0)
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(abs_err AS DECIMAL(38,0)) * 1000000 div abs_actual")
+          .as("wape_ppm"),
+        expr("CAST(signed_err AS DECIMAL(38,0)) * 1000000 " +
+          "div abs_actual").as("bias_ppm"))
+  }
+
   /** Autocorrelation function (ACF) of the daily value series per
     * event_type at calendar lags 1..maxLag — the standard seasonality
     * / memory diagnostic a forecasting pipeline runs before picking a

@@ -951,6 +951,44 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("rxForecastBacktest: exact WAPE/bias of the seasonal-naive baseline") {
+    import graft.operators.Reactive
+    val day = 86400000L
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 1.00), (2L, day, 1L, "a", 2.00),
+      (3L, 7 * day, 1L, "a", 1.50), (4L, 8 * day, 1L, "a", 2.00)))
+    val out = Reactive.rxForecastBacktest(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // scored days: 7 (pred 100, y 150) and 8 (pred 200, y 200)
+    // wape = 50/350, bias = -50/350 (both truncate toward zero)
+    assert(out.toSeq === Seq(("a", 2L, 142857L, -142857L)))
+  }
+
+  test("lengthPowerlaw: exact bit-length buckets") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", "en", "s1", 1L), (2L, "x", "en", "s1", 2L),
+      (3L, "x", "en", "s1", 3L), (4L, "x", "en", "s1", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.lengthPowerlaw(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(0L -> ((1L, 1L)), 1L -> ((2L, 5L)),
+      3L -> ((1L, 8L))))
+  }
+
+  test("readability: terminator-run sentences and raw-token word lengths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello world. Bye.", "en", "s1", 17L),
+      (2L, "no terminator here", "en", "s1", 18L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 3L, 15L, 1500L, 5000L)),
+      2L -> ((1L, 3L, 16L, 3000L, 5333L))))
+  }
+
   test("rxStickiness: exact DAU over trailing-window MAU in ppm") {
     import graft.operators.Reactive
     val day = 86400000L
