@@ -19,6 +19,32 @@ import graft.sources.Tables
   */
 object SparkEntry {
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Shared SCD2 fixture: synthetic closed+current history over
+    * customer, upserted at t=100 — the frame both the merge gate
+    * (q_merge_scd2) and the time-travel gate (q_scd2_asof) read. */
+  private def scd2Merged(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      col("c_acctbal"))
+    val closed = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("bal"),
+        lit(0L).as("valid_from"), lit(50L).as("valid_to"))
+    val current = cust.select(col("c_custkey"),
+      col("c_acctbal").as("bal"),
+      when(col("c_custkey") % 4 === 0, 50L).otherwise(0L)
+        .as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    val base = closed.unionByName(current)
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 6 === 0, col("c_acctbal"))
+          .otherwise(col("c_acctbal") + 100.0).as("bal"))
+      .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 100000000L).as("c_custkey"),
+          col("c_acctbal").as("bal")))
+    MergeOps.scd2Upsert(base, updates, "c_custkey", "bal", 100L)
+  }
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
@@ -708,26 +734,7 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) =>
       Relational.qUnpivot(s, d).orderBy("l_returnflag", "measure")),
     "q_merge_scd2" -> ((s, d) => {
-      val cust = Tables.customer(s, d).select(col("c_custkey"),
-        col("c_acctbal"))
-      val closed = cust.filter(col("c_custkey") % 4 === 0)
-        .select(col("c_custkey"), (col("c_acctbal") + 50.0).as("bal"),
-          lit(0L).as("valid_from"), lit(50L).as("valid_to"))
-      val current = cust.select(col("c_custkey"),
-        col("c_acctbal").as("bal"),
-        when(col("c_custkey") % 4 === 0, 50L).otherwise(0L)
-          .as("valid_from"),
-        lit(null).cast("long").as("valid_to"))
-      val base = closed.unionByName(current)
-      val updates = cust.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey"),
-          when(col("c_custkey") % 6 === 0, col("c_acctbal"))
-            .otherwise(col("c_acctbal") + 100.0).as("bal"))
-        .unionByName(cust.filter(col("c_custkey") % 10 === 0)
-          .select((col("c_custkey") + 100000000L).as("c_custkey"),
-            col("c_acctbal").as("bal")))
-      MergeOps.scd2Upsert(base, updates, "c_custkey", "bal", 100L)
-        .orderBy("c_custkey", "valid_from")
+      scd2Merged(s, d).orderBy("c_custkey", "valid_from")
     }),
     "text_bigram_fluency" -> ((s, d) =>
       TextAnalysis.bigramFluency(docs(s, d)).orderBy("doc_id")),
@@ -830,6 +837,17 @@ object SparkEntry {
       TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("doc_id")),
     "rx_forecast_backtest" -> ((s, d) =>
       Reactive.rxForecastBacktest(ev(s, d)).orderBy("event_type")),
+    "rx_slo_burn" -> ((s, d) =>
+      Reactive.rxSloBurn(ev(s, d)).orderBy("minute")),
+    "q_scd2_asof" -> ((s, d) => {
+      val merged = scd2Merged(s, d)
+      MergeOps.scd2AsOf(merged, 25L)
+        .unionByName(MergeOps.scd2AsOf(merged, 100L))
+        .select("snap_t", "c_custkey", "bal")
+        .orderBy("snap_t", "c_custkey")
+    }),
+    "emb_dim_profile" -> ((s, d) =>
+      Similarity.dimProfile(embs(s, d)).orderBy("dim")),
     "text_length_powerlaw" -> ((s, d) =>
       TextAnalysis.lengthPowerlaw(docs(s, d)).orderBy("log2_bucket")),
     "text_readability" -> ((s, d) =>
@@ -1858,6 +1876,83 @@ object SparkEntry {
         | wa.word_chars * 1000 // wa.n_words AS chars_per_word_milli
         |FROM sa JOIN wa USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "rx_slo_burn" ->
+      """WITH m AS (
+        | SELECT epoch_ms(ts) // 60000 AS minute,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+        |  count(*) AS tot
+        | FROM events GROUP BY 1),
+        |w AS (
+        | SELECT minute,
+        |  CAST(sum(err) OVER (ORDER BY minute
+        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS err_60m,
+        |  CAST(sum(tot) OVER (ORDER BY minute
+        |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS tot_60m
+        | FROM m)
+        |SELECT minute, err_60m, tot_60m,
+        | err_60m * 1000000 // tot_60m AS err_ppm
+        |FROM w WHERE err_60m * 1000000 > 300000 * tot_60m
+        |ORDER BY minute""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH cust AS (SELECT c_custkey, c_acctbal FROM customer),
+        |closed AS (SELECT c_custkey, c_acctbal + 50.0 AS bal,
+        |  CAST(0 AS BIGINT) AS vf, CAST(50 AS BIGINT) AS vt
+        | FROM cust WHERE c_custkey % 4 = 0),
+        |cur AS (SELECT c_custkey, c_acctbal AS bal,
+        |  CAST(CASE WHEN c_custkey % 4 = 0 THEN 50 ELSE 0 END AS BIGINT)
+        |    AS vf,
+        |  CAST(NULL AS BIGINT) AS vt FROM cust),
+        |base AS (SELECT * FROM closed UNION ALL SELECT * FROM cur),
+        |upd AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal
+        |       ELSE c_acctbal + 100.0 END AS u
+        | FROM cust WHERE c_custkey % 3 = 0
+        | UNION ALL
+        | SELECT c_custkey + 100000000 AS c_custkey, c_acctbal AS u
+        | FROM cust WHERE c_custkey % 10 = 0),
+        |merged AS (
+        | SELECT b.c_custkey, b.bal, b.vf, b.vt
+        | FROM base b LEFT JOIN upd u USING (c_custkey)
+        | WHERE NOT (b.vt IS NULL AND u.u IS NOT NULL AND u.u <> b.bal)
+        | UNION ALL
+        | SELECT b.c_custkey, b.bal, b.vf, CAST(100 AS BIGINT)
+        | FROM base b JOIN upd u USING (c_custkey)
+        | WHERE b.vt IS NULL AND u.u <> b.bal
+        | UNION ALL
+        | SELECT b.c_custkey, u.u, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        | FROM base b JOIN upd u USING (c_custkey)
+        | WHERE b.vt IS NULL AND u.u <> b.bal
+        | UNION ALL
+        | SELECT u.c_custkey, u.u, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        | FROM upd u
+        | WHERE u.c_custkey NOT IN (SELECT c_custkey FROM base))
+        |SELECT CAST(25 AS BIGINT) AS snap_t, c_custkey, bal
+        |FROM merged WHERE vf <= 25 AND (vt IS NULL OR vt > 25)
+        |UNION ALL
+        |SELECT CAST(100 AS BIGINT), c_custkey, bal
+        |FROM merged WHERE vf <= 100 AND (vt IS NULL OR vt > 100)
+        |ORDER BY snap_t, c_custkey""".stripMargin,
+    "emb_dim_profile" ->
+      """WITH x AS (
+        | SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS s,
+        |  CAST(embedding[i] AS DOUBLE) AS xv
+        | FROM embeddings,
+        |  unnest(generate_series(1, len(embedding))) AS g(i)),
+        |m AS (
+        | SELECT dim, count(*) AS n,
+        |  CAST(sum(s) AS BIGINT) AS s1,
+        |  sum(CAST(s AS HUGEINT) * s) AS s2,
+        |  min(xv) AS min_x, max(xv) AS max_x
+        | FROM x GROUP BY 1)
+        |SELECT dim, n,
+        | CAST(s1 AS DOUBLE) / n / 1e6 AS mean,
+        | CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |  / n / n / 1e12 AS variance,
+        | min_x, max_x
+        |FROM m ORDER BY dim""".stripMargin,
     "rx_stickiness" ->
       """WITH ud AS (
         | SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day

@@ -97,6 +97,19 @@ object MergeOps {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time snapshot over an SCD2 frame ([[scd2Upsert]]'s
+    * output shape): the dimension's state exactly as of `asOf` —
+    * the time-travel read that makes the SCD2 history worth its
+    * storage (reproduce yesterday's report, join facts to the dim
+    * version that was live when they happened). A narrow filter on
+    * the interval-halfopen contract [valid_from, valid_to); no
+    * exchange at all, and on a valid_from-clustered layout the scan
+    * prunes to the files overlapping T. */
+  def scd2AsOf(scd2: DataFrame, asOf: Long): DataFrame =
+    scd2.filter(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .withColumn("snap_t", lit(asOf))
+
   /** Snapshot diff (CDC between two corpus versions): classify every
     * key as added / removed / changed / same by full-outer joining
     * the two snapshots and comparing an xxhash64 of the compared

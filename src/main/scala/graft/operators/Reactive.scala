@@ -1884,6 +1884,33 @@ object Reactive {
       .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
         "max_dwell_ms")
 
+  /** SLO burn-rate alerting: minutes whose trailing-hour error RATE
+    * exceeds the objective — the SRE page condition, which [[rxBurst]]
+    * (absolute count spikes) cannot express: a traffic surge with
+    * proportional errors must NOT page, a quiet hour with mostly
+    * errors MUST. The corpus collapses to per-minute (err, tot)
+    * counts first (partial-aggregable); the trailing RANGE frame
+    * runs over that calendar-bounded minute frame (silent minutes
+    * are implicit zeros, same contract as rxBurst) and the verdict
+    * is the integer cross-multiplication err·1e6 > slo·tot — no
+    * float rate, no boundary rounding. Emits alert minutes only. */
+  def rxSloBurn(events: DataFrame, sloPpm: Long = 300000L,
+                windowMinutes: Int = 60): DataFrame = {
+    val byMin = events
+      .select(expr("unix_millis(ts) div 60000").as("minute"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("e"))
+      .groupBy("minute")
+      .agg(sum("e").as("err"), count(lit(1)).as("tot"))
+    val w = Window.orderBy("minute")
+      .rangeBetween(-(windowMinutes - 1), Window.currentRow)
+    byMin
+      .withColumn("err_60m", sum("err").over(w))
+      .withColumn("tot_60m", sum("tot").over(w))
+      .filter(col("err_60m") * 1000000L > lit(sloPpm) * col("tot_60m"))
+      .select(col("minute"), col("err_60m"), col("tot_60m"),
+        expr("err_60m * 1000000 div tot_60m").as("err_ppm"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each day's value as
     * the value `season` days earlier and score per event_type with
     * WAPE (Σ|y−ŷ| / Σ|y|) and signed bias — the baseline every

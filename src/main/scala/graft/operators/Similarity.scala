@@ -624,6 +624,36 @@ object Similarity {
           col("centroid").cast("float").as("m")))),
         e => e.getField("m")).as("c_emb"))
 
+  /** Per-dimension embedding profile: mean, variance, min/max for
+    * every coordinate — the dead-dimension / dominant-dimension
+    * audit run before whitening or truncation (a dim with ~zero
+    * variance is wasted storage; one with outsized variance hijacks
+    * cosine). Moments are exact: each value rounds once to a 1e6-
+    * scaled integer, first and second moments sum as BIGINT /
+    * DECIMAL(38,0) (order-independent), and mean/variance are a
+    * fixed IEEE tail on exact inputs. posexplode → groupBy(dim):
+    * map-side partials collapse each partition to `dim` rows, so
+    * the single exchange carries O(partitions × dim) rows at any
+    * corpus size. Min/max of floats are exact order statistics. */
+  def dimProfile(embs: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    embs.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("s"),
+        col("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum("s").as("s1"),
+        sum((col("s").cast(big) * col("s"))).as("s2"),
+        min("x").cast("double").as("min_x"),
+        max("x").cast("double").as("max_x"))
+      .select(col("dim"), col("n"),
+        (col("s1").cast("double") / col("n") / 1e6).as("mean"),
+        (((col("n") * col("s2") - col("s1").cast(big) * col("s1"))
+          .cast("double")) / col("n") / col("n") / 1e12).as("variance"),
+        col("min_x"), col("max_x"))
+  }
+
   /** Cluster-quality report per label: compactness as the mean
     * cosine of members to their own centroid, separation as the
     * nearest OTHER centroid's cosine — the Davies-Bouldin-style

@@ -951,6 +951,44 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("scd2AsOf: half-open interval honors boundaries on version flips") {
+    import spark.implicits._
+    import graft.operators.MergeOps
+    val scd2 = Seq(
+      (1L, 10.0, 0L, Option(50L)), (1L, 20.0, 50L, Option.empty[Long])
+    ).toDF("c_custkey", "bal", "valid_from", "valid_to")
+    def snap(t: Long) = MergeOps.scd2AsOf(scd2, t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(snap(25L).toSeq === Seq((1L, 10.0)))
+    assert(snap(50L).toSeq === Seq((1L, 20.0))) // flip instant: new version
+    assert(snap(75L).toSeq === Seq((1L, 20.0)))
+  }
+
+  test("rxSloBurn: rate alert fires on ratio, not volume; strict threshold") {
+    import graft.operators.Reactive
+    val min = 60000L
+    val ev = mkEvents(
+      (1 to 3).map(i => (i.toLong, i.toLong, 1L, "error", 0.0)) ++
+        (4 to 10).map(i => (i.toLong, min + i, 1L, "click", 0.0)))
+    val out = Reactive.rxSloBurn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // minute 0: 3/3 errors → alert. minute 1 trailing: 3/10 = exactly
+    // the 300000 ppm SLO — strict inequality must NOT fire
+    assert(out.toSeq === Seq((0L, 3L, 3L, 1000000L)))
+  }
+
+  test("dimProfile: exact scaled moments per dimension") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val embs = Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimProfile(embs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0L) === ((2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(out(1L) === ((2L, 2.0, 0.0, 2.0, 2.0)))
+  }
+
   test("rxForecastBacktest: exact WAPE/bias of the seasonal-naive baseline") {
     import graft.operators.Reactive
     val day = 86400000L
