@@ -851,7 +851,13 @@ object SparkEntry {
     "text_length_powerlaw" -> ((s, d) =>
       TextAnalysis.lengthPowerlaw(docs(s, d)).orderBy("log2_bucket")),
     "text_readability" -> ((s, d) =>
-      TextAnalysis.readability(docs(s, d)).orderBy("doc_id"))
+      TextAnalysis.readability(docs(s, d)).orderBy("doc_id")),
+    "rx_stage_latency" -> ((s, d) =>
+      Reactive.rxStageLatency(ev(s, d)).orderBy("stage")),
+    "text_code_detect" -> ((s, d) =>
+      TextAnalysis.codeDetect(docs(s, d)).orderBy("doc_id")),
+    "q_customer_migration" -> ((s, d) =>
+      Relational.qCustomerMigration(s, d).orderBy("seg_h1", "seg_h2"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1876,6 +1882,83 @@ object SparkEntry {
         | wa.word_chars * 1000 // wa.n_words AS chars_per_word_milli
         |FROM sa JOIN wa USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "rx_stage_latency" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f1 AS (
+        | SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ms END) AS t1
+        | FROM e GROUP BY 1),
+        |f2 AS (
+        | SELECT f1.user_id, f1.t1,
+        |  min(CASE WHEN e.event_type = 'click' AND e.ms > f1.t1
+        |    THEN e.ms END) AS t2
+        | FROM f1 JOIN e USING (user_id) GROUP BY 1, 2),
+        |f3 AS (
+        | SELECT f2.user_id, f2.t1, f2.t2,
+        |  min(CASE WHEN e.event_type = 'purchase' AND e.ms > f2.t2
+        |    THEN e.ms END) AS t3
+        | FROM f2 JOIN e USING (user_id) GROUP BY 1, 2, 3),
+        |g AS (
+        | SELECT 'view->click' AS stage, t2 - t1 AS gap FROM f3
+        | WHERE t2 IS NOT NULL
+        | UNION ALL
+        | SELECT 'click->purchase', t3 - t2 FROM f3
+        | WHERE t3 IS NOT NULL)
+        |SELECT stage, count(*) AS n,
+        | CAST(sum(gap) // count(*) AS BIGINT) AS mean_ms,
+        | quantile_cont(gap, 0.5) AS p50_ms
+        |FROM g GROUP BY 1 ORDER BY stage""".stripMargin,
+    "text_code_detect" ->
+      """WITH b AS (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text,
+        |    '[^{}()\[\];=<>|&]', '', 'g')) AS BIGINT) AS n_sym,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(regexp_extract_all(text,
+        |    chr(10) || '[ ' || chr(9) || ']{2,}')) AS BIGINT)
+        |   AS n_indent
+        | FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, n_chars,
+        | n_sym * 1000000 // n_chars AS symbol_ppm,
+        | n_lines, n_indent,
+        | (n_sym * 1000000 // n_chars > 40000
+        |  OR (n_lines > 3 AND n_indent * 2 > n_lines)) AS looks_code
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_customer_migration" ->
+      """WITH ord AS (
+        | SELECT o_custkey, epoch_ms(o_orderdate) AS ms,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents
+        | FROM orders),
+        |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid_ms FROM ord),
+        |halves AS (
+        | SELECT o_custkey,
+        |  CASE WHEN ms < mid_ms THEN 1 ELSE 2 END AS half,
+        |  sum(cents) AS cents
+        | FROM ord, mid GROUP BY 1, 2),
+        |cuts AS (
+        | SELECT half,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.25) AS q1,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.5) AS q2,
+        |  quantile_cont(CAST(cents AS DOUBLE), 0.75) AS q3
+        | FROM halves GROUP BY 1),
+        |seg AS (
+        | SELECT o_custkey, h.half,
+        |  1 + CAST(cents > q1 AS INT) + CAST(cents > q2 AS INT)
+        |    + CAST(cents > q3 AS INT) AS seg
+        | FROM halves h JOIN cuts USING (half)),
+        |m AS (
+        | SELECT coalesce(a.seg, 0) AS seg_h1,
+        |  coalesce(b.seg, 0) AS seg_h2
+        | FROM (SELECT o_custkey, seg FROM seg WHERE half = 1) a
+        | FULL OUTER JOIN
+        |  (SELECT o_custkey, seg FROM seg WHERE half = 2) b
+        |  USING (o_custkey))
+        |SELECT CAST(seg_h1 AS BIGINT) AS seg_h1,
+        | CAST(seg_h2 AS BIGINT) AS seg_h2,
+        | count(*) AS n_customers
+        |FROM m GROUP BY 1, 2 ORDER BY seg_h1, seg_h2""".stripMargin,
     "rx_slo_burn" ->
       """WITH m AS (
         | SELECT epoch_ms(ts) // 60000 AS minute,

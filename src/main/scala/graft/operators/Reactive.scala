@@ -1884,6 +1884,43 @@ object Reactive {
       .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
         "max_dwell_ms")
 
+  /** Funnel stage latency: how long users take between consecutive
+    * funnel stages (view→click→purchase, [[rxFunnel]]'s ordered
+    * semantics over wall-clock ms instead of sequence position) —
+    * the "WHERE does the funnel stall" number that conversion rates
+    * alone can't give. Stage times are the same window-constant
+    * trick as rxFunnel (one user_id shuffle); gaps unpivot into a
+    * (stage, gap) frame whose rollup carries the exact floor mean
+    * and the interpolated exact median (`percentile` ≡ the oracle's
+    * quantile_cont on identical integer ms inputs). */
+  def rxStageLatency(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val f = events
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ms"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ms") > col("t1"), col("ms"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ms") > col("t2"), col("ms"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"),
+        first("t3").as("t3"))
+    val gaps = f.select(lit("view->click").as("stage"),
+        (col("t2") - col("t1")).as("gap"))
+      .unionAll(f.select(lit("click->purchase").as("stage"),
+        (col("t3") - col("t2")).as("gap")))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("stage")
+      .agg(count(lit(1)).as("n"), sum("gap").as("total_ms"),
+        expr("percentile(gap, 0.5)").as("p50_ms"))
+      .withColumn("mean_ms", expr("total_ms div n"))
+      .select("stage", "n", "mean_ms", "p50_ms")
+  }
+
   /** SLO burn-rate alerting: minutes whose trailing-hour error RATE
     * exceeds the objective — the SRE page condition, which [[rxBurst]]
     * (absolute count spikes) cannot express: a traffic surge with

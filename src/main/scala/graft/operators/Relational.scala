@@ -779,6 +779,48 @@ object Relational {
       .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
   }
 
+  /** Customer segment migration: revenue-quartile segment in the
+    * first vs second half of the order history, crossed into a
+    * transition matrix — the "are my best customers churning"
+    * report behind every retention program (RFM gives a snapshot;
+    * the migration matrix shows the FLOW, including entries and
+    * exits as segment 0). Per-half quartile cuts use the same
+    * broadcast quantile_cont contract as [[qRfm]] (cuts computed
+    * once on exact cents, comparisons in identical doubles); the
+    * full-outer join restores customers absent from one half; the
+    * 5×5 matrix is a count-only rollup. */
+  def qCustomerMigration(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val mid = ord.agg(expr("(min(ms) + max(ms)) div 2").as("mid_ms"))
+    val halves = ord.crossJoin(broadcast(mid))
+      .select(col("o_custkey"),
+        when(col("ms") < col("mid_ms"), 1L).otherwise(2L).as("half"),
+        col("cents"))
+      .groupBy("o_custkey", "half").agg(sum("cents").as("cents"))
+    val cuts = halves.groupBy("half").agg(
+      expr("percentile(CAST(cents AS DOUBLE), 0.25)").as("q1"),
+      expr("percentile(CAST(cents AS DOUBLE), 0.5)").as("q2"),
+      expr("percentile(CAST(cents AS DOUBLE), 0.75)").as("q3"))
+    val seg = halves.join(broadcast(cuts), Seq("half"))
+      .select(col("o_custkey"), col("half"),
+        (lit(1L) +
+          when(col("cents") > col("q1"), 1L).otherwise(0L) +
+          when(col("cents") > col("q2"), 1L).otherwise(0L) +
+          when(col("cents") > col("q3"), 1L).otherwise(0L)).as("seg"))
+    val h1 = seg.filter(col("half") === 1)
+      .select(col("o_custkey"), col("seg").as("seg_h1"))
+    val h2 = seg.filter(col("half") === 2)
+      .select(col("o_custkey"), col("seg").as("seg_h2"))
+    h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("seg_h1"), lit(0L)).as("seg_h1"),
+        coalesce(col("seg_h2"), lit(0L)).as("seg_h2"))
+      .groupBy("seg_h1", "seg_h2")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   /** ABC / Pareto revenue classification: customers bucketed A/B/C
     * by whether they sit inside the top 70% / 90% of cumulative
     * revenue — the "how concentrated is my revenue" report. The

@@ -951,6 +951,47 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("rxStageLatency: exact gap means and interpolated medians per stage") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "view", 0.0), (2L, 1000L, 1L, "click", 0.0),
+      (3L, 3000L, 1L, "purchase", 0.0),
+      (4L, 0L, 2L, "view", 0.0), (5L, 5000L, 2L, "click", 0.0)))
+    val out = Reactive.rxStageLatency(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      "view->click" -> ((2L, 3000L, 3000.0)),
+      "click->purchase" -> ((1L, 2000L, 2000.0))))
+  }
+
+  test("codeDetect: symbol density or indent discipline flags code") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "{();}", "en", "s1", 5L),
+      (2L, "hello world prose text", "en", "s1", 22L),
+      (3L, "def f:\n  a\n  b\n  c\n  d", "en", "s1", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((1000000L, true)))  // all symbols
+    assert(out(2L)._2 === false)
+    assert(out(3L) === ((0L, true)))        // 4 indented of 5 lines
+  }
+
+  test("qCustomerMigration: matrix partitions active customers; segs in range") {
+    import graft.operators.Relational
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.qCustomerMigration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_._3).sum === nCust)
+    assert(out.forall { case (a, b, _) => a >= 0 && a <= 4 && b >= 0 && b <= 4 })
+    assert(!out.exists { case (a, b, _) => a == 0 && b == 0 })
+    assert(out.exists(_._1 == 0L) || out.exists(_._2 == 0L)) // churn/entry exists
+  }
+
   test("scd2AsOf: half-open interval honors boundaries on version flips") {
     import spark.implicits._
     import graft.operators.MergeOps
