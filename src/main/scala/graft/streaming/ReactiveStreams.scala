@@ -1122,6 +1122,30 @@ object ReactiveStreams {
         (sum("weighted") / sum("dt_ms")).as("twap"))
   }
 
+  /** Streaming SLO burn-rate alert: the unbounded twin of
+    * [[graft.operators.Reactive.rxSloBurn]] as sliding 60-minute
+    * windows advancing by the minute — each closed window carries
+    * its own (err, tot) counts and the same strict integer
+    * cross-multiplication verdict, so a page fires AT the minute
+    * boundary the trailing-hour rate crosses the objective, not at
+    * the next batch run. Watermark-closed append output; the 60×
+    * window fan-out per event is the standard sliding-window cost
+    * and partial-aggregates per (window, key-less) group. A stream
+    * window's end minute m+1 corresponds to the batch op's minute-m
+    * trailing frame (spec-asserted equality on the counts). */
+  def sloBurnStream(events: DataFrame, sloPpm: Long = 300000L)
+      : DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "60 minutes", "1 minute"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("err_60m"),
+        count(lit(1)).as("tot_60m"))
+      .filter(col("err_60m") * 1000000L > lit(sloPpm) * col("tot_60m"))
+      .select(col("window.end").as("window_end"), col("err_60m"),
+        col("tot_60m"),
+        expr("err_60m * 1000000 div tot_60m").as("err_ppm"))
+
   case class DwellSeg(event_type: String, dwell_ms: Long)
 
   /** Streaming time-in-state: the unbounded twin of

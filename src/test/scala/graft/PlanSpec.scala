@@ -370,4 +370,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lineitem.parquet"),
       s"iteration plan still reads the fact table:\n$p")
   }
+
+  test("dimProfile: one exchange, partials collapse before it") {
+    val p = plan(Similarity.dimProfile(Tables.embeddings(spark, sf)))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
+  test("knnGraph: pair join keyed on the cluster, top-k cut before the exchange") {
+    val p = plan(Similarity.knnGraph(Tables.embeddings(spark, sf)))
+    // the equi-join must key on the cluster label (AQE picks BHJ at
+    // gate scale, SMJ at 100 TB — both are label-keyed and fine; a
+    // CartesianProduct would mean the cluster key fell out of the
+    // join) and WindowGroupLimit must prune to k per src BEFORE the
+    // rank exchange, so only candidate top-k rows ride the shuffle
+    assert(p.contains("Join [label"), s"pair join not label-keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in knnGraph:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"no partial top-k pruning before the rank exchange:\n$p")
+  }
+
+  test("codeDetect and readability sentence branch stay scan-narrow") {
+    val p = plan(TextAnalysis.codeDetect(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), s"codeDetect shuffled:\n$p")
+  }
+
+  test("embOutliers: centroid join broadcasts; corpus never sort-merge-joins") {
+    val p = plan(Similarity.embOutliers(Tables.embeddings(spark, sf)))
+    // the nlabels-row centroid frame must come back as a broadcast;
+    // the only other exchanges are the centroid build's own tiny
+    // (label, dim)/(label) rollups and the per-label rank window —
+    // a SortMergeJoin or cartesian would mean the corpus itself
+    // joined wide
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus joined wide:\n$p")
+  }
+
+  test("scd2AsOf snapshot is a narrow filter: zero exchanges") {
+    val base = Tables.customer(spark, sf).select(col("c_custkey"),
+      col("c_acctbal").as("bal"), lit(0L).as("valid_from"),
+      lit(null).cast("long").as("valid_to"))
+    val p = plan(MergeOps.scd2AsOf(base, 10L))
+    assert(!p.contains("Exchange"), s"time-travel read shuffled:\n$p")
+  }
 }

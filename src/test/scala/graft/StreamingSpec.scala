@@ -859,6 +859,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SLO burn alerts exactly the windows the batch trailing frame flags") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val min = 60000L
+    val evs = (1 to 3).map(i =>
+      Ev(i.toLong, new java.sql.Timestamp(i.toLong), 1L, "error", 0.0)) ++
+      (4 to 10).map(i =>
+        Ev(i.toLong, new java.sql.Timestamp(min + i), 1L, "click", 0.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"slo_${System.nanoTime()}"
+    val q = ReactiveStreams.sloBurnStream(mem.toDF())
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      mem.addData(evs)
+      // watermark-advancing straggler 4 hours later closes everything
+      mem.addData(Ev(99L, new java.sql.Timestamp(4 * 3600000L), 9L,
+        "click", 0.0))
+      q.processAllAvailable(); mem.addData(); q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // only the window ending at minute 1 (covering minute 0 alone:
+      // 3/3 errors) alerts; every window also covering minute 1 sits
+      // exactly AT the 300000 ppm SLO and must not fire — same strict
+      // verdict as the batch twin's minute-0 row
+      assert(streamed.toSeq === Seq((min, 3L, 3L, 1000000L)))
+      val batch = graft.operators.Reactive.rxSloBurn(evs.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch.toSeq === Seq((0L, 3L, 3L, 1000000L)))
+    } finally q.stop()
+  }
+
   test("streaming dwell equals the batch time-in-state across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
