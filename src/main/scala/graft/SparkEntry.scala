@@ -857,7 +857,15 @@ object SparkEntry {
     "text_code_detect" -> ((s, d) =>
       TextAnalysis.codeDetect(docs(s, d)).orderBy("doc_id")),
     "q_customer_migration" -> ((s, d) =>
-      Relational.qCustomerMigration(s, d).orderBy("seg_h1", "seg_h2"))
+      Relational.qCustomerMigration(s, d).orderBy("seg_h1", "seg_h2")),
+    "text_fertility" -> ((s, d) =>
+      TextAnalysis.fertility(docs(s, d)).orderBy("lang")),
+    "q_top_growth" -> ((s, d) =>
+      Relational.qTopGrowthProducts(s, d)
+        .orderBy(col("growth_ppm").desc, col("l_partkey"))),
+    "rx_anomaly_path" -> ((s, d) =>
+      Reactive.rxAnomalyPath(ev(s, d))
+        .orderBy("min_prob_ppm", "user_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1882,6 +1890,64 @@ object SparkEntry {
         | wa.word_chars * 1000 // wa.n_words AS chars_per_word_milli
         |FROM sa JOIN wa USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "text_fertility" ->
+      """WITH t AS (
+        | SELECT lang,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws,
+        |  CAST(list_sum(list_transform(string_split(lower(text), ' '),
+        |    t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) AS sub
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        | CAST(sum(sub) AS BIGINT) AS subword_pieces,
+        | CAST(sum(sub) * 1000 // sum(ws) AS BIGINT) AS fertility_milli
+        |FROM t GROUP BY 1 ORDER BY lang""".stripMargin,
+    "q_top_growth" ->
+      """WITH li AS (
+        | SELECT l_partkey, epoch_ms(o_orderdate) AS ms,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   AS cents
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid_ms FROM li),
+        |h AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CASE WHEN ms < mid_ms THEN cents ELSE 0 END)
+        |    AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN ms >= mid_ms THEN cents ELSE 0 END)
+        |    AS BIGINT) AS r2
+        | FROM li, mid GROUP BY 1),
+        |g AS (
+        | SELECT l_partkey, r1, r2,
+        |  CAST(CAST(r2 - r1 AS HUGEINT) * 1000000 // r1 AS BIGINT)
+        |   AS growth_ppm
+        | FROM h WHERE r1 >= 100000)
+        |SELECT * FROM g
+        |ORDER BY growth_ppm DESC, l_partkey LIMIT 50""".stripMargin,
+    "rx_anomaly_path" ->
+      """WITH p AS (
+        | SELECT user_id, event_type AS to_state,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |   AS from_state
+        | FROM events),
+        |pairs AS (SELECT * FROM p WHERE from_state IS NOT NULL),
+        |c AS (
+        | SELECT from_state, to_state, count(*) AS n
+        | FROM pairs GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1),
+        |probs AS (
+        | SELECT c.from_state, c.to_state,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS prob_ppm
+        | FROM c JOIN t USING (from_state)),
+        |u AS (
+        | SELECT user_id, count(*) AS n_transitions,
+        |  min(struct_pack(p := prob_ppm, f := pr.from_state,
+        |    t2 := pr.to_state)) AS w
+        | FROM pairs pr JOIN probs USING (from_state, to_state)
+        | GROUP BY 1)
+        |SELECT user_id, n_transitions,
+        | CAST(w.p AS BIGINT) AS min_prob_ppm,
+        | w.f AS rare_from, w.t2 AS rare_to
+        |FROM u ORDER BY min_prob_ppm, user_id LIMIT 20""".stripMargin,
     "rx_stage_latency" ->
       """WITH e AS (
         | SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),

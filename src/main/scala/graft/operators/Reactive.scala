@@ -1884,6 +1884,41 @@ object Reactive {
       .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
         "max_dwell_ms")
 
+  /** Rare-path anomaly detection: score each user by the WEAKEST
+    * transition in their event sequence under the corpus-wide Markov
+    * model ([[rxTransitions]]' exact ppm probabilities) — the
+    * integer-exact alternative to sequence log-likelihood (a product
+    * of probabilities needs logs no two engines round alike; the
+    * weakest link is a min, and min is exact). Bot/fraud triage
+    * reads exactly this: "which users did something almost nobody
+    * does". Pairs come off the shared user_id shuffle; the |types|²
+    * probability table rides a broadcast; the per-user argmin is one
+    * lexicographic struct-min; bottom-k is TakeOrdered. */
+  def rxAnomalyPath(events: DataFrame, k: Int = 20): DataFrame = {
+    val pairs = events
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("to_state"))
+      .withColumn("from_state", lag("to_state", 1).over(byUser))
+      .filter(col("from_state").isNotNull)
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val probs = counts
+      .join(counts.groupBy("from_state").agg(sum("n").as("tot")),
+        "from_state")
+      .select(col("from_state"), col("to_state"),
+        expr("n * 1000000 div tot").as("prob_ppm"))
+    pairs.join(broadcast(probs), Seq("from_state", "to_state"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        min(struct(col("prob_ppm"), col("from_state"), col("to_state")))
+          .as("w"))
+      .select(col("user_id"), col("n_transitions"),
+        col("w.prob_ppm").as("min_prob_ppm"),
+        col("w.from_state").as("rare_from"),
+        col("w.to_state").as("rare_to"))
+      .orderBy(col("min_prob_ppm"), col("user_id")).limit(k)
+  }
+
   /** Funnel stage latency: how long users take between consecutive
     * funnel stages (view→click→purchase, [[rxFunnel]]'s ordered
     * semantics over wall-clock ms instead of sequence position) —

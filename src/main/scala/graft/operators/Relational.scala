@@ -779,6 +779,34 @@ object Relational {
       .unionAll(liDup).unionAll(ordDup).unionAll(ordTotal)
   }
 
+  /** Top growth products: parts ranked by revenue growth between the
+    * two halves of the order history — the merchandising "what's
+    * taking off" report. Growth is the exact integer ppm ratio
+    * through DECIMAL(38,0) with a minimum first-half support (a part
+    * that sold one unit then two is not a 100% grower worth a rank);
+    * conditional sums produce both halves in ONE part-keyed rollup of
+    * the fact join (no second scan, no self-join), and the top-k is
+    * distributed TakeOrdered — never a global sort. */
+  def qTopGrowthProducts(s: SparkSession, dir: String, k: Int = 50,
+                         minCents: Long = 100000L): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+    val mid = li.agg(expr("(min(ms) + max(ms)) div 2").as("mid_ms"))
+    li.crossJoin(broadcast(mid))
+      .groupBy("l_partkey")
+      .agg(sum(when(col("ms") < col("mid_ms"), col("cents"))
+        .otherwise(0L)).as("r1"),
+        sum(when(col("ms") >= col("mid_ms"), col("cents"))
+          .otherwise(0L)).as("r2"))
+      .filter(col("r1") >= minCents)
+      .withColumn("growth_ppm",
+        expr("CAST(r2 - r1 AS DECIMAL(38,0)) * 1000000 div r1"))
+      .orderBy(col("growth_ppm").desc, col("l_partkey")).limit(k)
+  }
+
   /** Customer segment migration: revenue-quartile segment in the
     * first vs second half of the order history, crossed into a
     * transition matrix — the "are my best customers churning"

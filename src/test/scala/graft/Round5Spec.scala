@@ -951,6 +951,47 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("fertility: exact subword-per-word milli ratios per language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd ef", "en", "s1", 7L),   // ws 2, pieces 1+1
+      (2L, "abcdefgh", "en", "s1", 8L),  // ws 1, pieces 2
+      (3L, "a", "fr", "s1", 1L)          // ws 1, pieces 1
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.fertility(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "en" -> ((2L, 3L, 4L, 1333L)),
+      "fr" -> ((1L, 1L, 1L, 1000L))))
+  }
+
+  test("qTopGrowthProducts: support floor holds and ranking is monotone") {
+    import graft.operators.Relational
+    val out = Relational.qTopGrowthProducts(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty && out.length <= 50)
+    assert(out.forall(_._2 >= 100000L))
+    assert(out.map(_._4).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("rxAnomalyPath: weakest-transition scoring surfaces the rare path") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 1L, 1L, "b", 0.0),
+      (3L, 0L, 2L, "a", 0.0), (4L, 1L, 2L, "b", 0.0),
+      (5L, 0L, 3L, "a", 0.0), (6L, 1L, 3L, "b", 0.0),
+      (7L, 0L, 4L, "a", 0.0), (8L, 1L, 4L, "c", 0.0)))
+    val out = Reactive.rxAnomalyPath(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // a→c happens once of 4 a-transitions: user 4 is the anomaly
+    assert(out.head === ((4L, 1L, 250000L, "a", "c")))
+    assert(out.tail.forall(_._3 === 750000L))
+  }
+
   test("rxStageLatency: exact gap means and interpolated medians per stage") {
     import graft.operators.Reactive
     val ev = mkEvents(Seq(
