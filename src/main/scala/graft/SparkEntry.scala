@@ -865,7 +865,12 @@ object SparkEntry {
         .orderBy(col("growth_ppm").desc, col("l_partkey"))),
     "rx_anomaly_path" -> ((s, d) =>
       Reactive.rxAnomalyPath(ev(s, d))
-        .orderBy("min_prob_ppm", "user_id"))
+        .orderBy("min_prob_ppm", "user_id")),
+    "rx_interarrival_hist" -> ((s, d) =>
+      Reactive.rxInterarrivalHist(ev(s, d))
+        .orderBy("event_type", "log2_bucket")),
+    "pipeline_balanced_shards" -> ((s, d) =>
+      Sampling.balancedShards(docs(s, d)).orderBy("shard"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -1890,6 +1895,39 @@ object SparkEntry {
         | wa.word_chars * 1000 // wa.n_words AS chars_per_word_milli
         |FROM sa JOIN wa USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "rx_interarrival_hist" ->
+      """WITH g AS (
+        | SELECT event_type, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY event_id) AS prev
+        | FROM events)
+        |SELECT event_type,
+        | CAST(length(bin(ms - prev)) - 1 AS BIGINT) AS log2_bucket,
+        | count(*) AS n
+        |FROM g WHERE prev IS NOT NULL AND ms > prev
+        |GROUP BY 1, 2 ORDER BY event_type, log2_bucket""".stripMargin,
+    "pipeline_balanced_shards" ->
+      """WITH sized AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+        |   AS n_tokens
+        | FROM documents),
+        |ranked AS (
+        | SELECT n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+        | FROM sized),
+        |assigned AS (
+        | SELECT n_tokens,
+        |  CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+        |   ELSE 7 - r % 8 END AS shard
+        | FROM ranked),
+        |grand AS (SELECT sum(n_tokens) AS g FROM sized)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(abs(sum(n_tokens) * 8 - g) * 1000000 // g AS BIGINT)
+        |  AS dev_ppm
+        |FROM assigned, grand GROUP BY shard, g
+        |ORDER BY shard""".stripMargin,
     "text_fertility" ->
       """WITH t AS (
         | SELECT lang,

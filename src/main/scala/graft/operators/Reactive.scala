@@ -1884,6 +1884,27 @@ object Reactive {
       .select("event_type", "n", "total_dwell_ms", "mean_dwell_ms",
         "max_dwell_ms")
 
+  /** Inter-arrival time histogram per event_type in log₂ buckets —
+    * the burstiness fingerprint (human traffic is heavy-tailed
+    * across decades of gap sizes; bots cluster in one bucket), using
+    * the same exact bit-length bucketing as the doc-length power
+    * law: no float log, no boundary rounding. One `lag` on the
+    * shared user_id partitioning, then a partial-aggregable rollup
+    * on the tiny (type, ≤64-bucket) key. Zero-ms gaps (same-ms
+    * ticks) are excluded by contract — they measure clock
+    * granularity, not behavior. */
+  def rxInterarrivalHist(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev", lag("ms", 1).over(byUser))
+      .filter(col("prev").isNotNull && col("ms") > col("prev"))
+      .select(col("event_type"),
+        (length(bin(col("ms") - col("prev"))) - 1).cast("long")
+          .as("log2_bucket"))
+      .groupBy("event_type", "log2_bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** Rare-path anomaly detection: score each user by the WEAKEST
     * transition in their event sequence under the corpus-wide Markov
     * model ([[rxTransitions]]' exact ppm probabilities) — the

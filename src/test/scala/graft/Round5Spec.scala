@@ -951,6 +951,39 @@ class Round5Spec extends AnyFunSuite {
     assert(hist === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("rxInterarrivalHist: bit-length buckets, same-ms ticks excluded") {
+    import graft.operators.Reactive
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, 1L, 1L, "a", 0.0),
+      (3L, 9L, 1L, "a", 0.0), (4L, 9L, 1L, "a", 0.0)))
+    val out = Reactive.rxInterarrivalHist(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // gaps: 1 ms (bucket 0), 8 ms (bucket 3); the 0-ms tick drops
+    assert(out === Map(("a", 0L) -> 1L, ("a", 3L) -> 1L))
+  }
+
+  test("balancedShards: two-level rank matches the naive snake; mass balances") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.balancedShards(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val naive = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("r", (row_number().over(
+        Window.orderBy(col("n_tokens").desc, col("doc_id"))) - 1)
+        .cast("long"))
+      .withColumn("shard", expr(
+        "CASE WHEN (r div 8) % 2 = 0 THEN r % 8 ELSE 7 - r % 8 END"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === naive)
+    assert(out.values.map(_._1).sum === docs.count())
+  }
+
   test("fertility: exact subword-per-word milli ratios per language") {
     import spark.implicits._
     val docs = Seq(
