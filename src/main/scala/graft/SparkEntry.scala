@@ -870,7 +870,9 @@ object SparkEntry {
       Reactive.rxInterarrivalHist(ev(s, d))
         .orderBy("event_type", "log2_bucket")),
     "pipeline_balanced_shards" -> ((s, d) =>
-      Sampling.balancedShards(docs(s, d)).orderBy("shard"))
+      Sampling.balancedShards(docs(s, d)).orderBy("shard")),
+    "q_market_hhi" -> ((s, d) =>
+      Relational.qMarketHhi(s, d).orderBy("n_name"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5298,6 +5300,24 @@ object SparkEntry {
         |  ELSE n_users * 1000000 // prev END AS BIGINT) AS step_ppm,
         | CAST(CASE WHEN top = 0 THEN 0
         |  ELSE n_users * 1000000 // top END AS BIGINT) AS overall_ppm
-        |FROM w ORDER BY stage""".stripMargin
+        |FROM w ORDER BY stage""".stripMargin,
+    "q_market_hhi" ->
+      """WITH rev AS (
+        | SELECT n_name, s_suppkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1, 2)
+        |SELECT n_name,
+        | CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(rev) AS BIGINT) AS total_cents,
+        | CAST(CAST(max(rev) AS HUGEINT) * 1000000 // sum(rev)
+        |  AS BIGINT) AS top_share_ppm,
+        | CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000
+        |  // (CAST(sum(rev) AS HUGEINT) * sum(rev)) AS BIGINT)
+        |  AS hhi_ppm
+        |FROM rev GROUP BY 1 ORDER BY n_name""".stripMargin
   )
 }

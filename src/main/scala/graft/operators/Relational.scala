@@ -1233,4 +1233,41 @@ object Relational {
         expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div tot")
           .as("cum_share_ppm"))
   }
+
+  /** Supplier-market concentration per nation: the Herfindahl index
+    * of supplier revenue shares in exact ppm (1e6 = monopoly), with
+    * the top supplier's share and the supplier count — the
+    * supply-risk report ("is this nation's supply base one warehouse
+    * fire away from collapse"). Shares never materialize as floats:
+    * HHI = Σrevᵢ²·10⁶ div (Σrevᵢ)² through DECIMAL(38,0) with a
+    * SINGLE integer division, so DuckDB's HUGEINT arithmetic
+    * reproduces it bit for bit (per-supplier share rounding would
+    * accumulate engine-specific error). Plan: ONE fact scan with the
+    * supplier→nation dim chain broadcast, a (nation, supplier)
+    * rollup that map-side combines, then a re-agg whose shuffle
+    * carries one row per supplier — nothing fact-sized moves twice,
+    * and nations-sized output. */
+  def qMarketHhi(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "s_suppkey")
+      .agg(sum("cents").as("rev"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("rev").as("total_cents"),
+        max("rev").as("top_rev"),
+        sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("sumsq"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        expr("CAST(top_rev AS DECIMAL(38,0)) * 1000000 div total_cents")
+          .as("top_share_ppm"),
+        expr("sumsq * 1000000 div " +
+          "(CAST(total_cents AS DECIMAL(38,0)) * total_cents)")
+          .as("hhi_ppm"))
+  }
 }

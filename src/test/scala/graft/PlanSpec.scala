@@ -410,6 +410,20 @@ class PlanSpec extends AnyFunSuite {
       s"corpus joined wide:\n$p")
   }
 
+  test("qMarketHhi: dims broadcast, fact scanned once, partial agg combines") {
+    val p = plan(Relational.qMarketHhi(spark, sf))
+    // the supplier→nation chain must ride a broadcast (never a
+    // fact-side SortMergeJoin), and the (nation, supplier) rollup
+    // must partial-aggregate before its exchange so only combined
+    // per-supplier rows shuffle — the re-agg above it is
+    // supplier-sized by construction
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim chain not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fact joined wide:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("scd2AsOf snapshot is a narrow filter: zero exchanges") {
     val base = Tables.customer(spark, sf).select(col("c_custkey"),
       col("c_acctbal").as("bal"), lit(0L).as("valid_from"),
