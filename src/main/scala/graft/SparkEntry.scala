@@ -872,7 +872,9 @@ object SparkEntry {
     "pipeline_balanced_shards" -> ((s, d) =>
       Sampling.balancedShards(docs(s, d)).orderBy("shard")),
     "q_market_hhi" -> ((s, d) =>
-      Relational.qMarketHhi(s, d).orderBy("n_name"))
+      Relational.qMarketHhi(s, d).orderBy("n_name")),
+    "q_trade_balance" -> ((s, d) =>
+      Relational.qTradeBalance(s, d).orderBy("n_name"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5318,6 +5320,33 @@ object SparkEntry {
         | CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000
         |  // (CAST(sum(rev) AS HUGEINT) * sum(rev)) AS BIGINT)
         |  AS hhi_ppm
-        |FROM rev GROUP BY 1 ORDER BY n_name""".stripMargin
+        |FROM rev GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "q_trade_balance" ->
+      """WITH exp AS (
+        | SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS export_cents
+        | FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | GROUP BY 1),
+        |imp AS (
+        | SELECT n_name,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS import_cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1)
+        |SELECT n_name,
+        | coalesce(export_cents, 0) AS export_cents,
+        | coalesce(import_cents, 0) AS import_cents,
+        | coalesce(export_cents, 0) - coalesce(import_cents, 0)
+        |  AS balance_cents,
+        | CAST(CASE WHEN coalesce(import_cents, 0) = 0 THEN NULL
+        |  ELSE CAST(coalesce(export_cents, 0) AS HUGEINT) * 1000000
+        |   // import_cents END AS BIGINT) AS ratio_ppm
+        |FROM exp FULL OUTER JOIN imp USING (n_name)
+        |ORDER BY n_name""".stripMargin
   )
 }

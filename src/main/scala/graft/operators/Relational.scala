@@ -1270,4 +1270,46 @@ object Relational {
           "(CAST(total_cents AS DECIMAL(38,0)) * total_cents)")
           .as("hhi_ppm"))
   }
+
+  /** Per-nation trade balance: revenue earned by each nation's
+    * suppliers (exports) vs spend by its customers (imports), with
+    * the surplus and the exports/imports ratio in exact ppm — the
+    * balance-sheet rollup of the trade graph that Q7 only shows one
+    * nation-pair of. Nations absent from one side survive the
+    * full-outer join as explicit zeros (a nation that only buys IS
+    * the finding). Each fact is scanned once against its broadcast
+    * dim→nation chain and collapses map-side to a nations-sized
+    * frame before the final join, so the join cost is ~nations², not
+    * fact-sized; ratio rides DECIMAL(38,0) with one integer
+    * division (NULL when imports are zero — a ppm against nothing
+    * is not a number). */
+  def qTradeBalance(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val exp0 = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name").agg(sum("cents").as("export_cents"))
+    val imp0 = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .join(broadcast(Tables.customer(s, dir)
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name").agg(sum("cents").as("import_cents"))
+    exp0.join(imp0, Seq("n_name"), "full_outer")
+      .select(col("n_name"),
+        coalesce(col("export_cents"), lit(0L)).as("export_cents"),
+        coalesce(col("import_cents"), lit(0L)).as("import_cents"))
+      .withColumn("balance_cents",
+        col("export_cents") - col("import_cents"))
+      .withColumn("ratio_ppm",
+        expr("CASE WHEN import_cents = 0 THEN NULL ELSE " +
+          "CAST(export_cents AS DECIMAL(38,0)) * 1000000" +
+          " div import_cents END"))
+  }
 }

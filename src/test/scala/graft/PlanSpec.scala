@@ -424,6 +424,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
   }
 
+  test("qTradeBalance: both fact sides broadcast-joined and pre-collapsed") {
+    val p = plan(Relational.qTradeBalance(spark, sf))
+    // each fact must meet its dim→nation chain as a broadcast and
+    // collapse with a map-side partial before the nations-sized
+    // full-outer meet; a SortMergeJoin would mean a fact-sized frame
+    // reached the final join
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim chains not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("scd2AsOf snapshot is a narrow filter: zero exchanges") {
     val base = Tables.customer(spark, sf).select(col("c_custkey"),
       col("c_acctbal").as("bal"), lit(0L).as("valid_from"),
