@@ -874,7 +874,11 @@ object SparkEntry {
     "q_market_hhi" -> ((s, d) =>
       Relational.qMarketHhi(s, d).orderBy("n_name")),
     "q_trade_balance" -> ((s, d) =>
-      Relational.qTradeBalance(s, d).orderBy("n_name"))
+      Relational.qTradeBalance(s, d).orderBy("n_name")),
+    "rx_drawdown" -> ((s, d) =>
+      Reactive.rxDrawdown(ev(s, d)).orderBy("user_id")),
+    "q_gini" -> ((s, d) =>
+      Relational.qGini(s, d).orderBy("n_name"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5347,6 +5351,49 @@ object SparkEntry {
         |  ELSE CAST(coalesce(export_cents, 0) AS HUGEINT) * 1000000
         |   // import_cents END AS BIGINT) AS ratio_ppm
         |FROM exp FULL OUTER JOIN imp USING (n_name)
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+    "rx_drawdown" ->
+      """WITH e AS (
+        | SELECT user_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |p AS (
+        | SELECT user_id, event_id, cents,
+        |  CAST(max(cents) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS HUGEINT) AS peak
+        | FROM e)
+        |SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(max(cents) AS BIGINT) AS peak_cents,
+        | CAST(arg_max(cents, event_id) AS BIGINT) AS final_cents,
+        | CAST(max(peak - cents) AS BIGINT) AS max_dd_cents,
+        | CAST(max(CASE WHEN peak > 0
+        |  THEN (peak - cents) * 1000000 // peak END) AS BIGINT)
+        |  AS max_dd_ppm
+        |FROM p GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_gini" ->
+      """WITH spend AS (
+        | SELECT n_name, o_custkey,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2),
+        |r AS (
+        | SELECT n_name, cents,
+        |  row_number() OVER (PARTITION BY n_name
+        |   ORDER BY cents, o_custkey) AS i
+        | FROM spend)
+        |SELECT n_name,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | CAST(CASE WHEN sum(cents) > 0 THEN
+        |  (2 * sum(CAST(i AS HUGEINT) * cents)
+        |   - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000000
+        |  // (CAST(count(*) AS HUGEINT) * sum(cents)) END AS BIGINT)
+        |  AS gini_ppm
+        |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin
   )
 }

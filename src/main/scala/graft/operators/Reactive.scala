@@ -2080,4 +2080,41 @@ object Reactive {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
           .as("acf_r"))
   }
+
+  /** Per-key maximum drawdown over the value series: treating each
+    * key's ordered `value` readings as a level (price, queue depth,
+    * balance), drawdown at i is runningMax(value) − value — how far
+    * the series has fallen from its historical peak. Reports the
+    * worst absolute fall and the worst relative fall per key, plus
+    * the peak and final levels — the risk metric every monitoring /
+    * portfolio pipeline wants.
+    *
+    * Both cumulative stats (running max, and the per-row ppm ratio's
+    * max) ride the SAME user_id/event_id window partitioning every
+    * other Rx operator shares — one exchange, two zero-cost frames,
+    * then a per-key rollup that combines map-side on the already
+    *-partitioned data (no second shuffle: the groupBy key equals the
+    * window partition key, so Catalyst reuses the exchange).
+    * Exactness: values quantize to BIGINT cents; the relative fall is
+    * (peak − v) · 10⁶ div peak through DECIMAL(38,0) — one integer
+    * division per row, so DuckDB reproduces every ppm bit for bit.
+    * The final level is max_by(cents, event_id) — order-free, safe
+    * under any partition interleaving. */
+  def rxDrawdown(events: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"),
+        (dec(col("value")) * 100).cast(big).as("cents"))
+      .withColumn("peak", max("cents").over(cum).cast(big))
+      .withColumn("dd", col("peak") - col("cents"))
+      .withColumn("dd_ppm",
+        expr("CASE WHEN peak > 0 THEN dd * 1000000 div peak END"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max("cents").cast("long").as("peak_cents"),
+        expr("max_by(cents, event_id)").cast("long").as("final_cents"),
+        max("dd").cast("long").as("max_dd_cents"),
+        max("dd_ppm").cast("long").as("max_dd_ppm"))
+  }
 }

@@ -1312,4 +1312,57 @@ object Relational {
           "CAST(export_cents AS DECIMAL(38,0)) * 1000000" +
           " div import_cents END"))
   }
+
+  /** Gini coefficient of customer-spend concentration per nation, in
+    * exact ppm (0 = perfectly equal, →1e6 = one customer is the whole
+    * market) — the inequality counterpart to [[qMarketHhi]]'s
+    * concentration index. Uses the rank identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over spends sorted
+    * ascending — but never ranks individual customers: ranks of TIED
+    * spends contribute x·(m·r₀ + m(m+1)/2) for a run of m equal
+    * values starting after cumulative count r₀ (Σi over a tie run is
+    * arithmetic-series arithmetic, and G is invariant to order within
+    * ties), so the sort window runs over DISTINCT spend values per
+    * nation, not customers. At 100 TB that's the difference between
+    * sorting ~60 M customers per nation partition and sorting the few
+    * thousand distinct cent totals they collapse to. Plan: one orders
+    * scan with the customer→nation chain broadcast, a customer-sized
+    * map-side-combined rollup, a (nation, cents)-sized second rollup,
+    * the tiny distinct-value window, and a nations-sized answer.
+    * Every term is BIGINT/DECIMAL(38,0) with a SINGLE integer
+    * division, so DuckDB's HUGEINT math reproduces it bit for bit. */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val spend = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .join(broadcast(Tables.customer(s, dir)
+          .join(Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name", "o_custkey")
+      .agg(sum("cents").as("cust_cents"))
+    val before = Window.partitionBy("n_name").orderBy("cust_cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spend.groupBy("n_name", "cust_cents")
+      .agg(count(lit(1)).cast(big).as("m"))
+      .withColumn("r0",
+        coalesce(sum("m").over(before), lit(0).cast(big)).cast(big))
+      .select(col("n_name"), col("m"),
+        (col("cust_cents").cast(big) * col("m")).as("sx_part"),
+        (col("cust_cents").cast(big) *
+          (col("m") * col("r0") + expr("m * (m + 1) div 2").cast(big)))
+          .as("six_part"))
+      .groupBy("n_name")
+      .agg(sum("m").cast(big).as("n"),
+        sum("sx_part").cast(big).as("sx"),
+        sum("six_part").cast(big).as("six"))
+      .select(col("n_name"),
+        col("n").cast("long").as("n_customers"),
+        col("sx").cast("long").as("total_cents"),
+        expr("CASE WHEN sx > 0 THEN " +
+          "(2 * six - (n + 1) * sx) * 1000000 div (n * sx) END")
+          .cast("long").as("gini_ppm"))
+  }
 }

@@ -436,6 +436,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
   }
 
+  test("rxDrawdown: window and rollup share one user_id exchange") {
+    val p = plan(Reactive.rxDrawdown(Tables.events(spark, sf)))
+    // the running-max window and the per-user groupBy key match, so
+    // Catalyst must plan exactly one hash exchange for the whole op —
+    // a second Exchange would mean the rollup re-shuffled data the
+    // window already partitioned
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"more than one exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unexpected join:\n$p")
+  }
+
+  test("qGini: dims broadcast, ranks run over tie-collapsed values") {
+    val p = plan(Relational.qGini(spark, sf))
+    // customer→nation rides a broadcast; the fact collapses map-side
+    // per customer, then again per distinct cent value, so the sort
+    // window only ever sees the (nation, cents)-sized frame — a
+    // SortMergeJoin would mean the orders fact itself joined wide
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"fact joined wide:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+  }
+
   test("scd2AsOf snapshot is a narrow filter: zero exchanges") {
     val base = Tables.customer(spark, sf).select(col("c_custkey"),
       col("c_acctbal").as("bal"), lit(0L).as("valid_from"),

@@ -1374,4 +1374,46 @@ class Round5Spec extends AnyFunSuite {
       5L -> ((1L, 200000L, 79181L, 120819L)),
       9L -> ((1L, 200000L, 45757L, 154243L))))
   }
+
+  test("rxDrawdown: worst fall from the running peak, absolute and ppm") {
+    import graft.operators.Reactive
+    // user 1: 10 → 4 → 8 → 2: peak stays 10, worst dd = 8.00 (800¢),
+    //   ppm = 800·1e6 div 1000 = 800000; final = 2.00
+    // user 2 monotone rising: dd = 0 everywhere
+    val ev = mkEvents(Seq(
+      (1L, 0L, 1L, "v", 10.0), (2L, 1L, 1L, "v", 4.0),
+      (3L, 2L, 1L, "v", 8.0), (4L, 3L, 1L, "v", 2.0),
+      (5L, 0L, 2L, "v", 1.0), (6L, 1L, 2L, "v", 2.0)))
+    val out = Reactive.rxDrawdown(ev).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 1000L, 200L, 800L, 800000L)),
+      2L -> ((2L, 200L, 200L, 0L, 0L))))
+  }
+
+  test("qGini: tie-collapsed rank identity matches hand-computed Gini") {
+    // nation A spends {1.00, 1.00, 2.00} (cents 100,100,200):
+    //   sorted Σi·x = 1·100 + 2·100 + 3·200 = 900; n=3, Σx=400
+    //   G = (2·900 − 4·400)/(3·400) = 200/1200 → 166666 ppm
+    // nation B single customer → G = 0
+    import spark.implicits._
+    import graft.operators.{Relational => R}
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, 10L, 1.0), (101L, 11L, 1.0), (102L, 12L, 2.0),
+        (103L, 13L, 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = R.qGini(spark, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      "A" -> ((3L, 400L, 166666L)),
+      "B" -> ((1L, 500L, 0L))))
+  }
 }
