@@ -1391,4 +1391,45 @@ object ReactiveStreams {
           out.iterator
       }
   }
+
+  case class DrawdownRow(event_id: Long, user_id: Long, cents: Long,
+                         peak_cents: Long, dd_cents: Long,
+                         dd_ppm: Option[Long])
+
+  /** Streaming maximum-drawdown monitor: the unbounded twin of
+    * [[graft.operators.Reactive.rxDrawdown]]. State per key is ONE
+    * long — the running peak; each arriving event emits its live
+    * drawdown from that peak (absolute cents and integer ppm) so a
+    * risk page can fire mid-stream instead of at the next batch run.
+    * Cents quantization pins the batch `dec()` cast's valueOf /
+    * HALF_UP rule and the ppm is the same single floor division
+    * (through BigInt so 100 TB-scale cents cannot overflow the
+    * numerator), so per-row output equals the batch op's pre-rollup
+    * frame bit-for-bit across any trigger split (spec-asserted);
+    * non-positive peaks yield None exactly like the batch NULL. */
+  def drawdownStream(spark: SparkSession, events: DataFrame)
+      : Dataset[DrawdownRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, DrawdownRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          var peak = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            val cents = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            peak = math.max(peak, cents)
+            val dd = peak - cents
+            val ppm = if (peak > 0)
+              Some((BigInt(dd) * 1000000 / BigInt(peak)).toLong)
+            else None
+            DrawdownRow(e.event_id, uid, cents, peak, dd, ppm)
+          }
+          state.update(peak)
+          out.iterator
+      }
+  }
 }

@@ -987,6 +987,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drawdown equals the batch rollup across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // peaks and recoveries per key; the user-0 peak lands in batch 1
+    // and its worst trough in batch 3 — the dd must come from state
+    val evs = (0 until 24).map(i =>
+      Ev(i, ts(i), i % 2, "m", ((i * 37) % 150 + 10) * 1.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"dd_${System.nanoTime()}"
+    val q = ReactiveStreams.drawdownStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.filter(_.event_id < 7)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.event_id >= 7 && e.event_id < 17))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 17)); q.processAllAvailable()
+      val streamed = spark.table(qName)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          max("peak_cents").as("peak_cents"),
+          expr("max_by(cents, event_id)").as("final_cents"),
+          max("dd_cents").as("max_dd_cents"),
+          max("dd_ppm").as("max_dd_ppm"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val batch = graft.operators.Reactive.rxDrawdown(evs.toDF())
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(streamed === batch)
+      assert(batch.values.exists(_._4 > 0), "series must draw down")
+    } finally q.stop()
+  }
+
   test("streaming attribution matches the batch twin across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
