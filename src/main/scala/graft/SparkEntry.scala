@@ -877,6 +877,9 @@ object SparkEntry {
       Relational.qTradeBalance(s, d).orderBy("n_name")),
     "rx_drawdown" -> ((s, d) =>
       Reactive.rxDrawdown(ev(s, d)).orderBy("user_id")),
+    "graph_bfs" -> ((s, d) =>
+      Graph.bfsTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d)).orderBy("hop")),
     "q_gini" -> ((s, d) =>
       Relational.qGini(s, d).orderBy("n_name"))
   )
@@ -5394,6 +5397,28 @@ object SparkEntry {
         |   - (count(*) + 1) * CAST(sum(cents) AS HUGEINT)) * 1000000
         |  // (CAST(count(*) AS HUGEINT) * sum(cents)) END AS BIGINT)
         |  AS gini_ppm
-        |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "graph_bfs" ->
+      """WITH RECURSIVE
+        |e0 AS (
+        | SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        | SELECT c * 2 AS a, s * 2 + 1 AS b FROM e0
+        | UNION ALL SELECT s * 2 + 1, c * 2 FROM e0),
+        |src AS (
+        | SELECT DISTINCT s_suppkey * 2 + 1 AS node FROM supplier
+        | WHERE s_nationkey = (SELECT n_nationkey FROM nation
+        |   ORDER BY n_name, n_nationkey LIMIT 1)),
+        |reach(node, d) AS (
+        | SELECT node, 0 FROM src
+        | UNION
+        | SELECT e.b, r.d + 1 FROM reach r
+        | JOIN edges e ON r.node = e.a WHERE r.d < 4),
+        |best AS (SELECT node, min(d) AS hop FROM reach GROUP BY 1)
+        |SELECT CAST(hop AS BIGINT) AS hop,
+        | count(*) FILTER (WHERE node % 2 = 0) AS n_customers,
+        | count(*) FILTER (WHERE node % 2 = 1) AS n_suppliers
+        |FROM best GROUP BY 1 ORDER BY hop""".stripMargin
   )
 }

@@ -147,4 +147,58 @@ object Graph {
       .select(col("o_custkey"), col("l_suppkey")).distinct()
       .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_customers"))
+
+  /** Multi-source BFS hop distances over the bipartite
+    * customer–supplier trade graph (edge = any lineitem between
+    * them), seeded from every supplier of the lexicographically
+    * first nation — "how many hops of business separate the market
+    * from this supply region", the reachability primitive under
+    * blast-radius and contagion analyses. Output is the compact hop
+    * histogram (customers and suppliers first reached at each hop),
+    * not per-node rows — at 100 TB the distance table is
+    * node-sized, the report stays maxHops-sized.
+    *
+    * Scale shape: textbook frontier BFS — the edge frame is built
+    * ONCE from the fact join (distinct (cust, supp) pairs collapse
+    * map-side before the exchange) and localCheckpointed; each round
+    * is frontier ⋈ edges on co-partitioned node ids, a distinct, and
+    * an anti-join against the visited set, so a node re-reached
+    * later never re-expands (min-hop by construction, like
+    * [[graft.operators.Dedup.connectedComponents]]'s min-label).
+    * Rounds are hop-bounded; every frame that crosses an exchange is
+    * (node) or (node, hop) ids only. */
+  def bfsTrade(lineitem: DataFrame, orders: DataFrame,
+               supplier: DataFrame, nation: DataFrame,
+               maxHops: Int = 4): DataFrame = {
+    // even ids = customers, odd = suppliers: one namespace, no structs
+    val e0 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val srcNation = nation.orderBy("n_name", "n_nationkey").limit(1)
+      .select("n_nationkey")
+    var dist = supplier
+      .join(broadcast(srcNation), col("s_nationkey") === col("n_nationkey"))
+      .select((col("s_suppkey") * 2 + 1).as("node"))
+      .distinct()
+      .withColumn("hop", lit(0L))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(edges, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint()
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    dist.groupBy("hop")
+      .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
+        count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
+  }
 }

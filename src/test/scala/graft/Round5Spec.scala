@@ -1375,6 +1375,27 @@ class Round5Spec extends AnyFunSuite {
       9L -> ((1L, 200000L, 45757L, 154243L))))
   }
 
+  test("bfsTrade: min-hop histogram over the bipartite trade graph") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // suppliers 1,2 in nation A (sources); supplier 3 in B.
+    // cust 10 buys from 1; cust 11 from 1 and 3; cust 12 from 3 only
+    // ⇒ hop0: s1,s2; hop1: c10,c11; hop2: s3 (via c11); hop3: c12.
+    // s2 has no edges — it still counts at hop 0.
+    val li = Seq((100L, 1L), (101L, 1L), (101L, 3L), (102L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = Seq((100L, 10L), (101L, 11L), (102L, 12L))
+      .toDF("o_orderkey", "o_custkey")
+    val sup = Seq((1L, 1L), (2L, 1L), (3L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+    val out = Graph.bfsTrade(li, ord, sup, nat).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      0L -> ((0L, 2L)), 1L -> ((2L, 0L)),
+      2L -> ((0L, 1L)), 3L -> ((1L, 0L))))
+  }
+
   test("rxDrawdown: worst fall from the running peak, absolute and ppm") {
     import graft.operators.Reactive
     // user 1: 10 → 4 → 8 → 2: peak stays 10, worst dd = 8.00 (800¢),
