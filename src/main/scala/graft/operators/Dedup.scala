@@ -17,9 +17,11 @@ import graft.functions.GraftFunctions
   *    hamming<=maxHamming pairs share at least one chunk).
   *  - Embeddings: random-hyperplane bucket key.
   * Over-full buckets (degenerate content): AQE skew splitting
-  * re-sizes tasks, and [[embeddingNearDup]] additionally CAPS the
-  * per-bucket pair fan-out (star emission past `maxBucket` — AQE
-  * cannot bound the pair OUTPUT of a hot bucket, only task sizing).
+  * re-sizes tasks, and ALL THREE near-dup paths additionally CAP
+  * the per-bucket pair fan-out (star emission against the bucket
+  * representative past `maxBucket` — AQE cannot bound the pair
+  * OUTPUT of a hot bucket, only task sizing; connectivity for
+  * downstream clustering survives through the rep).
   */
 object Dedup {
   /** Lowercased whitespace tokens. */
@@ -47,14 +49,37 @@ object Dedup {
       seed => array_min(transform(sh, s => xxhash64(s, seed))))
 
   /** MinHash + LSH near-duplicate pairs with exact n-gram-Jaccard
-    * verification of the candidates.
+    * verification of the candidates — with the [[embeddingNearDup]]
+    * BUCKET-SIZE GUARD on the band-bucket pair join.
+    *
+    * A band bucket of m members emits m²/2 candidate rows; a
+    * boilerplate-heavy corpus (mirrored crawls, templated pages) can
+    * collapse millions of docs into one bucket and the in-bucket
+    * pair join goes quadratic in OUTPUT — AQE skew-split re-sizes
+    * tasks but cannot bound the pair fan-out. Buckets larger than
+    * `maxBucket` therefore switch from all-pairs to STAR emission
+    * against the bucket's representative (lowest doc_id), bounding
+    * fan-out at O(m) while preserving cluster CONNECTIVITY through
+    * the rep (downstream [[connectedComponents]] still groups every
+    * verified member); pairwise enumeration inside over-cap buckets
+    * is explicitly traded away. The bucket-stats join shuffles on
+    * the same (band, bh) key as the pair join — co-partitioned, no
+    * extra exchange pattern, and never a forced broadcast (bucket
+    * count grows with the corpus). The default cap is far above any
+    * honest bucket (a band bucket's size ≈ the near-dup cluster
+    * size; measured max 3 at sf0.01, 4 at sf0.1), so the
+    * oracle-gated output is recall-complete/unchanged; it exists for
+    * the degenerate corpus.
     *
     * @param bands LSH bands; @param rows rows per band (k = bands*rows)
     * @param threshold exact Jaccard cutoff applied to candidates
+    * @param maxBucket per-(band,bucket) membership above which pair
+    *   emission degrades from all-pairs to star
     */
   def minhashLsh(docs: DataFrame, bands: Int = 16, rows: Int = 4,
-                 threshold: Double = 0.5, auditable: Boolean = false)
-      : DataFrame = {
+                 threshold: Double = 0.5, auditable: Boolean = false,
+                 maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
     // candidate generation on (band, bucket-hash, id) ONLY — the
     // shingle arrays must NOT ride through the explode/shuffle/join
     // (at 100 TB that multiplies the payload bands-x); they are
@@ -70,11 +95,20 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), posexplode(bandKeys))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
-    val pairs = buckets.select(col("band"), col("bh"), col("doc_id").as("doc1"))
-      .join(buckets.select(col("band"), col("bh"), col("doc_id").as("doc2")),
+    val bstats = buckets.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsize"), min("doc_id").as("rep"))
+    val annotated = buckets.join(bstats, Seq("band", "bh"))
+    val small = annotated.filter(col("bsize") <= maxBucket)
+    val pairsAll = small
+      .select(col("band"), col("bh"), col("doc_id").as("doc1"))
+      .join(small.select(col("band"), col("bh"), col("doc_id").as("doc2")),
         Seq("band", "bh"))
       .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
+      .select("doc1", "doc2")
+    val pairsStar = annotated.filter(col("bsize") > maxBucket)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc1"), col("doc_id").as("doc2"))
+    val pairs = pairsAll.unionByName(pairsStar).distinct()
     val sets = docs
       .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -103,9 +137,29 @@ object Dedup {
     * candidate generation degenerates toward quadratic. For corpora
     * at scale keep maxHamming <= 3 (the radius the published 64-bit
     * simhash dedup design targets, cf. Manku et al. WWW'07); larger
-    * radii need a longer signature, not more chunks. */
+    * radii need a longer signature, not more chunks.
+    *
+    * Bucket-size guard: like [[minhashLsh]], chunk buckets larger
+    * than `maxBucket` (a near-constant corpus collapsing into one
+    * chunk value) degrade from all-pairs to STAR emission against
+    * the bucket's lowest-doc_id representative — O(m) fan-out,
+    * connectivity preserved for downstream clustering, pairwise
+    * enumeration inside over-cap buckets traded away. Unlike the
+    * minhash band buckets (measured max 4 at sf0.1 — bounded by
+    * dup-cluster size), simhash chunk buckets GROW with the corpus:
+    * a 16-bit chunk has only 65k values, so buckets saturate toward
+    * n/65k (measured 27 at sf0.01, 269 at sf0.1 ⇒ ~2.7k at sf1).
+    * The 4096 default therefore keeps every gate/validation SF
+    * (≤ sf1) recall-complete and unchanged while capping the
+    * ~27k-member buckets a sf10-scale corpus would produce (27k²/2 ≈
+    * 364M pair rows from ONE bucket) — past that scale, dropping to
+    * star emission is the documented design point, and radius-exact
+    * recall needs a longer signature (more chunk values), not an
+    * uncapped join. */
   def simhash(docs: DataFrame, maxHamming: Int = 3,
-              auditable: Boolean = false): DataFrame = {
+              auditable: Boolean = false,
+              maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
     require(maxHamming < 16,
       s"maxHamming=$maxHamming: 4-bit chunks only guarantee recall to 15")
     require(!auditable || maxHamming < 4,
@@ -128,12 +182,28 @@ object Dedup {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc_id"), col("sig"), col("ck.chunk_id"), col("ck.chunk"))
-    val l = chunks.select(col("chunk_id"), col("chunk"),
+    // bucket stats shuffle on the same (chunk_id, chunk) key as the
+    // pair join (co-partitioned); never broadcast — bucket count
+    // grows with the corpus
+    val bstats = chunks.groupBy("chunk_id", "chunk")
+      .agg(count(lit(1)).as("bsize"),
+        min_by(struct(col("doc_id"), col("sig")), col("doc_id")).as("rep"))
+    val annotated = chunks.join(bstats, Seq("chunk_id", "chunk"))
+    val small = annotated.filter(col("bsize") <= maxBucket)
+    val l = small.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc1"), col("sig").as("sig1"))
-    val r = chunks.select(col("chunk_id"), col("chunk"),
+    val r = small.select(col("chunk_id"), col("chunk"),
       col("doc_id").as("doc2"), col("sig").as("sig2"))
-    l.join(r, Seq("chunk_id", "chunk"))
+    val pairsAll = l.join(r, Seq("chunk_id", "chunk"))
       .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("sig1"), col("sig2"))
+    // rep has the bucket-minimal doc_id, so doc1 < doc2 holds by
+    // construction on the star side
+    val pairsStar = annotated.filter(col("bsize") > maxBucket)
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("doc1"), col("doc_id").as("doc2"),
+        col("rep.sig").as("sig1"), col("sig").as("sig2"))
+    pairsAll.unionByName(pairsStar)
       .select(col("doc1"), col("doc2"),
         bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long")
           .as("hamming"))

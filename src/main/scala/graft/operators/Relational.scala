@@ -1243,19 +1243,24 @@ object Relational {
     * SINGLE integer division, so DuckDB's HUGEINT arithmetic
     * reproduces it bit for bit (per-supplier share rounding would
     * accumulate engine-specific error). Plan: ONE fact scan with the
-    * supplier→nation dim chain broadcast, a (nation, supplier)
-    * rollup that map-side combines, then a re-agg whose shuffle
-    * carries one row per supplier — nothing fact-sized moves twice,
-    * and nations-sized output. */
+    * supplier→nation dim chain joined UNHINTED — supplier grows with
+    * SF, so per this module's header policy it carries no broadcast()
+    * hint (a hint cannot be demoted by AQE; the q18 note below
+    * documents the measured 15x regression from forcing a growing
+    * dim); at test SF size-estimation broadcasts it anyway, at 100 TB
+    * it shuffles on the key like any fact join — then a
+    * (nation, supplier) rollup that map-side combines, and a re-agg
+    * whose shuffle carries one row per supplier — nothing fact-sized
+    * moves twice, and nations-sized output. */
   def qMarketHhi(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(s, dir)
-      .join(Tables.nation(s, dir),
+      .join(broadcast(Tables.nation(s, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name", "s_suppkey")
       .agg(sum("cents").as("rev"))
       .groupBy("n_name")
@@ -1277,10 +1282,14 @@ object Relational {
     * balance-sheet rollup of the trade graph that Q7 only shows one
     * nation-pair of. Nations absent from one side survive the
     * full-outer join as explicit zeros (a nation that only buys IS
-    * the finding). Each fact is scanned once against its broadcast
-    * dim→nation chain and collapses map-side to a nations-sized
-    * frame before the final join, so the join cost is ~nations², not
-    * fact-sized; ratio rides DECIMAL(38,0) with one integer
+    * the finding). Each fact is scanned once against its dim→nation
+    * chain — supplier/customer grow with SF so the chains carry NO
+    * broadcast() hint (only the by-construction-bounded nation side
+    * does; AQE/size-estimation broadcasts the chain when it measures
+    * small, shuffles it at 100 TB) — and collapses map-side to a
+    * nations-sized frame before the final join, so the join cost is
+    * ~nations², not fact-sized; ratio rides DECIMAL(38,0) with one
+    * integer
     * division (NULL when imports are zero — a ppm against nothing
     * is not a number). */
   def qTradeBalance(s: SparkSession, dir: String): DataFrame = {
@@ -1288,17 +1297,17 @@ object Relational {
     val exp0 = Tables.lineitem(s, dir)
       .select(col("l_suppkey"),
         (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
-      .join(broadcast(Tables.supplier(s, dir)
-          .join(nat, col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name"))),
+      .join(Tables.supplier(s, dir)
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name").agg(sum("cents").as("export_cents"))
     val imp0 = Tables.orders(s, dir)
       .select(col("o_custkey"),
         (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-      .join(broadcast(Tables.customer(s, dir)
-          .join(nat, col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name"))),
+      .join(Tables.customer(s, dir)
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("n_name").agg(sum("cents").as("import_cents"))
     exp0.join(imp0, Seq("n_name"), "full_outer")
@@ -1326,7 +1335,9 @@ object Relational {
     * nation, not customers. At 100 TB that's the difference between
     * sorting ~60 M customers per nation partition and sorting the few
     * thousand distinct cent totals they collapse to. Plan: one orders
-    * scan with the customer→nation chain broadcast, a customer-sized
+    * scan with the customer→nation chain UNHINTED (customer grows
+    * with SF — header policy; AQE broadcasts it when it measures
+    * small, only nation carries a hint), a customer-sized
     * map-side-combined rollup, a (nation, cents)-sized second rollup,
     * the tiny distinct-value window, and a nations-sized answer.
     * Every term is BIGINT/DECIMAL(38,0) with a SINGLE integer
@@ -1336,10 +1347,10 @@ object Relational {
     val spend = Tables.orders(s, dir)
       .select(col("o_custkey"),
         (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
-      .join(broadcast(Tables.customer(s, dir)
-          .join(Tables.nation(s, dir),
+      .join(Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
             col("c_nationkey") === col("n_nationkey"))
-          .select(col("c_custkey"), col("n_name"))),
+          .select(col("c_custkey"), col("n_name")),
         col("o_custkey") === col("c_custkey"))
       .groupBy("n_name", "o_custkey")
       .agg(sum("cents").as("cust_cents"))

@@ -235,10 +235,15 @@ object Sampling {
       .withColumn("shard", expr(
         s"CASE WHEN (r div $nshards) % 2 = 0 THEN r % $nshards " +
           s"ELSE ${nshards - 1} - r % $nshards END"))
-    val grand = sized.agg(sum("n_tokens").as("grand"))
+    // grand total = Σ per-shard totals, read off the nshards-row
+    // rollup with an unbounded window — the corpus is scanned and
+    // tokenized exactly ONCE (a second sized.agg pass would re-scan
+    // and re-tokenize everything just to recompute this sum)
     assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
-      .crossJoin(broadcast(grand))
+      .withColumn("grand", sum("total_tokens").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
       .select(col("shard"), col("n_docs"), col("total_tokens"),
         expr(s"abs(total_tokens * $nshards - grand) * 1000000 " +
           s"div grand").as("dev_ppm"))

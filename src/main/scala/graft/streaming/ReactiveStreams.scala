@@ -29,6 +29,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * their state is O(distinct keys) by contract and documented as
   * such. Output modes chosen so sinks see append-only streams (no
   * unbounded result re-emission).
+  *
+  * ORDERING PRECONDITION (order-sensitive stateful twins): operators
+  * that fold per-key state in sequence order — scan/EWMA/CUSUM,
+  * [[twapStream]], [[dwellStream]], [[drawdownStream]], pairwise,
+  * distinctUntilChanged — sort each micro-batch's rows by `event_id`
+  * BEFORE folding, which restores order only WITHIN a trigger. Across
+  * triggers the fold runs in arrival order: an event delivered in a
+  * later trigger with a smaller event_id than one already folded is
+  * applied late, and the result diverges from the order-insensitive
+  * batch twin (a late trough after the peak was raised, a late event
+  * splicing into a closed dwell). The contract is therefore
+  * PER-KEY MONOTONE DELIVERY ACROSS TRIGGERS: each key's events must
+  * reach the stream in non-decreasing event_id order at trigger
+  * granularity — what a partitioned log (kafka keyed by user_id)
+  * gives naturally. Sources that cannot guarantee it must buffer
+  * reorder upstream (or accept the divergence); the batch twins
+  * remain the order-insensitive ground truth.
   */
 object ReactiveStreams {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
@@ -1132,7 +1149,17 @@ object ReactiveStreams {
     * window fan-out per event is the standard sliding-window cost
     * and partial-aggregates per (window, key-less) group. A stream
     * window's end minute m+1 corresponds to the batch op's minute-m
-    * trailing frame (spec-asserted equality on the counts). */
+    * trailing frame, with one deliberate asymmetry around TRAFFIC
+    * GAPS: the stream emits a row for EVERY breaching sliding
+    * window, including windows whose end minute had no events,
+    * while the batch frame only materializes minutes that have
+    * traffic — so when errors are followed by a silent gap the
+    * stream keeps paging through the gap (the operationally-correct
+    * behavior: the trailing hour is still burning) and the batch
+    * report has no rows for those minutes. The stream output is
+    * therefore a SUPERSET of the batch frame; per-window equality
+    * holds exactly for windows whose final minute is active, and
+    * the spec asserts parity on that subset only. */
   def sloBurnStream(events: DataFrame, sloPpm: Long = 300000L)
       : DataFrame =
     events
@@ -1156,7 +1183,10 @@ object ReactiveStreams {
     * by event_type, so the running dwell table is queryable
     * mid-stream and each user's LAST event stays open exactly like
     * the batch contract. Same [[twapStream]] state shape; dwell
-    * segments of zero ms are kept (the batch `lead` keeps them). */
+    * segments of zero ms are kept (the batch `lead` keeps them).
+    * Requires the per-key monotone-delivery-across-triggers contract
+    * (object scaladoc): a late out-of-order event would splice into
+    * an already-closed dwell segment. */
   def dwellStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     val segs = events
@@ -1406,7 +1436,11 @@ object ReactiveStreams {
     * (through BigInt so 100 TB-scale cents cannot overflow the
     * numerator), so per-row output equals the batch op's pre-rollup
     * frame bit-for-bit across any trigger split (spec-asserted);
-    * non-positive peaks yield None exactly like the batch NULL. */
+    * non-positive peaks yield None exactly like the batch NULL.
+    * Requires the per-key monotone-delivery-across-triggers contract
+    * (object scaladoc): a late low event_id arriving after the peak
+    * state was raised by a later event would fold against the wrong
+    * peak. */
   def drawdownStream(spark: SparkSession, events: DataFrame)
       : Dataset[DrawdownRow] = {
     import spark.implicits._

@@ -81,6 +81,49 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash-lsh bounds degenerate-bucket fan-out (star emission)") {
+    import spark.implicits._
+    // adversarial corpus: n exact copies of one document -> every
+    // band bucket is the SAME n-member set -> uncapped all-pairs
+    // would emit n(n-1)/2 candidate rows per band. Past maxBucket
+    // the op must emit the O(n) star instead, all pairs anchored at
+    // the rep (lowest doc_id), and the Jaccard verify keeps them
+    // (identical docs -> jaccard 1.0).
+    val n = 200
+    val text = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"), lit(text).as("text"))
+    for (auditable <- Seq(false, true)) {
+      val pairs = Dedup.minhashLsh(docs, auditable = auditable,
+        maxBucket = 16).collect()
+      assert(pairs.length === n - 1,
+        s"star emission must yield exactly n-1 pairs (auditable=$auditable)")
+      assert(pairs.forall(_.getLong(0) == 0L), "all pairs anchor at the rep")
+      assert(pairs.forall(_.getDouble(2) == 1.0))
+    }
+    // under the cap: exact all-pairs semantics preserved
+    val small = Dedup.minhashLsh(docs.filter(col("doc_id") < 5),
+      maxBucket = 16).count()
+    assert(small === 10, "all-pairs under the cap")
+  }
+
+  test("simhash bounds degenerate-bucket fan-out (star emission)") {
+    import spark.implicits._
+    val n = 200
+    val text = (1 to 50).map(i => s"word$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"), lit(text).as("text"))
+    for (auditable <- Seq(false, true)) {
+      val pairs = Dedup.simhash(docs, maxHamming = 3, auditable = auditable,
+        maxBucket = 16).collect()
+      assert(pairs.length === n - 1,
+        s"star emission must yield exactly n-1 pairs (auditable=$auditable)")
+      assert(pairs.forall(_.getLong(0) == 0L), "all pairs anchor at the rep")
+      assert(pairs.forall(_.getLong(2) == 0L), "identical docs -> hamming 0")
+    }
+    val small = Dedup.simhash(docs.filter(col("doc_id") < 5),
+      maxBucket = 16).count()
+    assert(small === 10, "all-pairs under the cap")
+  }
+
   test("auditable LSH families find the same planted dups as the fast ones") {
     val docs = plantedDocs
     val mh = Dedup.minhashLsh(docs, auditable = true)
