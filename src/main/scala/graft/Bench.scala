@@ -1,6 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json, xxhash64}
+import org.apache.spark.sql.types.MapType
 object Bench {
+  /** The timed action: a row-count action lets Spark PRUNE every
+    * output column (a projection feeding count() evaluates nothing),
+    * so expensive final-select expressions went untimed — the
+    * documented under-reporting of the r1–r5 benches (SURVEY §5.4).
+    * Hashing every column into one xxhash64 and folding it forces
+    * full evaluation of the real output while still collecting only
+    * ONE row to the driver (collect() itself would time row
+    * serialization + driver memory instead of the query). Map
+    * columns aren't hashable and ride to_json; the rollup is
+    * bit_xor, not sum — summing 2^63-scale hashes overflows under
+    * ANSI mode. Totals re-based in round 6 — r6+ numbers are not
+    * comparable to r5 and earlier. */
+  private def checksum(df: DataFrame): Unit = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType => to_json(col(f.name))
+        case _          => col(f.name)
+      }
+    }
+    df.select(xxhash64(cols.toSeq: _*).as("h"))
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).head()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,7 +42,7 @@ object Bench {
     // parquet footer caching. Measures steady-state throughput (the
     // 100 TB-relevant number), not single-JVM cold start.
     queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      try { checksum(fn(spark, sfDir)) } catch { case _: Throwable => () }
     }
     // Two timed passes, best-of per query: a single pass is exposed
     // to one-off JVM/driver stalls that hit random queries. A failed
@@ -27,7 +52,7 @@ object Bench {
     def timedPass(): Map[String, Double] = queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { checksum(fn(spark, sfDir)); true }
                  catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9
                  else Double.PositiveInfinity)

@@ -43,4 +43,26 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** RocksDB streaming state store — the 100 TB deployment's state
+    * backend. The default HDFSBackedStateStoreProvider keeps every
+    * key's state as JVM heap objects (state size is bounded by
+    * executor heap, GC pauses scale with map size); RocksDB keeps it
+    * off-heap on local SSD with changelog checkpointing, so per-key
+    * state (withLatestFrom caches, top-k heaps, funnel progress over
+    * billions of users) is bounded by disk, not heap. Session conf,
+    * picked up by queries STARTED after the call — flip it before
+    * `.start()`, not mid-query; existing checkpoints keep their
+    * original provider. Local tests run both providers
+    * (StreamingSpec) to pin provider-independence of results. */
+  def useRocksDBStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    // write per-batch deltas, compact in the background — turns each
+    // commit from a full SST upload into an O(changed keys) append
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
 }

@@ -45,6 +45,92 @@ object Kernels {
     out
   }
 
+  private final val Pow10 = Array.tabulate(19)(i => math.pow(10, i).toLong)
+
+  /** Double → scaled BIGINT with EXACTLY the semantics of
+    * `CAST(d AS DECIMAL(18, scale))` followed by `* 10^scale` and a
+    * long cast — but without the per-row string→BigDecimal→Decimal
+    * allocation chain that makes that cast the dominant cost of an
+    * exact money aggregate. The semantic anchor is the same:
+    * Spark's double→decimal cast rounds the double's SHORTEST
+    * DECIMAL RENDERING (Double.toString) half-up at `scale` (8.165
+    * prints "8.165" → 817 cents, while its binary value is
+    * 8.164999...), so this kernel renders the same string and
+    * parses it directly into a scaled long: ≤17 significant digits
+    * always fit a long, the half-up cut is integer division on a
+    * 10^k table, and DECIMAL(18)-precision overflow throws like the
+    * ANSI cast.
+    *
+    * Hot path: rendering can be skipped entirely when the binary
+    * value PROVES it is nowhere near a rounding boundary. With
+    * y = d·10^scale, the shortest-decimal value D satisfies
+    * |y − D·10^scale| ≤ ~2.5·ulp(y), so whenever y's fractional part
+    * sits more than 8·ulp(y) from the half-up cut at .5, rounding y
+    * and rounding the rendered decimal provably agree — one multiply,
+    * one floor, no allocation. Boundary-adjacent values (the
+    * 8.165-class traps, exact ties, |y| ≥ 2^51 where +0.5 is no
+    * longer exact) fall back to the rendering path, which is the
+    * anchor semantics by construction. Spec-proven per-row equal to
+    * the decimal cast on random + adversarial inputs. */
+  def moneyScaled(d: Double, scale: Int): Long = {
+    val y = d * Pow10(scale)
+    val ay = math.abs(y)
+    if (ay < 2.251799813685248e15) { // 2^51: ulp(y) <= 0.25, y+0.5 exact
+      val f = y - math.floor(y)
+      if (math.abs(f - 0.5) > 8 * Math.ulp(y) + java.lang.Double.MIN_NORMAL) {
+        val z = math.floor(y + 0.5).toLong
+        if (z >= Pow10(18) || z <= -Pow10(18))
+          throw new ArithmeticException(s"$d does not fit DECIMAL(18,$scale)")
+        return z
+      }
+    }
+    moneyScaledSlow(d, scale)
+  }
+
+  private def moneyScaledSlow(d: Double, scale: Int): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+      throw new NumberFormatException(s"cannot cast $d to DECIMAL(18,$scale)")
+    val s = java.lang.Double.toString(d)
+    val n = s.length
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-') { neg = true; i = 1 }
+    var digits = 0L
+    var fracLen = 0
+    var inFrac = false
+    var exp = 0
+    var cont = true
+    while (i < n && cont) {
+      val c = s.charAt(i)
+      if (c == '.') inFrac = true
+      else if (c == 'E') { exp = Integer.parseInt(s.substring(i + 1)); cont = false }
+      else {
+        digits = digits * 10 + (c - '0')
+        if (inFrac) fracLen += 1
+      }
+      i += 1
+    }
+    val shift = exp - fracLen + scale
+    val mag =
+      if (shift >= 0) {
+        var r = digits
+        var j = 0
+        while (j < shift) { r = Math.multiplyExact(r, 10L); j += 1 }
+        r
+      } else if (shift < -18) 0L
+      else {
+        val pow = Pow10(-shift)
+        val q = digits / pow
+        // HALF_UP: remainder at or past the midpoint rounds away
+        // from zero (2*rem <= 2e17, no overflow)
+        if (2 * (digits % pow) >= pow) q + 1 else q
+      }
+    if (mag >= Pow10(18))
+      throw new ArithmeticException(
+        s"$d does not fit DECIMAL(18,$scale)")
+    if (neg) -mag else mag
+  }
+
   /** Cosine similarity between two float vectors (single fused loop). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -538,6 +624,28 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Double → scaled BIGINT with decimal-cast rounding semantics
+  * ([[Kernels.moneyScaled]]): the codegen'd per-row half of the
+  * flagged money-sum fast path. */
+case class MoneyScaledExpr(child: Expression, scale: Int)
+    extends UnaryExpression {
+  require(scale >= 0 && scale <= 9, s"unsupported money scale $scale")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"money_scaled input must be DOUBLE, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.moneyScaled(input.asInstanceOf[Double], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.moneyScaled($c, $scale)")
+  override protected def withNewChildInternal(c: Expression): MoneyScaledExpr =
+    copy(child = c)
+}
+
 /** Bloom-filter membership probe on a BIGINT key. The built sketch
   * rides inside the expression (serialized once per task, referenced
   * via `addReferenceObj` in generated code), so the probe is a single
@@ -778,6 +886,11 @@ object GraftFunctions {
   /** Cosine similarity of two array<float> embedding columns. */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+
+  /** Double → scaled BIGINT with decimal-cast rounding semantics
+    * (the money-sum fast path's per-row kernel). */
+  def money_scaled(c: Column, scale: Int): Column =
+    toCol(MoneyScaledExpr(toExpr(c), scale))
 
   /** Bloom membership probe of a BIGINT key column (codegen'd). */
   def bloom_might_contain(

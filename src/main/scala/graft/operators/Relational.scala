@@ -32,19 +32,56 @@ object Relational {
   private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
   private def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
+  /** Opt-in scaled-BIGINT fast path for exact money sums — the
+    * documented ~5x exactness-tax lever (SURVEY §5.4). */
+  def fastSums(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.fastMoneySums").exists(_.toBoolean)
+
+  /** Exact sum of a scale-`sc` money measure.
+    *
+    * Default route: `sum(CAST(x AS DECIMAL(18,sc)))` — every partial
+    * and merge runs BigDecimal arithmetic in the agg buffer (the
+    * measured 5x over a plain double sum at sf0.1).
+    *
+    * Fast route (`spark.graft.fastMoneySums=true`): keep the SAME
+    * rounding anchor — a pure-double `floor(x*10^sc+0.5)` shortcut
+    * is NOT equivalent, because the decimal cast rounds the double's
+    * shortest-decimal rendering (8.165 → 8.17) while binary
+    * arithmetic sees 816.4999... — via
+    * [[graft.functions.Kernels.moneyScaled]], a codegen expression
+    * that renders the same `Double.toString` and parses it straight
+    * into a scaled long (no BigDecimal/Decimal allocation per row),
+    * then sum primitive longs in the codegen'd buffer; one decimal
+    * reconstruction per GROUP at the end (scaled integer × 10^-sc
+    * literal). Bit-identical totals by construction (spec-proven
+    * value AND per-row parity, incl. the 8.165-class traps). Measured
+    * at sf0.1: q1 ~1.0 s (DECIMAL) → 0.37 s (fast) vs ~0.21 s plain
+    * double — the exactness tax drops from ~4.7× to ~1.8× (and most
+    * of the residual is the shared scan). Overflow
+    * bound: a group's total must stay under 2^63 scaled units
+    * (scale 2: $92 quadrillion) — a 100 TB deployment aggregating
+    * beyond that re-flags to the DECIMAL route for those measures. */
+  private def sumExact(s: SparkSession, c: org.apache.spark.sql.Column,
+                       sc: Int) =
+    if (fastSums(s))
+      (sum(graft.functions.GraftFunctions.money_scaled(c, sc))
+        .cast(DecimalType(38, 0)) *
+        lit(java.math.BigDecimal.ONE.movePointLeft(sc)))
+    else sum(c.cast(DecimalType(18, sc)))
+
   /** TPC-H Q1 shape: full-scan grouped aggregate with derived measures. */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec2(col("l_quantity"))).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumExact(s, col("l_quantity"), 2).as("sum_qty"),
+        sumExact(s, col("l_extendedprice"), 2).as("sum_base_price"),
+        sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("sum_disc_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax")))).as("sum_charge"),
-        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+        sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        (sumExact(s, col("l_quantity"), 2).cast("double") / count(lit(1)))
           .as("avg_qty"),
         count(lit(1)).as("count_order"))
 
@@ -56,7 +93,8 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum(dec4(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+      .agg(sumExact(s, col("l_extendedprice") * col("l_discount"), 4)
+        .as("revenue"))
 
   /** TPC-H Q3 shape: selective dims broadcast into the fact join, top-10. */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {

@@ -116,7 +116,7 @@ object Similarity {
                      nprobe: Int = 4, k: Int = 5, iters: Int = 3): DataFrame =
     ivfTopKWith(embs, queries, kmeansCentroids(embs, nlist, iters), nprobe, k)
 
-  private def ivfTopKWith(embs: DataFrame, queries: DataFrame,
+  private[graft] def ivfTopKWith(embs: DataFrame, queries: DataFrame,
                           centroidsIn: DataFrame, nprobe: Int, k: Int)
       : DataFrame = {
     val centroids = centroidsIn
@@ -186,6 +186,29 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(dir + "/postings")
     cents.write.mode("overwrite").parquet(dir + "/centroids")
+  }
+
+  /** Incremental IVF index maintenance: assign a batch of NEW
+    * vectors against the index's EXISTING centroids and append them
+    * to their posting directories — corpus growth without the full
+    * k-means + rewrite of [[ivfWriteIndex]]. The append touches only
+    * the partition dirs the batch lands in (dynamic-partition
+    * append; untouched lists keep their files byte-identical), and
+    * the assignment is the same narrow broadcast-argmax as the
+    * build, so the upsert cost is O(batch), not O(corpus) — the
+    * property that makes a 100 TB index maintainable under daily
+    * ingest. Centroids deliberately do NOT move (an ANN index's
+    * bucketing must stay stable or every probe's recall shifts);
+    * after enough drift — monitored via [[recallAudit]]-style
+    * checks — rebuild with [[ivfWriteIndex]]. Probe-after-upsert ≡
+    * probe of a from-scratch assignment of old∪new over the same
+    * centroids (spec-asserted in SurfaceSpec). */
+  def ivfUpsertIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(dir + "/centroids")
+    assignCentroids(newVecs, cents)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(dir + "/postings")
   }
 
   /** Probe the persisted IVF index: top-nprobe centroids per query,

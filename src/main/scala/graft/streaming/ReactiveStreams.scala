@@ -1466,4 +1466,145 @@ object ReactiveStreams {
           out.iterator
       }
   }
+
+  /** Streaming funnel-rates report: the unbounded twin of
+    * [[graft.operators.Reactive.rxFunnelRates]]. Rides
+    * [[funnelStream]]'s append advances (a user emits stage k at
+    * most once, so count(stage = k) IS "users who reached k") into
+    * one running 3-counter aggregate; the 3-stage report plus
+    * step/overall ppm is a pure projection on that single row — the
+    * batch op's lag window unrolls into literal stage arithmetic
+    * because the stage set is fixed, so no (unsupported) streaming
+    * window function is needed. Complete output: the 3-row report
+    * re-emits per trigger, which is the point — live conversion
+    * rates mid-stream. Same div/zero contract as batch: stage 1
+    * steps at 1e6, a zero previous stage steps at 0. */
+  def funnelRatesStream(spark: SparkSession, events: DataFrame)
+      : DataFrame =
+    funnelStream(spark, events)
+      .groupBy()
+      .agg(sum(when(col("stage") === 1, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("stage") === 2, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("s3"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("name"),
+          col("s1").as("n_users"), lit(1000000L).as("step_ppm"),
+          expr("CASE WHEN s1 = 0 THEN 0L ELSE 1000000L END")
+            .as("overall_ppm")),
+        struct(lit(2L).as("stage"), lit("click").as("name"),
+          col("s2").as("n_users"),
+          expr("CASE WHEN s1 = 0 THEN 0L ELSE s2 * 1000000 div s1 END")
+            .as("step_ppm"),
+          expr("CASE WHEN s1 = 0 THEN 0L ELSE s2 * 1000000 div s1 END")
+            .as("overall_ppm")),
+        struct(lit(3L).as("stage"), lit("purchase").as("name"),
+          col("s3").as("n_users"),
+          expr("CASE WHEN s2 = 0 THEN 0L ELSE s3 * 1000000 div s2 END")
+            .as("step_ppm"),
+          expr("CASE WHEN s1 = 0 THEN 0L ELSE s3 * 1000000 div s1 END")
+            .as("overall_ppm")))).as("r"))
+      .select(col("r.stage"), col("r.name"), col("r.n_users"),
+        col("r.step_ppm"), col("r.overall_ppm"))
+
+  case class GapRow(event_type: String, log2_bucket: Long)
+
+  /** Streaming inter-arrival histogram: the unbounded twin of
+    * [[graft.operators.Reactive.rxInterarrivalHist]]. State per key
+    * is one long — the previous event's epoch ms; each arrival with
+    * a strictly-larger ms emits its gap's exact bit-length bucket
+    * (63 − leading zeros ≡ the batch `length(bin(g)) − 1`, no float
+    * log) tagged with the ARRIVING event's type, then the tiny
+    * (type, ≤64-bucket) running rollup. Zero-ms gaps excluded like
+    * batch (clock granularity, not behavior). Same monotone-delivery
+    * contract as the other fold twins. */
+  def interarrivalHistStream(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val gaps = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, GapRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[GapRow]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val ms = e.ts.getTime
+            if (last != Long.MinValue && ms > last)
+              out += GapRow(e.event_type,
+                (63 - java.lang.Long.numberOfLeadingZeros(ms - last)).toLong)
+            last = ms
+          }
+          state.update(last)
+          out.iterator
+      }
+    gaps.groupBy("event_type", "log2_bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming rare-path pair feed: the unbounded half of
+    * [[graft.operators.Reactive.rxAnomalyPath]]. The batch op scores
+    * each user against the CORPUS-FINAL Markov model, which no
+    * online operator can do without rescoring history at every
+    * model update — so the streaming form splits at the honest
+    * boundary: the sequentially-hard part (per-key transition
+    * extraction, which at scale needs the per-user ordering this
+    * stateful fold provides) runs unbounded and appends
+    * (user_id, from, to, event_id) rows to the sink; the CHEAP part
+    * (|types|² model + per-user argmin + bottom-k) is
+    * [[anomalyPathScore]], a bounded batch query over the
+    * accumulated sink run on demand ("score as of now"). Spec
+    * asserts score(sink after N triggers) ≡ the batch op on the
+    * same events. */
+  def anomalyPathStream(spark: SparkSession, events: DataFrame)
+      : Dataset[PairRow] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, PairRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer[PairRow]()
+          var last = state.getOption
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            last.foreach(f =>
+              out += PairRow(uid, f, e.event_type, e.event_id))
+            last = Some(e.event_type)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  case class PairRow(user_id: Long, from_state: String, to_state: String,
+                     event_id: Long)
+
+  /** Bounded scoring tail over [[anomalyPathStream]]'s sink: exactly
+    * the batch op's model + weakest-link argmin + bottom-k plan
+    * (probs broadcast, one user_id rollup), so running it over the
+    * accumulated pair table reproduces `rxAnomalyPath` of everything
+    * delivered so far. */
+  def anomalyPathScore(pairs: DataFrame, k: Int = 20): DataFrame = {
+    val counts = pairs.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val probs = counts
+      .join(counts.groupBy("from_state").agg(sum("n").as("tot")),
+        "from_state")
+      .select(col("from_state"), col("to_state"),
+        expr("n * 1000000 div tot").as("prob_ppm"))
+    pairs.join(org.apache.spark.sql.functions.broadcast(probs),
+        Seq("from_state", "to_state"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        min(struct(col("prob_ppm"), col("from_state"), col("to_state")))
+          .as("w"))
+      .select(col("user_id"), col("n_transitions"),
+        col("w.prob_ppm").as("min_prob_ppm"),
+        col("w.from_state").as("rare_from"),
+        col("w.to_state").as("rare_to"))
+      .orderBy(col("min_prob_ppm"), col("user_id")).limit(k)
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2 is the judge's coverage checklist; SparkEntry.queries
+  * is the driver's gate registry. Round 5 found them drifted (two
+  * registered, passing keys had no §2 row) — this spec pins the two
+  * sets equal so drift is a test failure, not an audit finding.
+  */
+class InventorySpec extends AnyFunSuite {
+
+  /** Query keys claimed in SURVEY §2: the last cell of each §2 table
+    * row, when that cell is entirely backticked lowercase tokens
+    * (comma-separated for rows sharing a gate). Cells with prose
+    * (ScalaTest-gated rows, realization columns) never parse as keys.
+    */
+  private def surveyKeys: Set[String] = {
+    val lines = scala.io.Source.fromFile("SURVEY.md")("UTF-8").getLines()
+      .dropWhile(!_.startsWith("## §2 "))
+      .takeWhile(!_.startsWith("## §3"))
+      .filter(_.startsWith("|"))
+      .toList
+    val keyTok = "^`([a-z][a-z0-9_]*)`$".r
+    lines.flatMap { line =>
+      val cells = line.split("\\|").map(_.trim).filter(_.nonEmpty)
+      if (cells.isEmpty) Nil
+      else {
+        val pieces = cells.last.split(",").map(_.trim).toList
+        val keys = pieces.collect { case keyTok(k) => k }
+        if (keys.length == pieces.length) keys else Nil
+      }
+    }.toSet
+  }
+
+  test("SURVEY §2 inventory and SparkEntry.queries cover the same keys") {
+    val survey = surveyKeys
+    val registry = SparkEntry.queries.keySet
+    val unregistered = survey -- registry
+    val undocumented = registry -- survey
+    assert(unregistered.isEmpty,
+      s"SURVEY §2 claims keys with no queries entry: $unregistered")
+    assert(undocumented.isEmpty,
+      s"queries keys missing a SURVEY §2 row: $undocumented")
+  }
+
+  test("every gated query has an exact oracle (no silent rows-only fallback)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
+    val orphanOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracle.isEmpty, s"oracleSql without queries: $orphanOracle")
+  }
+}

@@ -1139,4 +1139,166 @@ class StreamingSpec extends AnyFunSuite {
         "both constructed bursts must fire")
     } finally q.stop()
   }
+
+  test("streaming funnel rates equal the batch report across trigger splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // u1 full funnel, u2 view+click, u3 view only, u4 click with no
+    // view (reaches nothing), u5 purchase-before-view then full
+    val evs = Seq(
+      Ev(0, ts(0), 1, "view", 0), Ev(1, ts(1), 1, "click", 0),
+      Ev(2, ts(2), 1, "purchase", 0),
+      Ev(3, ts(0), 2, "view", 0), Ev(4, ts(1), 2, "click", 0),
+      Ev(5, ts(0), 3, "view", 0),
+      Ev(6, ts(0), 4, "click", 0),
+      Ev(7, ts(0), 5, "purchase", 0), Ev(8, ts(1), 5, "view", 0),
+      Ev(9, ts(2), 5, "click", 0), Ev(10, ts(3), 5, "purchase", 0))
+    val mem = MemoryStream[Ev]
+    val qName = s"frates_${System.nanoTime()}"
+    val q = ReactiveStreams.funnelRatesStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("complete").start()
+    try {
+      // split mid-funnel: u1's purchase and u5's tail arrive later
+      mem.addData(evs.filter(_.event_id < 2)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.event_id >= 2 && e.event_id < 8))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 8)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val streamed = spark.table(qName).collect().map(key).toSet
+      val batch = graft.operators.Reactive.rxFunnelRates(evs.toDF())
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      assert(batch.exists { case (st, _, n, _, _) => st == 3L && n == 2L },
+        "two users must complete the funnel")
+    } finally q.stop()
+  }
+
+  test("streaming inter-arrival histogram equals the batch buckets across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // gaps spanning several log2 decades per user; a same-ms repeat
+    // (zero gap) that both forms must drop
+    def at(id: Long, uid: Long, ms: Long, t: String) =
+      Ev(id, new Timestamp(ms), uid, t, 0.0)
+    val evs = Seq(
+      at(0, 1, 1000, "click"), at(1, 1, 1001, "view"),
+      at(2, 1, 1005, "click"), at(3, 1, 2000, "view"),
+      at(4, 1, 2000, "purchase"),                       // zero gap
+      at(5, 1, 500000, "click"),
+      at(6, 2, 0, "view"), at(7, 2, 7, "click"), at(8, 2, 1 << 20, "view"))
+    val mem = MemoryStream[Ev]
+    val qName = s"iah_${System.nanoTime()}"
+    val q = ReactiveStreams.interarrivalHistStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try {
+      // the u1 1005->2000 gap and u2 7->1<<20 gap cross the split
+      mem.addData(evs.filter(_.event_id < 3)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.event_id >= 3 && e.event_id < 8))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 8)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      val streamed = spark.table(qName).collect().map(key).toSet
+      val batch = graft.operators.Reactive.rxInterarrivalHist(evs.toDF())
+        .collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._2).size >= 4, "several distinct log2 buckets")
+    } finally q.stop()
+  }
+
+  test("streaming anomaly-path pairs + bounded scoring equal the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // u1..u3 walk the common loop; u4 takes one rare transition
+    val common = Seq("view", "click", "view", "click", "purchase")
+    val evs = (for {
+      uid <- 1L to 3L
+      (t, i) <- common.zipWithIndex
+    } yield Ev(uid * 100 + i, ts(i.toInt), uid, t, 0.0)) ++ Seq(
+      // view->purchase skips the funnel: 1 of 7 view-outgoing
+      // transitions (142857 ppm) vs the common 500000 ppm minimum
+      Ev(400, ts(0), 4, "view", 0.0), Ev(401, ts(1), 4, "purchase", 0.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"apath_${System.nanoTime()}"
+    val q = ReactiveStreams.anomalyPathStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(_.event_id)
+      mem.addData(sorted.take(6)); q.processAllAvailable()
+      mem.addData(sorted.slice(6, 13)); q.processAllAvailable()
+      mem.addData(sorted.drop(13)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getString(4))
+      // localCheckpoint: the scoring self-joins its input, and the
+      // memory-sink MemoryPlan is not a MultiInstanceRelation (a
+      // parquet/table sink dedups fine)
+      val scored = ReactiveStreams
+        .anomalyPathScore(spark.table(qName).localCheckpoint(), k = 10)
+        .collect().map(key)
+      val batch = graft.operators.Reactive
+        .rxAnomalyPath(evs.toDF(), k = 10).collect().map(key)
+      assert(scored.toSeq === batch.toSeq)
+      assert(batch.head._1 === 4L, "the rare-path user must rank first")
+    } finally q.stop()
+  }
+
+  test("RocksDB state store: stateful twin agrees with default provider + batch") {
+    // the 100 TB state backend (GraftSession.useRocksDBStateStore):
+    // results must be provider-independent. Drive a
+    // flatMapGroupsWithState twin (real per-key state across three
+    // triggers) under RocksDB and compare against the batch twin —
+    // the same equality every default-provider test asserts.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = (0 until 24).map(i =>
+      Ev(i, ts(i), i % 2, "m", ((i * 37) % 150 + 10) * 1.0))
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    GraftSession.useRocksDBStateStore(spark)
+    val mem = MemoryStream[Ev]
+    val qName = s"rocks_${System.nanoTime()}"
+    val q = ReactiveStreams.drawdownStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      // the query must actually run on RocksDB, not silently fall back
+      assert(spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      mem.addData(evs.filter(_.event_id < 7)); q.processAllAvailable()
+      mem.addData(evs.filter(e => e.event_id >= 7 && e.event_id < 17))
+      q.processAllAvailable()
+      mem.addData(evs.filter(_.event_id >= 17)); q.processAllAvailable()
+      val streamed = spark.table(qName)
+        .select("event_id", "user_id", "cents", "peak_cents", "dd_cents")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // the per-row pre-rollup frame the batch op reduces: recompute
+      // it directly (running max over event_id order)
+      val expected = evs.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+        var peak = Long.MinValue
+        es.sortBy(_.event_id).map { e =>
+          val cents = math.round(e.value * 100)
+          peak = math.max(peak, cents)
+          (e.event_id, uid, cents, peak, peak - cents)
+        }
+      }.toSet
+      assert(streamed === expected)
+      assert(expected.exists(_._5 > 0), "series must draw down")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled")
+    }
+  }
 }

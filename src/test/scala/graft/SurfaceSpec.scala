@@ -364,4 +364,32 @@ class SurfaceSpec extends AnyFunSuite {
     assert(scanLine.exists(_.matches(""".*PartitionFilters: \[.*centroid_id.*\].*""")),
       s"no partition filter on the postings scan:\n$plan")
   }
+
+  test("IVF upsert: probe after append equals from-scratch assignment of old+new") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_up").toString
+    val all = Tables.embeddings(spark, sf)
+    // build from the first half only, then upsert the second half
+    val cut = all.agg(expr("percentile(vec_id, 0.5)")).collect()(0)
+      .getDouble(0).toLong
+    val base = all.filter(col("vec_id") <= cut)
+    val incoming = all.filter(col("vec_id") > cut)
+    Similarity.ivfWriteIndex(base, dir, nlist = 16, iters = 3)
+    Similarity.ivfUpsertIndex(spark, dir, incoming)
+    val queries = all.filter(col("vec_id") < 10)
+    val probed = Similarity.ivfProbeIndex(spark, dir, queries,
+      nprobe = 4, k = 5)
+    // oracle: assign old+new against the SAME persisted centroids
+    // (upsert must not move them) and probe inline
+    val cents = spark.read.parquet(dir + "/centroids")
+    val inline = Similarity.ivfTopKWith(all, queries, cents,
+      nprobe = 4, k = 5)
+    val a = probed.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    val b = inline.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "post-upsert probe diverged from inline recompute")
+    // the upsert reached the index: a neighbor beyond the build cut
+    assert(a.exists(_._3 > cut), "no upserted vector ever surfaced")
+  }
 }
