@@ -2,18 +2,61 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
-         [--only=a,b] [--skip=a,b]
+         [--only=a,b] [--skip=a,b] [--timeout=SECS] [--fallback-sf=DIR]
 (GRAFT_ORACLE_MEM overrides the 48GB DuckDB memory cap; per-query
 verdicts stream to stderr so a crash keeps earlier evidence)
+
+Budget guard: every oracle query runs under a per-query timeout
+(default 900 s; a watchdog thread calls connection.interrupt()), so a
+quadratic oracle formulation stalls ONE verdict, not the whole gate —
+and the stall is a loud ORACLE_TIMEOUT failure, never a silent hang.
+With --fallback-sf=DIR the timed-out oracle is re-run once against
+the lower-SF tables and the verdict records whether the FORMULATION
+completes there (evidence the oracle, not the Spark side, is the
+bottleneck at gate SF). Fallback runs diagnose only — a timeout is
+still a FAIL at the gate SF.
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 oracle SQL from <verifyOutDir>/oracle_sql.json against DuckDB views
 over <sfDir>/*.parquet, and compares schema + values exactly
 (order-sensitive AND as sorted multisets, columns sorted by name).
 """
-import json, os, sys, glob, time
+import json, os, sys, glob, time, threading
 import duckdb
 import pandas as pd
+
+DEFAULT_TIMEOUT = 900.0
+
+
+class OracleTimeout(Exception):
+    pass
+
+
+def run_with_timeout(con, fn, timeout):
+    """Run fn() (DuckDB work on `con`); interrupt it after `timeout`s.
+
+    duckdb has no server-side statement timeout — the watchdog calls
+    connection.interrupt(), which surfaces as duckdb.InterruptException
+    in the executing thread; re-raise it as OracleTimeout so callers
+    can tell a budget stop from a real oracle error."""
+    timed_out = threading.Event()
+
+    def stop():
+        timed_out.set()
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+    timer = threading.Timer(timeout, stop)
+    timer.start()
+    try:
+        return fn()
+    except duckdb.Error as e:
+        if timed_out.is_set():
+            raise OracleTimeout() from e
+        raise
+    finally:
+        timer.cancel()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -38,7 +81,8 @@ def fresh_con(sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con
 
-def main(sf_dir, out_dir, only=None, skip=None):
+def main(sf_dir, out_dir, only=None, skip=None,
+         timeout=DEFAULT_TIMEOUT, fallback_sf=None):
     con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
@@ -80,11 +124,41 @@ def main(sf_dir, out_dir, only=None, skip=None):
                     diff_desc.append(f"{c}[{i}]: spark={got[c][i]!r} oracle={want[c][i]!r}")
         return "VALUES: " + "; ".join(diff_desc[:6])
 
+    def fallback_report(sql):
+        """Re-run a timed-out oracle against the lower-SF tables:
+        does the FORMULATION complete when the data shrinks?"""
+        fcon = fresh_con(fallback_sf)
+        try:
+            t0 = time.time()
+            run_with_timeout(fcon, lambda: fcon.execute(sql).df(), timeout)
+            return f"; oracle completes in {time.time()-t0:.1f}s at {fallback_sf}"
+        except OracleTimeout:
+            return f"; oracle ALSO times out at {fallback_sf}"
+        except Exception as e:
+            return f"; fallback error at {fallback_sf}: {e}"
+        finally:
+            try:
+                fcon.close()
+            except Exception:
+                pass
+
     for name in sorted(oracle):
         print(f"... {name}", file=sys.stderr, flush=True)
         t0 = time.time()
         try:
-            results[name] = check(name, oracle[name])
+            results[name] = run_with_timeout(
+                con, lambda: check(name, oracle[name]), timeout)
+        except OracleTimeout:
+            results[name] = f"ORACLE_TIMEOUT: >{timeout:.0f}s at gate SF"
+            if fallback_sf:
+                results[name] += fallback_report(oracle[name])
+            # the interrupted session may hold a poisoned transaction;
+            # rebuild like the error path
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con(sf_dir)
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
             # an OOM poisons the session; rebuild it so one heavy
@@ -114,10 +188,15 @@ def main(sf_dir, out_dir, only=None, skip=None):
     print(f"\n{ok}/{len(oracle)} oracle-exact, {len(results)} total")
 
 if __name__ == "__main__":
-    only, skip = None, None
+    only, skip, timeout, fallback_sf = None, None, DEFAULT_TIMEOUT, None
     for a in sys.argv[3:]:
         if a.startswith("--only="):
             only = set(a[len("--only="):].split(","))
         elif a.startswith("--skip="):
             skip = set(a[len("--skip="):].split(","))
-    main(sys.argv[1], sys.argv[2], only=only, skip=skip)
+        elif a.startswith("--timeout="):
+            timeout = float(a[len("--timeout="):])
+        elif a.startswith("--fallback-sf="):
+            fallback_sf = a[len("--fallback-sf="):]
+    main(sys.argv[1], sys.argv[2], only=only, skip=skip,
+         timeout=timeout, fallback_sf=fallback_sf)
