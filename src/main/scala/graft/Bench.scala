@@ -33,11 +33,17 @@ object Bench {
       .builder(s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional local-iteration filter (driver never sets it)
+    // optional local-iteration filters (driver never sets them):
+    // ONLY whitelists, SKIP blacklists (e.g. excluding the two
+    // contract-quadratic exact ops from a triple-SF scaling run so
+    // they can be timed separately single-pass)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    val skipQ: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     def queries = SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        (only.isEmpty || only(name)) && !skipQ(name) }
     // Untimed warm-up pass: JIT compilation, whole-stage codegen,
     // parquet footer caching. Measures steady-state throughput (the
     // 100 TB-relevant number), not single-JVM cold start.

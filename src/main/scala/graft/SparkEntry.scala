@@ -295,6 +295,10 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDup(embs(s, d), planes = 6, minCosine = 0.25,
         auditable = true).orderBy("id1", "id2")),
+    // sorted-neighborhood blocking (rank adjacency, hash-free):
+    // fully SQL-replicable, so the gate is exact end to end
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(docs(s, d)).orderBy("doc1", "doc2")),
     // clusters over the deterministic exact-Jaccard pair set (the LSH
     // pair sets are hash-dependent, so the gated variant uses the
     // oracle-reproducible edges)
@@ -2381,6 +2385,31 @@ object SparkEntry {
         |  FROM chunks l JOIN chunks r USING (chunk_id, chunk)
         |  WHERE l.doc_id < r.doc_id)
         |SELECT doc1, doc2, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |      i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |           string_split(lower(text), ' ')[i+1] || ' ' ||
+        |           string_split(lower(text), ' ')[i+2])) AS sh,
+        |    substring(lower(trim(text)), 1, 24) AS bkey
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 3),
+        |ranked AS (
+        |  SELECT doc_id, sh,
+        |    ROW_NUMBER() OVER (ORDER BY bkey, doc_id) - 1 AS r FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, a.sh AS sh1, b.doc_id AS d2, b.sh AS sh2
+        |  FROM ranked a JOIN ranked b
+        |    ON b.r >= a.r + 1 AND b.r <= a.r + 5),
+        |v AS (
+        |  SELECT d1, d2, len(list_intersect(sh1, sh2)) AS c,
+        |    len(sh1) AS n1, len(sh2) AS n2 FROM pairs)
+        |SELECT least(d1, d2) AS doc1, greatest(d1, d2) AS doc2,
+        |  CAST(c AS DOUBLE) / (n1 + n2 - c) AS jaccard
+        |FROM v WHERE CAST(c AS DOUBLE) / (n1 + n2 - c) >= 0.5
         |ORDER BY doc1, doc2""".stripMargin,
     "dedup_embedding" ->
       """WITH b AS (

@@ -211,6 +211,71 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Sorted-neighborhood dedup (SNM, Hernández–Stolfo): the classic
+    * NON-HASH blocking family next to MinHash/SimHash/embedding LSH
+    * — sort the corpus by a cheap blocking key and compare each doc
+    * only with its `window` successors in sort order, then verify
+    * candidates with exact 3-gram Jaccard. Catches the near-dups a
+    * hash family can miss when edits hit the hashed features but not
+    * the sort key's prefix (and vice versa — production pipelines
+    * run both and union the pair sets into connected components).
+    *
+    * Scale shape: candidates are O(n·window) BY CONSTRUCTION — no
+    * bucket can degenerate, so this path needs no maxBucket guard.
+    * The global sort rank is the two-level prefix-sum construction
+    * (range repartition on (key, doc_id), per-partition row_number,
+    * ≤`parts`-row offsets frame broadcast back) — no single-task
+    * window at any corpus size; window pairs that CROSS partition
+    * boundaries need no special casing because ranks are global and
+    * the pair join keys on rank. Only (rank, doc_id) rides the pair
+    * join; shingle arrays re-join by doc_id for the verify, exactly
+    * like [[minhashLsh]]. Docs under 3 tokens have no 3-gram
+    * identity and are excluded (same contract as every shingle
+    * path). Blocking key = first `keyLen` chars of the normalized
+    * text — deliberately simple and SQL-replicable; swap in a
+    * domain key (title, URL path) in production. */
+  def sortedNeighborhood(docs: DataFrame, window: Int = 5,
+                         threshold: Double = 0.5, keyLen: Int = 24,
+                         parts: Int = 32): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    // DISTINCT shingle sets: array_intersect dedups, so the size
+    // arithmetic below is only exact over distinct arrays
+    val keyed = docs
+      .select(col("doc_id"),
+        array_distinct(shingles(toks(col("text")))).as("sh"),
+        substring(lower(trim(col("text"))), 1, keyLen).as("bkey"))
+      .filter(size(col("sh")) > 0)
+    val parted = keyed.select(col("doc_id"), col("bkey"))
+      .repartitionByRange(parts, col("bkey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("offset", coalesce(sum("pn").over(
+        Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val ranked = parted.join(broadcast(offsets), "pid")
+      .withColumn("r", col("offset") +
+        row_number().over(Window.partitionBy("pid")
+          .orderBy(col("bkey"), col("doc_id"))) - 1)
+      .select("doc_id", "r")
+    val pairs = ranked
+      .select(col("doc_id").as("doc1"),
+        explode(sequence(col("r") + 1, col("r") + window)).as("r"))
+      .join(ranked.select(col("doc_id").as("doc2"), col("r")), "r")
+      .select(col("doc1"), col("doc2"))
+    val sets = keyed.select(col("doc_id"), col("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
+      .withColumn("n_common",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("doc1"), col("doc2")).as("doc1"),
+        greatest(col("doc1"), col("doc2")).as("doc2"), col("jaccard"))
+  }
+
   /** Connected components over a near-dup pair set: the step that
     * turns pairwise matches into dedup clusters (every doc gets the
     * min doc_id of its component as cluster id; cluster_id == doc_id

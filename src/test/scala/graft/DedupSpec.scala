@@ -124,6 +124,39 @@ class DedupSpec extends AnyFunSuite {
     assert(small === 10, "all-pairs under the cap")
   }
 
+  test("sorted-neighborhood finds prefix-stable dups and respects its window") {
+    import spark.implicits._
+    // planted corpus: 1/2 exact dups, 3 a near dup — all share the
+    // 24-char blocking prefix, so they are rank-adjacent and found
+    val pairs = Dedup.sortedNeighborhood(plantedDocs)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // blocking contract: a dup pair whose SORT KEYS diverge (same
+    // content after the first token, different first token) with
+    // more than `window` docs between them in sort order is MISSED —
+    // the documented SNM trade a hash family covers, which is why
+    // production unions both pair sets
+    val body = (1 to 50).map(i => s"word$i").mkString(" ")
+    val spread = Seq((100L, s"aaa $body"), (200L, s"zzz $body")) ++
+      (1 to 10).map(i => (i.toLong, ('b' + (i % 20)).toChar.toString * 3 +
+        s" ${(1 to 50).map(j => s"tok${i}x$j").mkString(" ")}"))
+    val far = Dedup.sortedNeighborhood(spread.toDF("doc_id", "text"),
+      window = 3)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!far.contains((100L, 200L)),
+      "sort-separated dups are outside the neighborhood by design")
+    // widening the window past the separation recovers the pair
+    val wide = Dedup.sortedNeighborhood(spread.toDF("doc_id", "text"),
+      window = 11)
+      .select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((100L, 200L)))
+  }
+
   test("auditable LSH families find the same planted dups as the fast ones") {
     val docs = plantedDocs
     val mh = Dedup.minhashLsh(docs, auditable = true)
