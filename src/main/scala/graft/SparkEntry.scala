@@ -299,6 +299,21 @@ object SparkEntry {
     // fully SQL-replicable, so the gate is exact end to end
     "dedup_sorted_neighborhood" -> ((s, d) =>
       Dedup.sortedNeighborhood(docs(s, d)).orderBy("doc1", "doc2")),
+    // the production admission shape: UNION the pair families
+    // (hash-feature LSH + signature simhash + sort-order SNM — each
+    // catches edits the others miss) and cluster the union; all
+    // three families run their auditable/SQL-replicable form so the
+    // composite stays hash-exact end to end
+    "dedup_union_cluster" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.minhashLsh(dd, auditable = true)
+        .select("doc1", "doc2")
+        .unionByName(Dedup.simhash(dd, maxHamming = 3, auditable = true)
+          .select("doc1", "doc2"))
+        .unionByName(Dedup.sortedNeighborhood(dd).select("doc1", "doc2"))
+        .distinct()
+      Dedup.connectedComponents(pairs, dd).orderBy("doc_id")
+    }),
     // clusters over the deterministic exact-Jaccard pair set (the LSH
     // pair sets are hash-dependent, so the gated variant uses the
     // oracle-reproducible edges)
@@ -885,7 +900,13 @@ object SparkEntry {
       Graph.bfsTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.supplier(s, d), Tables.nation(s, d)).orderBy("hop")),
     "q_gini" -> ((s, d) =>
-      Relational.qGini(s, d).orderBy("n_name"))
+      Relational.qGini(s, d).orderBy("n_name")),
+    // PQ codebook training is the kmeansCentroids determinism story
+    // (scaled-BIGINT means, broadcast argmin assignment) per
+    // subspace, so the full train+audit loop gates hash-exactly
+    "emb_pq" -> ((s, d) => Similarity.pqAudit(embs(s, d))),
+    "pipeline_class_balance" -> ((s, d) =>
+      Sampling.classBalance(docs(s, d)))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -2691,6 +2712,97 @@ object SparkEntry {
         |SELECT source, src_id, dst_id, containment FROM dirs
         |WHERE containment >= 0.5
         |ORDER BY source, src_id, dst_id""".stripMargin,
+    "dedup_union_cluster" ->
+      """WITH RECURSIVE
+        |tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |msh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM tk WHERE len(tk) >= 3),
+        |dsh AS (SELECT doc_id, list_distinct(sh) AS ds FROM msh),
+        |mpost AS (SELECT doc_id, s.s FROM msh, unnest(msh.sh) AS s(s)),
+        |mhv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM mpost),
+        |mseeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
+        |mmins AS (
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM mhv, mseeds GROUP BY doc_id, j),
+        |mbands AS (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
+        |  FROM mmins GROUP BY doc_id, j // 4),
+        |mcand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM mbands l JOIN mbands r USING (band, bh)
+        |  WHERE l.doc_id < r.doc_id),
+        |mpairs AS (
+        |  SELECT doc1, doc2
+        |  FROM mcand JOIN dsh a ON a.doc_id = doc1
+        |             JOIN dsh b ON b.doc_id = doc2
+        |  WHERE CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE) /
+        |    (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.5),
+        |stok AS (
+        |  SELECT doc_id, t.t FROM documents,
+        |    unnest(string_split(lower(text), ' ')) AS t(t)),
+        |shv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM stok),
+        |sbits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN (1::BIGINT << j) ELSE 0 END AS bit
+        |  FROM shv, range(0, 60) r(j) GROUP BY doc_id, j),
+        |ssig AS (
+        |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig
+        |  FROM sbits GROUP BY doc_id),
+        |schunks AS (
+        |  SELECT doc_id, sig, c.c AS chunk_id, (sig >> (c.c * 15)) & 32767 AS chunk
+        |  FROM ssig, range(0, 4) c(c)),
+        |spairs AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM schunks l JOIN schunks r USING (chunk_id, chunk)
+        |  WHERE l.doc_id < r.doc_id
+        |    AND bit_count(xor(l.sig, r.sig)) <= 3),
+        |nkey AS (
+        |  SELECT s.doc_id, s.ds AS sh,
+        |    substring(lower(trim(t.text)), 1, 24) AS bkey
+        |  FROM dsh s JOIN documents t ON t.doc_id = s.doc_id),
+        |nranked AS (
+        |  SELECT doc_id, sh,
+        |    ROW_NUMBER() OVER (ORDER BY bkey, doc_id) - 1 AS r FROM nkey),
+        |npairs0 AS (
+        |  SELECT a.doc_id AS d1, a.sh AS sh1, b.doc_id AS d2, b.sh AS sh2
+        |  FROM nranked a JOIN nranked b
+        |    ON b.r >= a.r + 1 AND b.r <= a.r + 5),
+        |npairs AS (
+        |  SELECT least(d1, d2) AS doc1, greatest(d1, d2) AS doc2 FROM npairs0
+        |  WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
+        |    (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) >= 0.5),
+        |allpairs AS (
+        |  SELECT doc1, doc2 FROM mpairs
+        |  UNION SELECT doc1, doc2 FROM spairs
+        |  UNION SELECT doc1, doc2 FROM npairs),
+        |edges AS (
+        |  SELECT doc1 AS a, doc2 AS b FROM allpairs
+        |  UNION ALL SELECT doc2, doc1 FROM allpairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (
+        |  SELECT node AS doc_id, min(lab) AS cluster_id
+        |  FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE
         |sh AS (
@@ -5448,6 +5560,68 @@ object SparkEntry {
         |SELECT CAST(hop AS BIGINT) AS hop,
         | count(*) FILTER (WHERE node % 2 = 0) AS n_customers,
         | count(*) FILTER (WHERE node % 2 = 1) AS n_suppliers
-        |FROM best GROUP BY 1 ORDER BY hop""".stripMargin
+        |FROM best GROUP BY 1 ORDER BY hop""".stripMargin,
+    // PQ: slice → seed-assign (argmin L2, ties to lowest code) →
+    // scaled-BIGINT mean recompute → final assign + floored-d2
+    // rollup; the emb_kmeans CTE pattern under L2 with a subspace key
+    "emb_pq" ->
+      """WITH sl AS (
+        |  SELECT vec_id, s.s AS sub,
+        |    list_transform(generate_series(1, 16),
+        |      i -> embedding[s.s * 16 + i]) AS v
+        |  FROM embeddings, range(0, 4) s(s)),
+        |seeds AS (
+        |  SELECT sub, vec_id AS code, v AS c_v FROM sl WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT sl.vec_id, sl.sub, sl.v, c.code,
+        |    row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+        |      list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |        s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |             (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+        |      c.code) AS rn
+        |  FROM sl JOIN seeds c ON c.sub = sl.sub),
+        |m1 AS (
+        |  SELECT sub, code, d.d - 1 AS dim,
+        |    sum(CAST(floor(CAST(v[d.d] AS DOUBLE) * 1e6) AS BIGINT)) AS s2,
+        |    count(*) AS n
+        |  FROM a1, range(1, 17) d(d) WHERE rn = 1 GROUP BY sub, code, d.d),
+        |c1 AS (
+        |  SELECT sub, code,
+        |    list(CAST(CAST(s2 AS DOUBLE) / n / 1e6 AS FLOAT) ORDER BY dim)
+        |      AS c_v
+        |  FROM m1 GROUP BY sub, code),
+        |a2 AS (
+        |  SELECT sl.vec_id, sl.sub, c.code,
+        |    list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |      s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |           (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))) AS d2,
+        |    row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+        |      list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |        s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |             (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+        |      c.code) AS rn
+        |  FROM sl JOIN c1 c ON c.sub = sl.sub)
+        |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS distortion_scaled,
+        |  CAST(CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / count(*) / 1e6 AS avg_dist2
+        |FROM a2 WHERE rn = 1
+        |GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    "pipeline_class_balance" ->
+      """WITH q AS (
+        |  SELECT min(cn) AS quota FROM (
+        |    SELECT count(*) AS cn FROM documents GROUP BY lang)),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('cb:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rank_in_class
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rank_in_class AS BIGINT)
+        |  AS rank_in_class
+        |FROM r, q WHERE rank_in_class <= quota
+        |ORDER BY doc_id""".stripMargin
   )
 }

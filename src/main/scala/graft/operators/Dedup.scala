@@ -87,14 +87,7 @@ object Dedup {
     // pair set. Band keys come from the single-pass codegen kernel.
     // auditable = md5 family (cross-engine reproducible buckets; the
     // oracle-gate family); default = xxhash64 throughput family.
-    val bandKeys =
-      if (auditable) GraftFunctions.md5_minhash_bands(col("sh"), bands, rows)
-      else GraftFunctions.minhash_bands(col("sh"), bands, rows)
-    val buckets = docs
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), posexplode(bandKeys))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val buckets = bandBuckets(docs, bands, rows, auditable)
     val bstats = buckets.groupBy("band", "bh")
       .agg(count(lit(1)).as("bsize"), min("doc_id").as("rep"))
     val annotated = buckets.join(bstats, Seq("band", "bh"))
@@ -209,6 +202,89 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** (band, bucket-hash, doc_id) LSH posting rows for a corpus —
+    * the candidate-generation frame [[minhashLsh]] self-joins and
+    * [[minhashWriteIndex]] persists. Band keys from the single-pass
+    * codegen kernel; md5 family when auditable. */
+  private def bandBuckets(docs: DataFrame, bands: Int, rows: Int,
+                          auditable: Boolean): DataFrame = {
+    val bandKeys =
+      if (auditable) GraftFunctions.md5_minhash_bands(col("sh"), bands, rows)
+      else GraftFunctions.minhash_bands(col("sh"), bands, rows)
+    docs
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode(bandKeys))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+  }
+
+  /** Persist a MinHash-LSH index: the posting table (band, bh,
+    * doc_id) plus the per-doc shingle sets the verify step needs —
+    * the text-dedup mirror of [[Similarity.ivfWriteIndex]]. Pays the
+    * corpus tokenize/shingle/signature cost ONCE; every future
+    * ingest batch probes it for O(batch) instead of re-deriving the
+    * corpus ([[minhashProbeIndex]]). Production layout note: bucket
+    * the postings by `bh` (Sinks.bucketedTable) to make the probe
+    * join exchange-free on the corpus side; the directory form here
+    * keeps the index self-contained like the IVF one, and the probe
+    * stays corpus-shuffle-free anyway because the batch side
+    * broadcasts. */
+  def minhashWriteIndex(docs: DataFrame, dir: String, bands: Int = 16,
+                        rows: Int = 4, auditable: Boolean = false): Unit = {
+    bandBuckets(docs, bands, rows, auditable)
+      .write.mode("overwrite").parquet(dir + "/postings")
+    docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode("overwrite").parquet(dir + "/sets")
+  }
+
+  /** Append a new batch to a persisted MinHash index (same contract
+    * as [[Similarity.ivfUpsertIndex]]: O(batch) work, existing files
+    * untouched). Callers dedup the batch against the index FIRST
+    * ([[minhashProbeIndex]]) and upsert only admitted docs. */
+  def minhashUpsertIndex(docs: DataFrame, dir: String, bands: Int = 16,
+                         rows: Int = 4, auditable: Boolean = false): Unit = {
+    bandBuckets(docs, bands, rows, auditable)
+      .write.mode("append").parquet(dir + "/postings")
+    docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode("append").parquet(dir + "/sets")
+  }
+
+  /** Probe a persisted MinHash index with an ingest batch: emits the
+    * (corpus doc1, batch doc2, jaccard ≥ threshold) near-dup pairs
+    * WITHOUT re-deriving anything corpus-sized. The batch's band
+    * keys ride a broadcast into the posting scan (the corpus never
+    * shuffles — plan-asserted in SurfaceSpec), matched candidates
+    * collapse to distinct (corpus, batch) id pairs, and the exact
+    * Jaccard verify joins each side's shingle sets by doc id. Batch-
+    * INTERNAL dups are [[minhashLsh]] on the batch itself — this op
+    * is the batch-vs-corpus half of ingest admission. */
+  def minhashProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, batch: DataFrame,
+                        threshold: Double = 0.5, bands: Int = 16,
+                        rows: Int = 4, auditable: Boolean = false)
+      : DataFrame = {
+    val probes = bandBuckets(batch, bands, rows, auditable)
+      .select(col("band"), col("bh"), col("doc_id").as("doc2"))
+    val cand = spark.read.parquet(dir + "/postings")
+      .join(broadcast(probes), Seq("band", "bh"))
+      .select(col("doc_id").as("doc1"), col("doc2")).distinct()
+    val corpusSets = spark.read.parquet(dir + "/sets")
+      .select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val batchSets = batch
+      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id").as("doc2"), col("sh").as("sh2"))
+    cand.join(corpusSets, "doc1")
+      .join(broadcast(batchSets), "doc2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc1", "doc2", "jaccard")
   }
 
   /** Sorted-neighborhood dedup (SNM, Hernández–Stolfo): the classic

@@ -248,4 +248,31 @@ object Sampling {
         expr(s"abs(total_tokens * $nshards - grand) * 1000000 " +
           s"div grand").as("dev_ppm"))
   }
+
+  /** Class-balanced downsampling: every class keeps exactly
+    * `quota = min class count` rows — the standard rebalance before
+    * training a classifier head (or mixing a labeled eval set) so the
+    * majority class cannot drown the loss. Which rows survive is
+    * md5-deterministic (smallest md5("cb:"+id) first, the
+    * [[samplePerKey]] family), so the balanced set is reproducible
+    * across engines and reruns and stable under resharding.
+    *
+    * Scale: one shuffle on the class key for the per-class ranking;
+    * the quota frame is one broadcast row. Under extreme per-class
+    * cardinality swap the row_number fill for an md5-prefix
+    * threshold at quota/count — the approximate-quota, sort-free
+    * variant [[mixtureSample]] documents. */
+  def classBalance(docs: DataFrame, classCol: String = "lang"): DataFrame = {
+    val quota = docs.groupBy(classCol).agg(count(lit(1)).as("cn"))
+      .agg(min("cn").as("quota"))
+    docs
+      .withColumn("_h", md5(concat(lit("cb:"), col("doc_id").cast("string"))))
+      .withColumn("rank_in_class", row_number().over(
+        Window.partitionBy(col(classCol)).orderBy(col("_h"), col("doc_id"))))
+      .crossJoin(broadcast(quota))
+      .filter(col("rank_in_class") <= col("quota"))
+      .select(col("doc_id"), col(classCol),
+        col("rank_in_class").cast("long").as("rank_in_class"))
+      .orderBy("doc_id")
+  }
 }

@@ -768,4 +768,80 @@ object Similarity {
       .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
       .groupBy("in_degree").agg(count(lit(1)).as("n_vecs"))
   }
+
+  /** Narrow argmin-L2 assignment of vector slices to a per-subspace
+    * codebook: the codebook collapses to one array row per subspace
+    * and rides a broadcast join on `sub`; each slice evaluates every
+    * code's squared distance in-place and takes the (d2, code)
+    * struct-min — no corpus exchange, mirroring [[assignCentroids]]
+    * but keyed by subspace and under L2 (PQ's metric) instead of
+    * cosine. Ties resolve to the lowest code. */
+  private def assignPq(sliced: DataFrame, codebook: DataFrame): DataFrame = {
+    val cb = codebook.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("code"), col("c_v"))))
+        .as("cb"))
+    sliced.join(broadcast(cb), Seq("sub"))
+      .withColumn("best", expr(
+        """array_min(transform(cb, c -> struct(
+          |  aggregate(zip_with(v, c.c_v,
+          |    (x, cc) -> (CAST(x AS DOUBLE) - CAST(cc AS DOUBLE)) *
+          |               (CAST(x AS DOUBLE) - CAST(cc AS DOUBLE))),
+          |    CAST(0 AS DOUBLE), (acc, e) -> acc + e) AS d2,
+          |  c.code AS code)))""".stripMargin))
+      .select(col("vec_id"), col("sub"), col("v"),
+        col("best.code").as("code"), col("best.d2").as("d2"))
+  }
+
+  /** Product-quantization (PQ) codebook training + distortion audit
+    * (Jégou et al., TPAMI'11): the embedding splits into `m`
+    * contiguous `subDim`-wide subspaces, each trained independently
+    * with `k` codes — one Lloyd round from lowest-id seeds, the same
+    * deterministic scaled-BIGINT mean recompute as
+    * [[kmeansCentroids]] so the codebook is bit-identical across
+    * cluster sizes — then every slice is re-assigned and the
+    * per-(subspace, code) quantization error reported. avg_dist2 is
+    * the number a PQ deployment watches: it bounds the inner-product
+    * error of compressed-domain ANN, and a code whose distortion is
+    * an outlier marks a subspace that needs more codes.
+    *
+    * Scale shape: the slice fan-out is a narrow ×m projection of the
+    * scan; BOTH assignment passes are broadcast joins on `sub`
+    * (codebook is m×k rows); per-row d2 floors to a scaled BIGINT
+    * before the final rollup, so the distortion sums are
+    * order-independent and the whole audit is two broadcast-assign
+    * scans plus two (m×k×subDim)-row aggregations — no corpus-sized
+    * shuffle anywhere. */
+  def pqAudit(embs: DataFrame, m: Int = 4, subDim: Int = 16, k: Int = 8)
+      : DataFrame = {
+    val sliced = embs
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim))
+          .as("v"))
+    val seeds = sliced.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("long").as("code"),
+        col("v").as("c_v"))
+    val means = assignPq(sliced, seeds)
+      .select(col("sub"), col("code"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("sub", "code", "dim")
+      .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("sub", "code")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("n") / 1e6).cast("float")
+            .as("mv")))),
+        e => e.getField("mv")).as("c_v"))
+    assignPq(sliced, means)
+      .withColumn("d2s", floor(col("d2") * 1e6).cast("long"))
+      .groupBy("sub", "code")
+      .agg(count(lit(1)).as("n"), sum(col("d2s")).as("distortion_scaled"))
+      .withColumn("avg_dist2",
+        col("distortion_scaled").cast("double") / col("n") / 1e6)
+      .select(col("sub").cast("long").as("sub"), col("code"), col("n"),
+        col("distortion_scaled"), col("avg_dist2"))
+      .orderBy("sub", "code")
+  }
 }

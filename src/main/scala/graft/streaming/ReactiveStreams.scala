@@ -1607,4 +1607,122 @@ object ReactiveStreams {
         col("w.to_state").as("rare_to"))
       .orderBy(col("min_prob_ppm"), col("user_id")).limit(k)
   }
+
+  case class AbRow(user_id: Long, n_events: Long, converted: Long,
+                   rev_cents: Long)
+
+  /** Streaming A/B readout, user-fold half: the unbounded part of
+    * [[graft.operators.Reactive.rxAbTest]] is the per-user
+    * converted-flag / revenue fold (order-insensitive, so no
+    * cross-trigger ordering precondition); each trigger appends the
+    * key's updated snapshot stamped with the monotone processed-event
+    * count, and the CHEAP arm rollup ([[abTestScore]]) runs bounded
+    * over the latest snapshots on demand — the
+    * [[anomalyPathStream]] split-at-the-honest-boundary shape,
+    * because a streaming re-aggregation of an updating aggregate
+    * would need update-mode sinks the arm report's consumers don't
+    * have. State per user = three longs; cents quantization pins the
+    * batch `dec()` cast's valueOf semantics (same rule as
+    * [[attributionStream]]). */
+  def abTestStream(spark: SparkSession, events: DataFrame)
+      : Dataset[AbRow] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), AbRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, conv, rev) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.foreach { e =>
+            n += 1
+            if (e.event_type == "purchase") {
+              conv = 1L
+              rev += java.math.BigDecimal.valueOf(e.value)
+                .setScale(2, java.math.RoundingMode.HALF_UP)
+                .movePointRight(2).longValueExact()
+            }
+          }
+          state.update((n, conv, rev))
+          Iterator.single(AbRow(uid, n, conv, rev))
+      }
+  }
+
+  /** Bounded arm rollup over [[abTestStream]]'s snapshot sink:
+    * latest snapshot per user (max processed-count struct — the
+    * stamp is monotone per key, so "latest" is well-defined without
+    * wall clocks), then exactly the batch op's md5 arm split and
+    * integral-ppm rollup. Running it over the accumulated sink
+    * reproduces `rxAbTest` of everything delivered so far. */
+  def abTestScore(snapshots: DataFrame): DataFrame =
+    snapshots
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("converted"),
+        col("rev_cents"))).as("s"))
+      .select(col("user_id"), col("s.converted").as("converted"),
+        col("s.rev_cents").as("rev"))
+      .withColumn("arm",
+        when(expr(
+          "instr('01234567', substr(md5(cast(user_id AS string)), 1, 1))")
+          > 0, lit("A")).otherwise(lit("B")))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("converted").as("n_converted"),
+        sum("rev").as("r"))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 div n_users").as("conv_ppm"),
+        col("r").cast("long").as("rev_cents"),
+        expr("r div n_users").as("arpu_cents"))
+
+  case class TrendRow(day: Long, event_type: String, n: Long)
+
+  /** Streaming per-day type counts, the unbounded half of
+    * [[graft.operators.Reactive.rxTrending]]: state per (user-free)
+    * day key is the per-type count map — bounded by the event-type
+    * vocabulary, the same |types| contract as the batch op's rank
+    * frame — and each trigger appends the day's refreshed (type,
+    * count) snapshots. The top-k rank itself ([[trendingScore]])
+    * runs bounded over the latest counts: a per-day top-k that
+    * changes as counts grow is inherently update-shaped, so the
+    * append sink carries the monotone counts and the rank is scored
+    * on demand. Keying by day means one active state key per
+    * calendar day — eviction is the calendar, not a TTL. */
+  def trendingStream(spark: SparkSession, events: DataFrame)
+      : Dataset[TrendRow] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(e => e.ts.getTime / 86400000L)
+      .flatMapGroupsWithState[Map[String, Long], TrendRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (day: Long, rows: Iterator[Ev],
+         state: GroupState[Map[String, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[String, Long])
+          val touched = scala.collection.mutable.LinkedHashSet[String]()
+          rows.foreach { e =>
+            counts = counts.updated(e.event_type,
+              counts.getOrElse(e.event_type, 0L) + 1L)
+            touched += e.event_type
+          }
+          state.update(counts)
+          touched.iterator.map(t => TrendRow(day, t, counts(t)))
+      }
+  }
+
+  /** Bounded top-k over [[trendingStream]]'s count sink: latest
+    * count per (day, type) — counts are monotone per key, so max IS
+    * latest — then the batch op's exact rank frame. Reproduces
+    * `rxTrending` of everything delivered so far. */
+  def trendingScore(counts: DataFrame, k: Int = 3): DataFrame =
+    counts
+      .groupBy("day", "event_type")
+      .agg(max("n").as("n"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("day")
+          .orderBy(col("n").desc, col("event_type"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("day", "rank", "event_type", "n")
 }

@@ -1301,4 +1301,70 @@ class StreamingSpec extends AnyFunSuite {
         "changelogCheckpointing.enabled")
     }
   }
+
+  test("streaming A/B fold + bounded arm rollup equal the batch readout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // users hash into both arms; purchases (with cents-exact values)
+    // and conversion-free users on each side of every trigger split
+    val evs = (for {
+      uid <- 1L to 12L
+      i <- 0 until 4
+    } yield Ev(uid * 10 + i, ts(i), uid,
+      if ((uid + i) % 5 == 0) "purchase" else "view",
+      if ((uid + i) % 5 == 0) (uid * 7 + i) * 1.25 else 0.0)).toVector
+    val mem = MemoryStream[Ev]
+    val qName = s"ab_${System.nanoTime()}"
+    val q = ReactiveStreams.abTestStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(_.event_id)
+      mem.addData(sorted.take(15)); q.processAllAvailable()
+      mem.addData(sorted.slice(15, 33)); q.processAllAvailable()
+      mem.addData(sorted.drop(33)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      val scored = ReactiveStreams
+        .abTestScore(spark.table(qName).localCheckpoint())
+        .collect().map(key).toSet
+      val batch = graft.operators.Reactive.rxAbTest(evs.toDF())
+        .collect().map(key).toSet
+      assert(scored === batch)
+      assert(scored.map(_._1) === Set("A", "B"), "both arms populated")
+      assert(batch.exists(_._5 > 0), "revenue must flow")
+    } finally q.stop()
+  }
+
+  test("streaming trending counts + bounded top-k equal the batch ranks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two days; per-day type frequencies differ so ranks flip, and
+    // every trigger split lands mid-day (counts must accumulate
+    // across triggers, not per trigger)
+    val types = Vector("view", "click", "purchase", "signup")
+    val evs = (0 until 40).map { i =>
+      val day = i / 20
+      val t = types((i * (day + 2)) % types.length)
+      Ev(i.toLong, ts(day * 24 * 60 + (i % 20)), i % 6, t, 0.0)
+    }.toVector
+    val mem = MemoryStream[Ev]
+    val qName = s"trend_${System.nanoTime()}"
+    val q = ReactiveStreams.trendingStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.take(13)); q.processAllAvailable()
+      mem.addData(evs.slice(13, 27)); q.processAllAvailable()
+      mem.addData(evs.drop(27)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      val scored = ReactiveStreams
+        .trendingScore(spark.table(qName).localCheckpoint(), k = 3)
+        .collect().map(key).toSet
+      val batch = graft.operators.Reactive.rxTrending(evs.toDF(), k = 3)
+        .collect().map(key).toSet
+      assert(scored === batch)
+      assert(scored.map(_._1).size === 2, "both days ranked")
+    } finally q.stop()
+  }
 }

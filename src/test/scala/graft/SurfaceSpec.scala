@@ -392,4 +392,43 @@ class SurfaceSpec extends AnyFunSuite {
     // the upsert reached the index: a neighbor beyond the build cut
     assert(a.exists(_._3 > cut), "no upserted vector ever surfaced")
   }
+
+  test("persisted MinHash index: probe admits/blocks an ingest batch, upsert extends it") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    val body = (1 to 60).map(i => s"word$i").mkString(" ")
+    val other = (1 to 60).map(i => s"uniq$i").mkString(" ")
+    val corpus = Seq((1L, body), (2L, other)).toDF("doc_id", "text")
+    Dedup.minhashWriteIndex(corpus, dir)
+    // batch: 10 a near-dup of corpus doc 1, 11 novel
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"word$i")
+      .mkString(" ")
+    val novel = (1 to 60).map(i => s"fresh$i").mkString(" ")
+    val batch = Seq((10L, nearDup), (11L, novel)).toDF("doc_id", "text")
+    val probed = Dedup.minhashProbeIndex(spark, dir, batch)
+    probed.collect()
+    val pairs = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 10L)), "planted near-dup must be caught")
+    assert(!pairs.exists(_._2 == 11L), "novel doc must admit cleanly")
+    // oracle: the inline LSH over corpus ∪ batch, restricted to
+    // corpus-vs-batch pairs, must agree exactly
+    val inline = Dedup.minhashLsh(corpus.unionByName(batch))
+      .filter(col("doc1") < 10 && col("doc2") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === inline)
+    // no corpus-wide shuffle join: the probe side broadcasts
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side joined wide:\n$plan")
+    // upsert the admitted batch; a second batch duplicating doc 10
+    // must now be caught against the UPSERTED doc
+    Dedup.minhashUpsertIndex(batch, dir)
+    val batch2 = Seq((20L, nearDup)).toDF("doc_id", "text")
+    val pairs2 = Dedup.minhashProbeIndex(spark, dir, batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2.contains((10L, 20L)) && pairs2.contains((1L, 20L)),
+      "post-upsert probe must see both the original corpus and the upserted batch")
+  }
 }
