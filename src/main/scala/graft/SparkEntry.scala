@@ -906,7 +906,10 @@ object SparkEntry {
     // subspace, so the full train+audit loop gates hash-exactly
     "emb_pq" -> ((s, d) => Similarity.pqAudit(embs(s, d))),
     "pipeline_class_balance" -> ((s, d) =>
-      Sampling.classBalance(docs(s, d)))
+      Sampling.classBalance(docs(s, d))),
+    "graph_communities" -> ((s, d) =>
+      Graph.labelPropTrade(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("node"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5609,6 +5612,57 @@ object SparkEntry {
         |    AS DOUBLE) / count(*) / 1e6 AS avg_dist2
         |FROM a2 WHERE rn = 1
         |GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    // deterministic semi-synchronous LPA: 3 unrolled vote/argmax
+    // rounds over the symmetrized bipartite purchase edge frame
+    // (even ids = customers, odd = suppliers, the graph_bfs space)
+    "graph_communities" ->
+      """WITH e0 AS (
+        | SELECT CAST(o.o_custkey * 2 AS BIGINT) AS a,
+        |  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS b, count(*) AS w
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | GROUP BY 1, 2),
+        |sym AS (
+        | SELECT a, b, w FROM e0
+        | UNION ALL SELECT b, a, w FROM e0),
+        |l0 AS (
+        | SELECT node, node AS lbl FROM
+        |  (SELECT DISTINCT a AS node FROM sym)),
+        |v1 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+        |b1 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v1),
+        |l1 AS (
+        | SELECT l0.node, coalesce(b.lbl, l0.lbl) AS lbl FROM l0
+        | LEFT JOIN (SELECT node, lbl FROM b1 WHERE rn = 1) b
+        |  USING (node)),
+        |v2 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+        |b2 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v2),
+        |l2 AS (
+        | SELECT l1.node, coalesce(b.lbl, l1.lbl) AS lbl FROM l1
+        | LEFT JOIN (SELECT node, lbl FROM b2 WHERE rn = 1) b
+        |  USING (node)),
+        |v3 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+        |b3 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v3),
+        |l3 AS (
+        | SELECT l2.node, coalesce(b.lbl, l2.lbl) AS lbl FROM l2
+        | LEFT JOIN (SELECT node, lbl FROM b3 WHERE rn = 1) b
+        |  USING (node)),
+        |sizes AS (
+        | SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
+        |SELECT l3.node, l3.lbl AS community, sizes.community_size
+        |FROM l3 JOIN sizes USING (lbl)
+        |ORDER BY node""".stripMargin,
     "pipeline_class_balance" ->
       """WITH q AS (
         |  SELECT min(cn) AS quota FROM (

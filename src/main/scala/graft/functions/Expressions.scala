@@ -539,6 +539,41 @@ object Kernels {
     * corpus n×nlist and re-shuffled every vector to reduce the argmax
     * — at 100 TB that is a full-dataset exchange per assignment pass;
     * this is zero exchanges. */
+  /** Argmin-L2 codebook assignment in one narrow pass: given a row
+    * vector slice and the (broadcast) array of (code, c_v) structs,
+    * return (code, d2) of the nearest entry, ties to the lowest
+    * code — the PQ metric twin of [[cosineArgmax]]. The per-entry
+    * distance is the sequential index-order left fold of (x−c)²,
+    * bit-identical to the aggregate(zip_with(...)) HOF chain it
+    * replaces (HOFs are CodegenFallback and drop the whole
+    * assignment scan out of whole-stage codegen). */
+  def l2Argmin(vec: ArrayData, cents: ArrayData): InternalRow = {
+    val n = cents.numElements()
+    val m = vec.numElements()
+    var bestCode = -1L
+    var bestD2 = Double.PositiveInfinity
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 2)
+      val code = row.getLong(0)
+      val c = row.getArray(1)
+      var d2 = 0.0
+      var j = 0
+      while (j < m) {
+        val d = vec.getFloat(j).toDouble - c.getFloat(j).toDouble
+        d2 += d * d
+        j += 1
+      }
+      if (d2 < bestD2 || (d2 == bestD2 && code < bestCode)) {
+        bestD2 = d2
+        bestCode = code
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCode, bestD2))
+  }
+
   def cosineArgmax(vec: ArrayData, cents: ArrayData): Long = {
     val n = cents.numElements()
     var bestId = -1L
@@ -835,6 +870,23 @@ case class Md5RhpLshExpr(child: Expression, planes: Int)
 
 /** Argmax-cosine centroid id of an array<float> row against a
   * broadcast array<struct<centroid_id:bigint, c_emb:array<float>>>. */
+/** Argmin-L2 codebook assignment: struct(code, d2) of the nearest
+  * entry in a broadcast (code, c_v) struct array, ties → lowest
+  * code. */
+case class L2ArgminExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", LongType, nullable = false),
+    StructField("d2", DoubleType, nullable = false)))
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    Kernels.l2Argmin(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.Kernels.l2Argmin($v, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : L2ArgminExpr = copy(left = l, right = r)
+}
+
 case class CosineArgmaxExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -947,6 +999,10 @@ object GraftFunctions {
   /** Argmax-cosine centroid id against a broadcast centroid array. */
   def cosine_argmax(vec: Column, cents: Column): Column =
     toCol(CosineArgmaxExpr(toExpr(vec), toExpr(cents)))
+
+  /** Argmin-L2 (code, d2) against a broadcast PQ codebook array. */
+  def l2_argmin(vec: Column, cents: Column): Column =
+    toCol(L2ArgminExpr(toExpr(vec), toExpr(cents)))
 
   /** One-pass int8 quantization audit
     * (struct: nonzero, scale, abs_err_scaled, max_err_scaled). */

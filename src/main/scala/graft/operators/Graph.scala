@@ -201,4 +201,64 @@ object Graph {
       .agg(count(when(col("node") % 2 === 0, 1)).as("n_customers"),
         count(when(col("node") % 2 === 1, 1)).as("n_suppliers"))
   }
+
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * weighted customer↔supplier purchase graph (the [[bfsTrade]]
+    * even/odd node namespace): every round each node adopts the
+    * label carrying the greatest incident edge weight among its
+    * neighbors' current labels, ties to the smallest label — the
+    * deterministic semi-synchronous LPA (the classic randomized
+    * visit order would break the oracle gate), `iters` fixed rounds.
+    * The bipartite key-level graph is the one with real community
+    * structure; the nation-level roll-up is near-complete and
+    * collapses to one community in a single round.
+    *
+    * Scale shape: ONE pass over the fact join collapses the corpus
+    * to the weighted distinct (customer, supplier) edge frame
+    * (partial-aggregated map-side), pre-partitioned on the join key
+    * and localCheckpointed (LogicalRDD keeps the partitioning), so
+    * every round's edge⋈label join shuffles ONLY the one-row-per-node
+    * label frame — the big edge side is exchanged once at build, not
+    * per round. The vote argmax is a min-struct aggregate, not a
+    * window (no per-round sort), and it chains onto the vote rollup's
+    * (node, label) partitioning. Linear in edges per round, state is
+    * one label per node; integer edge-weight votes ⇒ bit-identical
+    * label evolution on any engine. */
+  def labelPropTrade(lineitem: DataFrame, orders: DataFrame,
+                     iters: Int = 3): DataFrame = {
+    val raw = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = raw
+      .unionByName(raw.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .repartition(col("b"))
+      .localCheckpoint()
+    val nodes = edges.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 0 until iters) {
+      val best = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a"), col("lbl"))
+        .agg(sum("w").as("vw"))
+        // argmax by (vw desc, lbl asc) as a plain aggregate: min over
+        // the (-vw, lbl) struct — same tie-break as the oracle's
+        // row_number ORDER BY vw DESC, lbl without a per-round sort
+        .groupBy(col("a"))
+        .agg(min(struct((-col("vw")).as("nv"), col("lbl").as("l")))
+          .as("m"))
+        .select(col("a").as("node"), col("m.l").as("newlbl"))
+      labels = labels.select("node", "lbl")
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("community"),
+        col("community_size"))
+  }
 }

@@ -1725,4 +1725,103 @@ object ReactiveStreams {
           .orderBy(col("n").desc, col("event_type"))).cast("long"))
       .filter(col("rank") <= k)
       .select("day", "rank", "event_type", "n")
+
+  case class UserDay(user_id: Long, day: Long)
+
+  /** Streaming distinct user-day activity feed: the shared unbounded
+    * primitive under every calendar engagement metric (cohort
+    * retention, DAU/MAU stickiness, streaks, rolling actives). State
+    * per user is the set of calendar days already emitted — bounded
+    * by the CALENDAR (days active, not events; a decade of daily
+    * activity is ~3.7k longs — swap in a day-offset bitmap when that
+    * matters), so each (user, day) first-activity crosses the sink
+    * exactly once and the sink IS the distinct frame the batch ops
+    * start from. Emission is order-insensitive (set membership), so
+    * no cross-trigger ordering precondition. */
+  def userDayStream(spark: SparkSession, events: DataFrame)
+      : Dataset[UserDay] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Set[Long], UserDay](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Set[Long]]) =>
+          var seen = state.getOption.getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer[UserDay]()
+          rows.foreach { e =>
+            val day = e.ts.getTime / 86400000L
+            if (!seen(day)) { seen += day; out += UserDay(uid, day) }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Bounded cohort-retention tail over [[userDayStream]]'s sink:
+    * exactly the batch triangle (min-day cohort, per-(cohort, offset)
+    * distinct actives) on the already-distinct feed. Reproduces
+    * `rxCohortRetention` of everything delivered so far. */
+  def cohortRetentionScore(userDays: DataFrame): DataFrame = {
+    val cohort = userDays.groupBy("user_id")
+      .agg(min("day").as("cohort_day"))
+    userDays.select("user_id", "day").join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
+
+  /** Bounded rolling-actives tail over [[userDayStream]]'s sink:
+    * the batch trailing-N-day distinct-actives frame (bounded
+    * contribution fan-out, horizon-clipped) on the distinct feed.
+    * Reproduces `rxRollingActives` of everything delivered so far. */
+  def rollingActivesScore(userDays: DataFrame, windowDays: Int = 7)
+      : DataFrame = {
+    val ud = userDays.select("user_id", "day").distinct()
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    ud.select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("wday"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .filter(col("wday") <= col("max_day"))
+      .groupBy("wday").agg(count(lit(1)).as("active_users"))
+  }
+
+  /** Bounded streaks tail over [[userDayStream]]'s sink: the batch
+    * gaps-and-islands rollup (day − row_number group identity) on
+    * the distinct feed. Reproduces `rxStreaks` of everything
+    * delivered so far. */
+  def streaksScore(userDays: DataFrame): DataFrame = {
+    val ud = userDays.select("user_id", "day").distinct()
+    val runs = ud
+      .withColumn("grp",
+        col("day") - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    runs.groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        max_by(col("start_day"), struct(col("len"), -col("grp")))
+          .as("streak_start_day"),
+        count(lit(1)).as("n_streaks"))
+  }
+
+  /** Bounded DAU/MAU tail over [[userDayStream]]'s sink: the batch
+    * stickiness frame (trailing-window membership via a bounded
+    * sequence explode) on the distinct feed. Reproduces
+    * `rxStickiness` of everything delivered so far. */
+  def stickinessScore(userDays: DataFrame, windowDays: Int = 30)
+      : DataFrame = {
+    val ud = userDays.select("user_id", "day").distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud.select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${windowDays - 1})")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        expr("dau * 1000000 div mau").as("stickiness_ppm"))
+  }
 }

@@ -158,6 +158,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: l2_argmin agrees with a brute-force scala argmin (code AND d2)") {
+    import spark.implicits._
+    val cents = sample(vecGen, 8, 52L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val rows = sample(vecGen, 100, 53L).map(_.toArray)
+    val got = rows.map(Tuple1(_)).toDF("v")
+      .crossJoin(Seq(Tuple1(cents)).toDF("cents"))
+      .select(l2_argmin(col("v"),
+        col("cents").cast(
+          "array<struct<code:bigint,c_v:array<float>>>")).as("m"))
+      .select(col("m.code"), col("m.d2"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d
+      }
+      s
+    }
+    rows.zip(got).foreach { case (v, (code, dist)) =>
+      val expected = cents.map { case (id, c) => (id, d2(v, c)) }
+        .sortBy { case (id, s) => (s, id) }.head
+      assert(code === expected._1)
+      assert(dist === expected._2)
+    }
+  }
+
   test("property: cosine_sim is symmetric and within [-1, 1]") {
     import spark.implicits._
     val rows = sample(Gen.zip(vecGen, vecGen), 200, 46L)

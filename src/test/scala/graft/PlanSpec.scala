@@ -467,4 +467,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(MergeOps.scd2AsOf(base, 10L))
     assert(!p.contains("Exchange"), s"time-travel read shuffled:\n$p")
   }
+
+  test("pqAudit: both assignment passes broadcast the codebook; corpus never sort-merge-joins") {
+    val p = plan(Similarity.pqAudit(Tables.embeddings(spark, sf)))
+    assert(!p.contains("SortMergeJoin"), s"corpus joined wide:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebook didn't broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("classBalance: corpus shuffles once for ranking, quota rides a broadcast") {
+    val p = plan(Sampling.classBalance(Tables.documents(spark, sf)))
+    // exactly two lang exchanges: the corpus ranking shuffle plus the
+    // quota rollup's partial-agg exchange (|langs| rows after map-side
+    // combine — HashAggregate partials sit below it); the quota itself
+    // must reach the corpus as a broadcast, never a shuffle join
+    val hashExchanges = "hashpartitioning\\(lang".r.findAllIn(p).length
+    assert(hashExchanges === 2, s"expected 2 lang exchanges:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"quota didn't broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

@@ -1367,4 +1367,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(scored.map(_._1).size === 2, "both days ranked")
     } finally q.stop()
   }
+
+  test("streaming user-day feed + bounded tails equal batch cohort retention and stickiness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // users join on different days (distinct cohorts), revisit days
+    // (the state must dedup within AND across triggers), and skip
+    // days (offsets with gaps)
+    val evs = (for {
+      uid <- 1L to 6L
+      visit <- 0 until 5
+      rep <- 0 until 2 // same-day repeat → must not double-emit
+    } yield {
+      val day = uid + visit * (1 + uid % 3)
+      Ev(uid * 1000 + visit * 10 + rep,
+        ts((day * 24 * 60 + rep * 5).toInt), uid, "view", 0.0)
+    }).toVector
+    val mem = MemoryStream[Ev]
+    val qName = s"uday_${System.nanoTime()}"
+    val q = ReactiveStreams.userDayStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.take(19)); q.processAllAvailable()
+      mem.addData(evs.slice(19, 41)); q.processAllAvailable()
+      mem.addData(evs.drop(41)); q.processAllAvailable()
+      val sink = spark.table(qName).localCheckpoint()
+      // the feed is exactly the distinct (user, day) frame
+      assert(sink.count() === sink.distinct().count())
+      def k3(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val retention = ReactiveStreams.cohortRetentionScore(sink)
+        .collect().map(k3).toSet
+      val retentionBatch = graft.operators.Reactive
+        .rxCohortRetention(evs.toDF()).collect().map(k3).toSet
+      assert(retention === retentionBatch)
+      def k4(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val stick = ReactiveStreams.stickinessScore(sink, windowDays = 7)
+        .collect().map(k4).toSet
+      val stickBatch = graft.operators.Reactive
+        .rxStickiness(evs.toDF(), windowDays = 7).collect().map(k4).toSet
+      assert(stick === stickBatch)
+      def k2(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+      val rolling = ReactiveStreams.rollingActivesScore(sink, windowDays = 3)
+        .collect().map(k2).toSet
+      val rollingBatch = graft.operators.Reactive
+        .rxRollingActives(evs.toDF(), windowDays = 3).collect().map(k2).toSet
+      assert(rolling === rollingBatch)
+      val streaks = ReactiveStreams.streaksScore(sink)
+        .collect().map(k4).toSet
+      val streaksBatch = graft.operators.Reactive
+        .rxStreaks(evs.toDF()).collect().map(k4).toSet
+      assert(streaks === streaksBatch)
+      assert(retention.map(_._1).size >= 3, "several distinct cohorts")
+    } finally q.stop()
+  }
 }
