@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{CosineArgmaxExpr, CosineSimExpr, Md5MinHashBandsExpr, Md5RhpLshExpr, Md5SimHash60Expr, MinHashBandsExpr, QuantizeAuditExpr, RhpLshExpr, ShinglesExpr, SimHash64Expr, SortedJaccardExpr, SortedJaccardLongExpr}
+import graft.functions.{CosineArgmaxExpr, L2ArgminExpr, CosineSimExpr, Md5MinHashBandsExpr, Md5RhpLshExpr, Md5SimHash60Expr, MinHashBandsExpr, QuantizeAuditExpr, RhpLshExpr, ShinglesExpr, SimHash64Expr, SortedJaccardExpr, SortedJaccardLongExpr}
 import graft.sources.Tables
 
 /** SQL surface of the engine: registers the custom Catalyst
@@ -37,6 +37,8 @@ object GraftSql {
       es => CosineArgmaxExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("quantize_audit",
       es => QuantizeAuditExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_argmin",
+      es => L2ArgminExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_jaccard",
       es => SortedJaccardExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_jaccard_long",

@@ -909,7 +909,11 @@ object SparkEntry {
       Sampling.classBalance(docs(s, d))),
     "graph_communities" -> ((s, d) =>
       Graph.labelPropTrade(Tables.lineitem(s, d), Tables.orders(s, d))
-        .orderBy("node"))
+        .orderBy("node")),
+    "pipeline_quantile_norm" -> ((s, d) =>
+      Sampling.quantileNormalize(docs(s, d))),
+    "emb_robust_scale" -> ((s, d) =>
+      Similarity.robustScale(embs(s, d)).orderBy("vec_id", "dim"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5663,6 +5667,41 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    "emb_robust_scale" ->
+      """WITH q AS (
+        | SELECT vec_id, d.d - 1 AS dim,
+        |  CAST(embedding[d.d] AS DOUBLE) AS xd
+        | FROM embeddings, range(1, 65) d(d)),
+        |stats AS (
+        | SELECT dim, quantile_cont(xd, 0.5) AS med,
+        |  quantile_cont(xd, 0.75) - quantile_cont(xd, 0.25) AS iqr
+        | FROM q GROUP BY dim)
+        |SELECT q.vec_id, CAST(q.dim AS BIGINT) AS dim,
+        | CASE WHEN s.iqr = 0 THEN 0.0
+        |  ELSE (q.xd - s.med) / s.iqr END AS r
+        |FROM q JOIN stats s USING (dim)
+        |ORDER BY q.vec_id, q.dim""".stripMargin,
+    "pipeline_quantile_norm" ->
+      """WITH scored AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS raw
+        | FROM documents),
+        |pooled AS (
+        | SELECT row_number() OVER (ORDER BY raw, doc_id) AS g,
+        |  raw AS calibrated
+        | FROM scored),
+        |n AS (SELECT source, count(*) AS n FROM scored GROUP BY 1),
+        |t AS (SELECT count(*) AS bign FROM scored),
+        |ranked AS (
+        | SELECT s.doc_id, s.source, s.raw,
+        |  CASE WHEN n.n = 1 THEN (t.bign + 1) // 2
+        |   ELSE (row_number() OVER (PARTITION BY s.source
+        |          ORDER BY s.raw, s.doc_id) - 1)
+        |        * (t.bign - 1) // (n.n - 1) + 1 END AS g
+        | FROM scored s JOIN n USING (source), t)
+        |SELECT r.doc_id, r.source, r.raw, p.calibrated
+        |FROM ranked r JOIN pooled p USING (g)
+        |ORDER BY r.doc_id""".stripMargin,
     "pipeline_class_balance" ->
       """WITH q AS (
         |  SELECT min(cn) AS quota FROM (

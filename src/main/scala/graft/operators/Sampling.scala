@@ -262,6 +262,57 @@ object Sampling {
     * cardinality swap the row_number fill for an md5-prefix
     * threshold at quota/count — the approximate-quota, sort-free
     * variant [[mixtureSample]] documents. */
+  /** Cross-source quantile normalization (score calibration): map
+    * each document's WITHIN-source rank onto the pooled corpus
+    * distribution's value at the proportional rank — the classic fix
+    * for per-source score drift (a "7" from a lenient domain and a
+    * "7" from a strict one mean different things; after quantile
+    * normalization the q-th percentile of every source carries the
+    * same calibrated value). Score here = whitespace token count
+    * (swap any integral per-doc signal). All-integer construction:
+    * ranks are row_numbers with (score, doc_id) tie-break, the
+    * proportional index is the exact floor `(k−1)(N−1) div (n−1)`
+    * (single-doc sources pin to the pooled median), so the mapping
+    * is bit-reproducible on any engine.
+    *
+    * Scale: the pooled rank uses the two-level prefix-sum
+    * construction (range repartition + per-partition row_number +
+    * broadcast offsets — no single-task global sort, the
+    * [[balancedShards]] machinery); per-source ranks shuffle once on
+    * source; the calibration lookup is ONE equi-join on the computed
+    * pooled rank. Nothing wider than (id, score, rank) moves. */
+  def quantileNormalize(docs: DataFrame, parts: Int = 8): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("raw"))
+    val parted = scored
+      .repartitionByRange(parts, col("raw"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("pn"))
+      .withColumn("offset", coalesce(sum("pn").over(
+        Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val pooled = parted.join(broadcast(offsets), "pid")
+      .withColumn("g", col("offset") + row_number().over(
+        Window.partitionBy("pid").orderBy(col("raw"), col("doc_id"))))
+      .select(col("g"), col("raw").as("calibrated"))
+    val perSource = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    val total = scored.agg(count(lit(1)).as("bign"))
+    scored
+      .withColumn("k", row_number().over(
+        Window.partitionBy("source").orderBy(col("raw"), col("doc_id")))
+        .cast("long"))
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("g",
+        when(col("n") === 1L, expr("(bign + 1) div 2"))
+          .otherwise(expr("(k - 1) * (bign - 1) div (n - 1) + 1")))
+      .join(pooled, "g")
+      .select(col("doc_id"), col("source"), col("raw"), col("calibrated"))
+      .orderBy("doc_id")
+  }
+
   def classBalance(docs: DataFrame, classCol: String = "lang"): DataFrame = {
     val quota = docs.groupBy(classCol).agg(count(lit(1)).as("cn"))
       .agg(min("cn").as("quota"))

@@ -428,6 +428,33 @@ object Similarity {
           .as("w"))
   }
 
+  /** Robust per-dimension scaling (median / IQR): the outlier-proof
+    * sibling of [[whitenEmbeddings]] — mean/σ move arbitrarily far
+    * under a single corrupted vector, median/IQR don't, so this is
+    * the scaler to run BEFORE outlier filtering has happened.
+    * Exact-percentile aggregation per dim (the `q_percentiles`
+    * engine-parity contract), zero-IQR dims report 0 like
+    * whitening's zero-σ rule.
+    *
+    * Scale: one posexplode pass collapses map-side to 64 per-dim
+    * exact-percentile states; stats broadcast back onto the narrow
+    * normalize map. Exact percentile state is O(distinct values)
+    * per dim — swap the KLL/bottom-k sketch (§2.8) in past the
+    * memory point; the plan shape is identical. */
+  def robustScale(embs: DataFrame): DataFrame = {
+    val q = embs.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xd", col("x").cast("double"))
+    val stats = q.groupBy("dim").agg(
+      expr("percentile(xd, 0.5)").as("med"),
+      (expr("percentile(xd, 0.75)") - expr("percentile(xd, 0.25)"))
+        .as("iqr"))
+    q.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("iqr") === 0.0, 0.0)
+          .otherwise((col("xd") - col("med")) / col("iqr")).as("r"))
+  }
+
   /** Contrastive training-pair mining over labeled embeddings — the
     * data-prep step for embedding fine-tuning (triplet/InfoNCE):
     * every anchor gets one positive (its same-label predecessor by

@@ -468,6 +468,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"time-travel read shuffled:\n$p")
   }
 
+  test("labelPropTrade: rounds never re-run the fact join") {
+    val df = Graph.labelPropTrade(Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf))
+    df.collect()
+    // edges are pre-partitioned + localCheckpointed: the final plan
+    // must iterate over the checkpoint RDD, never re-read lineitem
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("lineitem.parquet"),
+      s"iteration plan still reads the fact table:\n$p")
+  }
+
   test("pqAudit: both assignment passes broadcast the codebook; corpus never sort-merge-joins") {
     val p = plan(Similarity.pqAudit(Tables.embeddings(spark, sf)))
     assert(!p.contains("SortMergeJoin"), s"corpus joined wide:\n$p")

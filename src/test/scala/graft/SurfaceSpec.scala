@@ -54,6 +54,16 @@ class SurfaceSpec extends AnyFunSuite {
         |  sorted_jaccard_long(array(1L,2L,3L), array(2L,3L,4L)) AS jl"""
         .stripMargin).head
     assert(jc.getDouble(0) === 0.5 && jc.getDouble(1) === 0.5)
+    // PQ argmin kernel: nearest of two codebook entries
+    val pq = GraftSql.sql(spark, sf,
+      """SELECT l2_argmin(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(named_struct('code', 7L, 'c_v',
+        |          array(CAST(1.0 AS FLOAT), CAST(0.1 AS FLOAT))),
+        |        named_struct('code', 9L, 'c_v',
+        |          array(CAST(-1.0 AS FLOAT), CAST(0.0 AS FLOAT))))) AS m"""
+        .stripMargin).head.getStruct(0)
+    assert(pq.getLong(0) === 7L)
+    assert(math.abs(pq.getDouble(1) - 0.01) < 1e-6)
   }
 
   test("sql kmv_distinct aggregate matches the DataFrame sketch") {
