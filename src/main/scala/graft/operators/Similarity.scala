@@ -437,18 +437,26 @@ object Similarity {
     * whitening's zero-σ rule.
     *
     * Scale: one posexplode pass collapses map-side to 64 per-dim
-    * exact-percentile states; stats broadcast back onto the narrow
+    * percentile states; stats broadcast back onto the narrow
     * normalize map. Exact percentile state is O(distinct values)
-    * per dim — swap the KLL/bottom-k sketch (§2.8) in past the
-    * memory point; the plan shape is identical. */
-  def robustScale(embs: DataFrame): DataFrame = {
+    * per dim (measured 25 s at sf10 — the partial states ship every
+    * distinct float); `exact = false` swaps in `percentile_approx`'s
+    * mergeable O(accuracy) sketch — the 100 TB path, identical plan
+    * shape, parity spec-asserted — while the oracle gate runs the
+    * exact default. */
+  def robustScale(embs: DataFrame, exact: Boolean = true): DataFrame = {
     val q = embs.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("dim", "x")))
       .withColumn("xd", col("x").cast("double"))
-    val stats = q.groupBy("dim").agg(
-      expr("percentile(xd, 0.5)").as("med"),
-      (expr("percentile(xd, 0.75)") - expr("percentile(xd, 0.25)"))
-        .as("iqr"))
+    val stats =
+      if (exact) q.groupBy("dim").agg(
+        expr("percentile(xd, 0.5)").as("med"),
+        (expr("percentile(xd, 0.75)") - expr("percentile(xd, 0.25)"))
+          .as("iqr"))
+      else q.groupBy("dim").agg(
+        expr("percentile_approx(xd, 0.5, 10000)").as("med"),
+        (expr("percentile_approx(xd, 0.75, 10000)")
+          - expr("percentile_approx(xd, 0.25, 10000)")).as("iqr"))
     q.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         when(col("iqr") === 0.0, 0.0)

@@ -77,4 +77,25 @@ class Round6Spec extends AnyFunSuite {
     assert(math.floor(8.165 * 100 + 0.5).toLong === 816L,
       "the trap must actually trap the naive shortcut")
   }
+
+  test("robustScale: approx-percentile scale path parity with the exact route") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val embs = Tables.embeddings(spark, sf)
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toMap
+    val exact = collectMap(Similarity.robustScale(embs))
+    val approx = collectMap(Similarity.robustScale(embs, exact = false))
+    assert(exact.keySet === approx.keySet)
+    // percentile_approx returns an actual sample (no interpolation),
+    // so even with accuracy >> n the routes differ by up to the local
+    // inter-sample gap around each quartile — bounded drift, not
+    // equality, is the production contract
+    val worst = exact.map { case (k, v) => math.abs(v - approx(k)) }.max
+    assert(worst < 0.15, s"approx percentile drifted: $worst")
+    val mean = exact.map { case (k, v) => math.abs(v - approx(k)) }.sum /
+      exact.size
+    assert(mean < 0.02, s"mean drift too large: $mean")
+  }
 }
