@@ -94,7 +94,9 @@ object Bench {
       "text_jaccard_prefix", "source_divergence",
       "graph_triangles", "search_hybrid_rrf", "rx_session_capped",
       "dedup_semantic", "q_basket_pairs", "q_decile_lift",
-      "rx_cusum", "rx_survival", "text_boilerplate", "emb_whitening")
+      "rx_cusum", "rx_survival", "text_boilerplate", "emb_whitening",
+      "graph_communities", "emb_pq", "dedup_union_cluster",
+      "pipeline_quantile_norm")
     def r3(v: Double): String = f"$v%.3f"
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + r3(results(k)))

@@ -913,7 +913,9 @@ object SparkEntry {
     "pipeline_quantile_norm" -> ((s, d) =>
       Sampling.quantileNormalize(docs(s, d))),
     "emb_robust_scale" -> ((s, d) =>
-      Similarity.robustScale(embs(s, d)).orderBy("vec_id", "dim"))
+      Similarity.robustScale(embs(s, d)).orderBy("vec_id", "dim")),
+    "rx_peaks" -> ((s, d) =>
+      Reactive.rxPeaks(ev(s, d)).orderBy("user_id", "event_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5667,6 +5669,24 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    "rx_peaks" ->
+      """WITH c AS (
+        | SELECT user_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |f AS (
+        | SELECT user_id, event_id, cents,
+        |  lag(cents) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS prev,
+        |  lead(cents) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS next
+        | FROM c)
+        |SELECT user_id, event_id, cents,
+        | cents - prev AS rise_cents, cents - next AS drop_cents
+        |FROM f
+        |WHERE prev IS NOT NULL AND next IS NOT NULL
+        | AND cents > prev AND cents >= next
+        |ORDER BY user_id, event_id""".stripMargin,
     "emb_robust_scale" ->
       """WITH q AS (
         | SELECT vec_id, d.d - 1 AS dim,

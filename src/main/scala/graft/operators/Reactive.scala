@@ -2123,4 +2123,27 @@ object Reactive {
         max("dd").cast("long").as("max_dd_cents"),
         max("dd_ppm").cast("long").as("max_dd_ppm"))
   }
+
+  /** Local-maximum (peak) detection per key: points strictly above
+    * their predecessor and at-or-above their successor in event_id
+    * order — the strict-left / non-strict-right rule makes every
+    * plateau contribute exactly its FIRST point, so the peak set is
+    * deterministic under ties. Series endpoints need both neighbors
+    * and are excluded by definition. Emits the rise/drop flanks in
+    * exact BIGINT cents (a consumer thresholds prominence on them —
+    * e.g. `rise >= 500` = alert-grade spikes). One lag + one lead on
+    * the shared user_id window partitioning; pure integer
+    * comparisons, no shuffle beyond the per-key one every Rx
+    * operator shares. */
+  def rxPeaks(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("prev", lag("cents", 1).over(byUser))
+      .withColumn("next", lead("cents", 1).over(byUser))
+      .filter(col("prev").isNotNull && col("next").isNotNull &&
+        col("cents") > col("prev") && col("cents") >= col("next"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        (col("cents") - col("prev")).as("rise_cents"),
+        (col("cents") - col("next")).as("drop_cents"))
 }
