@@ -915,7 +915,9 @@ object SparkEntry {
     "emb_robust_scale" -> ((s, d) =>
       Similarity.robustScale(embs(s, d)).orderBy("vec_id", "dim")),
     "rx_peaks" -> ((s, d) =>
-      Reactive.rxPeaks(ev(s, d)).orderBy("user_id", "event_id"))
+      Reactive.rxPeaks(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_hysteresis" -> ((s, d) =>
+      Reactive.rxHysteresis(ev(s, d)).orderBy("user_id", "event_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5669,6 +5671,31 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    "rx_hysteresis" ->
+      """WITH c AS (
+        | SELECT user_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |x AS (
+        | SELECT user_id, event_id, cents,
+        |  CASE WHEN cents >= 10000 THEN 'on'
+        |   WHEN cents <= 5000 THEN 'off' END AS crossing
+        | FROM c),
+        |s AS (
+        | SELECT user_id, event_id, cents,
+        |  coalesce(last_value(crossing IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'off')
+        |   AS state
+        | FROM x),
+        |t AS (
+        | SELECT user_id, event_id, cents, state,
+        |  coalesce(lag(state) OVER (PARTITION BY user_id
+        |   ORDER BY event_id), 'off') AS prev_state
+        | FROM s)
+        |SELECT user_id, event_id, cents, state
+        |FROM t WHERE state <> prev_state
+        |ORDER BY user_id, event_id""".stripMargin,
     "rx_peaks" ->
       """WITH c AS (
         | SELECT user_id, event_id,

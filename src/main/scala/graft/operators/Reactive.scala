@@ -2146,4 +2146,35 @@ object Reactive {
       .select(col("user_id"), col("event_id"), col("cents"),
         (col("cents") - col("prev")).as("rise_cents"),
         (col("cents") - col("next")).as("drop_cents"))
+
+  /** Hysteresis (Schmitt-trigger) alert latching per key: the alert
+    * turns ON when the value crosses `hiCents` from below and OFF
+    * only when it falls to `loCents` — the two-threshold latch that
+    * kills the flapping a single-threshold alert produces when the
+    * series oscillates around the line. The latch is a running
+    * last-non-null over the crossing events (a window, not a fold —
+    * each row's state depends only on the most recent crossing, so
+    * no sequential scan is needed), keys start OFF, and only the
+    * TRANSITIONS emit — the alert feed, not a per-event echo.
+    * Integer cents end to end; one user_id exchange shared by both
+    * windows. */
+  def rxHysteresis(events: DataFrame, hiCents: Long = 10000L,
+                   loCents: Long = 5000L): DataFrame = {
+    require(loCents < hiCents, "hysteresis needs lo < hi")
+    events
+      .select(col("user_id"), col("event_id"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .withColumn("crossing",
+        when(col("cents") >= hiCents, lit("on"))
+          .when(col("cents") <= loCents, lit("off")))
+      .withColumn("state", coalesce(
+        last(col("crossing"), ignoreNulls = true).over(
+          byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)), lit("off")))
+      .withColumn("prev_state", coalesce(
+        lag(col("state"), 1).over(byUser), lit("off")))
+      .filter(col("state") =!= col("prev_state"))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("state"))
+  }
 }

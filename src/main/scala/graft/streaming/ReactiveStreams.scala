@@ -1726,6 +1726,91 @@ object ReactiveStreams {
       .filter(col("rank") <= k)
       .select("day", "rank", "event_type", "n")
 
+  case class PeakRow(user_id: Long, event_id: Long, cents: Long,
+                     rise_cents: Long, drop_cents: Long)
+
+  /** Streaming local-maximum detection: the unbounded twin of
+    * [[graft.operators.Reactive.rxPeaks]]. A peak needs ONE event of
+    * lookahead, so state per key is the last two (event_id, cents)
+    * points and each arrival decides whether the MIDDLE point was a
+    * peak (strict-left/non-strict-right, same plateau rule) —
+    * emission lags the stream by exactly one event per key, the
+    * honest latency of the definition. Cents quantization pins the
+    * batch `dec()` cast's valueOf semantics; same per-key
+    * monotone-delivery-across-triggers contract as the other
+    * order-sensitive fold twins. */
+  def peaksStream(spark: SparkSession, events: DataFrame)
+      : Dataset[PeakRow] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Boolean, Boolean), PeakRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long, Long, Boolean, Boolean)]) =>
+          // (prevCents, currId, currCents, havePair, haveCurr):
+          // haveCurr after one point, havePair after two
+          var (prevC, currId, currC, havePair, haveCurr) =
+            state.getOption.getOrElse((0L, 0L, 0L, false, false))
+          val out = scala.collection.mutable.ArrayBuffer[PeakRow]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val c = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            if (haveCurr) {
+              if (havePair && currC > prevC && currC >= c)
+                out += PeakRow(uid, currId, currC, currC - prevC,
+                  currC - c)
+              prevC = currC; havePair = true
+            }
+            currId = e.event_id; currC = c; haveCurr = true
+          }
+          state.update((prevC, currId, currC, havePair, haveCurr))
+          out.iterator
+      }
+  }
+
+  case class LatchRow(user_id: Long, event_id: Long, cents: Long,
+                      state: String)
+
+  /** Streaming hysteresis latch: the unbounded twin of
+    * [[graft.operators.Reactive.rxHysteresis]]. State per key is ONE
+    * boolean (the latch); an arrival crossing `hiCents` from the OFF
+    * state or falling to `loCents` from ON emits the transition the
+    * moment it happens — the flap-free alert feed with zero lag
+    * (unlike [[peaksStream]], the latch needs no lookahead). Same
+    * quantization and ordering contract as the other fold twins. */
+  def hysteresisStream(spark: SparkSession, events: DataFrame,
+                       hiCents: Long = 10000L, loCents: Long = 5000L)
+      : Dataset[LatchRow] = {
+    require(loCents < hiCents, "hysteresis needs lo < hi")
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, LatchRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Boolean]) =>
+          var on = state.getOption.getOrElse(false)
+          val out = scala.collection.mutable.ArrayBuffer[LatchRow]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val c = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            if (!on && c >= hiCents) {
+              on = true; out += LatchRow(uid, e.event_id, c, "on")
+            } else if (on && c <= loCents) {
+              on = false; out += LatchRow(uid, e.event_id, c, "off")
+            }
+          }
+          state.update(on)
+          out.iterator
+      }
+  }
+
   case class UserDay(user_id: Long, day: Long)
 
   /** Streaming distinct user-day activity feed: the shared unbounded

@@ -1422,4 +1422,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(retention.map(_._1).size >= 3, "several distinct cohorts")
     } finally q.stop()
   }
+
+  test("streaming peaks equal the batch local-maxima across trigger splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two keys: a zig-zag with a plateau (plateau rule: first point
+    // of equal run is the peak) and a monotone series (no peaks)
+    val vals = Vector(1.0, 5.0, 3.0, 7.0, 7.0, 2.0, 9.0, 4.0, 4.0, 8.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Ev(i.toLong, ts(i), 1L, "m", v) } ++
+      (0 until 6).map(i => Ev(100L + i, ts(i), 2L, "m", i * 10.0))
+    val mem = MemoryStream[Ev]
+    val qName = s"peaks_${System.nanoTime()}"
+    val q = ReactiveStreams.peaksStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(_.event_id)
+      // split mid-plateau so the pair state must carry across triggers
+      mem.addData(sorted.take(4)); q.processAllAvailable()
+      mem.addData(sorted.slice(4, 9)); q.processAllAvailable()
+      mem.addData(sorted.drop(9)); q.processAllAvailable()
+      def k5(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      val streamed = spark.table(qName).collect().map(k5).toSet
+      val batch = graft.operators.Reactive.rxPeaks(evs.toDF())
+        .collect().map(k5).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._2 === 3L), "the plateau head must peak")
+      assert(!streamed.exists(_._1 === 2L), "monotone key has no peaks")
+    } finally q.stop()
+  }
+
+  test("streaming hysteresis latch equals the batch transition feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // oscillates INSIDE the dead band (no flapping), then crosses
+    // hi, dips into the band (stays on), drops past lo (off), and
+    // re-arms — with trigger splits landing mid-latched-state
+    val vals = Vector(60.0, 90.0, 40.0, 95.0, 110.0, 70.0, 95.0,
+      45.0, 80.0, 120.0, 30.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Ev(i.toLong, ts(i), 1L, "m", v) }
+    val mem = MemoryStream[Ev]
+    val qName = s"hyst_${System.nanoTime()}"
+    val q = ReactiveStreams.hysteresisStream(spark, mem.toDF()).writeStream
+      .format("memory").queryName(qName).outputMode("append").start()
+    try {
+      mem.addData(evs.take(5)); q.processAllAvailable()
+      mem.addData(evs.slice(5, 8)); q.processAllAvailable()
+      mem.addData(evs.drop(8)); q.processAllAvailable()
+      def k4s(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val streamed = spark.table(qName).collect().map(k4s).toSet
+      val batch = graft.operators.Reactive.rxHysteresis(evs.toDF())
+        .collect().map(k4s).toSet
+      assert(streamed === batch)
+      // dead-band dips must not flap: exactly on@4, off@7, on@9, off@10
+      assert(streamed.map(t => (t._2, t._4)) ===
+        Set((4L, "on"), (7L, "off"), (9L, "on"), (10L, "off")))
+    } finally q.stop()
+  }
 }
