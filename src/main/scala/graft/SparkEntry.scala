@@ -917,7 +917,9 @@ object SparkEntry {
     "rx_peaks" -> ((s, d) =>
       Reactive.rxPeaks(ev(s, d)).orderBy("user_id", "event_id")),
     "rx_hysteresis" -> ((s, d) =>
-      Reactive.rxHysteresis(ev(s, d)).orderBy("user_id", "event_id"))
+      Reactive.rxHysteresis(ev(s, d)).orderBy("user_id", "event_id")),
+    "emb_capped_assign" -> ((s, d) =>
+      Similarity.cappedAssign(embs(s, d)).orderBy("vec_id"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5671,6 +5673,70 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    // deferred-acceptance balanced assignment, 3 unrolled rounds;
+    // cosine formula = the emb_kmeans oracle parity contract
+    "emb_capped_assign" ->
+      """WITH c0 AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb
+        | FROM embeddings WHERE vec_id < 16),
+        |t AS (SELECT count(*) AS bign FROM embeddings),
+        |cap AS (SELECT (bign * 5 + 63) // 64 AS cap FROM t),
+        |prefraw AS (
+        | SELECT e.vec_id, c.centroid_id,
+        |  list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    * list_sum(list_transform(c.c_emb,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM embeddings e, c0 c),
+        |pref AS (
+        | SELECT vec_id, centroid_id, cos_sim,
+        |  row_number() OVER (PARTITION BY vec_id
+        |   ORDER BY cos_sim DESC, centroid_id) AS pref
+        | FROM prefraw),
+        |r1 AS (
+        | SELECT p.*, row_number() OVER (PARTITION BY centroid_id
+        |  ORDER BY cos_sim DESC, vec_id) AS arank
+        | FROM pref p WHERE pref = 1),
+        |a1 AS (
+        | SELECT vec_id, centroid_id, cos_sim, 1 AS pref_used
+        | FROM r1, cap WHERE arank <= cap),
+        |rem1 AS (
+        | SELECT c.centroid_id,
+        |  (SELECT cap FROM cap) - count(a.vec_id) AS rem
+        | FROM c0 c LEFT JOIN a1 a ON a.centroid_id = c.centroid_id
+        | GROUP BY c.centroid_id),
+        |r2 AS (
+        | SELECT p.*, row_number() OVER (PARTITION BY p.centroid_id
+        |  ORDER BY p.cos_sim DESC, p.vec_id) AS arank
+        | FROM pref p
+        | WHERE p.pref = 2
+        |  AND p.vec_id NOT IN (SELECT vec_id FROM a1)),
+        |a2 AS (
+        | SELECT r.vec_id, r.centroid_id, r.cos_sim, 2 AS pref_used
+        | FROM r2 r JOIN rem1 m USING (centroid_id)
+        | WHERE r.arank <= m.rem),
+        |rem2 AS (
+        | SELECT m.centroid_id, m.rem - count(a.vec_id) AS rem
+        | FROM rem1 m LEFT JOIN a2 a ON a.centroid_id = m.centroid_id
+        | GROUP BY m.centroid_id, m.rem),
+        |r3 AS (
+        | SELECT p.*, row_number() OVER (PARTITION BY p.centroid_id
+        |  ORDER BY p.cos_sim DESC, p.vec_id) AS arank
+        | FROM pref p
+        | WHERE p.pref = 3
+        |  AND p.vec_id NOT IN (SELECT vec_id FROM a1)
+        |  AND p.vec_id NOT IN (SELECT vec_id FROM a2)),
+        |a3 AS (
+        | SELECT r.vec_id, r.centroid_id, r.cos_sim, 3 AS pref_used
+        | FROM r3 r JOIN rem2 m USING (centroid_id)
+        | WHERE r.arank <= m.rem)
+        |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+        | cos_sim, CAST(pref_used AS BIGINT) AS pref_used
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+        |      UNION ALL SELECT * FROM a3)
+        |ORDER BY vec_id""".stripMargin,
     "rx_hysteresis" ->
       """WITH c AS (
         | SELECT user_id, event_id,

@@ -428,6 +428,76 @@ object Similarity {
           .as("w"))
   }
 
+  /** Capacity-capped coarse assignment (balanced clustering): every
+    * vector lands on a centroid, but NO centroid exceeds
+    * cap = ceil(1.25·n/nlist) — the construction that makes the
+    * exact-within-cluster contracts (kNN graph §2.7 51h, SemDeDup
+    * pruning) safe at ANY corpus size, because the worst cluster is
+    * bounded by the index build instead of an organic label's
+    * growth. Deterministic deferred acceptance over the seed
+    * centroids: in round r every still-unassigned vector proposes to
+    * its r-th-preference centroid (cosine desc, id tie-break) and
+    * each centroid accepts its best proposals up to remaining
+    * capacity (again cosine desc, id) — the parallel,
+    * order-independent form of "assign to nearest non-full". Three
+    * fixed rounds: with 25% slack the synthetic corpus empties in
+    * two; production loops until the unassigned frame is empty
+    * (each round = one join + one window, O(n·r) total). A vector
+    * still unassigned after the fixed rounds is dropped BY BOTH the
+    * engine and the oracle — the gate stays exact either way, and
+    * the balance spec asserts emptiness at the build SF.
+    *
+    * Scale shape: preferences are the ann_ivf qprobes crossJoin
+    * against the nlist-row broadcast seed frame (n×nlist narrow
+    * rows); each round's acceptance is one window per centroid
+    * partition; capacity frames are nlist-row broadcasts. */
+  def cappedAssign(embs: DataFrame, nlist: Int = 16, rounds: Int = 3)
+      : DataFrame = {
+    val cents = embs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val total = embs.agg(count(lit(1)).as("bign"))
+    val prefs = embs
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
+      .withColumn("pref", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_sim").desc, col("centroid_id"))))
+      .crossJoin(broadcast(total))
+      .withColumn("cap",
+        expr(s"(bign * 5 + ${4 * nlist - 1}) div ${4 * nlist}"))
+      .select("vec_id", "centroid_id", "cos_sim", "pref", "cap")
+      .localCheckpoint()
+    var capsLeft = prefs.select(col("centroid_id"), col("cap").as("rem"))
+      .distinct()
+    var unassigned = prefs.select("vec_id").distinct()
+    var assigned: DataFrame = null
+    for (r <- 1 to rounds) {
+      val acc = prefs
+        .join(unassigned, "vec_id")
+        .filter(col("pref") === r)
+        .join(broadcast(capsLeft), "centroid_id")
+        .withColumn("arank", row_number().over(
+          Window.partitionBy("centroid_id")
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("arank") <= col("rem"))
+        .select(col("vec_id"), col("centroid_id"), col("cos_sim"),
+          lit(r.toLong).as("pref_used"))
+        .localCheckpoint()
+      assigned = if (assigned == null) acc else assigned.unionByName(acc)
+      unassigned = unassigned.join(acc.select("vec_id"), Seq("vec_id"),
+        "left_anti").localCheckpoint()
+      capsLeft = capsLeft
+        .join(acc.groupBy("centroid_id").agg(count(lit(1)).as("took")),
+          Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          (col("rem") - coalesce(col("took"), lit(0L))).as("rem"))
+        .localCheckpoint()
+    }
+    assigned
+  }
+
   /** Robust per-dimension scaling (median / IQR): the outlier-proof
     * sibling of [[whitenEmbeddings]] — mean/σ move arbitrarily far
     * under a single corrupted vector, median/IQR don't, so this is

@@ -98,4 +98,21 @@ class Round6Spec extends AnyFunSuite {
       exact.size
     assert(mean < 0.02, s"mean drift too large: $mean")
   }
+
+  test("cappedAssign: every vector assigned, no cluster above cap, caps bind") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count()
+    val nlist = 16
+    val cap = (n * 5 + 4 * nlist - 1) / (4 * nlist)
+    val a = Similarity.cappedAssign(embs, nlist).collect()
+    assert(a.length.toLong === n, "fixed rounds must empty the corpus here")
+    assert(a.map(_.getLong(0)).distinct.length.toLong === n)
+    val sizes = a.groupBy(_.getLong(1)).map(_._2.length.toLong)
+    assert(sizes.max <= cap, s"cluster above cap: ${sizes.max} > $cap")
+    // the cap must actually bind (otherwise the test proves nothing):
+    // at least one vector was deflected off its first choice
+    assert(a.exists(_.getLong(3) > 1L), "no spill — cap never bound")
+  }
 }
