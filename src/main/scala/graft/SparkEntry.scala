@@ -919,7 +919,9 @@ object SparkEntry {
     "rx_hysteresis" -> ((s, d) =>
       Reactive.rxHysteresis(ev(s, d)).orderBy("user_id", "event_id")),
     "emb_capped_assign" -> ((s, d) =>
-      Similarity.cappedAssign(embs(s, d)).orderBy("vec_id"))
+      Similarity.cappedAssign(embs(s, d)).orderBy("vec_id")),
+    "dedup_report" -> ((s, d) =>
+      Dedup.dedupReport(docs(s, d)).orderBy("source"))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5673,6 +5675,64 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    // per-source dedup telemetry: fingerprint rollup + the auditable
+    // minhash pair CTE (the dedup_union_cluster oracle's family)
+    "dedup_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |msh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM tk WHERE len(tk) >= 3),
+        |dsh AS (SELECT doc_id, list_distinct(sh) AS ds FROM msh),
+        |mpost AS (SELECT doc_id, s.s FROM msh, unnest(msh.sh) AS s(s)),
+        |mhv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM mpost),
+        |mseeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
+        |mmins AS (
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM mhv, mseeds GROUP BY doc_id, j),
+        |mbands AS (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
+        |  FROM mmins GROUP BY doc_id, j // 4),
+        |mcand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM mbands l JOIN mbands r USING (band, bh)
+        |  WHERE l.doc_id < r.doc_id),
+        |mpairs AS (
+        |  SELECT doc1, doc2
+        |  FROM mcand JOIN dsh a ON a.doc_id = doc1
+        |             JOIN dsh b ON b.doc_id = doc2
+        |  WHERE CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE) /
+        |    (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.5),
+        |near AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc1 AS doc_id FROM mpairs
+        |    UNION ALL SELECT doc2 FROM mpairs)),
+        |fps AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp
+        |  FROM documents),
+        |dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 1),
+        |ex AS (SELECT doc_id FROM fps JOIN dup USING (fp))
+        |SELECT d.source, count(*) AS n_docs,
+        | count(e.doc_id) AS n_exact_dup, count(nr.doc_id) AS n_near_dup,
+        | CAST(count(e.doc_id) * 1000000 // count(*) AS BIGINT)
+        |  AS exact_ppm,
+        | CAST(count(nr.doc_id) * 1000000 // count(*) AS BIGINT)
+        |  AS near_ppm
+        |FROM documents d
+        | LEFT JOIN ex e ON e.doc_id = d.doc_id
+        | LEFT JOIN near nr ON nr.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // deferred-acceptance balanced assignment, 3 unrolled rounds;
     // cosine formula = the emb_kmeans oracle parity contract
     "emb_capped_assign" ->

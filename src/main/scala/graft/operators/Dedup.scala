@@ -287,6 +287,41 @@ object Dedup {
       .select("doc1", "doc2", "jaccard")
   }
 
+  /** Per-source dedup telemetry: the curation dashboard's first
+    * page — for every source, how many documents are exact
+    * duplicates (their normalized fingerprint occurs more than once
+    * ANYWHERE in the corpus, not just in-source — cross-source
+    * copying is the signal) and how many sit in at least one
+    * near-dup pair (the auditable MinHash-LSH pair set, which
+    * includes exact copies of any shingle-bearing (≥3-token) doc by
+    * construction — near ⊇ exact above the shingle floor), with
+    * exact ppm rates. Composes the existing
+    * fingerprint rollup and LSH machinery: the corpus collapses to
+    * (fingerprint, count) partials and (pair-id) frames before any
+    * rollup — text never rides a shuffle; the per-source report is
+    * |sources| rows. */
+  def dedupReport(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val fp = docs.select(col("doc_id"), col("source"),
+      md5(lower(trim(col("text")))).as("fp"))
+    val dupFps = fp.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("fp")
+    val exactIds = fp.join(dupFps, "fp").select("doc_id")
+    val pairs = minhashLsh(docs, threshold = threshold, auditable = true)
+    val nearIds = pairs.select(col("doc1").as("doc_id"))
+      .unionByName(pairs.select(col("doc2").as("doc_id"))).distinct()
+    docs.select(col("doc_id"), col("source"))
+      .join(exactIds.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        expr("n_exact_dup * 1000000 div n_docs").as("exact_ppm"),
+        expr("n_near_dup * 1000000 div n_docs").as("near_ppm"))
+  }
+
   /** Sorted-neighborhood dedup (SNM, Hernández–Stolfo): the classic
     * NON-HASH blocking family next to MinHash/SimHash/embedding LSH
     * — sort the corpus by a cheap blocking key and compare each doc
