@@ -486,6 +486,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cappedAssign: each round materializes once — final plan unions checkpoint scans") {
+    val p = plan(Similarity.cappedAssign(Tables.embeddings(spark, sf)))
+    // the acceptance rounds are localCheckpointed as they complete, so
+    // the result must be a pure union of the materialized round
+    // frames: no join, window, or preference recomputation downstream
+    // (a recomputing plan would re-run every round per consumer)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      !p.contains("Join"), s"round recomputation leaked downstream:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 3,
+      s"expected 3 checkpointed round frames:\n$p")
+  }
+
   test("classBalance: corpus shuffles once for ranking, quota rides a broadcast") {
     val p = plan(Sampling.classBalance(Tables.documents(spark, sf)))
     // exactly two lang exchanges: the corpus ranking shuffle plus the
