@@ -1676,29 +1676,35 @@ object ReactiveStreams {
         col("r").cast("long").as("rev_cents"),
         expr("r div n_users").as("arpu_cents"))
 
-  case class TrendRow(day: Long, event_type: String, n: Long)
+  case class TrendRow(day: Long, salt: Long, event_type: String, n: Long)
 
   /** Streaming per-day type counts, the unbounded half of
-    * [[graft.operators.Reactive.rxTrending]]: state per (user-free)
-    * day key is the per-type count map — bounded by the event-type
-    * vocabulary, the same |types| contract as the batch op's rank
-    * frame — and each trigger appends the day's refreshed (type,
-    * count) snapshots. The top-k rank itself ([[trendingScore]])
-    * runs bounded over the latest counts: a per-day top-k that
-    * changes as counts grow is inherently update-shaped, so the
-    * append sink carries the monotone counts and the rank is scored
-    * on demand. Keying by day means one active state key per
-    * calendar day — eviction is the calendar, not a TTL. */
-  def trendingStream(spark: SparkSession, events: DataFrame)
-      : Dataset[TrendRow] = {
+    * [[graft.operators.Reactive.rxTrending]]: state is the per-type
+    * count map — bounded by the event-type vocabulary, the same
+    * |types| contract as the batch op's rank frame — and each
+    * trigger appends the key's refreshed (type, count) snapshots.
+    * The state key is (day, user_id mod `salts`), NOT the bare day:
+    * a day-keyed fold funnels every event of the current day through
+    * ONE state task (the classic hot-key serialization — at 100 TB
+    * that single task IS the pipeline), while the salt spreads the
+    * fold across `salts` tasks and the score tail re-sums the
+    * monotone per-salt counts. The top-k rank itself
+    * ([[trendingScore]]) runs bounded over the latest counts: a
+    * per-day top-k that changes as counts grow is inherently
+    * update-shaped, so the append sink carries monotone counts and
+    * the rank is scored on demand. Active state = salts × current
+    * day — eviction is the calendar, not a TTL. */
+  def trendingStream(spark: SparkSession, events: DataFrame,
+                     salts: Int = 8): Dataset[TrendRow] = {
     import spark.implicits._
     events
       .selectExpr("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
-      .groupByKey(e => e.ts.getTime / 86400000L)
+      .groupByKey(e =>
+        (e.ts.getTime / 86400000L, math.floorMod(e.user_id, salts.toLong)))
       .flatMapGroupsWithState[Map[String, Long], TrendRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (day: Long, rows: Iterator[Ev],
+        (key: (Long, Long), rows: Iterator[Ev],
          state: GroupState[Map[String, Long]]) =>
           var counts = state.getOption.getOrElse(Map.empty[String, Long])
           val touched = scala.collection.mutable.LinkedHashSet[String]()
@@ -1708,18 +1714,21 @@ object ReactiveStreams {
             touched += e.event_type
           }
           state.update(counts)
-          touched.iterator.map(t => TrendRow(day, t, counts(t)))
+          touched.iterator.map(t => TrendRow(key._1, key._2, t, counts(t)))
       }
   }
 
   /** Bounded top-k over [[trendingStream]]'s count sink: latest
-    * count per (day, type) — counts are monotone per key, so max IS
-    * latest — then the batch op's exact rank frame. Reproduces
-    * `rxTrending` of everything delivered so far. */
+    * count per (day, salt, type) — counts are monotone per key, so
+    * max IS latest — re-summed across salts, then the batch op's
+    * exact rank frame. Reproduces `rxTrending` of everything
+    * delivered so far. */
   def trendingScore(counts: DataFrame, k: Int = 3): DataFrame =
     counts
-      .groupBy("day", "event_type")
+      .groupBy("day", "salt", "event_type")
       .agg(max("n").as("n"))
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("day")
           .orderBy(col("n").desc, col("event_type"))).cast("long"))
