@@ -450,7 +450,11 @@ object Similarity {
     * Scale shape: preferences are the ann_ivf qprobes crossJoin
     * against the nlist-row broadcast seed frame (n×nlist narrow
     * rows); each round's acceptance is one window per centroid
-    * partition; capacity frames are nlist-row broadcasts. */
+    * partition — that task ranks the centroid's O(n/nlist)
+    * proposals, which is the SAME per-list volume an IVF deployment
+    * already accepts (nlist grows with the corpus; the list length,
+    * not the corpus, is the unit of work); capacity frames are
+    * nlist-row broadcasts. */
   def cappedAssign(embs: DataFrame, nlist: Int = 16, rounds: Int = 3)
       : DataFrame = {
     val cents = embs.filter(col("vec_id") < nlist)
