@@ -921,7 +921,8 @@ object SparkEntry {
     "emb_capped_assign" -> ((s, d) =>
       Similarity.cappedAssign(embs(s, d)).orderBy("vec_id")),
     "dedup_report" -> ((s, d) =>
-      Dedup.dedupReport(docs(s, d)).orderBy("source"))
+      Dedup.dedupReport(docs(s, d)).orderBy("source")),
+    "dq_drift" -> ((s, d) => Sampling.qualityDrift(docs(s, d)))
   )
 
   private def asofDirectional(events: DataFrame, dir: String,
@@ -5675,6 +5676,56 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    // temporal drift: ref-half decile cuts by exact rank selection
+    // over the score-domain rollup, then per-half decile masses
+    "dq_drift" ->
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS s
+        | FROM documents),
+        |mm AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM scored),
+        |halved AS (
+        | SELECT doc_id, s,
+        |  CASE WHEN doc_id <= (SELECT (lo + hi) // 2 FROM mm)
+        |   THEN 'ref' ELSE 'cur' END AS half
+        | FROM scored),
+        |nref AS (SELECT count(*) AS nref FROM halved WHERE half = 'ref'),
+        |refcum AS (
+        | SELECT s, sum(count(*)) OVER (ORDER BY s
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM halved WHERE half = 'ref' GROUP BY s),
+        |cuts AS (
+        | SELECT i.i, min(r.s) AS b
+        | FROM refcum r, range(1, 10) i(i), nref
+        | WHERE r.cum * 10 >= i.i * nref.nref
+        | GROUP BY i.i),
+        |binned AS (
+        | SELECT h.doc_id, h.half,
+        |  CAST(sum(CASE WHEN h.s > c.b THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS bin
+        | FROM halved h, cuts c GROUP BY h.doc_id, h.half),
+        |tot AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS ref_tot,
+        |  CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS cur_tot
+        | FROM binned)
+        |SELECT bin,
+        | CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS ref_n,
+        | CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS cur_n,
+        | CAST(sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)
+        |  * 1000000 // (SELECT ref_tot FROM tot) AS BIGINT) AS ref_ppm,
+        | CAST(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END)
+        |  * 1000000 // (SELECT cur_tot FROM tot) AS BIGINT) AS cur_ppm,
+        | CAST(abs(sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END)
+        |   * 1000000 // (SELECT cur_tot FROM tot)
+        |  - sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END)
+        |   * 1000000 // (SELECT ref_tot FROM tot)) AS BIGINT)
+        |  AS delta_ppm
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
     // per-source dedup telemetry: fingerprint rollup + the auditable
     // minhash pair CTE (the dedup_union_cluster oracle's family)
     "dedup_report" ->

@@ -249,6 +249,67 @@ object Sampling {
           s"div grand").as("dev_ppm"))
   }
 
+  /** Temporal quality-drift report (ingest monitoring): split the
+    * corpus into a reference half and a current half at the midpoint
+    * of the id range, build score-decile boundaries FROM THE
+    * REFERENCE half, and report each half's per-decile mass — the
+    * population-stability frame (a stable ingest keeps every decile
+    * near 100000 ppm of the current half; mass migrating across
+    * deciles is the early warning that the ingest's quality
+    * distribution drifted). Score = whitespace token count; the PSI
+    * log-sum itself is left to the consumer like rx_survival's KM
+    * product (the one engine-dependent float step), delta_ppm is the
+    * exact integer ingredient.
+    *
+    * All-integer construction: boundaries are exact rank-selected
+    * scores (smallest s with cumulative ref count ≥ ceil(n_ref·i/
+    * bins)) computed over the per-score rollup — a frame bounded by
+    * the SCORE DOMAIN (a few hundred distinct token counts), not the
+    * corpus, so its cumulative window is deliberately tiny; bin
+    * assignment is a broadcast join against the (bins−1)-row
+    * boundary frame; everything else is partial-aggregable rollups. */
+  def qualityDrift(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      size(graft.operators.TextAnalysis.tokens(col("text")))
+        .cast("long").as("s"))
+    val mm = scored.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val halved = scored.crossJoin(broadcast(mm))
+      .withColumn("half",
+        when(col("doc_id") <= expr("(lo + hi) div 2"), lit("ref"))
+          .otherwise(lit("cur")))
+      .select("doc_id", "s", "half")
+    val refCum = halved.filter(col("half") === "ref")
+      .groupBy("s").agg(count(lit(1)).as("cn"))
+      .withColumn("cum", sum("cn").over(
+        Window.orderBy("s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(halved.filter(col("half") === "ref")
+        .agg(count(lit(1)).as("nref"))))
+    val cuts = refCum
+      .crossJoin(broadcast(
+        halved.sparkSession.range(1, bins).select(col("id").as("i"))))
+      .filter(col("cum") * bins >= col("i") * col("nref"))
+      .groupBy("i").agg(min("s").as("b"))
+    val binned = halved
+      .crossJoin(broadcast(cuts))
+      .groupBy(col("doc_id"), col("half"))
+      .agg(sum(when(col("s") > col("b"), 1L).otherwise(0L)).as("bin"))
+    val totals = binned.groupBy("half").agg(count(lit(1)).as("tot"))
+    binned.groupBy("bin")
+      .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("half") === "cur", 1L).otherwise(0L)).as("cur_n"))
+      .crossJoin(broadcast(totals.filter(col("half") === "ref")
+        .select(col("tot").as("ref_tot"))))
+      .crossJoin(broadcast(totals.filter(col("half") === "cur")
+        .select(col("tot").as("cur_tot"))))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        expr("ref_n * 1000000 div ref_tot").as("ref_ppm"),
+        expr("cur_n * 1000000 div cur_tot").as("cur_ppm"),
+        expr("abs(cur_n * 1000000 div cur_tot" +
+          " - ref_n * 1000000 div ref_tot)").as("delta_ppm"))
+      .orderBy("bin")
+  }
+
   /** Class-balanced downsampling: every class keeps exactly
     * `quota = min class count` rows — the standard rebalance before
     * training a classifier head (or mixing a labeled eval set) so the
