@@ -192,6 +192,30 @@ class DedupSpec extends AnyFunSuite {
     assert(recallA >= 0.2, s"auditable recall $recallA too low")
   }
 
+  test("dedupReport counts exact and near dups per source (planted corpus)") {
+    // the gate corpus has zero exact dups, so the exact branch is
+    // only value-checked at 0 there — prove it counts on planted data
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "EDIT" else s"tok$i")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, "a", base),                  // exact dup of 2 (cross-source)
+      (2L, "b", base),                  // exact dup of 1
+      (3L, "a", near),                  // near dup of 1/2, not exact
+      (4L, "b", (1 to 40).map(i => s"other$i").mkString(" ")), // clean
+      (5L, "a", "  " + base + "  ")     // exact after trim-normalize
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.dedupReport(docs).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2),
+        x.getLong(3))).toMap
+    // source a: 3 docs; 1 and 5 exact (fingerprint x3 overall), all
+    // of 1/3/5 in near pairs
+    assert(r("a") === ((3L, 2L, 3L)), s"got ${r("a")}")
+    // source b: 2 docs; 2 exact, 2 near (pairs with 1/3/5), 4 clean
+    assert(r("b") === ((2L, 1L, 1L)), s"got ${r("b")}")
+  }
+
   test("brute-force topk ranks the nearest vector first") {
     import spark.implicits._
     val q = Array.tabulate(16)(_.toFloat)
