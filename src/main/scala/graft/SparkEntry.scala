@@ -906,12 +906,12 @@ object SparkEntry {
     // subspace, so the full train+audit loop gates hash-exactly
     "emb_pq" -> ((s, d) => Similarity.pqAudit(embs(s, d))),
     "pipeline_class_balance" -> ((s, d) =>
-      Sampling.classBalance(docs(s, d))),
+      Sampling.classBalance(docs(s, d)).orderBy("doc_id")),
     "graph_communities" -> ((s, d) =>
       Graph.labelPropTrade(Tables.lineitem(s, d), Tables.orders(s, d))
         .orderBy("node")),
     "pipeline_quantile_norm" -> ((s, d) =>
-      Sampling.quantileNormalize(docs(s, d))),
+      Sampling.quantileNormalize(docs(s, d)).orderBy("doc_id")),
     "emb_robust_scale" -> ((s, d) =>
       Similarity.robustScale(embs(s, d)).orderBy("vec_id", "dim")),
     "rx_peaks" -> ((s, d) =>

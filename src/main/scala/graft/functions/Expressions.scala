@@ -552,6 +552,7 @@ object Kernels {
     val m = vec.numElements()
     var bestCode = -1L
     var bestD2 = Double.PositiveInfinity
+    var first = true
     var i = 0
     while (i < n) {
       val row = cents.getStruct(i, 2)
@@ -564,9 +565,17 @@ object Kernels {
         d2 += d * d
         j += 1
       }
-      if (d2 < bestD2 || (d2 == bestD2 && code < bestCode)) {
+      // first entry initializes unconditionally and non-NaN beats
+      // NaN: a NaN distance loses every `<` comparison, so without
+      // these guards a NaN slice/codebook entry could leave the -1
+      // sentinel (or pin a NaN first entry) and leak an invalid code
+      // into downstream rollups instead of picking a real neighbor
+      if (first || (java.lang.Double.isNaN(bestD2) &&
+            !java.lang.Double.isNaN(d2)) ||
+          d2 < bestD2 || (d2 == bestD2 && code < bestCode)) {
         bestD2 = d2
         bestCode = code
+        first = false
       }
       i += 1
     }
@@ -661,7 +670,9 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 /** Double → scaled BIGINT with decimal-cast rounding semantics
   * ([[Kernels.moneyScaled]]): the codegen'd per-row half of the
-  * flagged money-sum fast path. */
+  * flagged money-sum fast path. NaN/Infinity NULL out (the decimal
+  * cast's non-ANSI behavior) so the flagged route null-skips the
+  * same rows the DECIMAL route does instead of throwing. */
 case class MoneyScaledExpr(child: Expression, scale: Int)
     extends UnaryExpression {
   require(scale >= 0 && scale <= 9, s"unsupported money scale $scale")
@@ -673,10 +684,19 @@ case class MoneyScaledExpr(child: Expression, scale: Int)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"money_scaled input must be DOUBLE, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(input: Any): Any =
-    Kernels.moneyScaled(input.asInstanceOf[Double], scale)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val d = input.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) null
+    else Kernels.moneyScaled(d, scale)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.moneyScaled($c, $scale)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (java.lang.Double.isNaN($c) || java.lang.Double.isInfinite($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.Kernels.moneyScaled($c, $scale);
+      }""")
   override protected def withNewChildInternal(c: Expression): MoneyScaledExpr =
     copy(child = c)
 }

@@ -59,10 +59,14 @@ object Dedup {
     * tasks but cannot bound the pair fan-out. Buckets larger than
     * `maxBucket` therefore switch from all-pairs to STAR emission
     * against the bucket's representative (lowest doc_id), bounding
-    * fan-out at O(m) while preserving cluster CONNECTIVITY through
-    * the rep (downstream [[connectedComponents]] still groups every
-    * verified member); pairwise enumeration inside over-cap buckets
-    * is explicitly traded away. The bucket-stats join shuffles on
+    * fan-out at O(m). Star pairs still pass the exact Jaccard
+    * verify, so connectivity through the rep is preserved only for
+    * members within `threshold` of the rep — an over-cap member
+    * dissimilar to the rep loses every pair from that bucket (it can
+    * still connect via its other bands). Pairwise enumeration inside
+    * over-cap buckets is explicitly traded away; a clustering-only
+    * consumer that wants unconditional connectivity should consume
+    * the pre-verify star edges instead. The bucket-stats join shuffles on
     * the same (band, bh) key as the pair join — co-partitioned, no
     * extra exchange pattern, and never a forced broadcast (bucket
     * count grows with the corpus). The default cap is far above any
@@ -135,9 +139,12 @@ object Dedup {
     * Bucket-size guard: like [[minhashLsh]], chunk buckets larger
     * than `maxBucket` (a near-constant corpus collapsing into one
     * chunk value) degrade from all-pairs to STAR emission against
-    * the bucket's lowest-doc_id representative — O(m) fan-out,
-    * connectivity preserved for downstream clustering, pairwise
-    * enumeration inside over-cap buckets traded away. Unlike the
+    * the bucket's lowest-doc_id representative — O(m) fan-out;
+    * star pairs still pass the exact hamming verify, so
+    * connectivity through the rep holds only for members within
+    * `maxHamming` of the rep (others may reconnect via their
+    * remaining chunks); pairwise enumeration inside over-cap
+    * buckets traded away. Unlike the
     * minhash band buckets (measured max 4 at sf0.1 — bounded by
     * dup-cluster size), simhash chunk buckets GROW with the corpus:
     * a 16-bit chunk has only 65k values, so buckets saturate toward

@@ -50,23 +50,26 @@ object Relational {
     * arithmetic sees 816.4999... — via
     * [[graft.functions.Kernels.moneyScaled]], a codegen expression
     * that renders the same `Double.toString` and parses it straight
-    * into a scaled long (no BigDecimal/Decimal allocation per row),
-    * then sum primitive longs in the codegen'd buffer; one decimal
-    * reconstruction per GROUP at the end (scaled integer × 10^-sc
-    * literal). Bit-identical totals by construction (spec-proven
-    * value AND per-row parity, incl. the 8.165-class traps). Measured
-    * at sf0.1: q1 ~1.0 s (DECIMAL) → 0.37 s (fast) vs ~0.21 s plain
+    * into a scaled long (no BigDecimal/Decimal allocation per row —
+    * the long→DECIMAL(20,0) widening for the sum buffer rides the
+    * compact-long path), summed as DECIMAL so a beyond-2^63 group
+    * total NULLs like the default route instead of wrapping a raw
+    * long; one decimal reconstruction per GROUP at the end (scaled
+    * integer × 10^-sc literal, re-cast to the default route's
+    * DECIMAL(28,sc) so the flag never changes the visible schema).
+    * Bit-identical totals by construction (spec-proven value AND
+    * per-row parity, incl. the 8.165-class traps). Measured at
+    * sf0.1: q1 ~1.0 s (DECIMAL) → 0.37 s (fast) vs ~0.21 s plain
     * double — the exactness tax drops from ~4.7× to ~1.8× (and most
-    * of the residual is the shared scan). Overflow
-    * bound: a group's total must stay under 2^63 scaled units
-    * (scale 2: $92 quadrillion) — a 100 TB deployment aggregating
-    * beyond that re-flags to the DECIMAL route for those measures. */
+    * of the residual is the shared scan). NaN/Infinity inputs NULL
+    * out per row exactly like the decimal cast. */
   private def sumExact(s: SparkSession, c: org.apache.spark.sql.Column,
                        sc: Int) =
     if (fastSums(s))
-      (sum(graft.functions.GraftFunctions.money_scaled(c, sc))
-        .cast(DecimalType(38, 0)) *
+      (sum(graft.functions.GraftFunctions.money_scaled(c, sc)
+        .cast(DecimalType(20, 0))) *
         lit(java.math.BigDecimal.ONE.movePointLeft(sc)))
+        .cast(DecimalType(28, sc))
     else sum(c.cast(DecimalType(18, sc)))
 
   /** TPC-H Q1 shape: full-scan grouped aggregate with derived measures. */
@@ -141,7 +144,7 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
   }
 
@@ -361,8 +364,8 @@ object Relational {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        col("p_retailprice") * col("l_quantity") * lit(0.5)))
+      .agg(sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * lit(0.5), 4)
         .as("sum_profit"))
   }
 
@@ -445,7 +448,7 @@ object Relational {
                      minQty: Double = 300.0): DataFrame = {
     val big = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
-      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .agg(sumExact(s, col("l_quantity"), 2).as("sum_qty"))
       .filter(col("sum_qty") > minQty)
     val ord = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")

@@ -310,19 +310,6 @@ object Sampling {
       .orderBy("bin")
   }
 
-  /** Class-balanced downsampling: every class keeps exactly
-    * `quota = min class count` rows — the standard rebalance before
-    * training a classifier head (or mixing a labeled eval set) so the
-    * majority class cannot drown the loss. Which rows survive is
-    * md5-deterministic (smallest md5("cb:"+id) first, the
-    * [[samplePerKey]] family), so the balanced set is reproducible
-    * across engines and reruns and stable under resharding.
-    *
-    * Scale: one shuffle on the class key for the per-class ranking;
-    * the quota frame is one broadcast row. Under extreme per-class
-    * cardinality swap the row_number fill for an md5-prefix
-    * threshold at quota/count — the approximate-quota, sort-free
-    * variant [[mixtureSample]] documents. */
   /** Cross-source quantile normalization (score calibration): map
     * each document's WITHIN-source rank onto the pooled corpus
     * distribution's value at the proportional rank — the classic fix
@@ -371,9 +358,21 @@ object Sampling {
           .otherwise(expr("(k - 1) * (bign - 1) div (n - 1) + 1")))
       .join(pooled, "g")
       .select(col("doc_id"), col("source"), col("raw"), col("calibrated"))
-      .orderBy("doc_id")
   }
 
+  /** Class-balanced downsampling: every class keeps exactly
+    * `quota = min class count` rows — the standard rebalance before
+    * training a classifier head (or mixing a labeled eval set) so the
+    * majority class cannot drown the loss. Which rows survive is
+    * md5-deterministic (smallest md5("cb:"+id) first, the
+    * [[samplePerKey]] family), so the balanced set is reproducible
+    * across engines and reruns and stable under resharding.
+    *
+    * Scale: one shuffle on the class key for the per-class ranking;
+    * the quota frame is one broadcast row. Under extreme per-class
+    * cardinality (the ranking window puts one whole class through a
+    * single task) use [[classBalanceThreshold]] — the md5-prefix,
+    * sort-free variant. */
   def classBalance(docs: DataFrame, classCol: String = "lang"): DataFrame = {
     val quota = docs.groupBy(classCol).agg(count(lit(1)).as("cn"))
       .agg(min("cn").as("quota"))
@@ -385,6 +384,35 @@ object Sampling {
       .filter(col("rank_in_class") <= col("quota"))
       .select(col("doc_id"), col(classCol),
         col("rank_in_class").cast("long").as("rank_in_class"))
-      .orderBy("doc_id")
+  }
+
+  /** Sort-free class balancing for EXTREME per-class cardinality:
+    * instead of ranking every class member ([[classBalance]] puts a
+    * whole class through one window task), keep a row when its
+    * md5-uniform draw clears the class's acceptance threshold
+    * `quota/count` — a per-class Bernoulli rate that yields
+    * quota ± O(√quota) rows per class (approximate quota, exact
+    * determinism). The draw is the importanceSample integer
+    * construction (first 28 md5 bits mod 1e6 vs a floor-ppm
+    * threshold), so the kept set is bit-reproducible on any engine
+    * and stable under resharding; the per-class threshold frame is
+    * O(classes) and broadcast; the filter is NARROW — no per-class
+    * ranking shuffle anywhere, which is the whole point: the fat
+    * class never funnels through a single task. */
+  def classBalanceThreshold(docs: DataFrame, classCol: String = "lang")
+      : DataFrame = {
+    val counts = docs.groupBy(classCol).agg(count(lit(1)).as("cn"))
+    val thresh = counts
+      .crossJoin(broadcast(counts.agg(min("cn").as("quota"))))
+      .withColumn("keep_ppm", expr("quota * 1000000 div cn"))
+      .select(col(classCol), col("keep_ppm"))
+    docs
+      .withColumn("u_ppm",
+        conv(substring(md5(concat(lit("cb:"),
+          col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+          % lit(1000000L))
+      .join(broadcast(thresh), classCol)
+      .filter(col("u_ppm") < col("keep_ppm"))
+      .select(col("doc_id"), col(classCol), col("u_ppm"), col("keep_ppm"))
   }
 }

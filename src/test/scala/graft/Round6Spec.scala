@@ -23,9 +23,15 @@ class Round6Spec extends AnyFunSuite {
 
   test("fastMoneySums: q1/q6 value parity between DECIMAL and BIGINT routes") {
     // the two routes differ ONLY in the aggregation buffer; totals
-    // must agree to the exact decimal VALUE (types legitimately
-    // differ: DECIMAL(28,2) sum vs DECIMAL(38,2) reconstruction, so
-    // compare with compareTo, not equals)
+    // must agree to the exact decimal VALUE and (since round 7) the
+    // visible SCHEMA: the fast route re-casts its reconstruction to
+    // the default route's DECIMAL(28,sc), so flipping the flag can
+    // never change a consumer-visible dtype
+    val slowSchema = withFastSums(false)(
+      Relational.q1PricingSummary(spark, sf).schema)
+    val fastSchema = withFastSums(true)(
+      Relational.q1PricingSummary(spark, sf).schema)
+    assert(slowSchema === fastSchema, "flag must not change the schema")
     def snapshot() = {
       val q1 = Relational.q1PricingSummary(spark, sf)
         .orderBy("l_returnflag", "l_linestatus").collect()
@@ -37,12 +43,40 @@ class Round6Spec extends AnyFunSuite {
           r.getDouble(6), r.getLong(7)))
       val q6 = Relational.q6Revenue(spark, sf).collect()
         .map(r => r.getDecimal(0).stripTrailingZeros)
-      (q1.toSeq, q6.toSeq)
+      // the round-7 extension keys: q5/q9 decimal-heavy star joins
+      // and q18's HAVING-on-sum, each flagged through sumExact
+      val q5 = Relational.q5LocalSupplier(spark, sf).orderBy("n_name")
+        .collect().map(r => (r.getString(0),
+          r.getDecimal(1).stripTrailingZeros))
+      val q9 = Relational.q9Profit(spark, sf).orderBy("n_name", "o_year")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros))
+      val q18 = Relational.q18LargeOrders(spark, sf, minQty = 80.0)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
+      (q1.toSeq, q6.toSeq, q5.toSeq, q9.toSeq, q18.toSeq)
     }
     val slow = withFastSums(false)(snapshot())
     val fast = withFastSums(true)(snapshot())
     assert(slow === fast)
     assert(slow._1.nonEmpty && slow._1.head._8 > 0)
+    assert(slow._3.nonEmpty && slow._4.nonEmpty && slow._5.nonEmpty,
+      "extension queries must produce rows at the test SF")
+  }
+
+  test("money_scaled: NaN/Infinity NULL out like the decimal cast") {
+    import spark.implicits._
+    val df = Seq(1.5, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -2.25).toDF("v")
+    val got = df.select(
+        graft.functions.GraftFunctions.money_scaled(col("v"), 2).as("fast"),
+        (col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("exact"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getLong(0),
+         if (r.isNullAt(1)) null else r.getLong(1)))
+    assert(got.forall { case (f, e) => f == e },
+      s"NaN/Inf parity broken: ${got.mkString(", ")}")
+    assert(got.count(_._1 == null) === 3)
   }
 
   test("money_scaled ≡ the decimal cast, per row, on adversarial and random doubles") {

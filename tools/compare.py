@@ -50,7 +50,15 @@ def run_with_timeout(con, fn, timeout):
     timer = threading.Timer(timeout, stop)
     timer.start()
     try:
-        return fn()
+        out = fn()
+        # Watchdog race: the timer may fire while fn() is in its
+        # non-DuckDB tail (pandas compare) — the delivered interrupt
+        # then sits unconsumed and would poison the NEXT query on this
+        # connection with a spurious InterruptException. Treat a set
+        # flag as the timeout it is; the caller rebuilds the session.
+        if timed_out.is_set():
+            raise OracleTimeout()
+        return out
     except duckdb.Error as e:
         if timed_out.is_set():
             raise OracleTimeout() from e
