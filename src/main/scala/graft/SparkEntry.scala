@@ -347,10 +347,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // capped-cluster forms (round 7): the grouping key is the
+    // deferred-acceptance capacity-capped assignment at a fixed
+    // 200-vector target list, so pair work is linear in the corpus —
+    // the organic-label knnGraph/hubnessAudit remain as audit tools
     "ann_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(embs(s, d)).orderBy("src_id", "rank")),
+      Similarity.knnGraphCapped(embs(s, d)).orderBy("src_id", "rank")),
     "ann_hubness" -> ((s, d) =>
-      Similarity.hubnessAudit(embs(s, d)).orderBy("in_degree")),
+      Similarity.hubnessAuditCapped(embs(s, d)).orderBy("in_degree")),
     "emb_outliers" -> ((s, d) =>
       Similarity.embOutliers(embs(s, d)).orderBy("label", "rank_in_label")),
     "ann_truncation" -> ((s, d) => {
@@ -907,6 +911,8 @@ object SparkEntry {
     "emb_pq" -> ((s, d) => Similarity.pqAudit(embs(s, d))),
     "pipeline_class_balance" -> ((s, d) =>
       Sampling.classBalance(docs(s, d)).orderBy("doc_id")),
+    "pipeline_class_balance_fast" -> ((s, d) =>
+      Sampling.classBalanceThreshold(docs(s, d)).orderBy("doc_id")),
     "graph_communities" -> ((s, d) =>
       Graph.labelPropTrade(Tables.lineitem(s, d), Tables.orders(s, d))
         .orderBy("node")),
@@ -998,6 +1004,79 @@ object SparkEntry {
         |w3 AS (SELECT list(CAST(w AS DOUBLE) / 1e6 ORDER BY dim) AS wl FROM c3),
         |v3 AS (SELECT list_transform(wl,
         |  x -> x / sqrt(list_sum(list_transform(wl, y -> y * y)))) AS v FROM w3)""".stripMargin
+
+  /** Shared capacity-capped assignment CTE chain (nl..asg) used by
+    * the ann_knn_graph and ann_hubness oracles — the
+    * emb_capped_assign oracle generalized to DYNAMIC nlist =
+    * ceil(n/200), so cluster sizes stay bounded at any SF (the
+    * engine twin is [[graft.operators.Similarity.cappedClusters]]).
+    * Ends at `asg(vec_id, centroid_id)`; callers append their own
+    * CTEs and the final SELECT. */
+  private val cappedAsgSql: String =
+    """WITH nl AS (
+      | SELECT count(*) AS bign,
+      |  CAST((count(*) + 199) // 200 AS BIGINT) AS nlist
+      | FROM embeddings),
+      |c0 AS (
+      | SELECT e.vec_id AS centroid_id, e.embedding AS c_emb
+      | FROM embeddings e, nl WHERE e.vec_id < nl.nlist),
+      |cap AS (
+      | SELECT (bign * 5 + 4 * nlist - 1) // (4 * nlist) AS cap FROM nl),
+      |prefraw AS (
+      | SELECT e.vec_id, c.centroid_id,
+      |  list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+      |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(e.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |    * list_sum(list_transform(c.c_emb,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+      | FROM embeddings e, c0 c),
+      |pref AS (
+      | SELECT vec_id, centroid_id, cos_sim,
+      |  row_number() OVER (PARTITION BY vec_id
+      |   ORDER BY cos_sim DESC, centroid_id) AS pref
+      | FROM prefraw),
+      |r1 AS (
+      | SELECT p.*, row_number() OVER (PARTITION BY centroid_id
+      |  ORDER BY cos_sim DESC, vec_id) AS arank
+      | FROM pref p WHERE pref = 1),
+      |a1 AS (
+      | SELECT vec_id, centroid_id, cos_sim, 1 AS pref_used
+      | FROM r1, cap WHERE arank <= cap),
+      |rem1 AS (
+      | SELECT c.centroid_id,
+      |  (SELECT cap FROM cap) - count(a.vec_id) AS rem
+      | FROM c0 c LEFT JOIN a1 a ON a.centroid_id = c.centroid_id
+      | GROUP BY c.centroid_id),
+      |r2 AS (
+      | SELECT p.*, row_number() OVER (PARTITION BY p.centroid_id
+      |  ORDER BY p.cos_sim DESC, p.vec_id) AS arank
+      | FROM pref p
+      | WHERE p.pref = 2
+      |  AND p.vec_id NOT IN (SELECT vec_id FROM a1)),
+      |a2 AS (
+      | SELECT r.vec_id, r.centroid_id, r.cos_sim, 2 AS pref_used
+      | FROM r2 r JOIN rem1 m USING (centroid_id)
+      | WHERE r.arank <= m.rem),
+      |rem2 AS (
+      | SELECT m.centroid_id, m.rem - count(a.vec_id) AS rem
+      | FROM rem1 m LEFT JOIN a2 a ON a.centroid_id = m.centroid_id
+      | GROUP BY m.centroid_id, m.rem),
+      |r3 AS (
+      | SELECT p.*, row_number() OVER (PARTITION BY p.centroid_id
+      |  ORDER BY p.cos_sim DESC, p.vec_id) AS arank
+      | FROM pref p
+      | WHERE p.pref = 3
+      |  AND p.vec_id NOT IN (SELECT vec_id FROM a1)
+      |  AND p.vec_id NOT IN (SELECT vec_id FROM a2)),
+      |a3 AS (
+      | SELECT r.vec_id, r.centroid_id, r.cos_sim, 3 AS pref_used
+      | FROM r3 r JOIN rem2 m USING (centroid_id)
+      | WHERE r.arank <= m.rem),
+      |asg AS (
+      | SELECT vec_id, centroid_id FROM a1
+      | UNION ALL SELECT vec_id, centroid_id FROM a2
+      | UNION ALL SELECT vec_id, centroid_id FROM a3)""".stripMargin
 
   private lazy val oracleBase: Map[String, String] = Map(
     "rx_map" ->
@@ -1826,27 +1905,41 @@ object SparkEntry {
         | FROM s)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // both graph keys re-derive the capacity-capped assignment
+    // (dynamic nlist = ceil(n/200), 3 unrolled deferred-acceptance
+    // rounds — the emb_capped_assign CTE family generalized), then
+    // run the within-cluster kNN on the assigned clusters
     "ann_knn_graph" ->
-      """WITH p AS (
-        | SELECT a.label, a.vec_id AS src_id, b.vec_id AS dst_id,
+      (cappedAsgSql +
+      """,
+        |mem AS (
+        | SELECT a.centroid_id AS cluster_id, a.vec_id, e.embedding
+        | FROM asg a JOIN embeddings e USING (vec_id)),
+        |p AS (
+        | SELECT a.cluster_id, a.vec_id AS src_id, b.vec_id AS dst_id,
         |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
         |  / sqrt(list_sum(list_transform(a.embedding,
         |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
         |     * list_sum(list_transform(b.embedding,
         |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
-        | FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id <> b.vec_id),
+        | FROM mem a JOIN mem b
+        |  ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
         |r AS (
-        | SELECT label, src_id, dst_id, cos_sim,
+        | SELECT cluster_id, src_id, dst_id, cos_sim,
         |  row_number() OVER (PARTITION BY src_id
         |    ORDER BY cos_sim DESC, dst_id) AS rank
         | FROM p)
-        |SELECT CAST(label AS BIGINT) AS label, src_id,
+        |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, src_id,
         | CAST(rank AS BIGINT) AS rank, dst_id, cos_sim
-        |FROM r WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
+        |FROM r WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin),
     "ann_hubness" ->
-      """WITH p AS (
+      (cappedAsgSql +
+      """,
+        |mem AS (
+        | SELECT a.centroid_id AS cluster_id, a.vec_id, e.embedding
+        | FROM asg a JOIN embeddings e USING (vec_id)),
+        |p AS (
         | SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
         |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
@@ -1854,8 +1947,8 @@ object SparkEntry {
         |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
         |     * list_sum(list_transform(b.embedding,
         |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
-        | FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id <> b.vec_id),
+        | FROM mem a JOIN mem b
+        |  ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
         |r AS (
         | SELECT src_id, dst_id,
         |  row_number() OVER (PARTITION BY src_id
@@ -1865,11 +1958,11 @@ object SparkEntry {
         | SELECT dst_id AS vec_id, count(*) AS in_degree
         | FROM r WHERE rank <= 5 GROUP BY 1),
         |alln AS (
-        | SELECT v.vec_id, coalesce(ind.in_degree, 0) AS in_degree
-        | FROM embeddings v LEFT JOIN ind ON v.vec_id = ind.vec_id)
+        | SELECT a.vec_id, coalesce(ind.in_degree, 0) AS in_degree
+        | FROM asg a LEFT JOIN ind ON a.vec_id = ind.vec_id)
         |SELECT CAST(in_degree AS BIGINT) AS in_degree,
         | count(*) AS n_vecs
-        |FROM alln GROUP BY 1 ORDER BY in_degree""".stripMargin,
+        |FROM alln GROUP BY 1 ORDER BY in_degree""".stripMargin),
     "emb_outliers" ->
       """WITH c AS (
         | SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
@@ -5939,6 +6032,23 @@ object SparkEntry {
         |SELECT doc_id, lang, CAST(rank_in_class AS BIGINT)
         |  AS rank_in_class
         |FROM r, q WHERE rank_in_class <= quota
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // the md5-prefix Bernoulli draw is the importance-sample idiom;
+    // quota/count thresholds are exact floor-ppm integers
+    "pipeline_class_balance_fast" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS cn FROM documents GROUP BY lang),
+        |q AS (SELECT min(cn) AS quota FROM counts),
+        |th AS (
+        |  SELECT lang, quota * 1000000 // cn AS keep_ppm
+        |  FROM counts, q)
+        |SELECT d.doc_id, d.lang,
+        | ('0x' || substr(md5('cb:' || CAST(d.doc_id AS VARCHAR)), 1, 7))
+        |   ::BIGINT % 1000000 AS u_ppm,
+        | th.keep_ppm
+        |FROM documents d JOIN th USING (lang)
+        |WHERE ('0x' || substr(md5('cb:' || CAST(d.doc_id AS VARCHAR)), 1, 7))
+        |   ::BIGINT % 1000000 < th.keep_ppm
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

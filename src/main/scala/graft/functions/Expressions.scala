@@ -601,6 +601,49 @@ object Kernels {
     bestId
   }
 
+  /** Top-R centroids by cosine for one row vector, in rank order —
+    * the multi-preference generalization of [[cosineArgmax]]. The
+    * insertion sort keeps entries ordered (cos desc, id asc): cents
+    * is id-sorted, so iterating ascending with a STRICT `>` on the
+    * displacement test reproduces exactly the total order of
+    * row_number() OVER (ORDER BY cos_sim DESC, centroid_id) — the
+    * narrow replacement for the n×nlist crossJoin + per-vector rank
+    * window (that window shuffles the full preference matrix; this
+    * shuffles nothing). O(nlist·R) per row with R ≤ a handful. */
+  def cosineTopR(vec: ArrayData, cents: ArrayData, r: Int): ArrayData = {
+    val n = cents.numElements()
+    val keep = math.min(r, n)
+    val ids = new Array[Long](keep)
+    val sims = new Array[Double](keep)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 2)
+      val id = row.getLong(0)
+      val sim = cosine(vec, row.getArray(1))
+      if (filled < keep || sim > sims(filled - 1)) {
+        // insertion index: after every entry with sim >= this one
+        // (equal sims keep the earlier = smaller id first)
+        var pos = if (filled < keep) filled else keep - 1
+        while (pos > 0 && sims(pos - 1) < sim) pos -= 1
+        var j = math.min(filled, keep - 1)
+        while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
+        sims(pos) = sim
+        ids(pos) = id
+        if (filled < keep) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    var k = 0
+    while (k < filled) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](ids(k), sims(k)))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Int8 quantization audit in one codegen pass (struct result):
     * symmetric per-vector scale = max|x| / 127, q = clamped
     * floor(x/scale + 0.5), reported as exact floor-scaled BIGINT error
@@ -919,6 +962,26 @@ case class CosineArgmaxExpr(left: Expression, right: Expression)
       : CosineArgmaxExpr = copy(left = l, right = r)
 }
 
+/** Top-R centroids by cosine (rank order) for a row vector against a
+  * broadcast (centroid_id, c_emb) struct array — one narrow pass
+  * ([[Kernels.cosineTopR]]). */
+case class CosineTopRExpr(left: Expression, right: Expression, r: Int)
+    extends BinaryExpression {
+  require(r > 0, s"top-R width must be positive, got $r")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(vec: Any, cents: Any): Any =
+    Kernels.cosineTopR(vec.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.Kernels.cosineTopR($v, $c, $r)")
+  override protected def withNewChildrenInternal(l: Expression, rr: Expression)
+      : CosineTopRExpr = copy(left = l, right = rr)
+}
+
 /** One-pass int8 quantization audit of an array<float> column:
   * struct(nonzero, scale, abs_err_scaled, max_err_scaled). */
 case class QuantizeAuditExpr(child: Expression) extends UnaryExpression {
@@ -1019,6 +1082,10 @@ object GraftFunctions {
   /** Argmax-cosine centroid id against a broadcast centroid array. */
   def cosine_argmax(vec: Column, cents: Column): Column =
     toCol(CosineArgmaxExpr(toExpr(vec), toExpr(cents)))
+
+  /** Top-R (centroid_id, cos_sim) preferences in rank order. */
+  def cosine_top_r(vec: Column, cents: Column, r: Int): Column =
+    toCol(CosineTopRExpr(toExpr(vec), toExpr(cents), r))
 
   /** Argmin-L2 (code, d2) against a broadcast PQ codebook array. */
   def l2_argmin(vec: Column, cents: Column): Column =

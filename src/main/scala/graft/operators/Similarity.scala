@@ -447,27 +447,38 @@ object Similarity {
     * engine and the oracle — the gate stays exact either way, and
     * the balance spec asserts emptiness at the build SF.
     *
-    * Scale shape: preferences are the ann_ivf qprobes crossJoin
-    * against the nlist-row broadcast seed frame (n×nlist narrow
-    * rows); each round's acceptance is one window per centroid
-    * partition — that task ranks the centroid's O(n/nlist)
-    * proposals, which is the SAME per-list volume an IVF deployment
-    * already accepts (nlist grows with the corpus; the list length,
-    * not the corpus, is the unit of work); capacity frames are
-    * nlist-row broadcasts. */
+    * Scale shape: preferences come from the NARROW top-R kernel
+    * ([[GraftFunctions.cosine_top_r]]) against the one-row broadcast
+    * centroid array — the acceptance loop only ever consults prefs
+    * 1..rounds, so only n×rounds preference rows exist (the old
+    * n×nlist crossJoin + per-vector rank window shuffled the full
+    * preference matrix, which at nlist ∝ corpus/listSize is
+    * n²/listSize rows — a non-starter); each round's acceptance is
+    * one window per centroid partition — that task ranks the
+    * centroid's O(n/nlist) proposals, which is the SAME per-list
+    * volume an IVF deployment already accepts (nlist grows with the
+    * corpus; the list length, not the corpus, is the unit of work);
+    * capacity frames are nlist-row broadcasts. Per-row assignment
+    * cost is nlist cosines — the standard flat-IVF build contract;
+    * past ~100k centroids swap the linear centroid scan for a
+    * centroid-level ANN index (the plan shape is unchanged). */
   def cappedAssign(embs: DataFrame, nlist: Int = 16, rounds: Int = 3)
       : DataFrame = {
     val cents = embs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(
+        col("centroid_id").cast("long").as("centroid_id"), col("c_emb"))))
+        .as("cents"))
     val total = embs.agg(count(lit(1)).as("bign"))
     val prefs = embs
       .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_sim",
-        GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
-      .withColumn("pref", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("cos_sim").desc, col("centroid_id"))))
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), posexplode(
+        GraftFunctions.cosine_top_r(col("embedding"), col("cents"), rounds)))
+      .select(col("vec_id"), (col("pos") + 1).as("pref"),
+        col("col.centroid_id").as("centroid_id"),
+        col("col.cos_sim").as("cos_sim"))
       .crossJoin(broadcast(total))
       .withColumn("cap",
         expr(s"(bign * 5 + ${4 * nlist - 1}) div ${4 * nlist}"))
@@ -656,25 +667,38 @@ object Similarity {
           - element_at(vLit, col("dim") + 1) * col("t")).as("corrected"))
   }
 
-  /** Within-cluster exact kNN graph: each vector's top-k nearest
+  /** Within-LABEL exact kNN graph: each vector's top-k nearest
     * same-label neighbors by cosine — the neighbor structure behind
     * SemDeDup pruning, kNN-classification audits and graph-based
-    * diversity sampling. The partition key is the coarse cluster
-    * (here the `label` column; in production the IVF assignment from
-    * [[assignCentroids]], whose list sizes are bounded by the k-means
-    * balance), so the pair scan is co-partitioned: ONE shuffle of
-    * each side on the cluster key, O(m²) work strictly inside a
-    * bounded list, never across the corpus. This is the honest 100 TB
-    * form of a kNN graph — the global-exact variant is inherently
-    * quadratic and exists only as [[bruteForceTopK]] for bounded
-    * query sets. Cosine is the shared codegen kernel; rank ties break
-    * on neighbor id, so the graph is a pure function of the corpus. */
-  def knnGraph(embs: DataFrame, k: Int = 5): DataFrame = {
-    val a = embs.select(col("label").cast("long").as("label"),
+    * diversity sampling. AUDIT-SCOPED: the partition key is the
+    * organic `label`, so Σ|cluster|² grows however the labels grow —
+    * use this to inspect a label taxonomy, and [[knnGraphCapped]]
+    * (the gated production form) when the corpus scales, because its
+    * capacity-capped clusters bound the pair work by construction.
+    * The global-exact variant is inherently quadratic and exists only
+    * as [[bruteForceTopK]] for bounded query sets. Cosine is the
+    * shared codegen kernel; rank ties break on neighbor id, so the
+    * graph is a pure function of the corpus. */
+  def knnGraph(embs: DataFrame, k: Int = 5): DataFrame =
+    knnGraphWithin(
+      embs.select(col("label").cast("long").as("cluster_id"),
+        col("vec_id"), col("embedding")), k)
+      .withColumnRenamed("cluster_id", "label")
+
+  /** Within-cluster exact kNN over an explicit (cluster_id, vec_id,
+    * embedding) frame: ONE shuffle of each side on the cluster key,
+    * O(m²) pair work strictly inside a cluster. The caller owns the
+    * cluster-size contract — [[knnGraph]] passes the organic label
+    * (audit-scoped: Σ|cluster|² grows with the label's growth);
+    * [[knnGraphCapped]] passes the capacity-capped assignment, whose
+    * worst cluster is bounded by the index build at ANY corpus size. */
+  private[operators] def knnGraphWithin(clustered: DataFrame, k: Int)
+      : DataFrame = {
+    val a = clustered.select(col("cluster_id"),
       col("vec_id").as("src_id"), col("embedding").as("src_emb"))
-    val b = embs.select(col("label").cast("long").as("label"),
+    val b = clustered.select(col("cluster_id"),
       col("vec_id").as("dst_id"), col("embedding").as("dst_emb"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("cluster_id"))
       .filter(col("src_id") =!= col("dst_id"))
       .withColumn("cos_sim",
         GraftFunctions.cosine_sim(col("src_emb"), col("dst_emb")))
@@ -682,8 +706,56 @@ object Similarity {
         Window.partitionBy("src_id")
           .orderBy(col("cos_sim").desc, col("dst_id"))))
       .filter(col("rank") <= k)
-      .select(col("label"), col("src_id"),
+      .select(col("cluster_id"), col("src_id"),
         col("rank").cast("long").as("rank"), col("dst_id"), col("cos_sim"))
+  }
+
+  /** Capacity-capped assignment frame for graph-shaped consumers:
+    * nlist grows with the corpus at a FIXED target list size, so the
+    * per-cluster membership — and with it every Σ|cluster|² contract
+    * downstream — is bounded by construction (cap = ceil(1.25 ·
+    * targetList)) instead of by an organic label's growth. The
+    * corpus count read here is one scalar (a partition-predicate-
+    * class collect). */
+  private[graft] def cappedClusters(embs: DataFrame,
+      targetList: Int, rounds: Int): DataFrame = {
+    val n = embs.agg(count(lit(1))).head().getLong(0)
+    val nlist = math.max(1L, (n + targetList - 1) / targetList).toInt
+    cappedAssign(embs, nlist, rounds)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+      .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+  }
+
+  /** Exact kNN graph over capacity-capped clusters — the 100 TB form
+    * of [[knnGraph]]: the grouping key is the deferred-acceptance
+    * capped assignment ([[cappedAssign]]) at a fixed target list
+    * size, so pair work is Σ|cluster|² ≤ nlist·cap² ≈ 1.56·targetList
+    * ·n — LINEAR in the corpus at any scale (the organic-label form
+    * is audit-scoped: its worst cluster grows with the label). The
+    * assignment itself is the narrow flat-IVF build scan (nlist
+    * cosines per row, no corpus exchange); vectors unassigned after
+    * the fixed acceptance rounds are dropped by engine and oracle
+    * alike (none at 25% slack on the gate corpus — spec-asserted). */
+  def knnGraphCapped(embs: DataFrame, k: Int = 5, targetList: Int = 200,
+                     rounds: Int = 3): DataFrame =
+    knnGraphWithin(cappedClusters(embs, targetList, rounds), k)
+
+  /** [[hubnessAudit]] over the capacity-capped kNN graph
+    * ([[knnGraphCapped]]) — same histogram, bounded-cluster cost.
+    * The in-degree-0 restore joins against the ASSIGNED vector set
+    * (the graph's universe). */
+  def hubnessAuditCapped(embs: DataFrame, k: Int = 5,
+                         targetList: Int = 200, rounds: Int = 3)
+      : DataFrame = {
+    val clustered = cappedClusters(embs, targetList, rounds)
+    val indeg = knnGraphWithin(clustered, k)
+      .groupBy(col("dst_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    clustered.select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_vecs"))
   }
 
   /** Matryoshka truncation audit: recall@k of brute-force retrieval
@@ -863,7 +935,9 @@ object Similarity {
     * in-degree mass on a few "hub" points (Radovanović JMLR'10) while
     * anti-hubs (in-degree 0) vanish from every neighbor list; a
     * skewed histogram is the standard early-warning that cosine
-    * retrieval quality is degrading. The graph's edge frame collapses
+    * retrieval quality is degrading. Audit-scoped like [[knnGraph]]
+    * (organic-label clusters); [[hubnessAuditCapped]] is the gated
+    * bounded-cluster form. The graph's edge frame collapses
     * to per-dst counts (partial-aggregable), the right join against
     * the corpus id frame restores the in-degree-0 anti-hubs, and the
     * final histogram is a second tiny rollup — nothing wider than

@@ -43,6 +43,41 @@ class InventorySpec extends AnyFunSuite {
       s"queries keys missing a SURVEY §2 row: $undocumented")
   }
 
+  test("SURVEY §2.9 coverage map == the public ReactiveStreams def surface") {
+    val lines = scala.io.Source.fromFile("SURVEY.md")("UTF-8").getLines()
+      .dropWhile(!_.startsWith("### §2.9"))
+      .takeWhile(!_.startsWith("### §2.10"))
+      .toList
+    val mapLines = lines.dropWhile(!_.contains("coverage map"))
+    val pair = "`([A-Za-z0-9_]+)`→([0-9][0-9a-z]*)".r
+    val pairs = mapLines.flatMap(l =>
+      pair.findAllMatchIn(l).map(m => (m.group(1), m.group(2))))
+    assert(pairs.nonEmpty, "coverage map missing from SURVEY §2.9")
+    val mappedDefs = pairs.map(_._1)
+    assert(mappedDefs.distinct.size === mappedDefs.size,
+      s"defs mapped twice: ${mappedDefs.diff(mappedDefs.distinct)}")
+    // the public def surface, by reflection (private defs compile to
+    // private methods; lambdas/default-arg helpers carry '$')
+    val publicDefs = graft.streaming.ReactiveStreams.getClass
+      .getDeclaredMethods
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(_.getName)
+      .filterNot(_.contains("$"))
+      .toSet
+    val unmapped = publicDefs -- mappedDefs.toSet
+    val stale = mappedDefs.toSet -- publicDefs
+    assert(unmapped.isEmpty,
+      s"public streaming defs with no §2.9 coverage-map entry: $unmapped")
+    assert(stale.isEmpty, s"coverage-map entries with no def: $stale")
+    // every mapped row id must be an actual §2.9 table row
+    val rowId = "^\\| ([0-9][0-9a-z]*) \\|".r
+    val rowIds = lines.flatMap(l =>
+      rowId.findFirstMatchIn(l).map(_.group(1))).toSet
+    val ghostRows = pairs.map(_._2).toSet -- rowIds
+    assert(ghostRows.isEmpty,
+      s"coverage map points at nonexistent §2.9 rows: $ghostRows")
+  }
+
   test("every gated query has an exact oracle (no silent rows-only fallback)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")

@@ -386,7 +386,8 @@ class PlanSpec extends AnyFunSuite {
     // CartesianProduct would mean the cluster key fell out of the
     // join) and WindowGroupLimit must prune to k per src BEFORE the
     // rank exchange, so only candidate top-k rows ride the shuffle
-    assert(p.contains("Join [label"), s"pair join not label-keyed:\n$p")
+    // (the label passes through knnGraphWithin as `cluster_id`)
+    assert(p.contains("Join [cluster_id"), s"pair join not cluster-keyed:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in knnGraph:\n$p")
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"no partial top-k pruning before the rank exchange:\n$p")
