@@ -306,11 +306,22 @@ object SparkEntry {
     // composite stays hash-exact end to end
     "dedup_union_cluster" -> ((s, d) => {
       val dd = docs(s, d)
-      val pairs = Dedup.minhashLsh(dd, auditable = true)
+      // ONE corpus tokenize/shingle/sign/key scan, checkpointed and
+      // shared by all three families (r7: each family used to
+      // re-derive its features — ~3 redundant corpus scans)
+      val feats = Dedup.pairFeatures(dd, auditable = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup
+        .minhashLshFrom(feats.select(col("doc_id"), col("sh")),
+          auditable = true)
         .select("doc1", "doc2")
-        .unionByName(Dedup.simhash(dd, maxHamming = 3, auditable = true)
+        .unionByName(Dedup.simhashFrom(
+          feats.select(col("doc_id"), col("sig")),
+          maxHamming = 3, auditable = true).select("doc1", "doc2"))
+        .unionByName(Dedup.sortedNeighborhoodFrom(
+          feats.select(col("doc_id"),
+            array_distinct(col("sh")).as("sh"), col("bkey")))
           .select("doc1", "doc2"))
-        .unionByName(Dedup.sortedNeighborhood(dd).select("doc1", "doc2"))
         .distinct()
       Dedup.connectedComponents(pairs, dd).orderBy("doc_id")
     }),

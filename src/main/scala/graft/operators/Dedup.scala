@@ -82,7 +82,17 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, bands: Int = 16, rows: Int = 4,
                  threshold: Double = 0.5, auditable: Boolean = false,
-                 maxBucket: Int = 1024): DataFrame = {
+                 maxBucket: Int = 1024): DataFrame =
+    minhashLshFrom(shingleFrame(docs), bands, rows, threshold,
+      auditable, maxBucket)
+
+  /** [[minhashLsh]] over a pre-derived (doc_id, sh) shingle frame —
+    * the shared-scan entry the union composite uses so the corpus is
+    * tokenized/shingled ONCE across pair families instead of per
+    * family (at 100 TB each re-derivation is a full corpus scan). */
+  def minhashLshFrom(shFrame: DataFrame, bands: Int = 16, rows: Int = 4,
+                     threshold: Double = 0.5, auditable: Boolean = false,
+                     maxBucket: Int = 1024): DataFrame = {
     require(maxBucket > 1, "maxBucket must be > 1")
     // candidate generation on (band, bucket-hash, id) ONLY — the
     // shingle arrays must NOT ride through the explode/shuffle/join
@@ -91,7 +101,7 @@ object Dedup {
     // pair set. Band keys come from the single-pass codegen kernel.
     // auditable = md5 family (cross-engine reproducible buckets; the
     // oracle-gate family); default = xxhash64 throughput family.
-    val buckets = bandBuckets(docs, bands, rows, auditable)
+    val buckets = bandBuckets(shFrame, bands, rows, auditable)
     val bstats = buckets.groupBy("band", "bh")
       .agg(count(lit(1)).as("bsize"), min("doc_id").as("rep"))
     val annotated = buckets.join(bstats, Seq("band", "bh"))
@@ -106,9 +116,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc1"), col("doc_id").as("doc2"))
     val pairs = pairsAll.unionByName(pairsStar).distinct()
-    val sets = docs
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sets = shFrame.filter(size(col("sh")) > 0)
     pairs
       .join(sets.select(col("doc_id").as("doc1"), col("sh").as("sh1")), "doc1")
       .join(sets.select(col("doc_id").as("doc2"), col("sh").as("sh2")), "doc2")
@@ -117,6 +125,31 @@ object Dedup {
           size(array_union(col("sh1"), col("sh2"))))
       .filter(col("jaccard") >= threshold)
       .select("doc1", "doc2", "jaccard")
+  }
+
+  /** (doc_id, sh) raw 3-gram shingle frame — the single-family
+    * derivation [[minhashLsh]] wraps around [[minhashLshFrom]]. */
+  private def shingleFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+
+  /** ONE-scan shared feature frame for the union-of-families
+    * composite: raw shingles (minhash buckets + Jaccard verify),
+    * simhash signature, and the SNM blocking key, all derived from a
+    * single tokenize pass over the corpus. The composite checkpoints
+    * this frame and feeds the `*From` family entries
+    * ([[minhashLshFrom]]/[[simhashFrom]]/[[sortedNeighborhoodFrom]]),
+    * so a 3-family admission pipeline scans the corpus once instead
+    * of three times — at 100 TB those re-derivations were the
+    * composite's dominant redundant cost. SNM's distinct-shingle
+    * form is `array_distinct(sh)` on top of the shared column (no
+    * re-shingle). */
+  def pairFeatures(docs: DataFrame, auditable: Boolean = false,
+                   keyLen: Int = 24): DataFrame = {
+    val t = toks(col("text"))
+    val sig = if (auditable) GraftFunctions.md5_simhash60(t)
+              else GraftFunctions.simhash64(t)
+    docs.select(col("doc_id"), shingles(t).as("sh"), sig.as("sig"),
+      substring(lower(trim(col("text"))), 1, keyLen).as("bkey"))
   }
 
   /** SimHash near-dup pairs: 64-bit simhash (custom codegen
@@ -159,6 +192,21 @@ object Dedup {
   def simhash(docs: DataFrame, maxHamming: Int = 3,
               auditable: Boolean = false,
               maxBucket: Int = 4096): DataFrame = {
+    val sigExpr =
+      if (auditable) GraftFunctions.md5_simhash60(toks(col("text")))
+      else GraftFunctions.simhash64(toks(col("text")))
+    simhashFrom(docs.select(col("doc_id"), sigExpr.as("sig")),
+      maxHamming, auditable, maxBucket)
+  }
+
+  /** [[simhash]] over a pre-derived (doc_id, sig) signature frame —
+    * the shared-scan entry for the union composite ([[minhashLshFrom]]
+    * contract: the corpus is tokenized once, per-family derivations
+    * ride the shared frame). `auditable` must match the family the
+    * signatures were derived with (it fixes the chunk geometry). */
+  def simhashFrom(sigs: DataFrame, maxHamming: Int = 3,
+                  auditable: Boolean = false,
+                  maxBucket: Int = 4096): DataFrame = {
     require(maxBucket > 1, "maxBucket must be > 1")
     require(maxHamming < 16,
       s"maxHamming=$maxHamming: 4-bit chunks only guarantee recall to 15")
@@ -170,10 +218,6 @@ object Dedup {
     val numChunks = if (maxHamming < 4) 4 else if (maxHamming < 8) 8 else 16
     val width = sigBits / numChunks
     val mask = (1L << width) - 1
-    val sigExpr =
-      if (auditable) GraftFunctions.md5_simhash60(toks(col("text")))
-      else GraftFunctions.simhash64(toks(col("text")))
-    val sigs = docs.select(col("doc_id"), sigExpr.as("sig"))
     val chunkStructs = (0 until numChunks).map { c =>
       struct(lit(c).as("chunk_id"),
         shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
@@ -215,13 +259,12 @@ object Dedup {
     * the candidate-generation frame [[minhashLsh]] self-joins and
     * [[minhashWriteIndex]] persists. Band keys from the single-pass
     * codegen kernel; md5 family when auditable. */
-  private def bandBuckets(docs: DataFrame, bands: Int, rows: Int,
+  private def bandBuckets(shFrame: DataFrame, bands: Int, rows: Int,
                           auditable: Boolean): DataFrame = {
     val bandKeys =
       if (auditable) GraftFunctions.md5_minhash_bands(col("sh"), bands, rows)
       else GraftFunctions.minhash_bands(col("sh"), bands, rows)
-    docs
-      .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
+    shFrame
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), posexplode(bandKeys))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
@@ -240,7 +283,7 @@ object Dedup {
     * broadcasts. */
   def minhashWriteIndex(docs: DataFrame, dir: String, bands: Int = 16,
                         rows: Int = 4, auditable: Boolean = false): Unit = {
-    bandBuckets(docs, bands, rows, auditable)
+    bandBuckets(shingleFrame(docs), bands, rows, auditable)
       .write.mode("overwrite").parquet(dir + "/postings")
     docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -253,7 +296,7 @@ object Dedup {
     * ([[minhashProbeIndex]]) and upsert only admitted docs. */
   def minhashUpsertIndex(docs: DataFrame, dir: String, bands: Int = 16,
                          rows: Int = 4, auditable: Boolean = false): Unit = {
-    bandBuckets(docs, bands, rows, auditable)
+    bandBuckets(shingleFrame(docs), bands, rows, auditable)
       .write.mode("append").parquet(dir + "/postings")
     docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -274,7 +317,7 @@ object Dedup {
                         threshold: Double = 0.5, bands: Int = 16,
                         rows: Int = 4, auditable: Boolean = false)
       : DataFrame = {
-    val probes = bandBuckets(batch, bands, rows, auditable)
+    val probes = bandBuckets(shingleFrame(batch), bands, rows, auditable)
       .select(col("band"), col("bh"), col("doc_id").as("doc2"))
     val cand = spark.read.parquet(dir + "/postings")
       .join(broadcast(probes), Seq("band", "bh"))
@@ -354,15 +397,23 @@ object Dedup {
     * domain key (title, URL path) in production. */
   def sortedNeighborhood(docs: DataFrame, window: Int = 5,
                          threshold: Double = 0.5, keyLen: Int = 24,
-                         parts: Int = 32): DataFrame = {
-    require(window >= 1, "window must be >= 1")
-    // DISTINCT shingle sets: array_intersect dedups, so the size
-    // arithmetic below is only exact over distinct arrays
-    val keyed = docs
+                         parts: Int = 32): DataFrame =
+    sortedNeighborhoodFrom(docs
       .select(col("doc_id"),
         array_distinct(shingles(toks(col("text")))).as("sh"),
-        substring(lower(trim(col("text"))), 1, keyLen).as("bkey"))
-      .filter(size(col("sh")) > 0)
+        substring(lower(trim(col("text"))), 1, keyLen).as("bkey")),
+      window, threshold, parts)
+
+  /** [[sortedNeighborhood]] over a pre-derived (doc_id, sh, bkey)
+    * frame — `sh` must be the DISTINCT shingle set (array_intersect
+    * dedups, so the Jaccard size arithmetic is only exact over
+    * distinct arrays) and `bkey` the blocking key. Shared-scan entry
+    * for the union composite. */
+  def sortedNeighborhoodFrom(keyedIn: DataFrame, window: Int = 5,
+                             threshold: Double = 0.5,
+                             parts: Int = 32): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val keyed = keyedIn.filter(size(col("sh")) > 0)
     val parted = keyed.select(col("doc_id"), col("bkey"))
       .repartitionByRange(parts, col("bkey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())

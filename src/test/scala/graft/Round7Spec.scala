@@ -137,6 +137,28 @@ class Round7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("shared-scan pairFeatures composite == per-family derivations") {
+    // the union composite now derives (sh, sig, bkey) in ONE corpus
+    // scan and feeds the *From entries; pair sets must be identical
+    // to the original per-family derivations, family by family
+    val dd = Tables.documents(spark, sf)
+    val feats = Dedup.pairFeatures(dd, auditable = true).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc1", "doc2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.minhashLshFrom(
+        feats.select(col("doc_id"), col("sh")), auditable = true))
+      === pairSet(Dedup.minhashLsh(dd, auditable = true)))
+    assert(pairSet(Dedup.simhashFrom(
+        feats.select(col("doc_id"), col("sig")),
+        maxHamming = 3, auditable = true))
+      === pairSet(Dedup.simhash(dd, maxHamming = 3, auditable = true)))
+    assert(pairSet(Dedup.sortedNeighborhoodFrom(feats.select(
+        col("doc_id"), array_distinct(col("sh")).as("sh"), col("bkey"))))
+      === pairSet(Dedup.sortedNeighborhood(dd)))
+    feats.unpersist()
+  }
+
   test("knnGraphCapped ranking parity with a per-cluster brute force") {
     // independent re-derivation: take the capped clusters, compute
     // each member's top-k by a driver-side brute force, compare
