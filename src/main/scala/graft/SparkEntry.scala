@@ -937,6 +937,8 @@ object SparkEntry {
       Reactive.rxHysteresis(ev(s, d)).orderBy("user_id", "event_id")),
     "emb_capped_assign" -> ((s, d) =>
       Similarity.cappedAssign(embs(s, d)).orderBy("vec_id")),
+    "emb_capped_lloyd" -> ((s, d) =>
+      Similarity.cappedLloyd(embs(s, d)).orderBy("vec_id")),
     "dedup_report" -> ((s, d) =>
       Dedup.dedupReport(docs(s, d)).orderBy("source")),
     "dq_drift" -> ((s, d) => Sampling.qualityDrift(docs(s, d)))
@@ -1088,6 +1090,95 @@ object SparkEntry {
       | SELECT vec_id, centroid_id FROM a1
       | UNION ALL SELECT vec_id, centroid_id FROM a2
       | UNION ALL SELECT vec_id, centroid_id FROM a3)""".stripMargin
+
+  /** One unrolled deferred-acceptance iteration for the capped-LLOYD
+    * oracle: the emb_capped_assign CTE chain parameterized by an
+    * iteration suffix and the centroid CTE it assigns against
+    * (requires `cap(cap)` already in scope). Emits
+    * `asg{sfx}(vec_id, centroid_id, cos_sim, pref_used)`. */
+  private def cappedIterSql(sfx: String, cents: String): String =
+    s"""prefraw$sfx AS (
+       | SELECT e.vec_id, c.centroid_id,
+       |  list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+       |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |  / sqrt(list_sum(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+       |    * list_sum(list_transform(c.c_emb,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos_sim
+       | FROM embeddings e, $cents c),
+       |pref$sfx AS (
+       | SELECT vec_id, centroid_id, cos_sim,
+       |  row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cos_sim DESC, centroid_id) AS pref
+       | FROM prefraw$sfx),
+       |r${sfx}1 AS (
+       | SELECT p.*, row_number() OVER (PARTITION BY centroid_id
+       |  ORDER BY cos_sim DESC, vec_id) AS arank
+       | FROM pref$sfx p WHERE pref = 1),
+       |a${sfx}1 AS (
+       | SELECT vec_id, centroid_id, cos_sim, 1 AS pref_used
+       | FROM r${sfx}1, cap WHERE arank <= cap),
+       |rem${sfx}1 AS (
+       | SELECT c.centroid_id,
+       |  (SELECT cap FROM cap) - count(a.vec_id) AS rem
+       | FROM $cents c LEFT JOIN a${sfx}1 a ON a.centroid_id = c.centroid_id
+       | GROUP BY c.centroid_id),
+       |r${sfx}2 AS (
+       | SELECT p.*, row_number() OVER (PARTITION BY p.centroid_id
+       |  ORDER BY p.cos_sim DESC, p.vec_id) AS arank
+       | FROM pref$sfx p
+       | WHERE p.pref = 2
+       |  AND p.vec_id NOT IN (SELECT vec_id FROM a${sfx}1)),
+       |a${sfx}2 AS (
+       | SELECT r.vec_id, r.centroid_id, r.cos_sim, 2 AS pref_used
+       | FROM r${sfx}2 r JOIN rem${sfx}1 m USING (centroid_id)
+       | WHERE r.arank <= m.rem),
+       |rem${sfx}2 AS (
+       | SELECT m.centroid_id, m.rem - count(a.vec_id) AS rem
+       | FROM rem${sfx}1 m LEFT JOIN a${sfx}2 a
+       |  ON a.centroid_id = m.centroid_id
+       | GROUP BY m.centroid_id, m.rem),
+       |r${sfx}3 AS (
+       | SELECT p.*, row_number() OVER (PARTITION BY p.centroid_id
+       |  ORDER BY p.cos_sim DESC, p.vec_id) AS arank
+       | FROM pref$sfx p
+       | WHERE p.pref = 3
+       |  AND p.vec_id NOT IN (SELECT vec_id FROM a${sfx}1)
+       |  AND p.vec_id NOT IN (SELECT vec_id FROM a${sfx}2)),
+       |a${sfx}3 AS (
+       | SELECT r.vec_id, r.centroid_id, r.cos_sim, 3 AS pref_used
+       | FROM r${sfx}3 r JOIN rem${sfx}2 m USING (centroid_id)
+       | WHERE r.arank <= m.rem),
+       |asg$sfx AS (
+       | SELECT * FROM a${sfx}1 UNION ALL SELECT * FROM a${sfx}2
+       | UNION ALL SELECT * FROM a${sfx}3)""".stripMargin
+
+  /** Capped-LLOYD oracle: two unrolled capped-acceptance iterations
+    * (nlist = 16) with the scaled-BIGINT mean update between them —
+    * the emb_capped_assign and emb_kmeans oracle families composed. */
+  private lazy val cappedLloydSql: String =
+    s"""WITH lc0 AS (
+       | SELECT vec_id AS centroid_id, embedding AS c_emb
+       | FROM embeddings WHERE vec_id < 16),
+       |t AS (SELECT count(*) AS bign FROM embeddings),
+       |cap AS (SELECT (bign * 5 + 63) // 64 AS cap FROM t),
+       |${cappedIterSql("_l1", "lc0")},
+       |lm AS (
+       | SELECT a.centroid_id, CAST(d.d - 1 AS INT) AS dim,
+       |  sum(CAST(floor(CAST(e.embedding[d.d] AS DOUBLE) * 1e6)
+       |    AS BIGINT)) AS s,
+       |  count(*) AS n
+       | FROM asg_l1 a JOIN embeddings e USING (vec_id), range(1, 65) d(d)
+       | GROUP BY 1, 2),
+       |lc1 AS (
+       | SELECT centroid_id,
+       |  list(CAST(CAST(s AS DOUBLE) / n / 1e6 AS FLOAT) ORDER BY dim)
+       |    AS c_emb
+       | FROM lm GROUP BY centroid_id),
+       |${cappedIterSql("_l2", "lc1")}
+       |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+       | cos_sim, CAST(pref_used AS BIGINT) AS pref_used
+       |FROM asg_l2 ORDER BY vec_id""".stripMargin
 
   private lazy val oracleBase: Map[String, String] = Map(
     "rx_map" ->
@@ -5952,6 +6043,7 @@ object SparkEntry {
         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
         |      UNION ALL SELECT * FROM a3)
         |ORDER BY vec_id""".stripMargin,
+    "emb_capped_lloyd" -> cappedLloydSql,
     "rx_hysteresis" ->
       """WITH c AS (
         | SELECT user_id, event_id,

@@ -463,9 +463,20 @@ object Similarity {
     * past ~100k centroids swap the linear centroid scan for a
     * centroid-level ANN index (the plan shape is unchanged). */
   def cappedAssign(embs: DataFrame, nlist: Int = 16, rounds: Int = 3)
-      : DataFrame = {
-    val cents = embs.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      : DataFrame =
+    cappedAssignTo(embs,
+      embs.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_emb")),
+      nlist, rounds)
+
+  /** [[cappedAssign]] against an EXPLICIT centroid frame
+    * (centroid_id, c_emb) — the re-entrant form [[cappedLloyd]]
+    * alternates with mean updates. `nlist` stays a parameter (not
+    * centroids.count) so the capacity formula is a literal, never a
+    * driver-side action. */
+  def cappedAssignTo(embs: DataFrame, cents: DataFrame, nlist: Int,
+                     rounds: Int = 3): DataFrame = {
     val centsRow = cents.agg(
       array_sort(collect_list(struct(
         col("centroid_id").cast("long").as("centroid_id"), col("c_emb"))))
@@ -511,6 +522,63 @@ object Similarity {
         .localCheckpoint()
     }
     assigned
+  }
+
+  /** Capacity-capped LLOYD (balanced k-means): alternate the
+    * deferred-acceptance capped assignment ([[cappedAssignTo]]) with
+    * the scaled-BIGINT mean update ([[kmeansCentroids]]'s
+    * bit-reproducible recompute) — re-balancing BETWEEN mean updates,
+    * so the index build keeps every list under
+    * cap = ceil(1.25·n/nlist) at every iteration, not just at the
+    * final assignment. Plain Lloyd lets a dominant mode swallow a
+    * list (the cap then only truncates the END state); interleaving
+    * the cap re-balances while the centroids are still moving, which
+    * is what holds list balance under drift.
+    *
+    * Determinism: both halves are the proven bit-stable pieces — the
+    * assignment is the parallel order-independent acceptance
+    * (cosine desc, id tie-breaks), the mean update sums
+    * floor(x·1e6) BIGINTs — so the whole build gates hash-exactly
+    * against the unrolled-CTE oracle at any partitioning.
+    *
+    * Scale shape: per iteration ONE narrow top-R corpus scan
+    * (broadcast centroid row), `rounds` acceptance windows over
+    * O(n/nlist)-sized centroid partitions, and one (nlist×dim)-row
+    * moment reduction whose map-side partials collapse each
+    * partition — the same per-iteration exchange budget as
+    * [[kmeansCentroids]] plus the acceptance windows; nothing
+    * quadratic, nothing driver-side. Vectors unassigned after
+    * `rounds` preferences drop from that iteration's mean update and
+    * from the final assignment (both engine and oracle — documented
+    * [[cappedAssign]] contract; the balance spec asserts emptiness
+    * at the build SF). Returns the FINAL capped assignment
+    * (vec_id, centroid_id, cos_sim, pref_used). */
+  def cappedLloyd(embs: DataFrame, nlist: Int = 16, iters: Int = 2,
+                  rounds: Int = 3): DataFrame = {
+    var cents = embs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      .localCheckpoint()
+    var asg: DataFrame = null
+    for (i <- 1 to iters) {
+      asg = cappedAssignTo(embs, cents, nlist, rounds)
+      if (i < iters) {
+        cents = asg.select("vec_id", "centroid_id")
+          .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+          .select(col("centroid_id"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("centroid_id", "dim")
+          .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("s"),
+            count(lit(1)).as("n"))
+          .groupBy("centroid_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"),
+              (col("s").cast("double") / col("n") / 1e6)
+                .cast("float").as("m")))),
+            e => e.getField("m")).as("c_emb"))
+          .localCheckpoint()
+      }
+    }
+    asg
   }
 
   /** Robust per-dimension scaling (median / IQR): the outlier-proof

@@ -137,6 +137,27 @@ class Round7Spec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("cappedLloyd: iters=1 == cappedAssign; caps hold and balance " +
+      "does not regress after the mean update") {
+    val embs = Tables.embeddings(spark, sf)
+    val one = Similarity.cappedLloyd(embs, nlist = 16, iters = 1)
+    val plain = Similarity.cappedAssign(embs, nlist = 16)
+    assert(one.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(one).count() === 0)
+    val two = Similarity.cappedLloyd(embs, nlist = 16, iters = 2).cache()
+    val n = embs.count()
+    val cap = (n * 5 + 63) / 64
+    val sizes = two.groupBy("centroid_id").count()
+    assert(sizes.agg(max("count")).head.getLong(0) <= cap)
+    // full coverage at the build SF (25% slack empties in <= 3 rounds)
+    assert(two.count() === n)
+    // determinism: the build is bit-stable across re-derivation
+    val again = Similarity.cappedLloyd(embs, nlist = 16, iters = 2)
+    assert(two.exceptAll(again).count() === 0)
+    assert(again.exceptAll(two).count() === 0)
+    two.unpersist()
+  }
+
   test("shared-scan pairFeatures composite == per-family derivations") {
     // the union composite now derives (sh, sig, bkey) in ONE corpus
     // scan and feeds the *From entries; pair sets must be identical
