@@ -158,6 +158,43 @@ class Round7Spec extends AnyFunSuite {
     two.unpersist()
   }
 
+  test("collocations lift survives adversarial token totals " +
+      "(DECIMAL lift path; old BIGINT product wrapped past ~9e12)") {
+    import spark.implicits._
+    // n_total = 1e14 tokens: the old BIGINT staging computed
+    // f * n_total with f <= 1e6, wrapping past 2^63 (~9.2e18) — here
+    // f*N = 5e17..1e20. Expected values re-derived with BigInt.
+    val rows = Seq(
+      // (n_ab, n_a, n_b, n_total)
+      (50000L, 100000L, 200000L, 100000000000000L),
+      (999999L, 1000000L, 1000000L, 100000000000000L),
+      (1L, 2L, 9000000000000L, 100000000000000L))
+    val got = rows.toDF("n_ab", "n_a", "n_b", "n_total")
+      .select(TextAnalysis.liftPpm.as("lift_ppm"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val expect = rows.map { case (ab, a, b, n) =>
+      val v = (BigInt(ab) * 1000000 / a) * n / b
+      if (v.isValidLong) v.toLong.asInstanceOf[AnyRef] else null
+    }
+    assert(got.toSeq === expect)
+    // all three are positive at these magnitudes — the wrapped BIGINT
+    // staging returned garbage (negative) for the first two
+    assert(got.forall(v => v == null || v.asInstanceOf[Long] > 0L))
+    // the old BIGINT staging fails loudly under ANSI (and wrapped
+    // silently pre-ANSI) at exactly these magnitudes — proof the
+    // counts exercise the boundary the DECIMAL path removes
+    val thrown = intercept[Exception] {
+      rows.toDF("n_ab", "n_a", "n_b", "n_total")
+        .select(expr("((n_ab * 1000000) div n_a) * n_total div n_b")
+          .as("old"))
+        .collect()
+    }
+    assert(thrown.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      thrown.getCause != null &&
+        thrown.getCause.getMessage.contains("ARITHMETIC_OVERFLOW"),
+      s"adversarial counts no longer exercise the old overflow: $thrown")
+  }
+
   test("shared-scan pairFeatures composite == per-family derivations") {
     // the union composite now derives (sh, sig, bkey) in ONE corpus
     // scan and feeds the *From entries; pair sets must be identical
