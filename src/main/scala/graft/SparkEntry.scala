@@ -306,22 +306,23 @@ object SparkEntry {
     // composite stays hash-exact end to end
     "dedup_union_cluster" -> ((s, d) => {
       val dd = docs(s, d)
-      // ONE corpus tokenize/shingle/sign/key scan, checkpointed and
-      // shared by all three families (r7: each family used to
-      // re-derive its features — ~3 redundant corpus scans)
-      val feats = Dedup.pairFeatures(dd, auditable = true)
+      // Share only the 8-byte simhash signature across families
+      // (tiny cache, saves simhash's tokenize scan). Materializing
+      // the full shingle frame measured 2x WORSE at sf10 (143 s vs
+      // 70 s recompute-everything vs 67 s this form): building the
+      // columnar cache of per-doc shingle-string arrays costs more
+      // than the tokenize scans it saves, while the signature cache
+      // is ~16 bytes/doc — thousands of times smaller than the
+      // corpus it spares a read of. The *From entries remain the
+      // path for consumers with a persisted feature store.
+      val sigs = Dedup.pairFeatures(dd, auditable = true)
+        .select("doc_id", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup
-        .minhashLshFrom(feats.select(col("doc_id"), col("sh")),
-          auditable = true)
+      val pairs = Dedup.minhashLsh(dd, auditable = true)
         .select("doc1", "doc2")
-        .unionByName(Dedup.simhashFrom(
-          feats.select(col("doc_id"), col("sig")),
-          maxHamming = 3, auditable = true).select("doc1", "doc2"))
-        .unionByName(Dedup.sortedNeighborhoodFrom(
-          feats.select(col("doc_id"),
-            array_distinct(col("sh")).as("sh"), col("bkey")))
-          .select("doc1", "doc2"))
+        .unionByName(Dedup.simhashFrom(sigs, maxHamming = 3,
+          auditable = true).select("doc1", "doc2"))
+        .unionByName(Dedup.sortedNeighborhood(dd).select("doc1", "doc2"))
         .distinct()
       Dedup.connectedComponents(pairs, dd).orderBy("doc_id")
     }),
@@ -355,6 +356,12 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivfpq" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10))
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -2731,6 +2738,105 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
         |  FROM cand)
         |SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // IVFADC: coarse argmax assignment -> residual encode -> one PQ
+    // Lloyd round on residual slices -> per-query ADC table over the
+    // probed lists; scores are integer sums of 1e6-floored per-sub d2
+    "ann_ivfpq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |asg0 AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM embeddings e, cents c),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM asg0 WHERE rn = 1),
+        |res AS (
+        |  SELECT a.vec_id, a.centroid_id,
+        |    list_transform(list_zip(a.embedding, c.c_emb),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL)) AS r
+        |  FROM a JOIN cents c USING (centroid_id)),
+        |sl AS (
+        |  SELECT vec_id, centroid_id, s.s AS sub,
+        |    list_transform(generate_series(1, 16), i -> r[s.s * 16 + i]) AS v
+        |  FROM res, range(0, 4) s(s)),
+        |seeds AS (
+        |  SELECT sub, vec_id AS code, v AS c_v FROM sl WHERE vec_id < 8),
+        |pa1 AS (
+        |  SELECT sl.vec_id, sl.sub, sl.v, c.code,
+        |    row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+        |      list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |        s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |             (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+        |      c.code) AS rn
+        |  FROM sl JOIN seeds c ON c.sub = sl.sub),
+        |pm AS (
+        |  SELECT sub, code, d.d - 1 AS dim,
+        |    sum(CAST(floor(CAST(v[d.d] AS DOUBLE) * 1e6) AS BIGINT)) AS s2,
+        |    count(*) AS n
+        |  FROM pa1, range(1, 17) d(d) WHERE rn = 1 GROUP BY sub, code, d.d),
+        |cb AS (
+        |  SELECT sub, code,
+        |    list(CAST(CAST(s2 AS DOUBLE) / n / 1e6 AS FLOAT) ORDER BY dim)
+        |      AS c_v
+        |  FROM pm GROUP BY sub, code),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT sl.vec_id, sl.sub, c.code,
+        |      row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+        |        list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |          s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |               (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+        |        c.code) AS rn
+        |    FROM sl JOIN cb c ON c.sub = sl.sub) WHERE rn = 1),
+        |qp AS (
+        |  SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+        |    c.centroid_id, c.c_emb,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS pr
+        |  FROM embeddings q, cents c WHERE q.vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, q_emb, centroid_id, c_emb FROM qp WHERE pr <= 4),
+        |qres AS (
+        |  SELECT query_id, centroid_id,
+        |    list_transform(list_zip(q_emb, c_emb),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) AS REAL)) AS r
+        |  FROM probes),
+        |qsl AS (
+        |  SELECT query_id, centroid_id, s.s AS sub,
+        |    list_transform(generate_series(1, 16), i -> r[s.s * 16 + i]) AS qv
+        |  FROM qres, range(0, 4) s(s)),
+        |adc AS (
+        |  SELECT q.query_id, q.centroid_id, q.sub, c.code,
+        |    CAST(floor(list_sum(list_transform(list_zip(q.qv, c.c_v),
+        |      s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |           (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))) * 1e6)
+        |      AS BIGINT) AS d2s
+        |  FROM qsl q JOIN cb c ON c.sub = q.sub),
+        |cand AS (
+        |  SELECT adc.query_id, x.vec_id,
+        |    CAST(sum(adc.d2s) AS BIGINT) AS adc_d2_scaled
+        |  FROM codes co
+        |   JOIN a x ON x.vec_id = co.vec_id
+        |   JOIN adc ON adc.centroid_id = x.centroid_id
+        |    AND adc.sub = co.sub AND adc.code = co.code
+        |  WHERE x.vec_id <> adc.query_id
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, vec_id, adc_d2_scaled,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_d2_scaled, vec_id) AS rank
+        |  FROM cand)
+        |SELECT query_id, rank, vec_id AS neighbor_id, adc_d2_scaled,
+        |  CAST(adc_d2_scaled AS DOUBLE) / 1e6 AS adc_d2
+        |FROM rk WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "ann_recall_audit" ->
       """WITH bq AS (SELECT vec_id AS query_id, embedding AS q_emb

@@ -132,17 +132,22 @@ object Dedup {
   private def shingleFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
 
-  /** ONE-scan shared feature frame for the union-of-families
-    * composite: raw shingles (minhash buckets + Jaccard verify),
-    * simhash signature, and the SNM blocking key, all derived from a
-    * single tokenize pass over the corpus. The composite checkpoints
-    * this frame and feeds the `*From` family entries
-    * ([[minhashLshFrom]]/[[simhashFrom]]/[[sortedNeighborhoodFrom]]),
-    * so a 3-family admission pipeline scans the corpus once instead
-    * of three times — at 100 TB those re-derivations were the
-    * composite's dominant redundant cost. SNM's distinct-shingle
-    * form is `array_distinct(sh)` on top of the shared column (no
-    * re-shingle). */
+  /** ONE-scan shared feature frame: raw shingles (minhash buckets +
+    * Jaccard verify), simhash signature, and the SNM blocking key,
+    * all derived from a single tokenize pass; pairs with the `*From`
+    * family entries ([[minhashLshFrom]]/[[simhashFrom]]/
+    * [[sortedNeighborhoodFrom]]) when a consumer ALREADY persists
+    * these features (a feature store, the minhash index layout).
+    *
+    * Measured caveat for ad-hoc composites: materializing this full
+    * frame to share it is NOT a win — at sf10 the 3-family union
+    * ran 143 s off a persisted full frame vs 70 s re-deriving per
+    * family vs 67 s sharing only the signature column. Building the
+    * columnar cache of per-doc shingle-string arrays (an
+    * intermediate FATTER than the corpus) costs more than the
+    * tokenize scans it saves; the 8-byte/doc `sig` column is the
+    * only feature cheap enough to cache ad hoc. The gated composite
+    * therefore persists `select(doc_id, sig)` only. */
   def pairFeatures(docs: DataFrame, auditable: Boolean = false,
                    keyLen: Int = 24): DataFrame = {
     val t = toks(col("text"))

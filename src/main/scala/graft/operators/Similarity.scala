@@ -1093,4 +1093,120 @@ object Similarity {
         col("distortion_scaled"), col("avg_dist2"))
       .orderBy("sub", "code")
   }
+
+  /** IVFADC search (Jégou et al., TPAMI'11 §IV): the production-scale
+    * composition of the two index halves this module already trains —
+    * IVF coarse pruning ([[ivfTopK]]'s probe) over PQ
+    * compressed-domain scoring ([[pqAudit]]'s codebook), encoded on
+    * RESIDUALS (vector − its coarse centroid), which is what makes
+    * the 8-code-per-subspace budget usable: residuals concentrate
+    * near 0, so the same codebook spends its codes on the part of
+    * the vector the coarse quantizer didn't explain.
+    *
+    * Memory contract at 100 TB: the searched representation is
+    * m log₂(kCodes) bits per vector (4 bytes here vs 256 for the raw
+    * floats — ×64); candidate scoring never touches `embedding`,
+    * only (sub, code) pairs joined against the per-query ADC
+    * lookup table.
+    *
+    * Determinism: per-(probe, sub, code) squared distances floor to
+    * 1e6-scaled BIGINTs and the per-candidate ADC score is their
+    * integer SUM over subspaces — order-independent, so the ranking
+    * (asc score, id tie-break) gates hash-exactly. Residual floats
+    * are CAST(double − double AS FLOAT): exact-rounded identically
+    * in both engines.
+    *
+    * Scale shape: coarse assignment + residual encode are narrow
+    * broadcast-join scans (no corpus exchange); the codebook train
+    * is [[pqAudit]]'s one Lloyd round (two broadcast-assign scans +
+    * (m×kCodes×subDim)-row reductions); the ADC table is
+    * queries×nprobe×m×kCodes rows built broadcast-side; candidate
+    * scoring joins the (centroid_id, vec_id, sub, code) postings
+    * against the broadcast ADC table and integer-sums m rows per
+    * candidate — the only corpus-sized exchange is that final
+    * (query, vec) rollup, already pruned to nprobe lists. The
+    * build recomputes the coarse-assignment scan once per consumer
+    * branch here (narrow, zero-shuffle); a deployment persists the
+    * encoded postings instead — [[ivfWriteIndex]]'s layout with
+    * (sub, code) columns — and pays the scan once at build time.
+    * Residual/ADC HOF lambdas run on m-slice or ADC-table-sized
+    * frames only; the corpus-sized argmin rides the codegen
+    * [[GraftFunctions.l2_argmin]] kernel. */
+  def ivfPqTopK(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
+                nprobe: Int = 4, m: Int = 4, subDim: Int = 16,
+                kCodes: Int = 8, k: Int = 5): DataFrame = {
+    val cents = embs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val resSub = "z -> CAST(CAST(z.%s AS DOUBLE) - CAST(z.c_emb AS DOUBLE)" +
+      " AS FLOAT)"
+    // corpus: narrow argmax coarse assignment -> residual -> m slices
+    val withRes = assignCentroids(embs, cents)
+      .join(broadcast(cents), "centroid_id")
+      .withColumn("res", expr("transform(arrays_zip(embedding, c_emb), " +
+        resSub.format("embedding") + ")"))
+      .select("vec_id", "centroid_id", "res")
+    val sliced = withRes
+      .select(col("vec_id"), col("centroid_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("res"))
+      .select(col("vec_id"), col("centroid_id"), col("sub"),
+        slice(col("res"), col("sub") * subDim + 1, lit(subDim)).as("v"))
+    // PQ codebook: one Lloyd round on residual slices, lowest-id seeds
+    val seeds = sliced.filter(col("vec_id") < kCodes)
+      .select(col("sub"), col("vec_id").cast("long").as("code"),
+        col("v").as("c_v"))
+    val means = assignPq(sliced, seeds)
+      .select(col("sub"), col("code"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("sub", "code", "dim")
+      .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy("sub", "code")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          (col("s").cast("double") / col("n") / 1e6).cast("float")
+            .as("mv")))),
+        e => e.getField("mv")).as("c_v"))
+      .localCheckpoint() // m x kCodes rows; reused by encode AND ADC
+    val postings = assignPq(sliced, means)
+      .select("vec_id", "sub", "code")
+      .join(withRes.select("vec_id", "centroid_id"), "vec_id")
+    // query: top-nprobe coarse probes -> per-probe residual -> ADC table
+    val qprobes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim",
+        GraftFunctions.cosine_sim(col("q_emb"), col("c_emb")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"),
+        col("c_emb"))
+    val qsliced = qprobes
+      .withColumn("qres", expr("transform(arrays_zip(q_emb, c_emb), " +
+        resSub.format("q_emb") + ")"))
+      .select(col("query_id"), col("centroid_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qres"))
+      .select(col("query_id"), col("centroid_id"), col("sub"),
+        slice(col("qres"), col("sub") * subDim + 1, lit(subDim)).as("qv"))
+    val adc = qsliced.join(broadcast(means), "sub")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, c_v, (x, y) -> " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"))
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
+        floor(col("d2") * 1e6).cast("long").as("d2s"))
+    postings.join(broadcast(adc), Seq("centroid_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("d2s").as("adc_d2_scaled"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_d2_scaled").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_d2_scaled"),
+        (col("adc_d2_scaled").cast("double") / 1e6).as("adc_d2"))
+  }
 }

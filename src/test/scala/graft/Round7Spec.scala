@@ -158,6 +158,52 @@ class Round7Spec extends AnyFunSuite {
     two.unpersist()
   }
 
+  test("ivfPqTopK: candidates confined to probed lists, ranks dense, " +
+      "deterministic, and ADC top-5 overlaps the exact top-5") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopK(e, q).cache()
+    // dense ranks 1..5 per query, no self-matches
+    val perQ = got.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+    assert(perQ.filter(col("n") =!= col("mx")).count() === 0)
+    assert(got.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    // every neighbor's coarse list is among its query's top-4 probes
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("cs", graft.functions.GraftFunctions.cosine_sim(
+        col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cs").desc, col("centroid_id"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("centroid_id"))
+    val qprobes = q.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", graft.functions.GraftFunctions.cosine_sim(
+        col("q_emb"), col("c_emb")))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cs").desc, col("centroid_id"))))
+      .filter(col("pr") <= 4).select("query_id", "centroid_id")
+    val offList = got
+      .join(asg, got("neighbor_id") === asg("vec_id"))
+      .join(qprobes, Seq("query_id", "centroid_id"), "left_anti")
+    assert(offList.count() === 0, "candidate outside its query's probes")
+    // the compressed ranking still finds real neighbors: nonzero
+    // overlap with the exact brute-force top-5 on this corpus
+    val exact = Similarity.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id")
+    assert(got.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count() > 0)
+    // bit-stable re-derivation
+    val again = Similarity.ivfPqTopK(e, q)
+    assert(got.exceptAll(again).count() === 0)
+    assert(again.exceptAll(got).count() === 0)
+    got.unpersist()
+  }
+
   test("collocations lift survives adversarial token totals " +
       "(DECIMAL lift path; old BIGINT product wrapped past ~9e12)") {
     import spark.implicits._
