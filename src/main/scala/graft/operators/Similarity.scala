@@ -1135,21 +1135,25 @@ object Similarity {
   def ivfPqTopK(embs: DataFrame, queries: DataFrame, nlist: Int = 16,
                 nprobe: Int = 4, m: Int = 4, subDim: Int = 16,
                 kCodes: Int = 8, k: Int = 5): DataFrame = {
+    val (cents, means, postings) = ivfPqBuild(embs, nlist, m, subDim, kCodes)
+    ivfPqScore(postings,
+      ivfPqAdcTable(queries, cents, means, nprobe, m, subDim), k)
+  }
+
+  private val resSubSql =
+    "z -> CAST(CAST(z.%s AS DOUBLE) - CAST(z.c_emb AS DOUBLE) AS FLOAT)"
+
+  /** Train the IVFADC index halves and encode the corpus: seed coarse
+    * centroids, one PQ Lloyd round on residual slices, postings =
+    * (vec_id, sub, code, centroid_id). All narrow broadcast-join
+    * scans; the codebook localCheckpoints (m×kCodes rows) so encode
+    * and ADC consumers don't re-train it. */
+  private[graft] def ivfPqBuild(embs: DataFrame, nlist: Int, m: Int,
+                                subDim: Int, kCodes: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cents = embs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val resSub = "z -> CAST(CAST(z.%s AS DOUBLE) - CAST(z.c_emb AS DOUBLE)" +
-      " AS FLOAT)"
-    // corpus: narrow argmax coarse assignment -> residual -> m slices
-    val withRes = assignCentroids(embs, cents)
-      .join(broadcast(cents), "centroid_id")
-      .withColumn("res", expr("transform(arrays_zip(embedding, c_emb), " +
-        resSub.format("embedding") + ")"))
-      .select("vec_id", "centroid_id", "res")
-    val sliced = withRes
-      .select(col("vec_id"), col("centroid_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("res"))
-      .select(col("vec_id"), col("centroid_id"), col("sub"),
-        slice(col("res"), col("sub") * subDim + 1, lit(subDim)).as("v"))
+    val sliced = ivfPqSlices(embs, cents, m, subDim)
     // PQ codebook: one Lloyd round on residual slices, lowest-id seeds
     val seeds = sliced.filter(col("vec_id") < kCodes)
       .select(col("sub"), col("vec_id").cast("long").as("code"),
@@ -1167,10 +1171,44 @@ object Similarity {
             .as("mv")))),
         e => e.getField("mv")).as("c_v"))
       .localCheckpoint() // m x kCodes rows; reused by encode AND ADC
-    val postings = assignPq(sliced, means)
+    (cents, means, ivfPqEncode(embs, cents, means, m, subDim))
+  }
+
+  /** Residual slice frame (vec_id, centroid_id, sub, v): narrow
+    * argmax coarse assignment → CAST(double−double AS FLOAT)
+    * residual → ×m slice fan-out. No corpus exchange. */
+  private def ivfPqSlices(vecs: DataFrame, cents: DataFrame, m: Int,
+                          subDim: Int): DataFrame =
+    assignCentroids(vecs, cents)
+      .join(broadcast(cents), "centroid_id")
+      .withColumn("res", expr("transform(arrays_zip(embedding, c_emb), " +
+        resSubSql.format("embedding") + ")"))
+      .select(col("vec_id"), col("centroid_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("res"))
+      .select(col("vec_id"), col("centroid_id"), col("sub"),
+        slice(col("res"), col("sub") * subDim + 1, lit(subDim)).as("v"))
+
+  /** Encode vectors against FROZEN centroids + codebook → postings
+    * (vec_id, sub, code, centroid_id). The upsert/ingest primitive:
+    * O(batch) narrow scans, nothing corpus-sized. */
+  private[graft] def ivfPqEncode(vecs: DataFrame, cents: DataFrame,
+                                 means: DataFrame, m: Int = 4,
+                                 subDim: Int = 16): DataFrame = {
+    val sliced = ivfPqSlices(vecs, cents, m, subDim)
+    assignPq(sliced, means)
       .select("vec_id", "sub", "code")
-      .join(withRes.select("vec_id", "centroid_id"), "vec_id")
-    // query: top-nprobe coarse probes -> per-probe residual -> ADC table
+      // sub==0 slice = one (vec, centroid) row per vector, shuffle-free
+      .join(sliced.filter(col("sub") === 0)
+        .select("vec_id", "centroid_id"), "vec_id")
+  }
+
+  /** Per-query ADC lookup table (query_id, centroid_id, sub, code,
+    * d2s): top-nprobe coarse probes, per-probe residual slices,
+    * 1e6-floored scaled-BIGINT distances to every codebook entry —
+    * queries×nprobe×m×kCodes rows, built entirely broadcast-side. */
+  private[graft] def ivfPqAdcTable(queries: DataFrame, cents: DataFrame,
+                                   means: DataFrame, nprobe: Int,
+                                   m: Int, subDim: Int): DataFrame = {
     val qprobes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cents))
@@ -1182,14 +1220,14 @@ object Similarity {
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("centroid_id"),
         col("c_emb"))
-    val qsliced = qprobes
+    qprobes
       .withColumn("qres", expr("transform(arrays_zip(q_emb, c_emb), " +
-        resSub.format("q_emb") + ")"))
+        resSubSql.format("q_emb") + ")"))
       .select(col("query_id"), col("centroid_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qres"))
       .select(col("query_id"), col("centroid_id"), col("sub"),
         slice(col("qres"), col("sub") * subDim + 1, lit(subDim)).as("qv"))
-    val adc = qsliced.join(broadcast(means), "sub")
+      .join(broadcast(means), "sub")
       .withColumn("d2", expr(
         "aggregate(zip_with(qv, c_v, (x, y) -> " +
           "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
@@ -1197,6 +1235,15 @@ object Similarity {
           "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)"))
       .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
         floor(col("d2") * 1e6).cast("long").as("d2s"))
+  }
+
+  /** ADC candidate scoring: postings ⋈ broadcast ADC table on
+    * (centroid_id, sub, code), integer-sum the m per-sub distances
+    * per candidate, rank asc (id tie-break). The (query, vec) rollup
+    * over the nprobe-pruned lists is the only corpus-sized exchange
+    * in the whole search. */
+  private[graft] def ivfPqScore(postings: DataFrame, adc: DataFrame,
+                                k: Int): DataFrame =
     postings.join(broadcast(adc), Seq("centroid_id", "sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -1208,5 +1255,63 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_d2_scaled"),
         (col("adc_d2_scaled").cast("double") / 1e6).as("adc_d2"))
+
+  /** Persist the IVFADC index: postings partitioned BY centroid_id
+    * (each inverted list = one partition dir, [[ivfWriteIndex]]'s
+    * layout with (sub, code) instead of raw vectors — the ×64
+    * smaller searched representation), plus the centroid table and
+    * the PQ codebook. Pays coarse training + codebook + encode once;
+    * every probe afterwards scans only its nprobe directories. */
+  def ivfPqWriteIndex(embs: DataFrame, dir: String, nlist: Int = 16,
+                      m: Int = 4, subDim: Int = 16, kCodes: Int = 8)
+      : Unit = {
+    val (cents, means, postings) = ivfPqBuild(embs, nlist, m, subDim, kCodes)
+    postings.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(dir + "/postings")
+    cents.write.mode("overwrite").parquet(dir + "/centroids")
+    means.write.mode("overwrite").parquet(dir + "/codebook")
+  }
+
+  /** Incremental IVFADC maintenance: encode a NEW batch against the
+    * index's FROZEN centroids + codebook and append to the touched
+    * posting dirs — O(batch), untouched lists keep their files
+    * byte-identical ([[ivfUpsertIndex]]'s contract). Quantizers
+    * deliberately do not move (re-training shifts every stored
+    * code); after drift — watched via [[pqAudit]]'s distortion —
+    * rebuild with [[ivfPqWriteIndex]]. Probe-after-upsert ≡ scoring
+    * a from-scratch encode of old∪new over the same frozen
+    * quantizers (spec-asserted). */
+  def ivfPqUpsertIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, newVecs: DataFrame, m: Int = 4,
+                       subDim: Int = 16): Unit = {
+    val cents = spark.read.parquet(dir + "/centroids")
+    val means = spark.read.parquet(dir + "/codebook")
+    ivfPqEncode(newVecs, cents, means, m, subDim)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(dir + "/postings")
+  }
+
+  /** Probe the persisted IVFADC index: ADC table from the read-back
+    * centroids/codebook, then ONLY the nprobe posting directories
+    * are listed and scanned (PartitionFilters prune at the file
+    * index, [[ivfProbeIndex]]'s disk contract — asserted in spec).
+    * Results identical to [[ivfPqTopK]] with the same build
+    * parameters (spec-asserted). */
+  def ivfPqProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, queries: DataFrame, nprobe: Int = 4,
+                      k: Int = 5, m: Int = 4, subDim: Int = 16)
+      : DataFrame = {
+    val cents = spark.read.parquet(dir + "/centroids")
+    val means = spark.read.parquet(dir + "/codebook")
+    val adc = ivfPqAdcTable(queries, cents, means, nprobe, m, subDim)
+      .localCheckpoint() // tiny; also feeds the probe-id collect
+    val probeIds = adc.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val postings = spark.read.parquet(dir + "/postings")
+      // filter the raw inferred-int partition attribute FIRST (a
+      // cast above the filter can block PartitionFilters)
+      .filter(col("centroid_id").isin(probeIds.map(_.toInt): _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    ivfPqScore(postings, adc, k)
   }
 }

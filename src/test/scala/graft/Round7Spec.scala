@@ -204,6 +204,42 @@ class Round7Spec extends AnyFunSuite {
     got.unpersist()
   }
 
+  test("persisted IVFADC index: probe == inline ivfPqTopK, probe " +
+      "prunes to its partition dirs, upsert == frozen-quantizer encode") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.ivfPqWriteIndex(e, dir)
+    val probed = Similarity.ivfPqProbeIndex(spark, dir, q)
+    val inline = Similarity.ivfPqTopK(e, q)
+    assert(probed.exceptAll(inline).count() === 0)
+    assert(inline.exceptAll(probed).count() === 0)
+    // the probe must read ONLY its centroid directories
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("postings") && l.contains("PartitionFilters"))
+    assert(scanLine.exists(
+      _.matches(""".*PartitionFilters: \[.*centroid_id.*\].*""")),
+      s"no partition filter on the postings scan:\n$plan")
+    // upsert: frozen quantizers — probe after append equals scoring a
+    // from-scratch encode of old+new over the BASE-trained index
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val inc = e.filter(col("vec_id") % 5 === 0)
+    val dir2 =
+      java.nio.file.Files.createTempDirectory("graft_ivfpq_up").toString
+    Similarity.ivfPqWriteIndex(base, dir2)
+    Similarity.ivfPqUpsertIndex(spark, dir2, inc)
+    val probed2 = Similarity.ivfPqProbeIndex(spark, dir2, q)
+    val cents = spark.read.parquet(dir2 + "/centroids")
+    val means = spark.read.parquet(dir2 + "/codebook")
+    val expect = Similarity.ivfPqScore(
+      Similarity.ivfPqEncode(e, cents, means),
+      Similarity.ivfPqAdcTable(q, cents, means, 4, 4, 16), 5)
+    assert(probed2.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(probed2).count() === 0)
+  }
+
   test("collocations lift survives adversarial token totals " +
       "(DECIMAL lift path; old BIGINT product wrapped past ~9e12)") {
     import spark.implicits._
