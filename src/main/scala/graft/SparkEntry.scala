@@ -779,6 +779,14 @@ object SparkEntry {
     }),
     "text_bigram_fluency" -> ((s, d) =>
       TextAnalysis.bigramFluency(docs(s, d)).orderBy("doc_id")),
+    "text_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(docs(s, d)).orderBy("doc_id")),
+    "pipeline_grouped_kfold" -> ((s, d) => {
+      val dd = docs(s, d)
+      val labels = Dedup.connectedComponents(
+        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
+      Sampling.groupedKFold(labels, dd).orderBy("fold")
+    }),
     "q_equiwidth" -> ((s, d) =>
       Relational.qEquiWidth(s, d).orderBy("bucket")),
     "rx_rate_limit" -> ((s, d) =>
@@ -4191,6 +4199,52 @@ object SparkEntry {
         |  AND j.score = m.best_score
         |GROUP BY m.cluster_id, best_score, n_members
         |ORDER BY m.cluster_id""".stripMargin,
+    // same CC construction as dedup_keep_best; fold = first 28
+    // md5 bits of the CLUSTER id mod k (the importanceSample draw)
+    "pipeline_grouped_kfold" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |pairs AS (
+        | SELECT doc1, doc2 FROM (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM post a JOIN post b
+        |   ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) c
+        | JOIN sz s1 ON s1.doc_id = c.doc1
+        | JOIN sz s2 ON s2.doc_id = c.doc2
+        | WHERE CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) >= 0.2),
+        |edges AS (
+        | SELECT doc1 AS a, doc2 AS b FROM pairs
+        | UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |f AS (SELECT doc_id,
+        |  ('0x' || substr(md5('kf:' || CAST(cluster_id AS VARCHAR)), 1, 7))
+        |    ::BIGINT % 5 AS fold, cluster_id
+        | FROM cc),
+        |tk AS (SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tk
+        | FROM documents)
+        |SELECT fold, CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(tk) AS BIGINT) AS n_tokens
+        |FROM f JOIN tk USING (doc_id)
+        |GROUP BY fold ORDER BY fold""".stripMargin,
     "source_overlap" ->
       """WITH sh AS (
         | SELECT DISTINCT source, unnest(list_transform(
@@ -4772,6 +4826,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(p_ppm) // count(*) AS BIGINT) AS fluency_ppm
         |FROM bi JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // floor(log2(x)) on both sides is the exact integer binary
+    // length − 1: Spark length(bin(x)), DuckDB length(format('{:b}',x))
+    "text_surprisal" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        | FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS bigt FROM c),
+        |model AS (
+        | SELECT t, CAST(length(format('{:b}', bigt))
+        |   - length(format('{:b}', c)) AS BIGINT) AS s_bits
+        | FROM c, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(s_bits) * 1000 // count(*) AS BIGINT) AS surprisal_milli
+        |FROM tok JOIN model USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS toks

@@ -415,4 +415,39 @@ object Sampling {
       .filter(col("u_ppm") < col("keep_ppm"))
       .select(col("doc_id"), col(classCol), col("u_ppm"), col("keep_ppm"))
   }
+
+  /** Leakage-safe (grouped) k-fold manifest: cross-validation folds
+    * assigned at the near-dup CLUSTER level, never the document
+    * level — a plain per-doc split puts one near-duplicate in train
+    * and its twin in eval, and the eval score silently measures
+    * memorization (the standard grouped-CV fix, here with dedup
+    * clusters as the groups). The fold is a pure function of
+    * md5(cluster_id) (the [[importanceSample]] integer draw mod k),
+    * so a cluster's fold never changes as the corpus grows and any
+    * engine re-derives the same folds; every member of a cluster
+    * lands in the same fold BY CONSTRUCTION (the fold key is the
+    * cluster id), so no straddle check is needed.
+    *
+    * Emits the per-fold manifest (clusters, docs, token mass) a
+    * training job consumes to plan its k runs. Plan: one join of the
+    * (doc_id, cluster_id) label frame — already tiny relative to the
+    * corpus — against per-doc token counts, then a k-row rollup;
+    * the corpus text itself is scanned once for the counts and
+    * never rides a shuffle wider than (doc_id, n_tokens). */
+  def groupedKFold(labels: DataFrame, docs: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val folded = labels.withColumn("fold",
+      (conv(substring(md5(concat(lit("kf:"),
+        col("cluster_id").cast("string"))), 1, 7), 16, 10).cast("long")
+        % lit(k.toLong)))
+    docs
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text")))
+          .cast("long").as("tk"))
+      .join(folded, "doc_id")
+      .groupBy("fold")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum("tk").as("n_tokens"))
+  }
 }

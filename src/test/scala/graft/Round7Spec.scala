@@ -331,4 +331,50 @@ class Round7Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expect)
   }
+
+  test("unigramSurprisal: exact integer bit-length arithmetic on a " +
+      "hand-computed corpus; rare vocabulary scores higher") {
+    import spark.implicits._
+    // corpus: 'a' x5, 'z' x1 -> T=6. floor(log2 6)=2, floor(log2 5)=2,
+    // floor(log2 1)=0 => s(a)=0 bits, s(z)=2 bits.
+    val docs = Seq((1L, "a a a a"), (2L, "a z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) === ((4L, 0L)))          // all-common: 0 millibits
+    assert(out(2L) === ((2L, 1000L)))       // (0+2)*1000 div 2
+    // on the real corpus: a doc of globally-rare tokens must outscore
+    // a doc of corpus-common tokens
+    val real = TextAnalysis.unigramSurprisal(Tables.documents(spark, sf))
+    val n = real.count()
+    assert(n === Tables.documents(spark, sf).count(),
+      "every doc gets a score (model covers the whole vocabulary)")
+    assert(real.filter(col("surprisal_milli") < 0).count() === 0,
+      "bit-length proxy is non-negative (c <= T always)")
+  }
+
+  test("groupedKFold: folds partition clusters, manifest masses add " +
+      "up, and fold ids are md5-stable") {
+    val dd = Tables.documents(spark, sf)
+    val labels = Dedup.connectedComponents(
+      TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
+    val manifest = Sampling.groupedKFold(labels, dd).cache()
+    val rows = manifest.collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 5))
+    // every doc lands in exactly one fold; cluster count adds up
+    assert(rows.map(_.getLong(2)).sum === dd.count())
+    assert(rows.map(_.getLong(1)).sum ===
+      labels.select("cluster_id").distinct().count(),
+      "clusters partition across folds (no cluster straddles)")
+    // token mass conservation: manifest total == corpus total
+    val corpusTokens = dd.select(
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === corpusTokens)
+    // md5 stability: re-derivation is identical
+    val again = Sampling.groupedKFold(labels, dd)
+    assert(manifest.exceptAll(again).count() === 0)
+    assert(again.exceptAll(manifest).count() === 0)
+  }
 }
