@@ -390,6 +390,10 @@ object SparkEntry {
     "graph_degree_hist" -> ((s, d) =>
       Graph.degreeHistogram(Tables.lineitem(s, d), Tables.orders(s, d))
         .orderBy("degree")),
+    // result is already the deterministic top-k; tail re-sort only
+    "graph_common_neighbors" -> ((s, d) =>
+      Graph.commonNeighbors(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy(col("jaccard_ppm").desc, col("cust1"), col("cust2"))),
     // ---- §2.8 text analysis + multimodal ----
     "text_quality" -> ((s, d) =>
       TextAnalysis.textQuality(docs(s, d)).orderBy("doc_id")),
@@ -2569,6 +2573,33 @@ object SparkEntry {
         | SELECT o_custkey, count(*) AS degree FROM d GROUP BY 1)
         |SELECT degree, count(*) AS n_customers
         |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+    // capped adjacency re-derived from the same md5 order; jaccard
+    // over the capped sets is the documented estimator
+    "graph_common_neighbors" ->
+      """WITH d AS (
+        | SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |   CAST(l_suppkey AS BIGINT) AS supp
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS (
+        | SELECT cust, supp FROM (
+        |  SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |    ORDER BY md5('cn:' || CAST(supp AS VARCHAR) || ':'
+        |      || CAST(cust AS VARCHAR)), cust) AS rn
+        |  FROM d) WHERE rn <= 64),
+        |deg AS (SELECT cust, CAST(count(*) AS BIGINT) AS deg
+        | FROM capped GROUP BY 1),
+        |pairs AS (
+        | SELECT x.cust AS cust1, y.cust AS cust2,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        | FROM capped x JOIN capped y
+        |  ON x.supp = y.supp AND x.cust < y.cust
+        | GROUP BY 1, 2)
+        |SELECT cust1, cust2, n_common, d1.deg AS deg1, d2.deg AS deg2,
+        | CAST(n_common * 1000000 // (d1.deg + d2.deg - n_common)
+        |   AS BIGINT) AS jaccard_ppm
+        |FROM pairs JOIN deg d1 ON d1.cust = cust1
+        | JOIN deg d2 ON d2.cust = cust2
+        |ORDER BY jaccard_ppm DESC, cust1, cust2 LIMIT 50""".stripMargin,
     // ---- md5 ("auditable") hash-family oracles: DuckDB re-derives
     // the LSH buckets / signatures exactly (md5 is md5 everywhere;
     // mins compare as ASCII hex; dot products are scaled-integer) ----

@@ -433,6 +433,36 @@ object ReactiveStreams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming twin of [[graft.operators.TextAnalysis
+    * .unigramSurprisal]]'s SCORING half — the production ingest
+    * shape: the unigram model is FROZEN from the static corpus
+    * ([[graft.operators.TextAnalysis.unigramModel]]; a faithful
+    * online model would re-score every already-admitted doc on each
+    * arrival, which no ingest filter does), and each incoming doc
+    * scores against it. Tokens explode statelessly, the model join
+    * is stream-static broadcast (no stream-side shuffle), and the
+    * per-doc fold is a watermarked windowed aggregate — a doc's
+    * exploded tokens all carry the doc's single ts, so each doc
+    * lives entirely inside one window and emits exactly one final
+    * row when the watermark passes it. Tokens absent from the
+    * frozen model (the stream moved past the corpus) score
+    * `oovBits` — set it to floor(log2 T), the model's never-seen
+    * ceiling. State is O(docs in flight within the watermark), not
+    * O(vocabulary): the model is static, never in state. */
+  def surprisalScoreStream(docs: DataFrame, model: DataFrame,
+                           oovBits: Long = 40L,
+                           watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .join(broadcast(model), Seq("t"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("s_bits"), lit(oovBits)).as("s_bits"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(s_bits) * 1000 div count(*)").as("surprisal_milli"))
+      .select("doc_id", "n_tokens", "surprisal_milli")
+
   /** Stream-stream join: purchases joined to clicks of the same user
     * within +-30 minutes, both sides watermarked so join state is
     * bounded and evicted. */

@@ -377,4 +377,42 @@ class Round7Spec extends AnyFunSuite {
     assert(manifest.exceptAll(again).count() === 0)
     assert(again.exceptAll(manifest).count() === 0)
   }
+
+  test("commonNeighbors: hand-computed Jaccard on a planted bipartite " +
+      "graph; cap binds; top-k is a heap, not a global sort") {
+    import spark.implicits._
+    // suppliers' customer sets: s1={1,2,3}, s2={2,3}, s3={3,4}
+    // pairs: (2,3): common={s1,s2}=2, deg2=2, deg3=3 -> 2/3 = 666666
+    //        (1,2): common={s1}=1, deg1=1, deg2=2 -> 1/2 = 500000
+    //        (1,3): 1/(1+3-1) = 333333ppm; (3,4): 1/(3+1-1)=333333
+    val edges = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (2L, 2L), (3L, 2L), (3L, 3L), (4L, 3L))
+    val lineitem = edges.zipWithIndex
+      .map { case ((c, s), i) => (i.toLong, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    val orders = edges.zipWithIndex
+      .map { case ((c, s), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.commonNeighbors(lineitem, orders)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.head === ((2L, 3L, 2L, 666666L)))
+    assert(got.toSet === Set((2L, 3L, 2L, 666666L), (1L, 2L, 1L, 500000L),
+      (1L, 3L, 1L, 333333L), (3L, 4L, 1L, 333333L)))
+    // ranked by jaccard desc with (cust1, cust2) tie-break
+    assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse)
+    // the global top-k must be TakeOrderedAndProject (heap), no Sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected heap top-k in plan:\n$plan")
+    // cap binds: a supplier with > cap customers keeps exactly cap
+    val hotLi = (0L until 100L).map(i => (i, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val hotOrd = (0L until 100L).map(i => (i, i + 10L))
+      .toDF("o_orderkey", "o_custkey")
+    val hotPairs = Graph.commonNeighbors(hotLi, hotOrd, cap = 8, k = 9999)
+    // 8 kept customers, one shared supplier: C(8,2)=28 pairs, all 1/1
+    assert(hotPairs.count() === 28)
+    assert(hotPairs.filter(col("jaccard_ppm") =!= 1000000L).count() === 0)
+  }
 }

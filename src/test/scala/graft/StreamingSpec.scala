@@ -1483,4 +1483,41 @@ class StreamingSpec extends AnyFunSuite {
         Set((4L, "on"), (7L, "off"), (9L, "on"), (10L, "off")))
     } finally q.stop()
   }
+
+  test("streaming surprisal scoring against the frozen model equals " +
+      "the batch scorer; OOV tokens take the ceiling") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq((1L, "a a a a"), (2L, "a z"), (3L, "b b a z"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.unigramModel(corpus)
+      .cache()
+    val batch = graft.operators.TextAnalysis.unigramSurprisal(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val qName = s"surp_${System.nanoTime()}"
+    val q = ReactiveStreams.surprisalScoreStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), model, oovBits = 7L)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // replay the corpus as a stream, split mid-corpus; doc 4 has an
+      // OOV token ('q', never in the model) -> scores oovBits
+      mem.addData((1L, ts(0), "a a a a")); q.processAllAvailable()
+      mem.addData((2L, ts(1), "a z"), (3L, ts(2), "b b a z"),
+        (4L, ts(3), "a q"))
+      q.processAllAvailable()
+      // far-future tick closes every window (watermark passes them)
+      mem.addData((99L, ts(600), "a")); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // in-model docs score exactly as the batch op
+      batch.foreach { case (id, exp) =>
+        assert(got(id) === exp, s"doc $id") }
+      // OOV doc: T=10, s(a)=flog2(10)-flog2(6)=3-2=1, s(q)=oovBits=7
+      // -> (1+7)*1000 div 2 = 4000
+      assert(got(4L) === ((2L, 4000L)))
+    } finally q.stop()
+  }
 }
