@@ -785,6 +785,8 @@ object SparkEntry {
       TextAnalysis.bigramFluency(docs(s, d)).orderBy("doc_id")),
     "text_surprisal" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(docs(s, d)).orderBy("doc_id")),
+    "text_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(docs(s, d)).orderBy("doc_id")),
     "pipeline_grouped_kfold" -> ((s, d) => {
       val dd = docs(s, d)
       val labels = Dedup.connectedComponents(
@@ -4874,6 +4876,21 @@ object SparkEntry {
         | CAST(sum(s_bits) * 1000 // count(*) AS BIGINT) AS surprisal_milli
         |FROM tok JOIN model USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // entropy via n*flog2(n) - sum(tf*flog2(tf)), flog2 = binary length - 1
+    "text_token_entropy" ->
+      """WITH tf AS (
+        | SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents)
+        | GROUP BY doc_id, t),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+        |  CAST(sum(tf * (length(format('{:b}', tf)) - 1)) AS BIGINT) AS s1
+        | FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens,
+        | CAST((n * (length(format('{:b}', n)) - 1) - s1) * 1000 // n
+        |   AS BIGINT) AS entropy_milli
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS toks
         |  FROM documents),

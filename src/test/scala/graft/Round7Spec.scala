@@ -378,6 +378,33 @@ class Round7Spec extends AnyFunSuite {
     assert(again.exceptAll(manifest).count() === 0)
   }
 
+  test("tokenEntropy: exact at the distribution ends, identity holds, " +
+      "and length(bin(x))-1 IS floor(log2 x) over adversarial longs") {
+    import spark.implicits._
+    // all-same -> 0; all-distinct (4 tokens) -> flog2(4)*1000 = 2000;
+    // 'a a b b' -> n=4, s1 = 2*1+2*1 = 4 -> (4*2-4)*1000/4 = 1000
+    val docs = Seq((1L, "x x x x x"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((5L, 0L)))
+    assert(got(2L) === ((4L, 2000L)))
+    assert(got(3L) === ((4L, 1000L)))
+    // the engine-side flog2: length(bin(x))-1 == 63 - nlz(x), probed
+    // at every power-of-two boundary (the only places a libm log2
+    // could have disagreed) and a spread of odd values
+    val probes = (0 to 62).flatMap { k =>
+      val p = 1L << k; Seq(p, p - 1, p + 1, p | (p >> 1))
+    }.filter(_ >= 1).distinct
+    val viaSpark = probes.toDF("x")
+      .selectExpr("x", "length(bin(x)) - 1 AS fl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.foreach { x =>
+      assert(viaSpark(x) === 63 - java.lang.Long.numberOfLeadingZeros(x),
+        s"flog2($x)")
+    }
+  }
+
   test("commonNeighbors: hand-computed Jaccard on a planted bipartite " +
       "graph; cap binds; top-k is a heap, not a global sort") {
     import spark.implicits._
