@@ -787,6 +787,8 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(docs(s, d)).orderBy("doc_id")),
     "text_token_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(docs(s, d)).orderBy("doc_id")),
+    "dedup_est_audit" -> ((s, d) =>
+      Dedup.minhashEstAudit(docs(s, d)).orderBy("err_decile")),
     "pipeline_grouped_kfold" -> ((s, d) => {
       val dd = docs(s, d)
       val labels = Dedup.connectedComponents(
@@ -2645,6 +2647,61 @@ object SparkEntry {
         |  FROM cand JOIN dsh a ON a.doc_id = doc1 JOIN dsh b ON b.doc_id = doc2)
         |SELECT doc1, doc2, jaccard FROM verified WHERE jaccard >= 0.5
         |ORDER BY doc1, doc2""".stripMargin,
+    // same md5-family minima as dedup_minhash_lsh; estimate = count
+    // of equal components (band keys at rows=1 are md5-injective
+    // images of the minima, so the counts agree)
+    "dedup_est_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |post AS (
+        |  SELECT doc_id, s.s FROM sh, unnest(sh.sh) AS s(s)),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM post),
+        |seeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
+        |mins AS (
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM hv, seeds GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
+        |  FROM mins GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM bands l JOIN bands r USING (band, bh)
+        |  WHERE l.doc_id < r.doc_id),
+        |est AS (
+        |  SELECT doc1, doc2,
+        |    CAST(sum(CASE WHEN m1.m = m2.m THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matches
+        |  FROM cand
+        |  JOIN mins m1 ON m1.doc_id = doc1
+        |  JOIN mins m2 ON m2.doc_id = doc2 AND m2.j = m1.j
+        |  GROUP BY doc1, doc2),
+        |dsh AS (
+        |  SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+        |x AS (
+        |  SELECT e.doc1, e.doc2, matches * 1000000 // 64 AS est_ppm,
+        |    len(list_intersect(a.ds, b.ds)) * 1000000
+        |      // (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)))
+        |      AS exact_ppm
+        |  FROM est e JOIN dsh a ON a.doc_id = e.doc1
+        |    JOIN dsh b ON b.doc_id = e.doc2)
+        |SELECT CAST(abs(est_ppm - exact_ppm) // 100000 AS BIGINT)
+        |    AS err_decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, t.t FROM documents, unnest(string_split(lower(text), ' ')) AS t(t)),

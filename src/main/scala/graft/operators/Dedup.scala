@@ -132,6 +132,56 @@ object Dedup {
   private def shingleFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
 
+  /** MinHash estimator-quality audit — the dedup-side parallel of
+    * the ANN recall audit: over the SAME candidate pairs the
+    * production LSH surfaces, compare the k-component signature
+    * estimate of Jaccard (matching components / k — the unbiased
+    * MinHash estimator) against the exact shingle-set Jaccard, and
+    * roll the absolute error into deci-Jaccard buckets. This is the
+    * number that justifies trusting the sketch before skipping the
+    * exact verify at 100 TB: mass at bucket 0–1 says the k=64
+    * signature ranks pairs faithfully; mass in high buckets says
+    * raise k before relying on estimate-only admission.
+    *
+    * The estimate counts EQUALITY of per-component band keys at
+    * rows=1 (md5-injective images of the component minima — equal
+    * iff the minima are equal), so the oracle re-derives the same
+    * count from the raw md5-family minima it already computes for
+    * the LSH gate. All-integer ppm arithmetic end to end.
+    *
+    * Plan: pairs come from the capped candidate generator
+    * ([[minhashLsh]] at threshold 0 — the audit population is what
+    * LSH admits, including sub-threshold near-misses); signatures
+    * and distinct-shingle sets join onto that tiny pair set, never
+    * the corpus; the per-pair component comparison is a 64-element
+    * array fold. Output is ≤ 11 rows. */
+  def minhashEstAudit(docs: DataFrame, k: Int = 64): DataFrame = {
+    val cand = minhashLsh(docs, threshold = 0.0, auditable = true)
+      .select("doc1", "doc2")
+    val feats = docs
+      .select(col("doc_id"),
+        array_distinct(shingles(toks(col("text")))).as("ds"),
+        GraftFunctions.md5_minhash_bands(
+          shingles(toks(col("text"))), k, 1).as("sig"))
+      .filter(size(col("ds")) > 0)
+    cand
+      .join(feats.select(col("doc_id").as("doc1"), col("ds").as("ds1"),
+        col("sig").as("sig1")), "doc1")
+      .join(feats.select(col("doc_id").as("doc2"), col("ds").as("ds2"),
+        col("sig").as("sig2")), "doc2")
+      .withColumn("matches", expr(
+        "size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))")
+        .cast("long"))
+      .withColumn("inter",
+        size(array_intersect(col("ds1"), col("ds2"))).cast("long"))
+      .withColumn("est_ppm", expr(s"matches * 1000000 div $k"))
+      .withColumn("exact_ppm", expr(
+        "inter * 1000000 div (size(ds1) + size(ds2) - inter)"))
+      .groupBy(expr("abs(est_ppm - exact_ppm) div 100000")
+        .cast("long").as("err_decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** ONE-scan shared feature frame: raw shingles (minhash buckets +
     * Jaccard verify), simhash signature, and the SNM blocking key,
     * all derived from a single tokenize pass; pairs with the `*From`

@@ -405,6 +405,28 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("minhashEstAudit: exact twins land in bucket 0; audit mass " +
+      "equals the candidate-pair population on the real corpus") {
+    import spark.implicits._
+    // two byte-identical docs: every component min matches (est =
+    // 1e6) and exact Jaccard is 1e6 -> error bucket 0, one pair
+    val twins = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val t = Dedup.minhashEstAudit(twins).collect()
+    assert(t.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    // real corpus: bucket ids stay in [0, 10] and the histogram mass
+    // is exactly the LSH candidate population the audit claims to cover
+    val docs = Tables.documents(spark, sf)
+    val hist = Dedup.minhashEstAudit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.forall { case (b, _) => b >= 0 && b <= 10 })
+    val nCand = Dedup.minhashLsh(docs, threshold = 0.0, auditable = true)
+      .count()
+    assert(hist.map(_._2).sum === nCand)
+  }
+
   test("commonNeighbors: hand-computed Jaccard on a planted bipartite " +
       "graph; cap binds; top-k is a heap, not a global sort") {
     import spark.implicits._
