@@ -795,6 +795,39 @@ object SparkEntry {
         TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
       Sampling.groupedKFold(labels, dd).orderBy("fold")
     }),
+    "text_nb_classify" -> ((s, d) =>
+      TextAnalysis.nbClassify(docs(s, d)).orderBy("doc_id")),
+    "pipeline_dsir" -> ((s, d) =>
+      Sampling.dsirWeights(docs(s, d)).orderBy("doc_id")),
+    "pipeline_epoch_mix" -> ((s, d) =>
+      Sampling.epochMix(docs(s, d)).orderBy("source", "epoch")),
+    "graph_k_core" -> ((s, d) =>
+      Graph.kCoreTrade(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("round")),
+    "graph_hits" -> ((s, d) =>
+      Graph.hitsTrade(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy(col("role"), col("score").desc, col("node"))),
+    "dedup_threshold_sweep" -> ((s, d) =>
+      Dedup.thresholdSweep(docs(s, d)).orderBy("band")),
+    "text_zipf_audit" -> ((s, d) =>
+      TextAnalysis.zipfAudit(docs(s, d)).orderBy("rank")),
+    "text_ocr_artifacts" -> ((s, d) =>
+      TextAnalysis.ocrArtifacts(docs(s, d)).orderBy("doc_id")),
+    "pipeline_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(docs(s, d)).orderBy("source")),
+    "dedup_cluster_stats" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.clusterStats(Dedup.connectedComponents(
+        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd))
+        .orderBy("csize")
+    }),
+    "text_lang_mix" -> ((s, d) =>
+      TextAnalysis.langMix(docs(s, d)).orderBy("doc_id")),
+    "dedup_recall_audit" -> ((s, d) =>
+      Dedup.recallAudit(docs(s, d)).orderBy("band")),
+    "text_cooccurrence" -> ((s, d) =>
+      TextAnalysis.cooccurrence(docs(s, d))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))),
     "q_equiwidth" -> ((s, d) =>
       Relational.qEquiWidth(s, d).orderBy("bucket")),
     "rx_rate_limit" -> ((s, d) =>
@@ -2702,6 +2735,127 @@ object SparkEntry {
         |    AS err_decile,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same md5-family LSH candidates at threshold 0; exact Jaccard
+    // banded to deci-bands, cumulative sums over the 11-row frame
+    "dedup_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |post AS (
+        |  SELECT doc_id, s.s FROM sh, unnest(sh.sh) AS s(s)),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM post),
+        |seeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
+        |mins AS (
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM hv, seeds GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
+        |  FROM mins GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM bands l JOIN bands r USING (band, bh)
+        |  WHERE l.doc_id < r.doc_id),
+        |dsh AS (
+        |  SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+        |scored AS (
+        |  SELECT doc1, doc2,
+        |    CAST(len(list_intersect(a.ds, b.ds)) * 1000000 //
+        |      (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)))
+        |      AS BIGINT) AS j_ppm
+        |  FROM cand JOIN dsh a ON a.doc_id = doc1
+        |    JOIN dsh b ON b.doc_id = doc2),
+        |pb AS (SELECT j_ppm // 100000 AS band,
+        |  CAST(count(*) AS BIGINT) AS n_pairs FROM scored GROUP BY 1),
+        |dm AS (SELECT doc_id, max(j_ppm) AS mx FROM (
+        |  SELECT doc1 AS doc_id, j_ppm FROM scored
+        |  UNION ALL SELECT doc2, j_ppm FROM scored) GROUP BY 1),
+        |db AS (SELECT mx // 100000 AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs_best FROM dm GROUP BY 1),
+        |bandsf AS (SELECT CAST(b.b AS BIGINT) AS band FROM range(0, 11) b(b))
+        |SELECT band,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(sum(coalesce(n_pairs, 0)) OVER (ORDER BY band DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs,
+        |  CAST(sum(coalesce(n_docs_best, 0)) OVER (ORDER BY band DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_docs_affected
+        |FROM bandsf LEFT JOIN pb USING (band) LEFT JOIN db USING (band)
+        |ORDER BY band""".stripMargin,
+    // exact side: md5-15 posting self-join over distinct shingles;
+    // LSH side: the same md5-family candidates as dedup_minhash_lsh
+    "dedup_recall_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM toks WHERE len(tk) >= 3),
+        |post AS (
+        |  SELECT doc_id, s.s FROM sh, unnest(sh.sh) AS s(s)),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM post),
+        |seeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
+        |mins AS (
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM hv, seeds GROUP BY doc_id, j),
+        |bands AS (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
+        |  FROM mins GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc1, r.doc_id AS doc2
+        |  FROM bands l JOIN bands r USING (band, bh)
+        |  WHERE l.doc_id < r.doc_id),
+        |dsh AS (
+        |  SELECT doc_id, list_distinct(sh) AS ds FROM sh),
+        |epost AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s2), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(ds) AS s2 FROM dsh)),
+        |ex AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM epost a JOIN epost b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(ds) AS n FROM dsh),
+        |exact AS (
+        |  SELECT doc1, doc2,
+        |    CAST(n_common * 1000000 // (s1.n + s2.n - n_common)
+        |      AS BIGINT) AS j_ppm
+        |  FROM ex JOIN sz s1 ON s1.doc_id = doc1
+        |    JOIN sz s2 ON s2.doc_id = doc2
+        |  WHERE n_common * 1000000 // (s1.n + s2.n - n_common) >= 500000),
+        |j AS (
+        |  SELECT exact.doc1, exact.doc2, j_ppm,
+        |    CASE WHEN cand.doc1 IS NOT NULL THEN 1 ELSE 0 END AS found
+        |  FROM exact LEFT JOIN cand
+        |    ON exact.doc1 = cand.doc1 AND exact.doc2 = cand.doc2)
+        |SELECT CAST(j_ppm // 100000 AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(sum(found) AS BIGINT) AS n_found,
+        |  CAST(count(*) - sum(found) AS BIGINT) AS missed,
+        |  CAST(sum(found) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM j GROUP BY 1 ORDER BY band""".stripMargin,
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, t.t FROM documents, unnest(string_split(lower(text), ' ')) AS t(t)),
@@ -3254,6 +3408,85 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same recursive-CTE CC as dedup_cluster; histogram over sizes
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |pairs AS (
+        | SELECT doc1, doc2 FROM (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM post a JOIN post b
+        |   ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) c
+        | JOIN sz s1 ON s1.doc_id = c.doc1
+        | JOIN sz s2 ON s2.doc_id = c.doc2
+        | WHERE CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) >= 0.2),
+        |edges AS (
+        | SELECT doc1 AS a, doc2 AS b FROM pairs
+        | UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT DISTINCT a, a FROM edges
+        | UNION
+        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (
+        | SELECT node AS doc_id, min(lab) AS cluster_id
+        | FROM reach GROUP BY node),
+        |lab2 AS (
+        | SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id),
+        |sizes AS (
+        | SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+        | FROM lab2 GROUP BY 1)
+        |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(csize * count(*) AS BIGINT) AS docs_mass
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+    // 20-token chunk windows scored by the langId stopword profiles;
+    // ties to the lexicographically LAST language on both engines
+    "text_lang_mix" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS tk
+        | FROM documents WHERE len(string_split(lower(text), ' ')) > 0),
+        |ch AS (
+        | SELECT doc_id, g.i AS ci,
+        |   list_slice(tk, g.i * 20 + 1, g.i * 20 + 20) AS ct
+        | FROM d, unnest(generate_series(0, (len(tk) - 1) // 20)) g(i)),
+        |sc AS (
+        | SELECT doc_id, ci, lang,
+        |   len(list_filter(ct, t -> list_contains(words, t))) AS hits
+        | FROM ch CROSS JOIN (VALUES
+        |   ('en', ['the', 'and', 'of', 'is']),
+        |   ('fr', ['le', 'la', 'et', 'de']),
+        |   ('de', ['der', 'die', 'und', 'das']),
+        |   ('es', ['el', 'la', 'y', 'de']),
+        |   ('zh', ['de', 'shi', 'le', 'he'])) AS p(lang, words)),
+        |cl AS (
+        | SELECT doc_id, lang AS clang FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, ci
+        |    ORDER BY hits DESC, lang DESC) AS rn FROM sc)
+        | WHERE rn = 1),
+        |pc AS (SELECT doc_id, clang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cl GROUP BY 1, 2),
+        |r AS (SELECT doc_id, clang, cnt,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY cnt DESC, clang DESC) AS rn,
+        |  sum(cnt) OVER (PARTITION BY doc_id) AS n_chunks
+        | FROM pc)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  clang AS major_lang,
+        |  CAST((n_chunks - cnt) * 1000000 // n_chunks AS BIGINT)
+        |    AS minority_ppm
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pipeline_sample" ->
       """SELECT doc_id, lang, h FROM (
         | SELECT doc_id, lang,
@@ -4948,6 +5181,252 @@ object SparkEntry {
         | CAST((n * (length(format('{:b}', n)) - 1) - s1) * 1000 // n
         |   AS BIGINT) AS entropy_milli
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // top-50 terms; rank/cumulative windows over the 50-row head
+    "text_zipf_audit" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(lower(text), ' ')) AS term
+        | FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c),
+        |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 50),
+        |r AS (SELECT term, tf,
+        |  CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT)
+        |    AS rank,
+        |  CAST(sum(tf) OVER (ORDER BY tf DESC, term
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM top)
+        |SELECT rank, term, tf, CAST(rank * tf AS BIGINT) AS rf_product,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS cum_share_ppm
+        |FROM r, tot ORDER BY rank""".stripMargin,
+    // unordered pairs within a 3-token skip window, top-30 by count
+    "text_cooccurrence" ->
+      """WITH d AS (
+        | SELECT string_split(lower(text), ' ') AS tk FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 2),
+        |p AS (
+        | SELECT least(tk[i], tk[i+j]) AS w1,
+        |   greatest(tk[i], tk[i+j]) AS w2
+        | FROM d, unnest(generate_series(1, 3)) g(j),
+        |   unnest(generate_series(1, len(tk))) s(i)
+        | WHERE i + j <= len(tk)),
+        |c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p GROUP BY 1, 2)
+        |SELECT w1, w2, cnt FROM c
+        |ORDER BY cnt DESC, w1, w2 LIMIT 30""".stripMargin,
+    "text_ocr_artifacts" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS tk
+        | FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')
+        |    AND regexp_matches(t, '[0-9]'))) AS BIGINT) AS mixed_alnum,
+        |  CAST(len(list_filter(tk, t -> length(t) = 1)) AS BIGINT)
+        |    AS single_char,
+        |  CAST(len(list_filter(tk, t -> regexp_matches(t, '-$')))
+        |    AS BIGINT) AS hyphen_break
+        |  FROM d WHERE len(tk) > 0)
+        |SELECT doc_id, n_tokens, mixed_alnum, single_char, hyphen_break,
+        |  CAST((mixed_alnum + single_char + hyphen_break) * 1000000
+        |    // n_tokens AS BIGINT) AS artifact_ppm
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // top-16 corpus vocab; per-source covered mass + OOV ppm
+    "pipeline_vocab_coverage" ->
+      """WITH tokc AS (
+        | SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
+        | FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |   FROM documents) GROUP BY 1, 2),
+        |vocab AS (SELECT term FROM (
+        |  SELECT term, sum(cnt) AS tf FROM tokc GROUP BY 1)
+        |  ORDER BY tf DESC, term LIMIT 16),
+        |cov AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN vocab.term IS NOT NULL THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS covered
+        |  FROM tokc LEFT JOIN vocab ON tokc.term = vocab.term
+        |  GROUP BY source)
+        |SELECT source, n_tokens, covered,
+        |  CAST((n_tokens - covered) * 1000000 // n_tokens AS BIGINT)
+        |    AS oov_ppm
+        |FROM cov ORDER BY source""".stripMargin,
+    // multinomial NB on source labels; all logs are the exact
+    // integer bit-length proxy (binary format length - 1)
+    "text_nb_classify" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS t
+        | FROM documents),
+        |tc AS (SELECT t, source AS cls, CAST(count(*) AS BIGINT) AS ntc
+        |  FROM tok GROUP BY 1, 2),
+        |model AS (SELECT t, cls,
+        |  CAST(length(format('{:b}', ntc + 1)) - 1 AS BIGINT) AS fl1
+        |  FROM tc),
+        |mass AS (SELECT cls, CAST(sum(ntc) AS BIGINT) AS nc
+        |  FROM tc GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tc),
+        |priors AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS ndocs
+        |  FROM documents GROUP BY 1),
+        |stats AS (SELECT cls,
+        |  CAST(length(format('{:b}', nc + v)) - 1 AS BIGINT) AS fl_den,
+        |  CAST(length(format('{:b}', ndocs)) - 1 AS BIGINT) AS fl_prior
+        |  FROM mass JOIN priors USING (cls), vocab),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |s1 AS (SELECT doc_id, cls, CAST(sum(tf * fl1) AS BIGINT) AS s1
+        |  FROM tf JOIN model USING (t) GROUP BY 1, 2),
+        |docn AS (SELECT doc_id, source AS actual,
+        |  CAST(length(string_split(lower(text), ' ')) AS BIGINT) AS n_doc
+        |  FROM documents),
+        |scored AS (SELECT docn.doc_id AS doc_id, actual,
+        |  stats.cls AS cls,
+        |  coalesce(s1.s1, 0) - n_doc * fl_den + fl_prior AS score
+        |  FROM docn CROSS JOIN stats
+        |  LEFT JOIN s1 ON s1.doc_id = docn.doc_id AND s1.cls = stats.cls),
+        |rk AS (SELECT doc_id, actual, cls, score, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM scored)
+        |SELECT a.doc_id, a.actual, a.cls AS pred,
+        |  CAST(a.score AS BIGINT) AS score_bits,
+        |  CAST(a.score - b.score AS BIGINT) AS margin_bits
+        |FROM rk a JOIN rk b ON a.doc_id = b.doc_id
+        |  AND a.rn = 1 AND b.rn = 2
+        |ORDER BY a.doc_id""".stripMargin,
+    // DSIR hashed-unigram importance weights, target = lang 'en';
+    // acceptance = md5 uniform vs min(1, 2^w) via a clamped shift
+    "pipeline_dsir" ->
+      """WITH feats AS (
+        | SELECT doc_id,
+        |   (('0x' || substr(md5('dsir:' || t), 1, 7))::BIGINT) % 4096 AS f
+        | FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |   FROM documents)),
+        |tgt_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |raw AS (SELECT f, CAST(count(*) AS BIGINT) AS rc
+        |  FROM feats GROUP BY f),
+        |tgt AS (SELECT f, CAST(count(*) AS BIGINT) AS tc
+        |  FROM feats JOIN tgt_ids USING (doc_id) GROUP BY f),
+        |model AS (SELECT f,
+        |  CAST((length(format('{:b}', coalesce(tc, 0) + 1)) - 1)
+        |     - (length(format('{:b}', rc + 1)) - 1) AS BIGINT) AS w_bits
+        |  FROM raw LEFT JOIN tgt USING (f)),
+        |totals AS (SELECT
+        |  CAST((length(format('{:b}',
+        |      (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt)
+        |        + 4096)) - 1)
+        |   - (length(format('{:b}',
+        |      (SELECT CAST(sum(rc) AS BIGINT) FROM raw) + 4096)) - 1)
+        |    AS BIGINT) AS norm_bits),
+        |perdoc AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |   CAST(sum(tf * w_bits) AS BIGINT) AS s
+        | FROM (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS tf
+        |       FROM feats GROUP BY 1, 2) tf JOIN model USING (f)
+        | GROUP BY doc_id),
+        |w AS (SELECT doc_id, n_tokens,
+        |   s - n_tokens * norm_bits AS weight_bits,
+        |   (('0x' || substr(md5('dsiru:' || CAST(doc_id AS VARCHAR)),
+        |     1, 7))::BIGINT) % 1000000 AS u_ppm
+        | FROM perdoc, totals)
+        |SELECT doc_id, n_tokens, CAST(weight_bits AS BIGINT) AS weight_bits,
+        |  u_ppm,
+        |  CAST(CASE WHEN u_ppm < (1000000 >> CAST(
+        |    greatest(0, least(-weight_bits, 62)) AS INT))
+        |   THEN 1 ELSE 0 END AS BIGINT) AS accepted
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // greedy epoch-discounted token allocation (util halves per epoch)
+    "pipeline_epoch_mix" ->
+      """WITH src AS (
+        | SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |    AS avail,
+        |  CAST(sum(len(list_distinct(string_split(lower(text), ' '))))
+        |    AS BIGINT) AS uniq
+        | FROM documents GROUP BY source),
+        |q AS (SELECT source, avail,
+        |  CAST(uniq * 1000000 // avail AS BIGINT) AS q_ppm FROM src),
+        |b AS (SELECT CAST(sum(avail) // 2 AS BIGINT) AS budget FROM src),
+        |cells AS (
+        | SELECT source, avail, q_ppm, budget, CAST(e AS BIGINT) AS epoch,
+        |   CAST(q_ppm >> CAST(e - 1 AS INT) AS BIGINT) AS util_ppm
+        | FROM q, b, generate_series(1, 4) AS g(e)),
+        |r AS (SELECT *, CAST(coalesce(sum(avail) OVER (
+        |   ORDER BY util_ppm DESC, source, epoch
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cum_before
+        | FROM cells)
+        |SELECT source, epoch, util_ppm, avail,
+        | CAST(greatest(0, least(avail, budget - cum_before)) AS BIGINT)
+        |   AS tokens_taken
+        |FROM r ORDER BY source, epoch""".stripMargin,
+    // 4 unrolled semi-synchronous peeling rounds at k = 20
+    "graph_k_core" ->
+      """WITH e0 AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
+        |  CAST(l.l_suppkey AS BIGINT) AS supp
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c1 AS (SELECT cust FROM e0 GROUP BY cust HAVING count(*) >= 20),
+        |s1 AS (SELECT supp FROM e0 GROUP BY supp HAVING count(*) >= 20),
+        |e1 AS (SELECT e0.cust, e0.supp FROM e0
+        |  JOIN c1 USING (cust) JOIN s1 USING (supp)),
+        |c2 AS (SELECT cust FROM e1 GROUP BY cust HAVING count(*) >= 20),
+        |s2 AS (SELECT supp FROM e1 GROUP BY supp HAVING count(*) >= 20),
+        |e2 AS (SELECT e1.cust, e1.supp FROM e1
+        |  JOIN c2 USING (cust) JOIN s2 USING (supp)),
+        |c3 AS (SELECT cust FROM e2 GROUP BY cust HAVING count(*) >= 20),
+        |s3 AS (SELECT supp FROM e2 GROUP BY supp HAVING count(*) >= 20),
+        |e3 AS (SELECT e2.cust, e2.supp FROM e2
+        |  JOIN c3 USING (cust) JOIN s3 USING (supp)),
+        |c4 AS (SELECT cust FROM e3 GROUP BY cust HAVING count(*) >= 20),
+        |s4 AS (SELECT supp FROM e3 GROUP BY supp HAVING count(*) >= 20),
+        |e4 AS (SELECT e3.cust, e3.supp FROM e3
+        |  JOIN c4 USING (cust) JOIN s4 USING (supp))
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS round,
+        |  CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT supp) AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_edges FROM e1
+        | UNION ALL SELECT 2, count(DISTINCT cust), count(DISTINCT supp),
+        |  count(*) FROM e2
+        | UNION ALL SELECT 3, count(DISTINCT cust), count(DISTINCT supp),
+        |  count(*) FROM e3
+        | UNION ALL SELECT 4, count(DISTINCT cust), count(DISTINCT supp),
+        |  count(*) FROM e4)
+        |ORDER BY round""".stripMargin,
+    // 3 unrolled Gauss-Seidel HITS rounds, 1e12 sum-normalized scale
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
+        |  CAST(l.l_suppkey AS BIGINT) AS supp
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h0 AS (SELECT DISTINCT cust,
+        |  CAST(1000000000000 AS HUGEINT) AS h FROM e),
+        |a1r AS (SELECT supp, sum(h) AS raw FROM e JOIN h0 USING (cust)
+        |  GROUP BY supp),
+        |a1 AS (SELECT supp, CAST(raw * 1000000000000 //
+        |  (SELECT sum(raw) FROM a1r) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
+        |  FROM e JOIN a1 USING (supp) GROUP BY cust),
+        |h1 AS (SELECT cust, CAST(raw * 1000000000000 //
+        |  (SELECT sum(raw) FROM h1r) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT supp, sum(CAST(h AS HUGEINT)) AS raw
+        |  FROM e JOIN h1 USING (cust) GROUP BY supp),
+        |a2 AS (SELECT supp, CAST(raw * 1000000000000 //
+        |  (SELECT sum(raw) FROM a2r) AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
+        |  FROM e JOIN a2 USING (supp) GROUP BY cust),
+        |h2 AS (SELECT cust, CAST(raw * 1000000000000 //
+        |  (SELECT sum(raw) FROM h2r) AS BIGINT) AS h FROM h2r),
+        |a3r AS (SELECT supp, sum(CAST(h AS HUGEINT)) AS raw
+        |  FROM e JOIN h2 USING (cust) GROUP BY supp),
+        |a3 AS (SELECT supp, CAST(raw * 1000000000000 //
+        |  (SELECT sum(raw) FROM a3r) AS BIGINT) AS a FROM a3r),
+        |h3r AS (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
+        |  FROM e JOIN a3 USING (supp) GROUP BY cust),
+        |h3 AS (SELECT cust, CAST(raw * 1000000000000 //
+        |  (SELECT sum(raw) FROM h3r) AS BIGINT) AS h FROM h3r),
+        |ta AS (SELECT 'authority' AS role, supp AS node, a AS score
+        |  FROM a3 ORDER BY a DESC, supp LIMIT 20),
+        |th AS (SELECT 'hub' AS role, cust AS node, h AS score
+        |  FROM h3 ORDER BY h DESC, cust LIMIT 20)
+        |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+        |ORDER BY role, score DESC, node""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text),' ') AS toks
         |  FROM documents),

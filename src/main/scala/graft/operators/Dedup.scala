@@ -182,6 +182,124 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Near-dup threshold-sensitivity sweep: over the SAME capped LSH
+    * candidate population the production dedup surfaces (threshold
+    * 0 — every pair any band admits), band the exact shingle-set
+    * Jaccard into deci-bands and report, per band b: the pair count
+    * in [b/10, (b+1)/10), the cumulative pairs at or above b/10
+    * (what a threshold of b/10 would flag), and the cumulative
+    * count of documents whose BEST pair reaches b/10 (how many docs
+    * a threshold touches at all). This is the curve an operator
+    * reads before committing a dedup threshold to a 100 TB run —
+    * the cost of re-running the full dedup per candidate threshold,
+    * collapsed into one pass.
+    *
+    * All-integer ppm arithmetic (j_ppm = inter·1e6 div union), so
+    * the banding is bit-identical on any engine.
+    *
+    * Plan: candidates come from the capped generator ([[minhashLsh]]
+    * — star-degradation caps bound the pair set); distinct-shingle
+    * sets join onto the tiny pair set only; the per-doc best pair is
+    * a partial-aggregable max; both cumulative sums run on the fixed
+    * 11-row band frame (the documented bounded-frame window class).
+    * Output is exactly 11 rows at any corpus size. */
+  def thresholdSweep(docs: DataFrame): DataFrame = {
+    val cand = minhashLsh(docs, threshold = 0.0, auditable = true)
+      .select("doc1", "doc2")
+    val sets = docs
+      .select(col("doc_id"),
+        array_distinct(shingles(toks(col("text")))).as("ds"))
+      .filter(size(col("ds")) > 0)
+    val scored = cand
+      .join(sets.select(col("doc_id").as("doc1"), col("ds").as("ds1")),
+        "doc1")
+      .join(sets.select(col("doc_id").as("doc2"), col("ds").as("ds2")),
+        "doc2")
+      .withColumn("inter",
+        size(array_intersect(col("ds1"), col("ds2"))).cast("long"))
+      .select(col("doc1"), col("doc2"), expr(
+        "inter * 1000000 div (size(ds1) + size(ds2) - inter)")
+        .cast("long").as("j_ppm"))
+      .localCheckpoint()
+    val perBand = scored
+      .groupBy(expr("j_ppm div 100000").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docBest = scored.select(col("doc1").as("doc_id"), col("j_ppm"))
+      .unionByName(scored.select(col("doc2").as("doc_id"), col("j_ppm")))
+      .groupBy("doc_id").agg(max("j_ppm").as("mx"))
+      .groupBy(expr("mx div 100000").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_docs_best"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(Long.MinValue, 0)
+    docs.sparkSession.range(0, 11).select(col("id").as("band"))
+      .join(perBand, Seq("band"), "left")
+      .join(docBest, Seq("band"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs_best"))
+      .withColumn("cum_pairs", sum("n_pairs").over(w).cast("long"))
+      .withColumn("cum_docs_affected",
+        sum("n_docs_best").over(w).cast("long"))
+      .select("band", "n_pairs", "cum_pairs", "cum_docs_affected")
+  }
+
+  /** LSH recall audit — the dedup twin of the ANN recall audit: per
+    * Jaccard deci-band at or above `threshold`, how many of the
+    * EXACT near-dup pairs does the banded MinHash candidate
+    * generation surface? The exact reference is the corpus-wide
+    * inverted-index pair set (posting self-join on md5-hashed
+    * shingles — only pairs sharing a shingle materialize, and a pair
+    * at Jaccard ≥ 0.5 shares plenty); the LSH side is the SAME
+    * capped candidate generator production dedup uses. Banded
+    * recall is the number that justifies the (bands × rows) choice:
+    * the S-curve predicts recall rising toward 1 with Jaccard, and
+    * this measures it on the real corpus.
+    *
+    * Scale contract: the exact side is inherently heavier than LSH
+    * (that is WHY LSH exists), so at 100 TB the audit runs over an
+    * md5-deterministic document sample (`sampleMod` keeps 1/mod of
+    * the corpus; 1 = everything at gate SF) — recall estimated on a
+    * sample of the pair universe, same contract as the ANN recall
+    * audit's query sample. All-integer ppm; ≤ 6 output rows. */
+  def recallAudit(docs: DataFrame, threshold: Double = 0.5,
+                  sampleMod: Int = 1): DataFrame = {
+    val sample = docs.filter(expr(
+      s"CAST(conv(substr(md5(CAST(doc_id AS string)), 1, 7), 16, 10) " +
+        s"AS BIGINT) % $sampleMod = 0"))
+    val sh = sample
+      .select(col("doc_id"),
+        array_distinct(shingles(toks(col("text")))).as("ds"))
+      .filter(size(col("ds")) > 0)
+    val counts = sh.select(col("doc_id"),
+      size(col("ds")).cast("long").as("n_sh"))
+    val posting = sh
+      .select(col("doc_id"), explode(col("ds")).as("s"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+    val thresholdPpm = math.floor(threshold * 1000000).toLong
+    val exact = posting.select(col("h"), col("doc_id").as("doc1"))
+      .join(posting.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_common"))
+      .join(counts.withColumnsRenamed(
+        Map("doc_id" -> "doc1", "n_sh" -> "n1")), "doc1")
+      .join(counts.withColumnsRenamed(
+        Map("doc_id" -> "doc2", "n_sh" -> "n2")), "doc2")
+      .select(col("doc1"), col("doc2"),
+        expr("n_common * 1000000 div (n1 + n2 - n_common)")
+          .cast("long").as("j_ppm"))
+      .filter(col("j_ppm") >= thresholdPpm)
+    val cand = minhashLsh(sample, threshold = 0.0, auditable = true)
+      .select(col("doc1"), col("doc2"), lit(1L).as("found"))
+    exact.join(cand, Seq("doc1", "doc2"), "left")
+      .groupBy(expr("j_ppm div 100000").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).cast("long").as("n_found"))
+      .select(col("band"), col("n_exact"), col("n_found"),
+        (col("n_exact") - col("n_found")).as("missed"),
+        expr("n_found * 1000000 div n_exact").cast("long")
+          .as("recall_ppm"))
+  }
+
   /** ONE-scan shared feature frame: raw shingles (minhash buckets +
     * Jaccard verify), simhash signature, and the SNM blocking key,
     * all derived from a single tokenize pass; pairs with the `*From`
@@ -579,6 +697,25 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
+
+  /** Duplicate-cluster size histogram: from a (doc_id, cluster_id)
+    * labeling (any family — [[connectedComponents]] over whichever
+    * pair set), report per cluster SIZE the number of clusters and
+    * the document mass they hold. The one-page audit read before
+    * committing a dedup pass: singleton mass says how much of the
+    * corpus is untouched, the size-2 row is ordinary duplication,
+    * and a heavy tail of giant clusters says the threshold (or a
+    * boilerplate family) is collapsing unrelated docs — the failure
+    * mode caps and verify exist to prevent.
+    *
+    * Plan: two partial-aggregable count shuffles (cluster_id key,
+    * then the tiny size key) — output is |distinct sizes| rows,
+    * bounded by the largest cluster, at any corpus size. */
+  def clusterStats(labels: DataFrame): DataFrame =
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        expr("csize * n_clusters").as("docs_mass"))
 
   /** Canonical selection per dedup cluster: keep the highest-QUALITY
     * member (ties to lowest id), not the arbitrary min-id — what a

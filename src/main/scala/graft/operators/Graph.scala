@@ -324,4 +324,102 @@ object Graph {
       .orderBy(col("jaccard_ppm").desc, col("cust1"), col("cust2"))
       .limit(k)
   }
+
+  /** k-core peeling over the bipartite customer↔supplier trade graph
+    * (edge = any lineitem between them): `rounds` synchronous rounds
+    * of "drop every node with degree < k, then recount" — the dense-
+    * subgraph primitive behind fraud-ring and power-user detection
+    * (the k-core is where every member keeps ≥ k live ties after all
+    * weaker nodes leave). Semi-synchronous peeling (both sides drop
+    * against the SAME round's degrees) is deterministic, so the
+    * per-round shrink trace — the output: one row per round with
+    * surviving customers / suppliers / edges — is bit-identical on
+    * any engine. A fixed round count is the contract (the trace IS
+    * the result; convergence shows as equal tail rows).
+    *
+    * Scale shape: the edge frame is built ONCE from the fact join
+    * (distinct pairs collapse map-side) and localCheckpointed; each
+    * round is two partial-aggregable degree counts plus two
+    * key-joins on the shrinking edge frame — linear in surviving
+    * edges per round, and only (cust, supp) id pairs ever cross an
+    * exchange. */
+  def kCoreTrade(lineitem: DataFrame, orders: DataFrame,
+                 k: Int = 20, rounds: Int = 4): DataFrame = {
+    var e = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_suppkey").cast("long").as("supp"))
+      .distinct()
+      .localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val keepC = e.groupBy("cust").agg(count(lit(1)).as("dc"))
+        .filter(col("dc") >= k).select("cust")
+      val keepS = e.groupBy("supp").agg(count(lit(1)).as("ds"))
+        .filter(col("ds") >= k).select("supp")
+      e = e.join(keepC, "cust").join(keepS, "supp").localCheckpoint()
+      trace += e.agg(
+        countDistinct("cust").as("n_customers"),
+        countDistinct("supp").as("n_suppliers"),
+        count(lit(1)).as("n_edges"))
+        .select(lit(r.toLong).as("round"), col("n_customers"),
+          col("n_suppliers"), col("n_edges"))
+    }
+    trace.reduce(_ unionByName _)
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
+    * trade graph: customers are pure hubs, suppliers pure
+    * authorities — `a = Eᵀh; h = E a` Gauss-Seidel rounds with
+    * sum-normalization to the 1e12 fixed-point scale each half-step,
+    * every division an integer floor, so all engines compute
+    * bit-identical scores (the float HITS power iteration's sum
+    * order would diverge by ulps). The raw per-node sums ride
+    * DECIMAL(38,0) (a hot node can neighbor the whole other side:
+    * |C|·1e12 overflows BIGINT at ~9 M customers), then the
+    * normalize division returns scores to ≤ 1e12 longs. Output: the
+    * top-k authorities and top-k hubs (ties to the smaller id) —
+    * per-partition heaps + driver merge, never a global sort.
+    *
+    * Scale shape: the edge frame builds once and localCheckpoints;
+    * each half-step is one id-keyed join of the one-row-per-node
+    * score frame against the edges plus a partial-aggregable sum —
+    * linear in edges per round, ids and scores only on the wire. */
+  def hitsTrade(lineitem: DataFrame, orders: DataFrame,
+                iters: Int = 3, k: Int = 20): DataFrame = {
+    val S = 1000000000000L
+    val e = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_suppkey").cast("long").as("supp"))
+      .distinct()
+      .localCheckpoint()
+    var hub = e.select("cust").distinct().withColumn("h", lit(S))
+    var auth = e.select("supp").distinct().withColumn("a", lit(S))
+    for (_ <- 0 until iters) {
+      val ar = e.join(hub, "cust").groupBy("supp")
+        .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
+      auth = ar.crossJoin(broadcast(ar.agg(sum("raw").as("tot"))))
+        .select(col("supp"),
+          expr("CAST(raw * 1000000000000 div tot AS BIGINT)").as("a"))
+        .localCheckpoint()
+      val hr = e.join(auth, "supp").groupBy("cust")
+        .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
+      hub = hr.crossJoin(broadcast(hr.agg(sum("raw").as("tot"))))
+        .select(col("cust"),
+          expr("CAST(raw * 1000000000000 div tot AS BIGINT)").as("h"))
+        .localCheckpoint()
+    }
+    val topAuth = auth
+      .orderBy(col("a").desc, col("supp")).limit(k)
+      .select(lit("authority").as("role"), col("supp").as("node"),
+        col("a").as("score"))
+    val topHub = hub
+      .orderBy(col("h").desc, col("cust")).limit(k)
+      .select(lit("hub").as("role"), col("cust").as("node"),
+        col("h").as("score"))
+    topAuth.unionByName(topHub)
+  }
 }

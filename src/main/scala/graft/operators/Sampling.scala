@@ -450,4 +450,109 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum("tk").as("n_tokens"))
   }
+
+  /** DSIR-style importance weighting (Xie et al. 2023): score every
+    * document by how target-like its HASHED unigram profile is —
+    * `w(doc) = Σ_f tf_f·(⌊log2(tc_f+1)⌋ − ⌊log2(rc_f+1)⌋)
+    *           − n_doc·(⌊log2(T+B)⌋ − ⌊log2(R+B)⌋)`
+    * where tc/rc are the feature's token counts in the TARGET slice
+    * (here: the `lang = targetLang` documents — the "I want more of
+    * this" seed) vs the RAW corpus, T/R the slice masses, B the
+    * hashed-feature space size. The hashing trick (md5 mod B) keeps
+    * the model a fixed B-row table at ANY vocabulary size — the
+    * reason DSIR scales where an exact-vocab importance model grows
+    * with the corpus. All logs are the exact integer bit-length
+    * proxy, so weights are BIGINT and bit-identical across engines.
+    *
+    * Selection is true importance RESAMPLING, not a top-k sort:
+    * accept with probability min(1, 2^w) via the deterministic md5
+    * uniform draw — `u_ppm < 10^6 >> min(−w, 62)` for negative w,
+    * always for w ≥ 0 — so the accepted set needs no global order
+    * and each doc's fate is a pure function of its id and the two
+    * count tables.
+    *
+    * Plan: tokens explode once and collapse to (doc, feature) counts
+    * map-side; the raw/target models are B-row partial-aggregable
+    * count shuffles; the per-doc score joins token-keyed counts
+    * against the B-row model — document text never rides a shuffle
+    * at any corpus size. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  buckets: Int = 4096): DataFrame = {
+    val b = buckets.toLong
+    val feats = docs
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("dsir:"), col("t"))), 1, 7), 16, 10)
+          .cast("long") % lit(b)).as("f"))
+    val tgtIds = docs.filter(col("lang") === targetLang).select("doc_id")
+    val raw = feats.groupBy("f").agg(count(lit(1)).as("rc"))
+    val tgt = feats.join(tgtIds, "doc_id")
+      .groupBy("f").agg(count(lit(1)).as("tc"))
+    val model = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"),
+        ((length(bin(coalesce(col("tc"), lit(0L)) + 1)) - 1)
+          - (length(bin(col("rc") + 1)) - 1)).cast("long").as("w_bits"))
+    val totals = raw.agg(sum("rc").as("bigr"))
+      .crossJoin(tgt.agg(coalesce(sum("tc"), lit(0L)).as("bigt")))
+      .select(((length(bin(col("bigt") + b)) - 1)
+        - (length(bin(col("bigr") + b)) - 1)).cast("long").as("norm_bits"))
+    feats.groupBy("doc_id", "f").agg(count(lit(1)).as("tf"))
+      .join(model, "f")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum(expr("tf * w_bits")).as("s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s") - col("n_tokens") * col("norm_bits")).as("weight_bits"))
+      .withColumn("u_ppm",
+        conv(substring(md5(concat(lit("dsiru:"),
+          col("doc_id").cast("string"))), 1, 7), 16, 10).cast("long")
+          % lit(1000000L))
+      .withColumn("accepted",
+        // shift clamps to [0, 62] on BOTH engines (negative-shift
+        // behavior is engine-defined); w ≥ 0 ⇒ shift 0 ⇒ always accept
+        when(col("u_ppm") < expr(
+          "shiftright(1000000L, " +
+            "CAST(greatest(0L, least(-weight_bits, 62L)) AS INT))"),
+          1L).otherwise(0L))
+  }
+
+  /** Epoch-aware token-budget mixing: the [[tokenBudget]] follow-on
+    * where a source may be repeated for several EPOCHS with
+    * geometrically diminishing returns (the repeated-data discount:
+    * epoch e of source s is worth `q_s >> (e−1)` per token, q = the
+    * source's distinct-token quality ppm; halving = the one discount
+    * both engines compute exactly with a shift). Greedy allocation
+    * by marginal utility is optimal for independently diminishing
+    * items: rank all (source, epoch) cells by `util_ppm` desc (ties:
+    * source, epoch), walk the running token sum, the cell at the
+    * boundary takes the partial remainder. Budget self-calibrates to
+    * half the corpus tokens, like [[tokenBudget]].
+    *
+    * Plan: one corpus scan collapses to the |sources|-row frame;
+    * everything after — the epoch explode, rank window, running sum
+    * — runs on |sources|·epochs rows, a bounded single-partition
+    * window of the documented prefix-sum class. */
+  def epochMix(docs: DataFrame, epochs: Int = 4): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val src = docs.groupBy("source").agg(
+      sum(size(toks).cast("long")).as("avail"),
+      sum(size(array_distinct(toks)).cast("long")).as("uniq"))
+      .select(col("source"), col("avail"),
+        expr("uniq * 1000000 div avail").as("q_ppm"))
+    val budget = src.agg(expr("sum(avail) div 2").as("budget"))
+    val cells = src.crossJoin(broadcast(budget))
+      .select(col("source"), col("avail"), col("q_ppm"), col("budget"),
+        explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .withColumn("util_ppm",
+        expr("shiftright(q_ppm, CAST(epoch - 1 AS INT))"))
+    val w = Window.orderBy(col("util_ppm").desc, col("source"), col("epoch"))
+    cells
+      .withColumn("cum_before", coalesce(sum("avail").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("epoch").cast("long").as("epoch"),
+        col("util_ppm"), col("avail"),
+        greatest(lit(0L), least(col("avail"),
+          col("budget") - col("cum_before"))).as("tokens_taken"))
+  }
 }

@@ -463,6 +463,37 @@ object ReactiveStreams {
         expr("sum(s_bits) * 1000 div count(*)").as("surprisal_milli"))
       .select("doc_id", "n_tokens", "surprisal_milli")
 
+  /** Streaming OOV drift monitor — the serving twin of
+    * [[graft.operators.TextAnalysis.vocabCoverage]]: the top-v
+    * vocabulary is FROZEN from the static corpus
+    * ([[graft.operators.TextAnalysis.vocabTable]] — the tokenizer
+    * was committed once; re-cutting the vocab per batch would score
+    * against a tokenizer nobody trained), and each hour × source
+    * cell of the incoming stream reports its token mass, the mass
+    * the frozen vocab covers, and the OOV rate in ppm. A rising
+    * oov_ppm per source is the earliest signal the stream's
+    * vocabulary has drifted off the tokenizer (byte-fallback
+    * explosion ahead). Tokens explode statelessly, the vocab join
+    * is stream-static BROADCAST (no stream-side shuffle, the vocab
+    * never enters state), and the rollup is one watermarked windowed
+    * aggregate — state is O(sources × windows in flight), never
+    * O(vocabulary). */
+  def oovMonitorStream(docs: DataFrame, vocab: DataFrame,
+                       watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("source"), col("ts"),
+        explode(graft.operators.TextAnalysis.tokens(col("text")))
+          .as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("source"), col("ts"),
+        coalesce(col("in_vocab"), lit(0L)).as("iv"))
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"), sum("iv").as("covered"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_tokens"), col("covered").cast("long").as("covered"),
+        expr("(n_tokens - covered) * 1000000 div n_tokens")
+          .cast("long").as("oov_ppm"))
+
   /** Stream-stream join: purchases joined to clicks of the same user
     * within +-30 minutes, both sides watermarked so join state is
     * bounded and evicted. */

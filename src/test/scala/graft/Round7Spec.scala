@@ -464,4 +464,284 @@ class Round7Spec extends AnyFunSuite {
     assert(hotPairs.count() === 28)
     assert(hotPairs.filter(col("jaccard_ppm") =!= 1000000L).count() === 0)
   }
+
+  test("nbClassify: disjoint-vocab sources classify perfectly") {
+    import spark.implicits._
+    // two sources with disjoint vocabularies, 3 docs each
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma", "en", "srcA"),
+      (2L, "beta beta gamma alpha", "en", "srcA"),
+      (3L, "gamma alpha beta beta", "en", "srcA"),
+      (4L, "delta epsilon zeta", "en", "srcB"),
+      (5L, "epsilon zeta delta delta", "en", "srcB"),
+      (6L, "zeta delta epsilon zeta", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.nbClassify(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).sortBy(_._1)
+    assert(out.forall { case (_, actual, pred, _) => actual == pred },
+      s"misclassified: ${out.mkString(", ")}")
+    // disjoint vocab ⇒ strictly positive runner-up margin everywhere
+    assert(out.forall(_._4 > 0L))
+  }
+
+  test("nbClassify: ties break to the lexicographically first class") {
+    import spark.implicits._
+    // perfectly symmetric two-class corpus: every doc identical, so
+    // every class scores identically up to the (equal) priors — the
+    // argmax must deterministically pick the first class name
+    val docs = Seq(
+      (1L, "x y", "en", "s2"), (2L, "x y", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.nbClassify(docs).collect()
+    assert(out.forall(_.getString(2) == "s1"))
+    assert(out.forall(_.getLong(4) == 0L))
+  }
+
+  test("dsirWeights: target-vocab docs outweigh off-target and accept") {
+    import spark.implicits._
+    val docs = Seq(
+      // target slice (lang en) speaks 'good'; raw-only docs speak 'bad'
+      (1L, "good good good good", "en", "s"),
+      (2L, "good good good good", "en", "s"),
+      (3L, "bad bad bad bad", "de", "s"),
+      (4L, "bad bad bad bad", "de", "s"),
+      (5L, "good good good good", "fr", "s"), // target-like, not in slice
+      (6L, "bad bad bad bad", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Sampling.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    // 'good' appears in target (tc=12) and raw (rc=16): w_bits = 0
+    // 'bad' never in target: w_bits = 0 - 4 = -4 per occurrence
+    assert(out(5L)._1 > out(6L)._1)
+    assert(out(1L)._1 == out(5L)._1) // weight depends on text only
+    // target-leaning docs (w ≥ 0) always accepted
+    assert(out(1L)._2 == 1L && out(5L)._2 == 1L)
+    // weights are deterministic across runs
+    val again = Sampling.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(again === out)
+  }
+
+  test("epochMix: greedy allocation exhausts budget in utility order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h", "en", "rich"), // 8 tokens, q = 1e6
+      (2L, "x x x x x x x x", "en", "loop")) // 8 tokens, q = 125000
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Sampling.epochMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val taken = rows.map(_._4).sum
+    assert(taken === 8L) // budget = 16 div 2
+    // rich epoch 1 (util 1e6) fully taken before anything else
+    assert(rows.find(r => r._1 == "rich" && r._2 == 1L).get._4 === 8L)
+    assert(rows.filter(_._1 == "loop").forall(_._4 === 0L))
+    // a cell with tokens_taken > 0 implies every higher-util cell is full
+    val order = rows.sortBy(r => (-r._3, r._1, r._2))
+    val firstPartial = order.indexWhere(r => r._4 < 8L)
+    assert(order.drop(firstPartial + 1).forall(_._4 == 0L) ||
+      order.drop(firstPartial).forall(_._4 == 0L))
+  }
+
+  test("kCoreTrade: pendant nodes peel, the dense core survives") {
+    import spark.implicits._
+    // complete bipartite K3,3 (orders 0..8 wire cust 1-3 × supp 1-3)
+    // plus a pendant customer 9 → supplier 9
+    val wires = (for { c <- 1L to 3L; s <- 1L to 3L } yield (c, s)) :+
+      ((9L, 9L))
+    val li = wires.zipWithIndex
+      .map { case ((_, s), i) => (i.toLong, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = wires.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val trace = Graph.kCoreTrade(li, ord, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1 drops the pendant pair; the K3,3 core is stable after
+    assert(trace.toSeq === Seq((1L, 3L, 3L, 9L), (2L, 3L, 3L, 9L),
+      (3L, 3L, 3L, 9L)))
+  }
+
+  test("hitsTrade: authority mass concentrates on the shared supplier") {
+    import spark.implicits._
+    // suppliers: 1 serves all three customers, 2 serves only cust 1
+    val wires = Seq((1L, 1L), (2L, 1L), (3L, 1L), (1L, 2L))
+    val li = wires.zipWithIndex
+      .map { case ((_, s), i) => (i.toLong, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = wires.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val out = Graph.hitsTrade(li, ord, iters = 3, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val auth = out.filter(_._1 == "authority").map(t => t._2 -> t._3).toMap
+    val hubs = out.filter(_._1 == "hub").map(t => t._2 -> t._3).toMap
+    assert(auth(1L) > auth(2L))
+    // customer 1 links both suppliers: the strongest hub
+    assert(hubs(1L) > hubs(2L) && hubs(1L) > hubs(3L))
+    // sum-normalized fixed point: each role's mass ≈ 1e12 (floor loss)
+    assert(math.abs(auth.values.sum - 1000000000000L) < 10L)
+    assert(math.abs(hubs.values.sum - 1000000000000L) < 10L)
+  }
+
+  test("thresholdSweep: twins land in band 10; cumulative columns " +
+      "reconcile with the candidate population") {
+    import spark.implicits._
+    val twins = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words in this document here now ok"))
+      .toDF("doc_id", "text")
+    val t = Dedup.thresholdSweep(twins).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(t.length === 11)
+    val band10 = t.find(_._1 == 10L).get
+    assert(band10._2 === 1L) // the twin pair, exact Jaccard 1.0
+    assert(band10._4 === 2L) // both twins touched at threshold 1.0
+    // real corpus: total pair mass equals the LSH candidate population
+    val docs = Tables.documents(spark, sf)
+    val sweep = Dedup.thresholdSweep(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nCand = Dedup.minhashLsh(docs, threshold = 0.0, auditable = true)
+      .count()
+    assert(sweep.head._3 === nCand, "cum at band 0 covers every pair")
+    assert(sweep.map(_._2).sum === sweep.head._3)
+    // cumulative columns are non-increasing in the band
+    assert(sweep.map(_._3).toSeq === sweep.map(_._3).toSeq.sorted.reverse)
+    assert(sweep.map(_._4).toSeq === sweep.map(_._4).toSeq.sorted.reverse)
+  }
+
+  test("zipfAudit: hand-computed head; full head covers the corpus") {
+    import spark.implicits._
+    // tf: a=4, b=2, c=1 over 7 tokens
+    val docs = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfAudit(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "a", 4L, 4L, 571428L), // 4e6 div 7
+      (2L, "b", 2L, 4L, 857142L))) // 6e6 div 7
+    val all = TextAnalysis.zipfAudit(docs, k = 10).collect()
+    assert(all.length === 3)
+    assert(all.last.getLong(4) === 1000000L)
+  }
+
+  test("ocrArtifacts: the three artifact shapes count exactly and " +
+      "the plan has zero exchanges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "b4d ocr w0rd x frag- ok")) // mixed=2, single=1, hyphen=1
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ocrArtifacts(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 0L, 0L, 0L, 0L)))
+    assert(got(1) === ((2L, 6L, 2L, 1L, 1L, 666666L)))
+    val plan = TextAnalysis.ocrArtifacts(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+
+  test("vocabCoverage: OOV mass per source at the vocab cut; " +
+      "deterministic at the tie boundary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b", "en", "s1"),
+      (2L, "a b rare", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    // v=2 vocab = {a (tf 5), b (tf 2)}; 'rare' is the one OOV token
+    val got = TextAnalysis.vocabCoverage(docs, v = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(("s1", 4L, 4L, 0L), ("s2", 3L, 2L, 333333L)))
+    val dd = Tables.documents(spark, sf)
+    val x = TextAnalysis.vocabCoverage(dd).collect().toSet
+    assert(x === TextAnalysis.vocabCoverage(dd).collect().toSet)
+    assert(x.nonEmpty)
+  }
+
+  test("clusterStats: histogram reconciles with the labeling and " +
+      "conserves corpus mass") {
+    import spark.implicits._
+    // clusters: {1,2,3}, {4,5}, singletons 6 and 7
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterStats(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+    val dd = Tables.documents(spark, sf)
+    val real = Dedup.connectedComponents(
+      TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
+    val hist = Dedup.clusterStats(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._3).sum === dd.count())
+    assert(hist.forall { case (s, n, m) => m == s * n })
+  }
+
+  test("langMix: planted code-switched doc splits 50/50; pure doc " +
+      "reports zero minority") {
+    import spark.implicits._
+    val enRun = Seq.fill(20)("the").mkString(" ")
+    val deRun = Seq.fill(20)("der").mkString(" ")
+    val docs = Seq((1L, enRun + " " + deRun), (2L, enRun + " " + enRun))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langMix(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 1: one en chunk + one de chunk; majority tie -> max lang 'en'
+    assert(got(0) === ((1L, 2L, "en", 500000L)))
+    assert(got(1) === ((2L, 2L, "en", 0L)))
+    // real corpus: every tokenized doc reports, shares stay in range
+    val dd = Tables.documents(spark, sf)
+    val real = TextAnalysis.langMix(dd).collect()
+    assert(real.length === dd.count())
+    assert(real.forall { r =>
+      val m = r.getLong(3); m >= 0L && m < 1000000L })
+  }
+
+  test("recallAudit: identical twins are always found (band 10 " +
+      "recall 1e6); missed = n_exact - n_found everywhere") {
+    import spark.implicits._
+    val twins = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words in this document here now ok"))
+      .toDF("doc_id", "text")
+    val t = Dedup.recallAudit(twins).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(t.toSeq === Seq((10L, 1L, 1L, 0L, 1000000L)))
+    val dd = Tables.documents(spark, sf)
+    val audit = Dedup.recallAudit(dd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(audit.forall { case (b, ne, nf, m, rp) =>
+      b >= 5 && b <= 10 && m == ne - nf && nf <= ne &&
+        rp == nf * 1000000L / ne })
+    // the sample parameter keeps a strict subset
+    val sampled = Dedup.recallAudit(dd, sampleMod = 2).collect()
+      .map(_.getLong(1)).sum
+    assert(sampled <= audit.map(_._2).sum)
+  }
+
+  test("cooccurrence: hand-counted window pairs; adjacent AND skip " +
+      "pairs both emit; canonical order collapses directions") {
+    import spark.implicits._
+    // doc: a b c  (window 3): pairs (a,b) (a,c) (b,c)
+    // doc: c a    -> canonical (a,c)
+    val docs = Seq((1L, "a b c"), (2L, "c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(("a", "c", 2L), ("a", "b", 1L),
+      ("b", "c", 1L)))
+    // top-1 cut is deterministic and a heap, not a global sort
+    val top = TextAnalysis.cooccurrence(docs, k = 1)
+    assert(top.collect().head.getLong(2) === 2L)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected heap top-k:\n$plan")
+  }
 }

@@ -1520,4 +1520,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(4L) === ((2L, 4000L)))
     } finally q.stop()
   }
+
+  test("streaming OOV monitor against the frozen vocab: per-source " +
+      "window cells match hand-computed coverage across trigger splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static corpus tf: a=3, b=1, z=1 -> top-2 vocab = {a, b}
+    // (tie at tf=1 breaks to the lexicographically first term)
+    val corpus = Seq((1L, "a a a b z")).toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis.vocabTable(corpus, v = 2)
+      .cache()
+    assert(vocab.select("term").collect().map(_.getString(0)).toSet
+      === Set("a", "b"))
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val qName = s"oov_${System.nanoTime()}"
+    val q = ReactiveStreams.oovMonitorStream(
+      mem.toDF().toDF("source", "ts", "text"), vocab)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      // one hour window, rows split across triggers
+      mem.addData(("s1", ts(0), "a b q")); q.processAllAvailable()
+      mem.addData(("s2", ts(1), "z z"), ("s1", ts(2), "a a"))
+      q.processAllAvailable()
+      // far-future tick closes the first hour's windows
+      mem.addData(("s9", ts(600), "a")); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // s1: tokens a,b,q + a,a -> n=5 covered=4 oov=200000
+      // s2: z z -> n=2 covered=0 oov=1000000
+      assert(got === Set(("s1", 5L, 4L, 200000L),
+        ("s2", 2L, 0L, 1000000L)))
+    } finally q.stop()
+  }
 }
