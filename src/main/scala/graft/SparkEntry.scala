@@ -233,6 +233,16 @@ object SparkEntry {
         Tables.customer(s, d)).orderBy("check_name")),
     "dq_benford" -> ((s, d) =>
       Relational.benfordAudit(Tables.lineitem(s, d)).orderBy("digit")),
+    "dq_orphans" -> ((s, d) =>
+      Relational.dqOrphans(s, d).orderBy("relationship")),
+    "dq_fd_check" -> ((s, d) =>
+      Relational.dqFdCheck(s, d).orderBy("fd")),
+    "q_null_aware_anti" -> ((s, d) =>
+      Relational.qNullAwareAnti(s, d).orderBy("c_mktsegment")),
+    // result is already the deterministic top-k; tail re-sort only
+    "graph_resource_alloc" -> ((s, d) =>
+      Graph.resourceAllocation(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy(col("ra_ppm").desc, col("cust1"), col("cust2"))),
     "graph_pagerank" -> ((s, d) =>
       Graph.pageRankTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
@@ -1832,6 +1842,109 @@ object SparkEntry {
         |  WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         | FROM orders)
         |ORDER BY check_name""".stripMargin,
+    "dq_orphans" ->
+      (Seq(
+        ("lineitem.l_orderkey -> orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"))
+        .map { case (rel, child, fk, parent, pk) =>
+          s"""SELECT '$rel' AS relationship,
+             | CAST(sum(cnt) AS BIGINT) AS n_child_rows,
+             | CAST(count(*) AS BIGINT) AS n_distinct_fk,
+             | CAST(coalesce(sum(CASE WHEN pk IS NULL THEN cnt END), 0)
+             |   AS BIGINT) AS n_orphan_rows,
+             | CAST(coalesce(sum(CASE WHEN pk IS NULL THEN 1 END), 0)
+             |   AS BIGINT) AS n_orphan_keys
+             |FROM (SELECT CAST($fk AS BIGINT) AS fk, count(*) AS cnt
+             |      FROM $child GROUP BY 1) g
+             |LEFT JOIN (SELECT CAST($pk AS BIGINT) AS pk FROM $parent) p
+             | ON g.fk = p.pk""".stripMargin
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY relationship")),
+    "dq_fd_check" ->
+      (Seq(
+        ("customer: c_custkey -> c_nationkey",
+          "customer", "c_custkey", "c_nationkey"),
+        ("customer: c_nationkey -> c_mktsegment",
+          "customer", "c_nationkey", "c_mktsegment"),
+        ("lineitem: l_partkey -> l_suppkey",
+          "lineitem", "l_partkey", "l_suppkey"),
+        ("lineitem: l_suppkey -> l_partkey",
+          "lineitem", "l_suppkey", "l_partkey"),
+        ("nation: n_nationkey -> n_regionkey",
+          "nation", "n_nationkey", "n_regionkey"),
+        ("orders: o_custkey -> o_orderpriority",
+          "orders", "o_custkey", "o_orderpriority"))
+        .map { case (fd, tbl, det, dep) =>
+          s"""SELECT '$fd' AS fd,
+             | CAST(count(*) AS BIGINT) AS n_groups,
+             | CAST(coalesce(sum(CASE WHEN n_dep > 1 THEN 1 END), 0)
+             |   AS BIGINT) AS n_violating,
+             | CAST(coalesce(sum(CASE WHEN n_dep > 1 THEN 1 END), 0)
+             |   * 1000000 // count(*) AS BIGINT) AS violation_ppm,
+             | CAST(sum(rows_g) AS BIGINT) AS n_rows,
+             | CAST(sum(rows_g - max_cnt) AS BIGINT) AS g3_rows
+             |FROM (SELECT sum(cnt) AS rows_g, max(cnt) AS max_cnt,
+             |       count(*) AS n_dep
+             |      FROM (SELECT $det, $dep, count(*) AS cnt
+             |            FROM $tbl GROUP BY 1, 2)
+             |      GROUP BY $det)""".stripMargin
+        }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY fd")),
+    "q_null_aware_anti" ->
+      """WITH blocked AS (
+        | SELECT CASE WHEN o_custkey % 100 = 7 THEN NULL
+        |   ELSE CAST(o_custkey AS BIGINT) END AS bk
+        | FROM orders WHERE o_orderstatus = 'F'),
+        |bvals AS (SELECT DISTINCT bk, 1 AS matched FROM blocked
+        |  WHERE bk IS NOT NULL),
+        |hn AS (SELECT max(CASE WHEN bk IS NULL THEN 1 ELSE 0 END)
+        |  AS has_null FROM blocked)
+        |SELECT c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(coalesce(sum(CASE WHEN matched IS NOT NULL THEN 1 END),
+        |   0) AS BIGINT) AS n_in,
+        | CAST(coalesce(sum(CASE WHEN matched IS NULL AND has_null = 1
+        |   THEN 1 END), 0) AS BIGINT) AS n_unknown,
+        | CAST(coalesce(sum(CASE WHEN matched IS NULL AND has_null = 0
+        |   THEN 1 END), 0) AS BIGINT) AS n_not_in,
+        | CAST(coalesce(sum(CASE WHEN matched IS NULL THEN 1 END), 0)
+        |   AS BIGINT) AS n_not_exists
+        |FROM customer
+        |LEFT JOIN bvals ON c_custkey = bk
+        |CROSS JOIN hn
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // same capped-adjacency estimator contract as graph_common_neighbors,
+    // independent md5 seed family ("ra:"); weights are exact BIGINT
+    // integer divisions over the capped supplier degree
+    "graph_resource_alloc" ->
+      """WITH d AS (
+        | SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |   CAST(l_suppkey AS BIGINT) AS supp
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS (
+        | SELECT cust, supp FROM (
+        |  SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |    ORDER BY md5('ra:' || CAST(supp AS VARCHAR) || ':'
+        |      || CAST(cust AS VARCHAR)), cust) AS rn
+        |  FROM d) WHERE rn <= 64),
+        |wt AS (SELECT supp,
+        |  1000000 // CAST(count(*) AS BIGINT) AS w
+        | FROM capped GROUP BY 1),
+        |ww AS (SELECT c.cust, c.supp, w FROM capped c
+        | JOIN wt ON wt.supp = c.supp)
+        |SELECT x.cust AS cust1, y.cust AS cust2,
+        | CAST(count(*) AS BIGINT) AS n_common,
+        | CAST(sum(x.w) AS BIGINT) AS ra_ppm
+        |FROM ww x JOIN ww y
+        | ON x.supp = y.supp AND x.cust < y.cust
+        |GROUP BY 1, 2
+        |ORDER BY ra_ppm DESC, cust1, cust2 LIMIT 50""".stripMargin,
     "graph_pagerank" ->
       """WITH e0 AS (
         | SELECT s.s_nationkey AS src, c.c_nationkey AS dst,

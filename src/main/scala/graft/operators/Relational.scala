@@ -1417,4 +1417,149 @@ object Relational {
           "(2 * six - (n + 1) * sx) * 1000000 div (n * sx) END")
           .cast("long").as("gini_ppm"))
   }
+
+  /** Referential-integrity audit: one row per declared foreign-key
+    * relationship with child-row / distinct-key / orphan counts — the
+    * standing data-quality check every warehouse runs after ingest
+    * (a non-zero orphan count means the load broke the star schema).
+    *
+    * Scale shape: each relationship is ONE map-side-combined rollup
+    * of the child fact to its distinct FK values (lineitem collapses
+    * ~4 orders of magnitude before any join) followed by a key-equi
+    * LEFT join against the parent's key column — both sides shuffle
+    * only (key, count) pairs, never fact rows, and AQE broadcasts the
+    * parent key set while it measures small. No broadcast hints:
+    * every parent here grows with SF (header policy). */
+  def dqOrphanAudit(rel: String, child: DataFrame, fk: String,
+                    parent: DataFrame, pk: String): DataFrame = {
+    val grouped = child.select(col(fk).cast("long").as("fk"))
+      .groupBy("fk").agg(count(lit(1)).as("cnt"))
+    val pkeys = parent.select(col(pk).cast("long").as("pk"),
+      lit(1).as("present"))
+    grouped.join(pkeys, col("fk") === col("pk"), "left")
+      .agg(sum("cnt").cast("long").as("n_child_rows"),
+        count(lit(1)).cast("long").as("n_distinct_fk"),
+        coalesce(sum(when(col("present").isNull, col("cnt"))), lit(0L))
+          .cast("long").as("n_orphan_rows"),
+        coalesce(sum(when(col("present").isNull, 1L)), lit(0L))
+          .cast("long").as("n_orphan_keys"))
+      .select(lit(rel).as("relationship"), col("n_child_rows"),
+        col("n_distinct_fk"), col("n_orphan_rows"),
+        col("n_orphan_keys"))
+  }
+
+  def dqOrphans(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def audit(rel: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame =
+      dqOrphanAudit(rel, child, fk, parent, pk)
+    audit("lineitem.l_orderkey -> orders.o_orderkey",
+        li, "l_orderkey", Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("lineitem.l_partkey -> part.p_partkey",
+        li, "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .unionByName(audit("lineitem.l_suppkey -> supplier.s_suppkey",
+        li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      .unionByName(audit("orders.o_custkey -> customer.c_custkey",
+        Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+  }
+
+  /** Approximate-functional-dependency audit: for each candidate FD
+    * `det -> dep` report how badly the data violates it — group
+    * counts, violating-group counts (>1 distinct dependent value),
+    * the violation rate in exact ppm, and the g3 error (minimum rows
+    * to delete to make the FD hold: rows minus the majority
+    * dependent value per group — the standard FD-discovery error
+    * measure). Candidates mix true keys (c_custkey→c_nationkey,
+    * n_nationkey→n_regionkey: 0 violations by construction) with
+    * plausible-but-false dependencies, so the report exercises both
+    * verdicts.
+    *
+    * Scale shape: each candidate is two stacked partial-aggregable
+    * rollups — (det, dep)-count then det-level max/sum/count — and a
+    * scalar tail; nothing but (det, dep, count) triples ever cross an
+    * exchange, and every arithmetic term is BIGINT with a single
+    * integer division (bit-identical on any engine). */
+  def fdAudit(fd: String, df: DataFrame, det: String, dep: String)
+      : DataFrame =
+    df.groupBy(col(det).as("det"), col(dep).as("dep"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("det")
+      .agg(sum("cnt").as("rows_g"), max("cnt").as("max_cnt"),
+        count(lit(1)).as("n_dep"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        coalesce(sum(when(col("n_dep") > 1, 1L)), lit(0L))
+          .cast("long").as("n_violating"),
+        sum("rows_g").cast("long").as("n_rows"),
+        sum(col("rows_g") - col("max_cnt")).cast("long")
+          .as("g3_rows"))
+      .select(lit(fd).as("fd"), col("n_groups"), col("n_violating"),
+        expr("n_violating * 1000000 div n_groups").as("violation_ppm"),
+        col("n_rows"), col("g3_rows"))
+
+  def dqFdCheck(s: SparkSession, dir: String): DataFrame = {
+    def audit(fd: String, df: DataFrame, det: String, dep: String)
+        : DataFrame = fdAudit(fd, df, det, dep)
+    val li = Tables.lineitem(s, dir)
+    val cust = Tables.customer(s, dir)
+    audit("customer: c_custkey -> c_nationkey", cust,
+        "c_custkey", "c_nationkey")
+      .unionByName(audit("customer: c_nationkey -> c_mktsegment", cust,
+        "c_nationkey", "c_mktsegment"))
+      .unionByName(audit("lineitem: l_partkey -> l_suppkey", li,
+        "l_partkey", "l_suppkey"))
+      .unionByName(audit("lineitem: l_suppkey -> l_partkey", li,
+        "l_suppkey", "l_partkey"))
+      .unionByName(audit("nation: n_nationkey -> n_regionkey",
+        Tables.nation(s, dir), "n_nationkey", "n_regionkey"))
+      .unionByName(audit("orders: o_custkey -> o_orderpriority",
+        Tables.orders(s, dir), "o_custkey", "o_orderpriority"))
+  }
+
+  /** Null-aware NOT IN membership audit — the three-valued-logic
+    * truth table made visible. The blocked set (custkeys with a
+    * filled order, with every key ≡ 7 mod 100 replaced by NULL —
+    * simulating the nullable FK column every real warehouse has)
+    * makes `c_custkey NOT IN (...)` evaluate to UNKNOWN, not TRUE,
+    * for every non-member: the classic silent-empty-result trap. The
+    * report counts, per market segment, customers whose membership
+    * is TRUE / FALSE / UNKNOWN, plus the NOT EXISTS count (which
+    * treats NULL as a non-match) for contrast.
+    *
+    * Scale shape: Spark plans a literal `NOT IN (subquery)` as a
+    * null-aware BroadcastNestedLoopJoin — O(|left|·|right|) once the
+    * blocked set outgrows a broadcast. This operator computes the
+    * SAME three-valued truth with one key-equi LEFT join against the
+    * distinct non-null blocked keys plus one broadcast 1-row
+    * has-null scalar: linear, shuffle-partitioned, AQE-friendly at
+    * any SF. */
+  def qNullAwareAnti(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(when(col("o_custkey") % 100 === 7, lit(null))
+        .otherwise(col("o_custkey")).cast("long").as("bk"))
+    val bvals = blocked.filter(col("bk").isNotNull)
+      .distinct().withColumn("matched", lit(1))
+    val hasNull = blocked.agg(
+      max(when(col("bk").isNull, 1).otherwise(0)).as("has_null"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(bvals, col("c_custkey") === col("bk"), "left")
+      .crossJoin(broadcast(hasNull))
+      .select(col("c_mktsegment"),
+        when(col("matched").isNotNull, "TRUE")
+          .when(col("has_null") === 1, "UNKNOWN")
+          .otherwise("FALSE").as("in_blocked"),
+        col("matched"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        coalesce(sum(when(col("in_blocked") === "TRUE", 1L)), lit(0L))
+          .cast("long").as("n_in"),
+        coalesce(sum(when(col("in_blocked") === "UNKNOWN", 1L)), lit(0L))
+          .cast("long").as("n_unknown"),
+        coalesce(sum(when(col("in_blocked") === "FALSE", 1L)), lit(0L))
+          .cast("long").as("n_not_in"),
+        coalesce(sum(when(col("matched").isNull, 1L)), lit(0L))
+          .cast("long").as("n_not_exists"))
+  }
 }

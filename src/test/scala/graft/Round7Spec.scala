@@ -744,4 +744,78 @@ class Round7Spec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected heap top-k:\n$plan")
   }
+
+  test("dqOrphanAudit: planted orphans count by rows AND by keys; " +
+      "clean relationship reports zeros") {
+    import spark.implicits._
+    // children: fk 1 (2 rows), 2 (1 row), 9 (3 rows), 8 (1 row)
+    // parents: 1, 2  -> orphan keys {8, 9}: 4 rows, 2 keys
+    val child = Seq(1L, 1L, 2L, 9L, 9L, 9L, 8L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Relational.dqOrphanAudit("t.fk -> p.pk", child, "fk",
+      parent, "pk").collect().head
+    assert(r.getString(0) === "t.fk -> p.pk")
+    assert(r.getLong(1) === 7L)   // child rows
+    assert(r.getLong(2) === 4L)   // distinct fk
+    assert(r.getLong(3) === 4L)   // orphan rows
+    assert(r.getLong(4) === 2L)   // orphan keys
+    // the driver-shaped audit over the clean synthetic star: all four
+    // relationships must hold (zero orphans) by construction
+    val full = Relational.dqOrphans(spark, sf)
+    assert(full.count() === 4)
+    assert(full.filter(col("n_orphan_rows") > 0 ||
+      col("n_orphan_keys") > 0).count() === 0)
+  }
+
+  test("fdAudit: g3 error is the minority mass; held FD reports zero") {
+    import spark.implicits._
+    // det 1 -> {a,a,b}: violating, g3=1;  det 2 -> {c,c}: held
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c"))
+      .toDF("det0", "dep0")
+    val r = Relational.fdAudit("t: det0 -> dep0", df, "det0", "dep0")
+      .collect().head
+    assert(r.getLong(1) === 2L)       // groups
+    assert(r.getLong(2) === 1L)       // violating
+    assert(r.getLong(3) === 500000L)  // ppm
+    assert(r.getLong(4) === 5L)       // rows
+    assert(r.getLong(5) === 1L)       // g3: drop one 'b' row
+    // true-key candidates in the driver report must audit clean
+    val full = Relational.dqFdCheck(spark, sf).collect()
+      .map(r0 => (r0.getString(0), r0.getLong(2))).toMap
+    assert(full("customer: c_custkey -> c_nationkey") === 0L)
+    assert(full("nation: n_nationkey -> n_regionkey") === 0L)
+  }
+
+  test("qNullAwareAnti: three-valued counts partition the customers; " +
+      "NOT IN goes empty exactly when the blocked set has a NULL") {
+    val rows = Relational.qNullAwareAnti(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, nIn, nUnk, nNot, nNE) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nIn + nUnk + nNot === n)       // truth values partition
+      assert(nUnk + nNot === nNE)           // NOT EXISTS = non-matches
+      assert(nUnk === 0L || nNot === 0L)    // has_null is global
+    }
+  }
+
+  test("resourceAllocation: niche witness outweighs hub witness") {
+    import spark.implicits._
+    // suppliers: 10 shared by custs {1,2} only (deg 2, w=500000);
+    // 20 shared by custs {1,2,3,4} (deg 4, w=250000)
+    val edges = Seq(
+      (100L, 10L), (200L, 10L),
+      (100L, 20L), (200L, 20L), (300L, 20L), (400L, 20L))
+    val orders = edges.map(_._1).distinct
+      .map(o => (o, o / 100)).toDF("o_orderkey", "o_custkey")
+    val li = edges.toDF("l_orderkey", "l_suppkey")
+    val out = Graph.resourceAllocation(li, orders).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // pair (1,2): witnesses 10 (500000) + 20 (250000) = 750000
+    assert(out((1L, 2L)) === ((2L, 750000L)))
+    // any pair through the hub only: 250000
+    assert(out((3L, 4L)) === ((1L, 250000L)))
+    assert(out((1L, 3L)) === ((1L, 250000L)))
+  }
 }
