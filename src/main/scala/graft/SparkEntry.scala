@@ -986,6 +986,15 @@ object SparkEntry {
     // (scaled-BIGINT means, broadcast argmin assignment) per
     // subspace, so the full train+audit loop gates hash-exactly
     "emb_pq" -> ((s, d) => Similarity.pqAudit(embs(s, d))),
+    // same train+audit loop over the variance-permuted (OPQ-lite)
+    // slices; the delta vs emb_pq is the value of the permutation
+    "emb_pq_balanced" -> ((s, d) =>
+      Similarity.pqAuditBalanced(embs(s, d))),
+    "emb_binary_quant" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.binaryQuantAudit(e, e.filter(col("vec_id") < 20))
+        .orderBy("query_id")
+    }),
     "pipeline_class_balance" -> ((s, d) =>
       Sampling.classBalance(docs(s, d)).orderBy("doc_id")),
     "pipeline_class_balance_fast" -> ((s, d) =>
@@ -6693,6 +6702,101 @@ object SparkEntry {
         |    AS DOUBLE) / count(*) / 1e6 AS avg_dist2
         |FROM a2 WHERE rn = 1
         |GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    // emb_pq's CTE family with the contiguous slice replaced by the
+    // variance-ranked snake permutation (exact scaled-integer
+    // variance -> rank -> snake deal -> per-sub gather)
+    "emb_pq_balanced" ->
+      """WITH vm AS (
+        |  SELECT d.d - 1 AS dim,
+        |    count(*) * sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE)
+        |        * 1e6) AS BIGINT) * CAST(floor(CAST(embedding[d.d]
+        |        AS DOUBLE) * 1e6) AS BIGINT))
+        |      - sum(CAST(floor(CAST(embedding[d.d] AS DOUBLE) * 1e6)
+        |        AS BIGINT)) * sum(CAST(floor(CAST(embedding[d.d]
+        |        AS DOUBLE) * 1e6) AS BIGINT)) AS var_s
+        |  FROM embeddings, range(1, 65) d(d) GROUP BY d.d),
+        |rk AS (
+        |  SELECT dim, row_number() OVER (ORDER BY var_s DESC, dim) - 1
+        |    AS r FROM vm),
+        |asg AS (
+        |  SELECT dim, CASE WHEN (r // 4) % 2 = 0 THEN r % 4
+        |    ELSE 3 - (r % 4) END AS sub FROM rk),
+        |idx AS (
+        |  SELECT sub, list(dim ORDER BY dim) AS dims FROM asg
+        |  GROUP BY sub),
+        |sl AS (
+        |  SELECT vec_id, sub,
+        |    list_transform(dims, i -> embedding[i + 1]) AS v
+        |  FROM embeddings, idx),
+        |seeds AS (
+        |  SELECT sub, vec_id AS code, v AS c_v FROM sl WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT sl.vec_id, sl.sub, sl.v, c.code,
+        |    row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+        |      list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |        s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |             (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+        |      c.code) AS rn
+        |  FROM sl JOIN seeds c ON c.sub = sl.sub),
+        |m1 AS (
+        |  SELECT sub, code, d.d - 1 AS dim,
+        |    sum(CAST(floor(CAST(v[d.d] AS DOUBLE) * 1e6) AS BIGINT)) AS s2,
+        |    count(*) AS n
+        |  FROM a1, range(1, 17) d(d) WHERE rn = 1 GROUP BY sub, code, d.d),
+        |c1 AS (
+        |  SELECT sub, code,
+        |    list(CAST(CAST(s2 AS DOUBLE) / n / 1e6 AS FLOAT) ORDER BY dim)
+        |      AS c_v
+        |  FROM m1 GROUP BY sub, code),
+        |a2 AS (
+        |  SELECT sl.vec_id, sl.sub, c.code,
+        |    list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |      s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |           (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))) AS d2,
+        |    row_number() OVER (PARTITION BY sl.vec_id, sl.sub ORDER BY
+        |      list_sum(list_transform(list_zip(sl.v, c.c_v),
+        |        s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+        |             (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+        |      c.code) AS rn
+        |  FROM sl JOIN c1 c ON c.sub = sl.sub)
+        |SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS distortion_scaled,
+        |  CAST(CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS DOUBLE) / count(*) / 1e6 AS avg_dist2
+        |FROM a2 WHERE rn = 1
+        |GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    // the oracle scores sign bits SEMANTICALLY (per-dim sign
+    // mismatch count); the Spark side packs them into BIGINT words
+    // and XOR+bit_counts — different representation, same integers
+    "emb_binary_quant" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT query_id, e.vec_id AS nid,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim,
+        |  len(list_filter(list_zip(q_emb, e.embedding),
+        |    z -> (CAST(z[1] AS DOUBLE) > 0) <> (CAST(z[2] AS DOUBLE) > 0)))
+        |    AS hamming
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, nid, hamming,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, nid) AS re,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, nid) AS rh
+        | FROM s)
+        |SELECT query_id,
+        | CAST(coalesce(sum(CASE WHEN re <= 10 AND rh <= 10 THEN 1 END),
+        |   0) AS BIGINT) AS recall_at_k,
+        | CAST(coalesce(sum(CASE WHEN re <= 10 THEN hamming END), 0)
+        |   AS BIGINT) AS hamming_sum_exact_topk,
+        | CAST(min(hamming) AS BIGINT) AS min_hamming
+        |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin,
     // deterministic semi-synchronous LPA: 3 unrolled vote/argmax
     // rounds over the symmetrized bipartite purchase edge frame
     // (even ids = customers, odd = suppliers, the graph_bfs space)

@@ -799,6 +799,57 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("dimAssignment: variance-ranked snake deal pairs strong dims " +
+      "with weak across subspaces; every dim assigned exactly once") {
+    import spark.implicits._
+    // two vectors ±(i+1) at dim i: mean 0, variance grows with i,
+    // so the desc rank is dim 7, 6, ..., 0 and the snake deal is
+    // 0 1 2 3 3 2 1 0
+    val embs = Seq(
+      (0L, (1 to 8).map(i => i.toFloat).toArray),
+      (1L, (1 to 8).map(i => -i.toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimAssignment(embs, m = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(got === Map(7 -> 0, 6 -> 1, 5 -> 2, 4 -> 3,
+      3 -> 3, 2 -> 2, 1 -> 1, 0 -> 0))
+    // real corpus: a permutation — 16 dims per subspace, all 64 used
+    val real = Similarity.dimAssignment(
+      Tables.embeddings(spark, sf)).collect()
+    assert(real.map(_.getInt(0)).toSet === (0 until 64).toSet)
+    assert(real.groupBy(_.getInt(1)).values.map(_.length).toSet
+      === Set(16))
+  }
+
+  test("pqAuditBalanced: every slice lands in exactly one code per " +
+      "subspace (mass conservation)") {
+    val embs = Tables.embeddings(spark, sf)
+    val n = embs.count()
+    val out = Similarity.pqAuditBalanced(embs).collect()
+    assert(out.map(_.getLong(2)).sum === 4 * n)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      === out.length)
+  }
+
+  test("binaryQuantAudit: twin has hamming 0, negation has hamming d " +
+      "— including a non-word-aligned dim (70)") {
+    import spark.implicits._
+    for (d <- Seq(64, 70)) {
+      val v = (0 until d).map(i => if (i % 2 == 0) 1f else -1f).toArray
+      val embs = Seq(
+        (0L, v), (1L, v), (2L, v.map(x => -x)))
+        .toDF("vec_id", "embedding")
+      val r = Similarity.binaryQuantAudit(embs,
+        embs.filter(col("vec_id") === 0)).collect().head
+      assert(r.getLong(0) === 0L)
+      assert(r.getLong(1) === 2L,
+        s"d=$d: both neighbors must land in both top-10 sets")
+      assert(r.getLong(2) === d.toLong,
+        s"d=$d: hamming mass = 0 (twin) + $d (negation)")
+      assert(r.getLong(3) === 0L, s"d=$d: twin is hamming-0")
+    }
+  }
+
   test("resourceAllocation: niche witness outweighs hub witness") {
     import spark.implicits._
     // suppliers: 10 shared by custs {1,2} only (deg 2, w=500000);
