@@ -744,6 +744,10 @@ object SparkEntry {
       Reactive.rxFunnel(ev(s, d)).orderBy("user_id")),
     "rx_ewma" -> ((s, d) =>
       Reactive.rxEwma(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_holt" -> ((s, d) =>
+      Reactive.rxHolt(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_runs_test" -> ((s, d) =>
+      Reactive.rxRunsTest(ev(s, d)).orderBy("user_id")),
     "rx_ignore_elements" -> ((s, d) =>
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "dedup_paragraph" -> ((s, d) =>
@@ -5054,6 +5058,59 @@ object SparkEntry {
         |  FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
         |SELECT user_id, event_id, "value", ewma FROM w
         |ORDER BY user_id, event_id""".stripMargin,
+    // the rx_ewma recursive-CTE contract extended to the 2-term
+    // (level, trend) state; alpha = beta = 1/4 are exact binary
+    // doubles and both engines evaluate the identical op sequence
+    "rx_holt" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, "value",
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, "value", rn,
+        |    "value" AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e."value", e.rn,
+        |    0.25 * e."value" + 0.75 * (w.level + w.trend),
+        |    0.25 * ((0.25 * e."value" + 0.75 * (w.level + w.trend))
+        |      - w.level) + 0.75 * w.trend
+        |  FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, "value", level, trend,
+        |  level + trend AS forecast
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+    "rx_runs_test" ->
+      """WITH med AS (
+        |  SELECT user_id, "value" AS med FROM (
+        |    SELECT user_id, "value",
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY "value", event_id) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS cnt
+        |    FROM events)
+        |  WHERE rn = (cnt + 1) // 2),
+        |signs AS (
+        |  SELECT e.user_id,
+        |    CASE WHEN e."value" > m.med THEN 1 ELSE 0 END AS above,
+        |    lag(CASE WHEN e."value" > m.med THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY e.user_id ORDER BY e.event_id) AS prev
+        |  FROM events e JOIN med m USING (user_id)
+        |  WHERE e."value" <> m.med),
+        |agg AS (
+        |  SELECT user_id,
+        |    CAST(sum(above) AS BIGINT) AS n1,
+        |    CAST(sum(1 - above) AS BIGINT) AS n2,
+        |    CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+        |      AND prev <> above THEN 1 END), 0) + 1 AS BIGINT) AS runs
+        |  FROM signs GROUP BY user_id)
+        |SELECT m.user_id,
+        |  coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2,
+        |  coalesce(runs, 0) AS runs,
+        |  CASE WHEN coalesce(n1, 0) + coalesce(n2, 0) > 0 THEN
+        |    1000000 + 2000000 * n1 * n2 // (n1 + n2) END
+        |    AS expected_runs_ppm
+        |FROM med m LEFT JOIN agg a ON a.user_id = m.user_id
+        |ORDER BY m.user_id""".stripMargin,
     "profile_table" ->
       (Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
         "l_shipdate").map { c =>

@@ -1291,6 +1291,96 @@ object Reactive {
       .toDF("user_id", "event_id", "value", "ewma")
   }
 
+  /** Holt double exponential smoothing per key (level + trend — the
+    * forecasting step up from [[rxEwma]]'s level-only scan):
+    * l₁ = x₁, b₁ = 0, then
+    * lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁),
+    * bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁, emitting the one-step forecast
+    * lᵢ + bᵢ alongside. The recurrence is a 2-term linear state —
+    * inherently sequential per key — so it rides the same
+    * `flatMapSortedGroups` shape as [[rxEwma]] (shuffle
+    * secondary-sort on event_id, O(1) state per key, only
+    * (user_id, event_id, value) on the wire).
+    *
+    * Cross-engine determinism: α = β = 1/4 are exact binary doubles
+    * and BOTH engines evaluate the same literal op sequence
+    * (a·x + b·(l+t), then a·(l′−l) + b·t), so every level/trend is
+    * bit-identical to the oracle's recursive CTE — the rxEwma
+    * contract extended to a 2-dimensional state. */
+  def rxHolt(events: DataFrame, alpha: Double = 0.25,
+             beta: Double = 0.25): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("event_id")) { (uid, it) =>
+        var init = false
+        var level = 0.0
+        var trend = 0.0
+        it.map { case (_, eid, x) =>
+          if (!init) { init = true; level = x; trend = 0.0 }
+          else {
+            val lNew = alpha * x + (1 - alpha) * (level + trend)
+            trend = beta * (lNew - level) + (1 - beta) * trend
+            level = lNew
+          }
+          (uid, eid, x, level, trend, level + trend)
+        }
+      }
+      .toDF("user_id", "event_id", "value", "level", "trend",
+        "forecast")
+  }
+
+  /** Wald–Wolfowitz runs test ingredients per key: is the value
+    * stream random around its median, or does it trend/oscillate?
+    * Values equal to the per-key lower median drop (the standard
+    * treatment); the report carries n₁ (above), n₂ (below), the
+    * observed run count, and the expected run count under
+    * randomness, E[R] = 1 + 2n₁n₂/(n₁+n₂), in exact ppm — observed
+    * far below expected means trending, far above means
+    * oscillation. Everything is integer (counts, one integer
+    * division), so the verdict inputs are bit-identical on any
+    * engine; the z-score's √ is the consumer's one float step (the
+    * rx_survival adjudication).
+    *
+    * Scale shape: one row_number window to select the lower median
+    * (rank (n+1)/2 per key), one lag window for sign changes — both
+    * partitioned by user_id, so the whole test is two key-local
+    * sorts with counts on the wire; keys with every value at the
+    * median still report (zeros, NULL expectation) via the left
+    * join from the per-key median frame. */
+  def rxRunsTest(events: DataFrame): DataFrame = {
+    val perKey = Window.partitionBy("user_id")
+    val byVal = Window.partitionBy("user_id")
+      .orderBy(col("value"), col("event_id"))
+    val med = events
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("cnt", count(lit(1)).over(perKey))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("user_id"), col("value").as("med"))
+    val signs = events.join(med, "user_id")
+      .filter(col("value") =!= col("med"))
+      .withColumn("above", (col("value") > col("med")).cast("int"))
+      .withColumn("prev", lag("above", 1).over(
+        Window.partitionBy("user_id").orderBy("event_id")))
+    val agg = signs.groupBy("user_id")
+      .agg(
+        sum("above").cast("long").as("n1"),
+        sum(lit(1) - col("above")).cast("long").as("n2"),
+        (coalesce(sum(when(col("prev").isNotNull &&
+          col("prev") =!= col("above"), 1L)), lit(0L)) + 1L)
+          .cast("long").as("runs"))
+    med.select("user_id").join(agg, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("runs"), lit(0L)).as("runs"),
+        expr("CASE WHEN coalesce(n1, 0) + coalesce(n2, 0) > 0 THEN " +
+          "1000000 + 2000000 * n1 * n2 div (n1 + n2) END")
+          .cast("long").as("expected_runs_ppm"))
+  }
+
   /** Rx `forkJoin`: the final value of each of several per-key
     * streams, emitted together once all of them have completed — a
     * key only appears if EVERY stream emitted at least once. One

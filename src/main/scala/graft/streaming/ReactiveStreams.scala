@@ -211,6 +211,41 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming Holt double exponential smoothing: the unbounded twin
+    * of [[graft.operators.Reactive.rxHolt]]. State per key = the
+    * (level, trend) pair wrapped in an Option (the explicit
+    * uninitialized marker — a genuine NaN input must poison the
+    * 2-term recurrence exactly like the batch twin, not re-seed it).
+    * Same within-trigger event_id ordering contract as
+    * [[ewmaStream]]: across triggers arrival order governs, so exact
+    * batch parity requires per-key event_id-ordered delivery. */
+  case class HoltRow(event_id: Long, user_id: Long, value: Double,
+                     level: Double, trend: Double, forecast: Double)
+  def holtStream(spark: SparkSession, events: DataFrame,
+                 alpha: Double = 0.25, beta: Double = 0.25)
+      : Dataset[HoltRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[(Double, Double)], HoltRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[Option[(Double, Double)]]) =>
+          var st = state.getOption.flatten
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            st = Some(st.fold((e.value, 0.0)) { case (l, t) =>
+              val lNew = alpha * e.value + (1 - alpha) * (l + t)
+              (lNew, beta * (lNew - l) + (1 - beta) * t)
+            })
+            val (l, t) = st.get
+            HoltRow(e.event_id, uid, e.value, l, t, l + t)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming withLatestFrom / as-of enrichment: each primary-type
     * element is emitted with the latest-seen secondary-type value of
     * its key (the unbounded form of [[graft.operators.AsOf]]). State

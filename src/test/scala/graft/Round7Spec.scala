@@ -799,6 +799,33 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("rxHolt: hand-computed level/trend/forecast on a 3-step series") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 4.0), (2L, 1L, 8.0), (3L, 1L, 4.0))
+      .toDF("event_id", "user_id", "value")
+    val got = Reactive.rxHolt(ev).orderBy("event_id").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got(0) === ((4.0, 0.0, 4.0)))
+    assert(got(1) === ((5.0, 0.25, 5.25)))
+    assert(got(2) === ((4.9375, 0.171875, 5.109375)))
+  }
+
+  test("rxRunsTest: alternating series counts 4 runs; all-at-median " +
+      "key reports zeros with NULL expectation") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1.0), (2L, 1L, 5.0), (3L, 1L, 2.0), (4L, 1L, 6.0),
+      (5L, 1L, 3.0),                      // median 3 drops -> B A B A
+      (6L, 2L, 7.0), (7L, 2L, 7.0), (8L, 2L, 7.0))
+      .toDF("event_id", "user_id", "value")
+    val got = Reactive.rxRunsTest(ev).orderBy("user_id").collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3),
+      got(0).getLong(4)) === ((2L, 2L, 4L, 3000000L)))
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3))
+      === ((0L, 0L, 0L)))
+    assert(got(1).isNullAt(4))
+  }
+
   test("dimAssignment: variance-ranked snake deal pairs strong dims " +
       "with weak across subspaces; every dim assigned exactly once") {
     import spark.implicits._

@@ -283,6 +283,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming Holt matches the batch 2-term recurrence bit-for-bit") {
+    import spark.implicits._
+    val got = run(df => ReactiveStreams.holtStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"))))
+      .toMap
+    val batch = graft.operators.Reactive.rxHolt(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Double]("level"), r.getAs[Double]("trend"),
+          r.getAs[Double]("forecast"))))
+      .toMap
+    assert(got === batch)
+  }
+
   test("chained streaming aggregation rolls hourly counts into 2h totals") {
     import spark.implicits._
     val got = run(df => ReactiveStreams.windowedRollup(df))
