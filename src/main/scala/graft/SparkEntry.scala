@@ -752,6 +752,8 @@ object SparkEntry {
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "dedup_paragraph" -> ((s, d) =>
       TextAnalysis.chunkDedup(docs(s, d)).orderBy("chunk_hash")),
+    "dedup_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunkReport(docs(s, d)).orderBy("source")),
     "rx_rolling_median" -> ((s, d) =>
       Reactive.rxRollingMedian(ev(s, d)).orderBy("event_id")),
     "rx_variance" -> ((s, d) =>
@@ -5023,6 +5025,53 @@ object SparkEntry {
         |    AS trend_r
         |FROM m WHERE n >= 3 AND n * syy - sy * sy > 0
         |ORDER BY user_id""".stripMargin,
+    // content-defined chunking: the greedy min-size cut fold is the
+    // ewma recursive-CTE pattern over per-doc candidate ranks; the
+    // boundary hash is the auditable md5 family
+    "dedup_cdc_chunks" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |cand AS (
+        |  SELECT doc_id, list_sort(list_filter(
+        |    list_transform(range(8, n + 1),
+        |      i -> CASE WHEN ('0x' || substr(md5(substr(text, i - 7, 8)),
+        |          1, 7))::BIGINT % 32 = 0 THEN i ELSE -1 END),
+        |    x -> x > 0)) AS cs
+        |  FROM d),
+        |c2 AS (SELECT doc_id, u.i AS pos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY u.i) AS rn
+        |  FROM cand, unnest(cs) u(i)),
+        |r AS (
+        |  SELECT doc_id, 0 AS rn, [0] AS cuts FROM d
+        |  UNION ALL
+        |  SELECT c2.doc_id, c2.rn,
+        |    CASE WHEN c2.pos - r.cuts[len(r.cuts)] >= 16
+        |         THEN list_append(r.cuts, c2.pos) ELSE r.cuts END
+        |  FROM r JOIN c2 ON c2.doc_id = r.doc_id AND c2.rn = r.rn + 1),
+        |fin AS (SELECT doc_id, cuts FROM (
+        |  SELECT doc_id, cuts, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY rn DESC) AS k FROM r) WHERE k = 1),
+        |b AS (SELECT d.doc_id, d.source, d.text,
+        |  CASE WHEN cuts[len(cuts)] = length(text) THEN cuts
+        |       ELSE list_append(cuts, length(text)) END AS bs
+        | FROM fin JOIN d USING (doc_id)),
+        |ch AS (SELECT doc_id, source,
+        |   substr(text, bs[j.j] + 1, bs[j.j + 1] - bs[j.j]) AS chunk
+        | FROM b, unnest(range(1, len(bs))) j(j)),
+        |h AS (SELECT doc_id, source, length(chunk) AS clen,
+        |   ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch FROM ch),
+        |g AS (SELECT ch, count(*) AS cnt FROM h GROUP BY 1)
+        |SELECT source,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(clen) AS BIGINT) AS n_chunk_chars,
+        | CAST(count(DISTINCT h.ch) AS BIGINT) AS n_distinct,
+        | CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0) AS BIGINT)
+        |   AS n_shared,
+        | CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0)
+        |   * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        |FROM h JOIN g ON g.ch = h.ch
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dedup_paragraph" ->
       """WITH t AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks

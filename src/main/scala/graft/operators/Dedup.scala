@@ -929,4 +929,81 @@ object Dedup {
       .select(col("vec_id"), col("m.centroid_id").as("cluster_id"),
         col("m.id1").as("dup_of"), col("m.cos_sim").as("cos_sim"))
   }
+
+  /** Content-defined chunking (the FastCDC/rsync shape): cut each
+    * document where the rolling content hash of the trailing `w`
+    * chars hits 0 mod `divisor`, subject to a `minSize` greedy floor
+    * — so chunk BOUNDARIES move with the content, not the offset.
+    * That is the property byte-offset chunking ([[TextAnalysis]]'
+    * token windows) lacks: insert one word at the top of a document
+    * and every fixed-stride chunk downstream changes, but CDC cuts
+    * re-synchronize at the next content boundary, so storage dedup /
+    * delta-sync still finds every unchanged chunk. The report is the
+    * per-source chunk-dedup telemetry: chunk instances, distinct
+    * hashes, instances whose hash repeats corpus-wide, exact dup ppm.
+    *
+    * The boundary predicate is the auditable md5 family (28-bit
+    * prefix of md5 of the trailing window mod `divisor`) — a
+    * production deployment swaps in a gear/Rabin rolling hash with
+    * O(1) updates; the plan shape (and the oracle) is identical, the
+    * per-position hash is just cheaper. Expected chunk ≈ divisor
+    * chars; minSize suppresses the geometric head.
+    *
+    * Scale shape: the candidate scan, greedy cut fold, and chunk
+    * split are ALL per-row HOFs over the text column — narrow,
+    * codegen, zero exchanges; text leaves the row only as (hash,
+    * len) pairs, so the two corpus-wide rollups (hash counts, source
+    * report) shuffle 16-byte tuples, never chunk bytes. The greedy
+    * fold is sequential BY DEFINITION within a document (each cut
+    * depends on the last accepted cut) and embarrassingly parallel
+    * across documents — exactly where a per-row aggregate puts it. */
+  def cdcChunkReport(docs: DataFrame, w: Int = 8, divisor: Int = 32,
+                     minSize: Int = 16): DataFrame = {
+    val chunks = cdcChunks(docs, w, divisor, minSize)
+    val counts = chunks.groupBy("ch").agg(count(lit(1)).as("cnt"))
+    chunks.join(counts, "ch")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum("clen").cast("long").as("n_chunk_chars"),
+        countDistinct(col("ch")).cast("long").as("n_distinct"),
+        coalesce(sum(when(col("cnt") > 1, 1L)), lit(0L)).cast("long")
+          .as("n_shared"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_chunk_chars"), col("n_distinct"), col("n_shared"),
+        expr("n_shared * 1000000 div n_chunks").as("dup_ppm"))
+  }
+
+  /** The per-document CDC chunk frame under [[cdcChunkReport]]:
+    * (doc_id, source, chunk_index, clen, ch) — chunk bytes never
+    * leave the row; only the 16-byte (hash, len) projection does. */
+  def cdcChunks(docs: DataFrame, w: Int = 8, divisor: Int = 32,
+                minSize: Int = 16): DataFrame = {
+    val cand =
+      s"""IF(length(text) < $w, array(),
+         |  filter(transform(sequence($w, length(text)),
+         |    i -> IF(CAST(conv(substr(md5(substring(text, i - ${w - 1},
+         |        $w)), 1, 7), 16, 10) AS BIGINT) % $divisor = 0, i, -1)),
+         |    x -> x > 0))""".stripMargin
+    val cuts =
+      s"""aggregate($cand, array(0), (acc, i) ->
+         |  IF(i - element_at(acc, -1) >= $minSize,
+         |     concat(acc, array(i)), acc))""".stripMargin
+    val bounds =
+      s"""IF(element_at($cuts, -1) = length(text), $cuts,
+         |   concat($cuts, array(length(text))))""".stripMargin
+    docs
+      .select(col("doc_id"), col("source"), col("text"),
+        expr(bounds).as("bs"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """transform(sequence(1, size(bs) - 1),
+            |  j -> substring(text, element_at(bs, j) + 1,
+            |    element_at(bs, j + 1) - element_at(bs, j)))"""
+            .stripMargin)).as(Seq("chunk_index", "chunk")))
+      .select(col("doc_id"), col("source"), col("chunk_index"),
+        length(col("chunk")).as("clen"),
+        expr("CAST(conv(substr(md5(chunk), 1, 15), 16, 10) AS BIGINT)")
+          .as("ch"))
+  }
 }

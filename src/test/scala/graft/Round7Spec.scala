@@ -799,6 +799,40 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks: cuts re-synchronize after a prefix insertion, the " +
+      "greedy floor holds, and chunks tile each document exactly") {
+    import spark.implicits._
+    val text = (0 until 60).map(i => s"w${i}x${(i * 7) % 13}")
+      .mkString(" ")
+    val shifted = "INSERTED PREFIX " + text
+    val docs = Seq((1L, text, "s"), (2L, shifted, "s"))
+      .toDF("doc_id", "text", "source")
+    val ch = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // tiling: per-doc chunk lengths sum to the doc length
+    val lens = ch.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(lens(1L) === text.length)
+    assert(lens(2L) === shifted.length)
+    // greedy floor: every non-final chunk is >= minSize (16)
+    for (doc <- Seq(1L, 2L)) {
+      val parts = ch.filter(_._1 == doc).sortBy(_._2)
+      assert(parts.dropRight(1).forall(_._3 >= 16),
+        s"doc $doc has a short non-final chunk")
+    }
+    // re-synchronization: candidates are content-positions, so after
+    // the first cut both docs share, every later cut coincides —
+    // the shifted doc re-uses all but a bounded head of doc 1's
+    // chunks (THE property byte-offset chunking lacks)
+    val h1 = ch.filter(_._1 == 1L).map(_._4).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._4).toSet
+    val n1 = ch.count(_._1 == 1L)
+    assert((h1 intersect h2).size >= n1 - 3,
+      s"resync failed: only ${(h1 intersect h2).size} of $n1 shared")
+    // and the report surfaces them as corpus-shared instances
+    val rep = Dedup.cdcChunkReport(docs).collect().head
+    assert(rep.getLong(5) >= 2L * (n1 - 3))  // n_shared counts instances
+  }
+
   test("rxHolt: hand-computed level/trend/forecast on a 3-step series") {
     import spark.implicits._
     val ev = Seq((1L, 1L, 4.0), (2L, 1L, 8.0), (3L, 1L, 4.0))
