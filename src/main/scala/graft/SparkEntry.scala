@@ -1001,6 +1001,11 @@ object SparkEntry {
       Similarity.binaryQuantAudit(e, e.filter(col("vec_id") < 20))
         .orderBy("query_id")
     }),
+    "ann_binary_rerank" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.binaryRerank(e, e.filter(col("vec_id") < 20))
+        .orderBy("query_id", "rank")
+    }),
     "pipeline_class_balance" -> ((s, d) =>
       Sampling.classBalance(docs(s, d)).orderBy("doc_id")),
     "pipeline_class_balance_fast" -> ((s, d) =>
@@ -6903,6 +6908,38 @@ object SparkEntry {
         |   AS BIGINT) AS hamming_sum_exact_topk,
         | CAST(min(hamming) AS BIGINT) AS min_hamming
         |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // two-stage retrieval over the same scored frame: hamming-prune
+    // to 32, exact-cosine rerank to 10, per-row exact-top-k flag
+    "ann_binary_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 20),
+        |s AS (SELECT query_id, e.vec_id AS nid,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim,
+        |  len(list_filter(list_zip(q_emb, e.embedding),
+        |    z -> (CAST(z[1] AS DOUBLE) > 0) <> (CAST(z[2] AS DOUBLE) > 0)))
+        |    AS hamming
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, nid, cos_sim, hamming,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, nid) AS re,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY hamming, nid) AS rh
+        | FROM s),
+        |p AS (SELECT query_id, nid, cos_sim, re,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, nid) AS rnk
+        | FROM r WHERE rh <= 32)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rank,
+        | nid AS neighbor_id, cos_sim,
+        | CAST(CASE WHEN re <= 10 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS in_exact_topk
+        |FROM p WHERE rnk <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // deterministic semi-synchronous LPA: 3 unrolled vote/argmax
     // rounds over the symmetrized bipartite purchase edge frame
     // (even ids = customers, odd = suppliers, the graph_bfs space)

@@ -976,9 +976,13 @@ object Dedup {
 
   /** The per-document CDC chunk frame under [[cdcChunkReport]]:
     * (doc_id, source, chunk_index, clen, ch) — chunk bytes never
-    * leave the row; only the 16-byte (hash, len) projection does. */
+    * leave the row; only the 16-byte (hash, len) projection does.
+    * `keep` passes extra input columns through (the streaming twin
+    * threads its event-time column this way). */
   def cdcChunks(docs: DataFrame, w: Int = 8, divisor: Int = 32,
-                minSize: Int = 16): DataFrame = {
+                minSize: Int = 16, keep: Seq[String] = Nil)
+      : DataFrame = {
+    val kept = keep.map(col)
     val cand =
       s"""IF(length(text) < $w, array(),
          |  filter(transform(sequence($w, length(text)),
@@ -993,17 +997,17 @@ object Dedup {
       s"""IF(element_at($cuts, -1) = length(text), $cuts,
          |   concat($cuts, array(length(text))))""".stripMargin
     docs
-      .select(col("doc_id"), col("source"), col("text"),
-        expr(bounds).as("bs"))
-      .select(col("doc_id"), col("source"),
+      .select(Seq(col("doc_id"), col("source"), col("text"),
+        expr(bounds).as("bs")) ++ kept: _*)
+      .select(Seq(col("doc_id"), col("source"),
         posexplode(expr(
           """transform(sequence(1, size(bs) - 1),
             |  j -> substring(text, element_at(bs, j) + 1,
             |    element_at(bs, j + 1) - element_at(bs, j)))"""
-            .stripMargin)).as(Seq("chunk_index", "chunk")))
-      .select(col("doc_id"), col("source"), col("chunk_index"),
+            .stripMargin)).as(Seq("chunk_index", "chunk"))) ++ kept: _*)
+      .select(Seq(col("doc_id"), col("source"), col("chunk_index"),
         length(col("chunk")).as("clen"),
         expr("CAST(conv(substr(md5(chunk), 1, 15), 16, 10) AS BIGINT)")
-          .as("ch"))
+          .as("ch")) ++ kept: _*)
   }
 }

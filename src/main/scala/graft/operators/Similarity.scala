@@ -1175,34 +1175,25 @@ object Similarity {
     * corpus scans once, packs narrowly, and only (query, neighbor,
     * hamming, cos) tuples reach the per-query rank windows — the
     * [[bruteForceTopK]] exact-baseline contract. */
+  /** ⌈d/64⌉-word packed sign bits of the embedding column — shared
+    * by [[binaryQuantAudit]] and [[binaryRerank]]. */
+  private def packedSignBits = expr(
+    """transform(sequence(0, (size(embedding) + 63) div 64 - 1),
+      |  g -> aggregate(
+      |    sequence(g * 64, least(g * 64 + 63, size(embedding) - 1)),
+      |    0L,
+      |    (acc, i) -> IF(element_at(embedding, CAST(i + 1 AS INT)) > 0,
+      |      acc | shiftleft(1L, CAST(i - g * 64 AS INT)), acc)))"""
+      .stripMargin)
+
+  private def hammingWords = expr(
+    """aggregate(zip_with(q_bits, bits,
+      |  (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)""".stripMargin)
+    .cast("long")
+
   def binaryQuantAudit(embs: DataFrame, queries: DataFrame, k: Int = 10)
       : DataFrame = {
-    val bits = expr(
-      """transform(sequence(0, (size(embedding) + 63) div 64 - 1),
-        |  g -> aggregate(
-        |    sequence(g * 64, least(g * 64 + 63, size(embedding) - 1)),
-        |    0L,
-        |    (acc, i) -> IF(element_at(embedding, CAST(i + 1 AS INT)) > 0,
-        |      acc | shiftleft(1L, CAST(i - g * 64 AS INT)), acc)))"""
-        .stripMargin)
-    val corpus = embs.select(col("vec_id").as("neighbor_id"),
-      col("embedding"), bits.as("bits"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), bits.as("q_bits"))
-    val scored = corpus
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim",
-        GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
-      .withColumn("hamming", expr(
-        """aggregate(zip_with(q_bits, bits,
-          |  (a, b) -> bit_count(a ^ b)), 0, (x, y) -> x + y)""".stripMargin)
-        .cast("long"))
-      .withColumn("rank_exact", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .withColumn("rank_ham", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("hamming"), col("neighbor_id"))))
+    val scored = binaryScored(embs, queries)
     scored.groupBy("query_id")
       .agg(
         coalesce(sum(when(col("rank_exact") <= k && col("rank_ham") <= k,
@@ -1210,6 +1201,53 @@ object Similarity {
         coalesce(sum(when(col("rank_exact") <= k, col("hamming"))),
           lit(0L)).cast("long").as("hamming_sum_exact_topk"),
         min("hamming").cast("long").as("min_hamming"))
+  }
+
+  /** The shared scored candidate frame: broadcast query panel ×
+    * corpus with exact cosine, packed-word Hamming, and both rank
+    * windows. */
+  private def binaryScored(embs: DataFrame, queries: DataFrame)
+      : DataFrame = {
+    val corpus = embs.select(col("vec_id").as("neighbor_id"),
+      col("embedding"), packedSignBits.as("bits"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), packedSignBits.as("q_bits"))
+    corpus
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("hamming", hammingWords)
+      .withColumn("rank_exact", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .withColumn("rank_ham", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("hamming"), col("neighbor_id"))))
+  }
+
+  /** Two-stage retrieval: Hamming-prune to the `prune` nearest sign
+    * patterns, exact-cosine rerank the survivors, emit the top `k`
+    * with an `in_exact_topk` flag per row (sum per query = recall —
+    * the audit rides the result instead of replacing it). This is
+    * the production use of [[binaryQuantAudit]]'s measurement: the
+    * 1-bit tier reads 1/256th of the bytes to kill 1−prune/n of the
+    * corpus, and only the pruned survivors ever touch raw floats —
+    * at 100 TB that is the difference between scanning embeddings
+    * and scanning sign words. Ranking is fully deterministic
+    * (hamming asc, id; then cos desc, id), so the emitted rows are
+    * engine-reproducible even where the prune boundary ties. */
+  def binaryRerank(embs: DataFrame, queries: DataFrame,
+                   prune: Int = 32, k: Int = 10): DataFrame = {
+    val scored = binaryScored(embs, queries)
+    scored.filter(col("rank_ham") <= prune)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"),
+        when(col("rank_exact") <= k, 1L).otherwise(0L)
+          .cast("long").as("in_exact_topk"))
   }
 
   /** IVFADC search (Jégou et al., TPAMI'11 §IV): the production-scale

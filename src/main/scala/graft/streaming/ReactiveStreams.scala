@@ -468,6 +468,32 @@ object ReactiveStreams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Streaming CDC chunk ingest — the delta-sync decision per
+    * arriving document: chunk it content-defined
+    * ([[graft.operators.Dedup.cdcChunks]] — per-row stateless HOFs,
+    * stream-safe by construction), flag each chunk against the
+    * FROZEN corpus chunk-hash table (stream-static BROADCAST left
+    * join, the [[incrementalDedupStream]] contract — the table never
+    * enters state), and roll up per doc: total chunks, novel chunks,
+    * novel ppm — "how many bytes of this doc are actually new".
+    * A doc's chunks all carry its single ts, so the watermarked
+    * windowed aggregate emits exactly one final row per doc (the
+    * [[surprisalScoreStream]] fold shape); state is O(docs in
+    * flight), never O(corpus chunks). ≡ the batch anti-join rollup
+    * over the same docs (spec-asserted across a trigger split). */
+  def cdcIngestStream(docs: DataFrame, corpusChunks: DataFrame,
+                      watermark: String = "2 hours"): DataFrame =
+    graft.operators.Dedup.cdcChunks(docs, keep = Seq("ts"))
+      .join(broadcast(corpusChunks.select(col("ch"),
+        lit(1).as("known"))), Seq("ch"), "left")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("known").isNull, 1L)), lit(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_chunks"), col("n_novel"),
+        expr("n_novel * 1000000 div n_chunks").as("novel_ppm"))
+
   /** Streaming twin of [[graft.operators.TextAnalysis
     * .unigramSurprisal]]'s SCORING half — the production ingest
     * shape: the unigram model is FROZEN from the static corpus

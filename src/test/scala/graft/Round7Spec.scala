@@ -833,6 +833,27 @@ class Round7Spec extends AnyFunSuite {
     assert(rep.getLong(5) >= 2L * (n1 - 3))  // n_shared counts instances
   }
 
+  test("binaryRerank: a tight prune drops the true neighbor (flag 0); " +
+      "widening the prune recovers it (flag 1)") {
+    import spark.implicits._
+    // query 0: id 1 is sign-identical (hamming 0) but low cosine;
+    // id 2 flips one sign (hamming 1) but is the true cosine top-1
+    val embs = Seq(
+      (0L, Array(1f, 1f, 1f, 1f)),
+      (1L, Array(1f, 0.001f, 0.001f, 0.001f)),
+      (2L, Array(1f, 1f, 1f, -0.001f)))
+      .toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 0)
+    val tight = Similarity.binaryRerank(embs, q, prune = 1, k = 1)
+      .collect().head
+    assert(tight.getLong(2) === 1L)   // hamming-nearest survives
+    assert(tight.getLong(4) === 0L)   // ...but is NOT the exact top-1
+    val wide = Similarity.binaryRerank(embs, q, prune = 2, k = 1)
+      .collect().head
+    assert(wide.getLong(2) === 2L)    // true neighbor recovered
+    assert(wide.getLong(4) === 1L)
+  }
+
   test("rxHolt: hand-computed level/trend/forecast on a 3-step series") {
     import spark.implicits._
     val ev = Seq((1L, 1L, 4.0), (2L, 1L, 8.0), (3L, 1L, 4.0))

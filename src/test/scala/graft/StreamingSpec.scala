@@ -1501,6 +1501,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC ingest: per-doc novelty equals the batch " +
+      "anti-join rollup across a trigger split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"w${i}x${(i * 7) % 13}")
+      .mkString(" ")
+    val corpus = Seq((1L, base, "s")).toDF("doc_id", "text", "source")
+    val corpusChunks = graft.operators.Dedup.cdcChunks(corpus)
+      .select("ch").distinct().cache()
+    val d10 = "COMPLETELY NOVEL HEAD OF DOCUMENT " + base
+    val d11 = (100 until 160).map(i => s"q${i}y${(i * 5) % 11}")
+      .mkString(" ")
+    val streamRows = Seq((10L, ts(0), d10, "s"), (11L, ts(1), d11, "s"))
+    val batch = graft.operators.Dedup.cdcChunks(
+        streamRows.toDF("doc_id", "ts", "text", "source"))
+      .join(corpusChunks.withColumn("known", lit(1)), Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("known").isNull, 1L)), lit(0L)).as("nov"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val qName = s"cdc_${System.nanoTime()}"
+    val q = ReactiveStreams.cdcIngestStream(
+      mem.toDF().toDF("doc_id", "ts", "text", "source"), corpusChunks)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("append").start()
+    try {
+      mem.addData(streamRows.head); q.processAllAvailable()
+      mem.addData(streamRows(1)); q.processAllAvailable()
+      // far-future tick closes the windows
+      mem.addData((99L, ts(600), "x", "s")); q.processAllAvailable()
+      val got = spark.table(qName).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      for (id <- Seq(10L, 11L)) {
+        val (n, nov) = batch(id)
+        assert(got(id) === ((n, nov, nov * 1000000L / n)), s"doc $id")
+      }
+      // the shifted doc re-used corpus chunks; the fresh doc did not
+      assert(got(10L)._2 > 0 && got(10L)._2 < got(10L)._1)
+      assert(got(11L)._2 === got(11L)._1)
+    } finally q.stop()
+  }
+
   test("streaming surprisal scoring against the frozen model equals " +
       "the batch scorer; OOV tokens take the ceiling") {
     implicit val sqlCtx = spark.sqlContext
