@@ -748,6 +748,8 @@ object SparkEntry {
       Reactive.rxHolt(ev(s, d)).orderBy("user_id", "event_id")),
     "rx_runs_test" -> ((s, d) =>
       Reactive.rxRunsTest(ev(s, d)).orderBy("user_id")),
+    "rx_theil_sen" -> ((s, d) =>
+      Reactive.rxTheilSen(ev(s, d)).orderBy("user_id")),
     "rx_ignore_elements" -> ((s, d) =>
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "dedup_paragraph" -> ((s, d) =>
@@ -5165,6 +5167,34 @@ object SparkEntry {
         |    AS expected_runs_ppm
         |FROM med m LEFT JOIN agg a ON a.user_id = m.user_id
         |ORDER BY m.user_id""".stripMargin,
+    // last-32 pairwise slopes as one double division each (identical
+    // IEEE result both engines); lower-median order statistic
+    "rx_theil_sen" ->
+      """WITH lastn AS (
+        |  SELECT user_id, event_id, "value" FROM (
+        |    SELECT user_id, event_id, "value",
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn <= 32),
+        |p AS (
+        |  SELECT user_id,
+        |    list(event_id ORDER BY event_id) AS eids,
+        |    list("value" ORDER BY event_id) AS vals
+        |  FROM lastn GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, len(vals) AS n_points,
+        |    CASE WHEN len(vals) < 2 THEN []::DOUBLE[]
+        |    ELSE list_sort(flatten(list_transform(range(2, len(vals) + 1),
+        |      j -> list_transform(range(1, j), i ->
+        |        (vals[j] - vals[i])
+        |          / CAST(eids[j] - eids[i] AS DOUBLE)))))
+        |    END AS slopes
+        |  FROM p)
+        |SELECT user_id, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(len(slopes) AS BIGINT) AS n_pairs,
+        |  CASE WHEN len(slopes) > 0
+        |    THEN slopes[(len(slopes) + 1) // 2] END AS slope_median
+        |FROM s ORDER BY user_id""".stripMargin,
     "profile_table" ->
       (Seq("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
         "l_shipdate").map { c =>

@@ -1332,6 +1332,49 @@ object Reactive {
         "forecast")
   }
 
+  /** Theil–Sen robust trend per key: the (lower) median of all
+    * pairwise slopes over the last `n` points — the estimator that
+    * shrugs off the outliers OLS chases (breakdown point ~29%), and
+    * the standard robust drift detector next to [[rxTrendCorrelation]]
+    * 's parametric slope. The last-`n` cap is the scale contract:
+    * pairwise slopes are O(n²) per key BY DEFINITION, so the window
+    * bounds the fan-out at n(n−1)/2 = 496 doubles per key regardless
+    * of stream length (the capped-adjacency rule applied to time
+    * series). Slopes use event_id as the time axis (unique integers
+    * — no zero denominators), each slope is ONE double division (the
+    * same IEEE result on any engine), and the median is an order
+    * statistic of the sorted slope array — deterministic throughout.
+    *
+    * Scale shape: one rank window to keep the last n, one
+    * collect-to-array per key (bounded at n), then per-row HOFs;
+    * only (user, event_id, value) triples shuffle. */
+  def rxTheilSen(events: DataFrame, n: Int = 32): DataFrame = {
+    val lastN = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") <= n)
+    lastN.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+        .as("pts"))
+      .withColumn("eids", expr("transform(pts, p -> p.event_id)"))
+      .withColumn("vals", expr("transform(pts, p -> p.value)"))
+      .withColumn("slopes", expr(
+        """IF(size(vals) < 2, array(),
+          |  array_sort(flatten(transform(sequence(2, size(vals)), j ->
+          |    transform(sequence(1, j - 1), i ->
+          |      (element_at(vals, CAST(j AS INT))
+          |        - element_at(vals, CAST(i AS INT)))
+          |      / CAST(element_at(eids, CAST(j AS INT))
+          |        - element_at(eids, CAST(i AS INT)) AS DOUBLE))))))"""
+          .stripMargin))
+      .select(col("user_id"),
+        size(col("pts")).cast("long").as("n_points"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        expr("""CASE WHEN size(slopes) > 0 THEN
+          element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))
+          END""").as("slope_median"))
+  }
+
   /** Wald–Wolfowitz runs test ingredients per key: is the value
     * stream random around its median, or does it trend/oscillate?
     * Values equal to the per-key lower median drop (the standard

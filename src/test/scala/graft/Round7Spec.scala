@@ -865,6 +865,26 @@ class Round7Spec extends AnyFunSuite {
     assert(got(2) === ((4.9375, 0.171875, 5.109375)))
   }
 
+  test("rxTheilSen: median slope ignores the outlier OLS would chase; " +
+      "last-n cap bounds the pair fan-out; single point yields NULL") {
+    import spark.implicits._
+    val ev = (Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+        (5L, 100.0)).map { case (e, v) => (e, 1L, v) } ++
+      Seq((10L, 2L, 7.0)) ++
+      (1 to 40).map(i => (100L + i, 3L, i.toDouble)))
+      .toDF("event_id", "user_id", "value")
+    val got = Reactive.rxTheilSen(ev).orderBy("user_id").collect()
+    // user 1: 6 of 10 pairwise slopes are exactly 1.0 -> median 1.0
+    assert((got(0).getLong(1), got(0).getLong(2),
+      got(0).getDouble(3)) === ((5L, 10L, 1.0)))
+    // user 2: one point, no pairs, NULL slope
+    assert((got(1).getLong(1), got(1).getLong(2)) === ((1L, 0L)))
+    assert(got(1).isNullAt(3))
+    // user 3: 40 points cap to 32 -> 496 pairs, unit slope
+    assert((got(2).getLong(1), got(2).getLong(2),
+      got(2).getDouble(3)) === ((32L, 496L, 1.0)))
+  }
+
   test("rxRunsTest: alternating series counts 4 runs; all-at-median " +
       "key reports zeros with NULL expectation") {
     import spark.implicits._
