@@ -248,6 +248,10 @@ object SparkEntry {
         Tables.customer(s, d), Tables.supplier(s, d),
         Tables.nation(s, d))
         .orderBy(col("rank_scaled").desc, col("n_name"))),
+    "graph_local_clustering" -> ((s, d) =>
+      Graph.localClustering(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d))
+        .orderBy("node")),
     "q7_volume_shipping" -> ((s, d) =>
       Relational.q7VolumeShipping(s, d)
         .withColumn("revenue", col("revenue").cast("double"))
@@ -756,6 +760,12 @@ object SparkEntry {
       TextAnalysis.chunkDedup(docs(s, d)).orderBy("chunk_hash")),
     "dedup_cdc_chunks" -> ((s, d) =>
       Dedup.cdcChunkReport(docs(s, d)).orderBy("source")),
+    // ingest wave = odd doc_ids, existing corpus = even doc_ids
+    "dedup_cdc_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.cdcIncremental(all.filter(col("doc_id") % 2 === 1),
+        all.filter(col("doc_id") % 2 === 0)).orderBy("source")
+    }),
     "rx_rolling_median" -> ((s, d) =>
       Reactive.rxRollingMedian(ev(s, d)).orderBy("event_id")),
     "rx_variance" -> ((s, d) =>
@@ -5079,6 +5089,52 @@ object SparkEntry {
         |   * 1000000 // count(*) AS BIGINT) AS dup_ppm
         |FROM h JOIN g ON g.ch = h.ch
         |GROUP BY source ORDER BY source""".stripMargin,
+    // the dedup_cdc_chunks CTE family split into wave (odd ids) vs
+    // corpus (even ids); novelty = left-join miss on the corpus's
+    // distinct chunk hashes
+    "dedup_cdc_incremental" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |cand AS (
+        |  SELECT doc_id, list_sort(list_filter(
+        |    list_transform(range(8, n + 1),
+        |      i -> CASE WHEN ('0x' || substr(md5(substr(text, i - 7, 8)),
+        |          1, 7))::BIGINT % 32 = 0 THEN i ELSE -1 END),
+        |    x -> x > 0)) AS cs
+        |  FROM d),
+        |c2 AS (SELECT doc_id, u.i AS pos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY u.i) AS rn
+        |  FROM cand, unnest(cs) u(i)),
+        |r AS (
+        |  SELECT doc_id, 0 AS rn, [0] AS cuts FROM d
+        |  UNION ALL
+        |  SELECT c2.doc_id, c2.rn,
+        |    CASE WHEN c2.pos - r.cuts[len(r.cuts)] >= 16
+        |         THEN list_append(r.cuts, c2.pos) ELSE r.cuts END
+        |  FROM r JOIN c2 ON c2.doc_id = r.doc_id AND c2.rn = r.rn + 1),
+        |fin AS (SELECT doc_id, cuts FROM (
+        |  SELECT doc_id, cuts, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY rn DESC) AS k FROM r) WHERE k = 1),
+        |b AS (SELECT d.doc_id, d.source, d.text,
+        |  CASE WHEN cuts[len(cuts)] = length(text) THEN cuts
+        |       ELSE list_append(cuts, length(text)) END AS bs
+        | FROM fin JOIN d USING (doc_id)),
+        |h AS (SELECT doc_id, source,
+        |   ('0x' || substr(md5(substr(text, bs[j.j] + 1,
+        |     bs[j.j + 1] - bs[j.j])), 1, 15))::BIGINT AS ch
+        | FROM b, unnest(range(1, len(bs))) j(j)),
+        |corpus AS (SELECT DISTINCT ch FROM h WHERE doc_id % 2 = 0),
+        |wave AS (SELECT h.doc_id, h.source, h.ch,
+        |   CASE WHEN c.ch IS NULL THEN 1 ELSE 0 END AS novel
+        | FROM h LEFT JOIN corpus c ON c.ch = h.ch
+        | WHERE h.doc_id % 2 = 1)
+        |SELECT source,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(coalesce(sum(novel), 0) AS BIGINT) AS n_novel,
+        | CAST(coalesce(sum(novel), 0) * 1000000 // count(*) AS BIGINT)
+        |   AS novel_ppm
+        |FROM wave GROUP BY source ORDER BY source""".stripMargin,
     "dedup_paragraph" ->
       """WITH t AS (
         | SELECT doc_id, string_split(lower(text), ' ') AS toks
@@ -5344,6 +5400,41 @@ object SparkEntry {
         |JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
         |JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
         |ORDER BY n1, n2, n3""".stripMargin,
+    // the graph_triangles enumeration rolled to per-corner credits;
+    // cc = 2T/(deg(deg-1)) as one integer division, NULL under deg 2
+    "graph_local_clustering" ->
+      """WITH lo AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sn AS MATERIALIZED (
+        |  SELECT DISTINCT s.s_nationkey AS a, lo.o_custkey
+        |  FROM lo JOIN supplier s ON lo.l_suppkey = s.s_suppkey),
+        |und AS (
+        |  SELECT DISTINCT CAST(least(sn.a, c.c_nationkey) AS BIGINT) AS u,
+        |    CAST(greatest(sn.a, c.c_nationkey) AS BIGINT) AS v
+        |  FROM sn JOIN customer c ON sn.o_custkey = c.c_custkey
+        |  WHERE sn.a <> c.c_nationkey),
+        |tri AS (
+        |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |  FROM und e1
+        |  JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT n1 AS node FROM tri
+        |    UNION ALL SELECT n2 FROM tri
+        |    UNION ALL SELECT n3 FROM tri) GROUP BY 1),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.deg,
+        | coalesce(pn.n_triangles, 0) AS n_triangles,
+        | CASE WHEN deg.deg >= 2 THEN
+        |   coalesce(pn.n_triangles, 0) * 2000000 // (deg.deg * (deg.deg - 1))
+        | END AS cc_ppm
+        |FROM deg LEFT JOIN pn ON pn.node = deg.node
+        |ORDER BY deg.node""".stripMargin,
     "q_unpivot" ->
       """WITH g AS (SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,

@@ -974,6 +974,36 @@ object Dedup {
         expr("n_shared * 1000000 div n_chunks").as("dup_ppm"))
   }
 
+  /** Batch incremental CDC ingest — the bounded-batch twin of the
+    * streaming delta-sync verdict ([[graft.streaming.ReactiveStreams
+    * .cdcIngestStream]]): chunk the incoming batch content-defined,
+    * flag every chunk against the existing corpus's distinct chunk
+    * table, and report per source how many chunk instances are
+    * actually new bytes. This is what a storage/dedup tier runs per
+    * ingest wave: novel ppm near zero means the wave is re-uploads
+    * and delta-sync wins; near 1e6 means genuinely fresh content.
+    *
+    * Scale shape: both sides chunk narrowly (per-row HOFs); the
+    * corpus side collapses to its DISTINCT hash column before the
+    * key-equi LEFT join (the [[incrementalDedup]] one-exchange
+    * contract), so the join moves 8-byte hashes, never text. */
+  def cdcIncremental(batch: DataFrame, corpus: DataFrame,
+                     w: Int = 8, divisor: Int = 32, minSize: Int = 16)
+      : DataFrame = {
+    val corpusChunks = cdcChunks(corpus, w, divisor, minSize)
+      .select("ch").distinct().withColumn("known", lit(1))
+    cdcChunks(batch, w, divisor, minSize)
+      .join(corpusChunks, Seq("ch"), "left")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_chunks"),
+        coalesce(sum(when(col("known").isNull, 1L)), lit(0L))
+          .cast("long").as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_novel"),
+        expr("n_novel * 1000000 div n_chunks").as("novel_ppm"))
+  }
+
   /** The per-document CDC chunk frame under [[cdcChunkReport]]:
     * (doc_id, source, chunk_index, clen, ch) — chunk bytes never
     * leave the row; only the 16-byte (hash, len) projection does.

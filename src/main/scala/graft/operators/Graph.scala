@@ -129,6 +129,46 @@ object Graph {
         greatest(col("apex"), col("b"), col("c")).as("n3"))
   }
 
+  /** Per-node local clustering coefficient over the inter-nation
+    * trade graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) in exact ppm —
+    * how much of each node's neighborhood is itself connected, the
+    * node-level densification metric next to [[trianglesTrade]]'s
+    * global triangle list (which this reuses verbatim: the oriented
+    * wedge-join enumeration runs once, then each triangle credits
+    * its three corners via a narrow 3-way explode). Nodes of degree
+    * < 2 report NULL (the coefficient is undefined, not zero — a
+    * pendant node has no wedge to close). All-integer arithmetic:
+    * triangle counts and degrees are BIGINTs, the coefficient is one
+    * integer division. */
+  def localClustering(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame)
+      : DataFrame = {
+    val tri = trianglesTrade(lineitem, orders, customer, supplier)
+    val perNode = tri
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val und = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").cast("long").as("deg"),
+        coalesce(col("n_triangles"), lit(0L)).cast("long")
+          .as("n_triangles"),
+        expr("""CASE WHEN deg >= 2 THEN
+          coalesce(n_triangles, 0) * 2000000 div (deg * (deg - 1))
+          END""").cast("long").as("cc_ppm"))
+  }
+
   /** Degree histogram of the customer↔supplier trade graph: how many
     * distinct suppliers each buying customer touched, rolled up to a
     * (degree, n_customers) distribution — the shape diagnostic run

@@ -833,6 +833,38 @@ class Round7Spec extends AnyFunSuite {
     assert(rep.getLong(5) >= 2L * (n1 - 3))  // n_shared counts instances
   }
 
+  test("localClustering: per-corner credits reconcile with the " +
+      "triangle list; pendant nodes report NULL; cc bounded by 1e6") {
+    val li = Tables.lineitem(spark, sf); val or = Tables.orders(spark, sf)
+    val cu = Tables.customer(spark, sf); val su = Tables.supplier(spark, sf)
+    val cc = Graph.localClustering(li, or, cu, su).collect()
+    val nTri = Graph.trianglesTrade(li, or, cu, su).count()
+    assert(cc.map(_.getLong(2)).sum === 3 * nTri)
+    for (r <- cc) {
+      if (r.getLong(1) < 2) assert(r.isNullAt(3))
+      else assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("cdcIncremental: a re-uploaded doc is all-known, fresh content " +
+      "all-novel") {
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"w${i}x${(i * 7) % 13}")
+      .mkString(" ")
+    val fresh = (100 until 160).map(i => s"q${i}y${(i * 5) % 11}")
+      .mkString(" ")
+    val corpus = Seq((1L, base, "s")).toDF("doc_id", "text", "source")
+    val wave = Seq((10L, base, "re"), (11L, fresh, "new"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.cdcIncremental(wave, corpus).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (reChunks, reNovel, rePpm) = got("re")
+    assert(reNovel === 0L && rePpm === 0L && reChunks > 0L)
+    val (nwChunks, nwNovel, nwPpm) = got("new")
+    assert(nwNovel === nwChunks && nwPpm === 1000000L)
+  }
+
   test("binaryRerank: a tight prune drops the true neighbor (flag 0); " +
       "widening the prune recovers it (flag 1)") {
     import spark.implicits._
