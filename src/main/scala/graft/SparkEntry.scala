@@ -760,6 +760,8 @@ object SparkEntry {
       TextAnalysis.chunkDedup(docs(s, d)).orderBy("chunk_hash")),
     "dedup_cdc_chunks" -> ((s, d) =>
       Dedup.cdcChunkReport(docs(s, d)).orderBy("source")),
+    "dedup_cdc_gear" -> ((s, d) =>
+      Dedup.cdcGearReport(docs(s, d)).orderBy("source")),
     // ingest wave = odd doc_ids, existing corpus = even doc_ids
     "dedup_cdc_incremental" -> ((s, d) => {
       val all = docs(s, d)
@@ -5071,6 +5073,59 @@ object SparkEntry {
         |b AS (SELECT d.doc_id, d.source, d.text,
         |  CASE WHEN cuts[len(cuts)] = length(text) THEN cuts
         |       ELSE list_append(cuts, length(text)) END AS bs
+        | FROM fin JOIN d USING (doc_id)),
+        |ch AS (SELECT doc_id, source,
+        |   substr(text, bs[j.j] + 1, bs[j.j + 1] - bs[j.j]) AS chunk
+        | FROM b, unnest(range(1, len(bs))) j(j)),
+        |h AS (SELECT doc_id, source, length(chunk) AS clen,
+        |   ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch FROM ch),
+        |g AS (SELECT ch, count(*) AS cnt FROM h GROUP BY 1)
+        |SELECT source,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(clen) AS BIGINT) AS n_chunk_chars,
+        | CAST(count(DISTINCT h.ch) AS BIGINT) AS n_distinct,
+        | CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0) AS BIGINT)
+        |   AS n_shared,
+        | CAST(coalesce(sum(CASE WHEN cnt > 1 THEN 1 END), 0)
+        |   * 1000000 // count(*) AS BIGINT) AS dup_ppm
+        |FROM h JOIN g ON g.ch = h.ch
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // gear rolling-hash CDC: the per-character 2^62 modular update
+    // re-derived as a char-at-a-time recursive CTE against the
+    // md5-derived gear table; chunk identity = md5 of the chunk
+    "dedup_cdc_gear" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source, text, length(text) AS n FROM documents),
+        |gear AS (SELECT g.g AS g,
+        |  ('0x' || substr(md5('gear:' || CAST(g.g AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS gv
+        | FROM range(0, 256) g(g)),
+        |st AS (
+        |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS h,
+        |    0 AS last_cut, [0] AS cuts
+        |  FROM d
+        |  UNION ALL
+        |  SELECT st.doc_id, st.i + 1,
+        |    CAST((CAST(st.h AS HUGEINT) * 2 + g.gv)
+        |      % 4611686018427387904 AS BIGINT),
+        |    CASE WHEN (CAST((CAST(st.h AS HUGEINT) * 2 + g.gv)
+        |        % 4611686018427387904 AS BIGINT) & 31) = 0
+        |          AND st.i + 1 - st.last_cut >= 16
+        |         THEN st.i + 1 ELSE st.last_cut END,
+        |    CASE WHEN (CAST((CAST(st.h AS HUGEINT) * 2 + g.gv)
+        |        % 4611686018427387904 AS BIGINT) & 31) = 0
+        |          AND st.i + 1 - st.last_cut >= 16
+        |         THEN list_append(st.cuts, st.i + 1) ELSE st.cuts END
+        |  FROM st
+        |  JOIN d ON d.doc_id = st.doc_id AND st.i < d.n
+        |  JOIN gear g ON g.g = ascii(substr(d.text, st.i + 1, 1)) % 256),
+        |fin AS (SELECT doc_id, cuts FROM (
+        |  SELECT doc_id, cuts, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY i DESC) AS k FROM st) WHERE k = 1),
+        |b AS (SELECT d.doc_id, d.source, d.text,
+        |  CASE WHEN cuts[len(cuts)] = d.n THEN cuts
+        |       ELSE list_append(cuts, d.n) END AS bs
         | FROM fin JOIN d USING (doc_id)),
         |ch AS (SELECT doc_id, source,
         |   substr(text, bs[j.j] + 1, bs[j.j + 1] - bs[j.j]) AS chunk

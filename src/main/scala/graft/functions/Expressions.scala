@@ -430,6 +430,52 @@ object Kernels {
   private val affineCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
+  /** 256-entry gear table for rolling-hash CDC, itself md5-derived
+    * so any engine re-derives it: gear[b] = md5Prefix60("gear:"+b)
+    * (SQL twin: ('0x'||substr(md5('gear:'||b),1,15))::BIGINT). */
+  private lazy val gearTable: Array[Long] =
+    Array.tabulate(256)(b => md5Prefix60("gear:" + b))
+
+  /** Content-defined cut positions by gear rolling hash (the FastCDC
+    * update): h ← (2h + gear[codepoint mod 256]) mod 2^62 per
+    * character, cut at position i when (h AND divisor−1) = 0 and
+    * i − lastCut ≥ minSize. ONE tight primitive loop per document —
+    * this is the production path next to the md5-window variant,
+    * whose per-position md5 measured 6.1 s at sf0.1 (≈0.4 µs/char);
+    * the gear update is a table lookup + shift + mask (~2 ns/char).
+    * The shift ages old characters out of the state (62-char
+    * effective window), so cuts re-synchronize after insertions
+    * exactly like the windowed variant. Returns the cut bounds
+    * INCLUDING the leading 0 and the trailing text length — the
+    * chunk-split frame both CDC variants share. `divisor` must be a
+    * power of two. */
+  def cdcGearCuts(text: UTF8String, divisor: Int, minSize: Int)
+      : ArrayData = {
+    val s = text.toString
+    val mask62 = 0x3FFFFFFFFFFFFFFFL
+    val boundary = (divisor - 1).toLong
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    cuts += 0
+    var h = 0L
+    var last = 0
+    var i = 0          // char (codepoint) position, 1-based after ++
+    var off = 0        // UTF-16 offset
+    val len = s.length
+    while (off < len) {
+      val cp = s.codePointAt(off)
+      off += Character.charCount(cp)
+      i += 1
+      h = ((h << 1) + gearTable(cp & 255)) & mask62
+      if ((h & boundary) == 0L && i - last >= minSize) {
+        cuts += i
+        last = i
+      }
+    }
+    if (last != i) cuts += i
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      cuts.toArray)
+  }
+
   private def affineConstants(k: Int): (Array[Long], Array[Long]) = {
     var c = affineCache.get(k)
     if (c == null) {
@@ -814,6 +860,22 @@ case class MinHashBandsExpr(child: Expression, bands: Int, rows: Int)
     copy(child = c)
 }
 
+/** Gear rolling-hash CDC cut bounds (array<int>, includes 0 and the
+  * text length) — see [[Kernels.cdcGearCuts]]. */
+case class CdcGearCutsExpr(child: Expression, divisor: Int, minSize: Int)
+    extends UnaryExpression {
+  require(divisor > 0 && (divisor & (divisor - 1)) == 0,
+    "divisor must be a power of two")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cdcGearCuts(input.asInstanceOf[UTF8String], divisor, minSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.cdcGearCuts($c, $divisor, $minSize)")
+  override protected def withNewChildInternal(c: Expression): CdcGearCutsExpr =
+    copy(child = c)
+}
+
 /** Merge-based Jaccard of two sorted distinct array<string> columns. */
 case class SortedJaccardExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -1044,6 +1106,10 @@ object GraftFunctions {
   /** Word n-gram shingles (space-joined) of a token array. */
   def text_shingles(tokens: Column, n: Int): Column =
     toCol(ShinglesExpr(toExpr(tokens), n))
+
+  /** Gear rolling-hash CDC cut bounds of a text column. */
+  def cdc_gear_cuts(text: Column, divisor: Int, minSize: Int): Column =
+    toCol(CdcGearCutsExpr(toExpr(text), divisor, minSize))
 
   /** Merge-based Jaccard of two sorted distinct string arrays. */
   def sorted_jaccard(a: Column, b: Column): Column =

@@ -846,6 +846,38 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("cdcGearCuts kernel: bounds tile the text, greedy floor holds, " +
+      "edge cases (empty, short) are single-chunk; gear cuts " +
+      "re-synchronize after a prefix insertion") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cuts(s: String) = {
+      val a = graft.functions.Kernels.cdcGearCuts(
+        UTF8String.fromString(s), 32, 16)
+      (0 until a.numElements()).map(a.getInt)
+    }
+    assert(cuts("") === Seq(0))
+    assert(cuts("short") === Seq(0, 5))
+    val text = (0 until 80).map(i => s"w${i}x${(i * 7) % 13}")
+      .mkString(" ")
+    val c = cuts(text)
+    assert(c.head === 0 && c.last === text.length)
+    assert(c.sliding(2).forall(p => p(1) > p(0)))
+    // all gaps except possibly the last honor the floor
+    assert(c.sliding(2).toSeq.dropRight(1).forall(p => p(1) - p(0) >= 16))
+    // re-sync through the frame: shifted doc re-uses the tail chunks
+    import spark.implicits._
+    val docs = Seq((1L, text, "s"), (2L, "SHIFTING HEAD " + text, "s"))
+      .toDF("doc_id", "text", "source")
+    val ch = Dedup.cdcChunksGear(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val n1 = ch.count(_._1 == 1L)
+    // the gear state spans ~62 chars, so up to ~3 head chunks differ
+    assert((h1 intersect h2).size >= n1 - 4,
+      s"gear resync failed: ${(h1 intersect h2).size} of $n1 shared")
+  }
+
   test("cdcIncremental: a re-uploaded doc is all-known, fresh content " +
       "all-novel") {
     import spark.implicits._
