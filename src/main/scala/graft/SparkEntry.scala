@@ -754,6 +754,8 @@ object SparkEntry {
       Reactive.rxRunsTest(ev(s, d)).orderBy("user_id")),
     "rx_theil_sen" -> ((s, d) =>
       Reactive.rxTheilSen(ev(s, d)).orderBy("user_id")),
+    "rx_bollinger" -> ((s, d) =>
+      Reactive.rxBollinger(ev(s, d)).orderBy("user_id", "event_id")),
     "rx_ignore_elements" -> ((s, d) =>
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "dedup_paragraph" -> ((s, d) =>
@@ -5144,32 +5146,38 @@ object SparkEntry {
         |   * 1000000 // count(*) AS BIGINT) AS dup_ppm
         |FROM h JOIN g ON g.ch = h.ch
         |GROUP BY source ORDER BY source""".stripMargin,
-    // the dedup_cdc_chunks CTE family split into wave (odd ids) vs
-    // corpus (even ids); novelty = left-join miss on the corpus's
-    // distinct chunk hashes
+    // gear cuts (the production path the composite rides) split into
+    // wave (odd ids) vs corpus (even ids); novelty = left-join miss
+    // on the corpus's distinct chunk hashes
     "dedup_cdc_incremental" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, source, text, length(text) AS n FROM documents),
-        |cand AS (
-        |  SELECT doc_id, list_sort(list_filter(
-        |    list_transform(range(8, n + 1),
-        |      i -> CASE WHEN ('0x' || substr(md5(substr(text, i - 7, 8)),
-        |          1, 7))::BIGINT % 32 = 0 THEN i ELSE -1 END),
-        |    x -> x > 0)) AS cs
-        |  FROM d),
-        |c2 AS (SELECT doc_id, u.i AS pos,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY u.i) AS rn
-        |  FROM cand, unnest(cs) u(i)),
-        |r AS (
-        |  SELECT doc_id, 0 AS rn, [0] AS cuts FROM d
+        |gear AS (SELECT g.g AS g,
+        |  ('0x' || substr(md5('gear:' || CAST(g.g AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS gv
+        | FROM range(0, 256) g(g)),
+        |st AS (
+        |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS h,
+        |    0 AS last_cut, [0] AS cuts
+        |  FROM d
         |  UNION ALL
-        |  SELECT c2.doc_id, c2.rn,
-        |    CASE WHEN c2.pos - r.cuts[len(r.cuts)] >= 16
-        |         THEN list_append(r.cuts, c2.pos) ELSE r.cuts END
-        |  FROM r JOIN c2 ON c2.doc_id = r.doc_id AND c2.rn = r.rn + 1),
+        |  SELECT st.doc_id, st.i + 1,
+        |    CAST((CAST(st.h AS HUGEINT) * 2 + g.gv)
+        |      % 4611686018427387904 AS BIGINT),
+        |    CASE WHEN (CAST((CAST(st.h AS HUGEINT) * 2 + g.gv)
+        |        % 4611686018427387904 AS BIGINT) & 31) = 0
+        |          AND st.i + 1 - st.last_cut >= 16
+        |         THEN st.i + 1 ELSE st.last_cut END,
+        |    CASE WHEN (CAST((CAST(st.h AS HUGEINT) * 2 + g.gv)
+        |        % 4611686018427387904 AS BIGINT) & 31) = 0
+        |          AND st.i + 1 - st.last_cut >= 16
+        |         THEN list_append(st.cuts, st.i + 1) ELSE st.cuts END
+        |  FROM st
+        |  JOIN d ON d.doc_id = st.doc_id AND st.i < d.n
+        |  JOIN gear g ON g.g = ascii(substr(d.text, st.i + 1, 1)) % 256),
         |fin AS (SELECT doc_id, cuts FROM (
         |  SELECT doc_id, cuts, row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY rn DESC) AS k FROM r) WHERE k = 1),
+        |    ORDER BY i DESC) AS k FROM st) WHERE k = 1),
         |b AS (SELECT d.doc_id, d.source, d.text,
         |  CASE WHEN cuts[len(cuts)] = length(text) THEN cuts
         |       ELSE list_append(cuts, length(text)) END AS bs
@@ -5278,6 +5286,28 @@ object SparkEntry {
         |    AS expected_runs_ppm
         |FROM med m LEFT JOIN agg a ON a.user_id = m.user_id
         |ORDER BY m.user_id""".stripMargin,
+    // the rx_outliers exact decision rule on a rolling ROWS frame:
+    // (n·x − Σ)² > 4(nΣx² − Σ²) over BIGINT cents as DECIMAL(38,0)
+    "rx_bollinger" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id,
+        |    CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xi
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, xi,
+        |    count(*) OVER w AS n,
+        |    sum(xi) OVER w AS sx,
+        |    sum(xi * xi) OVER w AS sxx
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, CAST(xi AS BIGINT) AS cents,
+        |  CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN (n * xi - sx) * (n * xi - sx)
+        |         > (n * sxx - sx * sx) * 4
+        |       THEN CASE WHEN n * xi > sx THEN 'above' ELSE 'below' END
+        |       ELSE 'in' END AS band
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     // last-32 pairwise slopes as one double division each (identical
     // IEEE result both engines); lower-median order statistic
     "rx_theil_sen" ->

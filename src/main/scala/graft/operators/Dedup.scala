@@ -1030,11 +1030,13 @@ object Dedup {
     * key-equi LEFT join (the [[incrementalDedup]] one-exchange
     * contract), so the join moves 8-byte hashes, never text. */
   def cdcIncremental(batch: DataFrame, corpus: DataFrame,
-                     w: Int = 8, divisor: Int = 32, minSize: Int = 16)
+                     divisor: Int = 32, minSize: Int = 16)
       : DataFrame = {
-    val corpusChunks = cdcChunks(corpus, w, divisor, minSize)
+    // gear cuts on BOTH sides: composites ride the production path
+    // (the md5-window variant is the documented windowed alternative)
+    val corpusChunks = cdcChunksGear(corpus, divisor, minSize)
       .select("ch").distinct().withColumn("known", lit(1))
-    cdcChunks(batch, w, divisor, minSize)
+    cdcChunksGear(batch, divisor, minSize)
       .join(corpusChunks, Seq("ch"), "left")
       .groupBy("source")
       .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),

@@ -1332,6 +1332,39 @@ object Reactive {
         "forecast")
   }
 
+  /** Bollinger-band breakout flags per key: each event judged
+    * against its trailing `window`-row mean ± 2σ — the classic
+    * volatility-breakout signal, with [[rxOutliers]]' EXACT decision
+    * rule moved onto a rolling frame: |x − μ| > 2σ evaluates as
+    * (n·x − Σx)² > 4·(n·Σx² − (Σx)²) over BIGINT-cent moments
+    * ridden as DECIMAL(38,0), so a borderline row can never flip
+    * between engines or partitionings (float μ/σ would). The frame
+    * is ROWS-bounded (≤ `window` rows), so the two rolling sums are
+    * O(1) per row and the whole operator is one user_id shuffle —
+    * no stats re-join, no global pass. n < 2 rows degenerate to
+    * dev = 0 > 0 = false ⇒ "in" (the formula needs no warmup
+    * special case). */
+  def rxBollinger(events: DataFrame, window: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val big = DecimalType(38, 0)
+    events
+      .withColumn("xi", (dec(col("value")) * lit(100)).cast(big))
+      .withColumn("n", count(lit(1)).over(w).cast(big))
+      .withColumn("sx", sum(col("xi")).over(w).cast(big))
+      .withColumn("sxx",
+        sum((col("xi") * col("xi")).cast(big)).over(w).cast(big))
+      .select(col("user_id"), col("event_id"),
+        col("xi").cast("long").as("cents"),
+        col("n").cast("long").as("n_window"),
+        when((col("n") * col("xi") - col("sx")) *
+             (col("n") * col("xi") - col("sx")) >
+             (col("n") * col("sxx") - col("sx") * col("sx")) * 4,
+          when(col("n") * col("xi") > col("sx"), "above")
+            .otherwise("below"))
+          .otherwise("in").as("band"))
+  }
+
   /** Theil–Sen robust trend per key: the (lower) median of all
     * pairwise slopes over the last `n` points — the estimator that
     * shrugs off the outliers OLS chases (breakdown point ~29%), and

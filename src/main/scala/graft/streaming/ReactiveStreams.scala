@@ -483,7 +483,7 @@ object ReactiveStreams {
     * over the same docs (spec-asserted across a trigger split). */
   def cdcIngestStream(docs: DataFrame, corpusChunks: DataFrame,
                       watermark: String = "2 hours"): DataFrame =
-    graft.operators.Dedup.cdcChunks(docs, keep = Seq("ts"))
+    graft.operators.Dedup.cdcChunksGear(docs, keep = Seq("ts"))
       .join(broadcast(corpusChunks.select(col("ch"),
         lit(1).as("known"))), Seq("ch"), "left")
       .withWatermark("ts", watermark)

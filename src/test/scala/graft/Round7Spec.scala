@@ -929,6 +929,23 @@ class Round7Spec extends AnyFunSuite {
     assert(got(2) === ((4.9375, 0.171875, 5.109375)))
   }
 
+  test("rxBollinger: spike flags above, dip flags below, steady rows " +
+      "stay in — and a post-spike dip is NOT a breakout (sigma " +
+      "inflated by the spike)") {
+    import spark.implicits._
+    val ev = ((1 to 8).map(i => (i.toLong, 1L, 10.0)) ++
+      Seq((9L, 1L, 100.0), (10L, 1L, 0.5)) ++
+      (11 to 18).map(i => (i.toLong, 2L, 10.0)) ++
+      Seq((19L, 2L, 0.5)))
+      .toDF("event_id", "user_id", "value")
+    val got = Reactive.rxBollinger(ev).collect()
+      .map(r => (r.getLong(1), r.getString(4))).toMap // event -> band
+    assert((1L to 8L).forall(got(_) == "in"))
+    assert(got(9L) === "above")
+    assert(got(10L) === "in")   // spike-inflated sigma absorbs the dip
+    assert(got(19L) === "below")
+  }
+
   test("rxTheilSen: median slope ignores the outlier OLS would chase; " +
       "last-n cap bounds the pair fan-out; single point yields NULL") {
     import spark.implicits._

@@ -1508,13 +1508,13 @@ class StreamingSpec extends AnyFunSuite {
     val base = (0 until 60).map(i => s"w${i}x${(i * 7) % 13}")
       .mkString(" ")
     val corpus = Seq((1L, base, "s")).toDF("doc_id", "text", "source")
-    val corpusChunks = graft.operators.Dedup.cdcChunks(corpus)
+    val corpusChunks = graft.operators.Dedup.cdcChunksGear(corpus)
       .select("ch").distinct().cache()
     val d10 = "COMPLETELY NOVEL HEAD OF DOCUMENT " + base
     val d11 = (100 until 160).map(i => s"q${i}y${(i * 5) % 11}")
       .mkString(" ")
     val streamRows = Seq((10L, ts(0), d10, "s"), (11L, ts(1), d11, "s"))
-    val batch = graft.operators.Dedup.cdcChunks(
+    val batch = graft.operators.Dedup.cdcChunksGear(
         streamRows.toDF("doc_id", "ts", "text", "source"))
       .join(corpusChunks.withColumn("known", lit(1)), Seq("ch"), "left")
       .groupBy("doc_id")
