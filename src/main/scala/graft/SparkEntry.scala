@@ -756,6 +756,8 @@ object SparkEntry {
       Reactive.rxTheilSen(ev(s, d)).orderBy("user_id")),
     "rx_bollinger" -> ((s, d) =>
       Reactive.rxBollinger(ev(s, d)).orderBy("user_id", "event_id")),
+    "rx_entropy_rate" -> ((s, d) =>
+      Reactive.rxEntropyRate(ev(s, d)).orderBy("user_id")),
     "rx_ignore_elements" -> ((s, d) =>
       Reactive.rxIgnoreElements(ev(s, d)).orderBy("user_id")),
     "dedup_paragraph" -> ((s, d) =>
@@ -5286,6 +5288,27 @@ object SparkEntry {
         |    AS expected_runs_ppm
         |FROM med m LEFT JOIN agg a ON a.user_id = m.user_id
         |ORDER BY m.user_id""".stripMargin,
+    // Markov entropy rate via the exact bit-length log2 identity
+    // (the token-entropy contract on transition counts)
+    "rx_entropy_rate" ->
+      """WITH p AS (
+        |  SELECT user_id, "from", event_type AS "to",
+        |    count(*) AS c_st FROM (
+        |    SELECT user_id, event_id, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY event_id) AS "from"
+        |    FROM events)
+        |  WHERE "from" IS NOT NULL GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT user_id, c_st,
+        |    sum(c_st) OVER (PARTITION BY user_id, "from") AS c_s
+        |  FROM p)
+        |SELECT user_id,
+        |  CAST(sum(c_st) AS BIGINT) AS n_transitions,
+        |  CAST(sum(c_st * ((length(bin(c_s)) - 1)
+        |    - (length(bin(c_st)) - 1))) * 1000 // sum(c_st) AS BIGINT)
+        |    AS entropy_rate_milli
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the rx_outliers exact decision rule on a rolling ROWS frame:
     // (n·x − Σ)² > 4(nΣx² − Σ²) over BIGINT cents as DECIMAL(38,0)
     "rx_bollinger" ->

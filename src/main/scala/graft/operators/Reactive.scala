@@ -1332,6 +1332,41 @@ object Reactive {
         "forecast")
   }
 
+  /** Markov entropy rate of each user's event-type chain, in exact
+    * millibits per transition: H = Σ_{s,t} c_st·(⌊log2 c_s⌋ −
+    * ⌊log2 c_st⌋) / Σc — how predictable the NEXT action is given
+    * the current one (0 = deterministic navigation, high = erratic),
+    * the sequential refinement of [[graft.operators.TextAnalysis
+    * .tokenEntropy]]'s bag-of-events diversity. Uses the same exact
+    * integer bit-length log2 proxy as the surprisal family, so the
+    * score is bit-identical on any engine where a libm-log entropy
+    * is not: exact at the deterministic end (every c_st = c_s ⇒ 0),
+    * within a bit per transition elsewhere.
+    *
+    * Plan: one lag window per key builds (from, to) pairs, ONE
+    * (user, from, to)-keyed count rollup, then the ⌊log2⌋ identity
+    * folds per (user, from) and per user — counts only on the wire,
+    * partial-aggregable throughout. */
+  def rxEntropyRate(events: DataFrame): DataFrame = {
+    val byId = Window.partitionBy("user_id").orderBy("event_id")
+    val pairs = events
+      .withColumn("from", lag("event_type", 1).over(byId))
+      .filter(col("from").isNotNull)
+      .groupBy(col("user_id"), col("from"),
+        col("event_type").as("to"))
+      .agg(count(lit(1)).as("c_st"))
+    pairs
+      .withColumn("c_s", sum("c_st").over(
+        Window.partitionBy("user_id", "from")))
+      .groupBy("user_id")
+      .agg(sum("c_st").cast("long").as("n_transitions"),
+        sum(expr("c_st * ((length(bin(c_s)) - 1) " +
+          "- (length(bin(c_st)) - 1))")).cast("long").as("bits_sum"))
+      .select(col("user_id"), col("n_transitions"),
+        expr("bits_sum * 1000 div n_transitions")
+          .as("entropy_rate_milli"))
+  }
+
   /** Bollinger-band breakout flags per key: each event judged
     * against its trailing `window`-row mean ± 2σ — the classic
     * volatility-breakout signal, with [[rxOutliers]]' EXACT decision

@@ -246,6 +246,94 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming Bollinger breakout flags: the unbounded twin of
+    * [[graft.operators.Reactive.rxBollinger]]. State per key = the
+    * last `window`−1 cents (a bounded ring — the rolling ROWS frame
+    * carried across triggers), so each arrival judges itself against
+    * its trailing window with the batch twin's EXACT integer rule
+    * (n·x − Σ)² > 4(nΣx² − Σ²); cents quantize with the
+    * DECIMAL(18,2) HALF_UP valueOf rule ([[cusumStream]]'s pin), so
+    * verdicts equal the batch op bit-for-bit across trigger splits.
+    * Same within-trigger event_id ordering contract as
+    * [[ewmaStream]]. */
+  case class BollingerRow(user_id: Long, event_id: Long, cents: Long,
+                          n_window: Long, band: String)
+  def bollingerStream(spark: SparkSession, events: DataFrame,
+                      window: Int = 8): Dataset[BollingerRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], BollingerRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(Nil) // newest first
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            val x = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            val frame = x :: ring.take(window - 1)
+            val n = frame.length.toLong
+            // moments as BigInt: the same overflow headroom the
+            // batch op's DECIMAL(38,0) ride gives
+            val sx = frame.foldLeft(BigInt(0))(_ + BigInt(_))
+            val sxx = frame.foldLeft(BigInt(0))((a, v) =>
+              a + BigInt(v) * BigInt(v))
+            val dev = BigInt(n) * BigInt(x) - sx
+            val band =
+              if (dev * dev > (BigInt(n) * sxx - sx * sx) * 4)
+                (if (dev > 0) "above" else "below")
+              else "in"
+            ring = frame
+            BollingerRow(uid, e.event_id, x, n, band)
+          }
+          state.update(ring.take(window - 1))
+          out.iterator
+      }
+  }
+
+  /** Streaming (running) Theil–Sen trend: the unbounded twin of
+    * [[graft.operators.Reactive.rxTheilSen]] in the
+    * running-top-k sense — each arrival re-emits the key's current
+    * last-`n` median slope, so the LAST emission per key over a
+    * bounded replay equals the batch op (spec-asserted). State per
+    * key = the last `n` (event_id, value) points — the same bounded
+    * ring that caps the batch op's pair fan-out caps the state here;
+    * each arrival recomputes ≤ n(n−1)/2 = 496 slope doubles in one
+    * tight local loop (the per-event cost a live robust-drift
+    * monitor pays by definition). */
+  case class TheilSenRow(user_id: Long, event_id: Long,
+                         n_points: Long, n_pairs: Long,
+                         slope_median: Option[Double])
+  def theilSenStream(spark: SparkSession, events: DataFrame,
+                     n: Int = 32): Dataset[TheilSenRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Double)], TheilSenRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[List[(Long, Double)]]) =>
+          var pts = state.getOption.getOrElse(Nil) // newest first
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            pts = ((e.event_id, e.value) :: pts).take(n)
+            val asc = pts.reverse.toArray // event_id ascending
+            val slopes = (for {
+              j <- 1 until asc.length
+              i <- 0 until j
+            } yield (asc(j)._2 - asc(i)._2) /
+                (asc(j)._1 - asc(i)._1).toDouble).sorted
+            val med = if (slopes.isEmpty) None
+              else Some(slopes((slopes.length + 1) / 2 - 1))
+            TheilSenRow(uid, e.event_id, asc.length.toLong,
+              slopes.length.toLong, med)
+          }
+          state.update(pts)
+          out.iterator
+      }
+  }
+
   /** Streaming withLatestFrom / as-of enrichment: each primary-type
     * element is emitted with the latest-seen secondary-type value of
     * its key (the unbounded form of [[graft.operators.AsOf]]). State

@@ -929,6 +929,26 @@ class Round7Spec extends AnyFunSuite {
     assert(got(2) === ((4.9375, 0.171875, 5.109375)))
   }
 
+  test("rxEntropyRate: deterministic navigation scores 0; a uniform " +
+      "2-way branch scores ~1 bit") {
+    import spark.implicits._
+    // user 1: a b a b a b ... -> next state fully determined
+    // user 2: from 'a' goes to b/c equally (4 of each)
+    val det = (1 to 8).map(i =>
+      (i.toLong, 1L, if (i % 2 == 1) "a" else "b"))
+    val branch = (1 to 16).map { i =>
+      val t = if (i % 2 == 1) "a" else (if ((i / 2) % 2 == 0) "b" else "c")
+      (100L + i, 2L, t)
+    }
+    val ev = (det ++ branch).toDF("event_id", "user_id", "event_type")
+    val got = Reactive.rxEntropyRate(ev).orderBy("user_id").collect()
+    assert(got(0).getLong(2) === 0L)          // deterministic -> 0
+    // user 2: a->b (4), a->c (4): c_s=8, c_st=4 -> 1 bit each;
+    // b->a, c->a: deterministic -> 0; total 8 transitions of 15
+    assert(got(1).getLong(1) === 15L)
+    assert(got(1).getLong(2) === 8000L / 15L) // 8 bits / 15 in milli
+  }
+
   test("rxBollinger: spike flags above, dip flags below, steady rows " +
       "stay in — and a post-spike dip is NOT a breakout (sigma " +
       "inflated by the spike)") {

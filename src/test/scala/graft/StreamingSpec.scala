@@ -283,6 +283,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming Bollinger verdicts equal the batch rolling-frame " +
+      "rule across trigger splits") {
+    import spark.implicits._
+    val got = run(df => ReactiveStreams.bollingerStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("cents"), r.getAs[Long]("n_window"),
+          r.getAs[String]("band"))))
+      .toMap
+    val batch = graft.operators.Reactive.rxBollinger(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("cents"), r.getAs[Long]("n_window"),
+          r.getAs[String]("band"))))
+      .toMap
+    assert(got === batch)
+  }
+
+  test("streaming running Theil-Sen: last emission per key equals " +
+      "the batch estimator") {
+    import spark.implicits._
+    val rows = run(df => ReactiveStreams.theilSenStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+    val last = rows.groupBy(_.getAs[Long]("user_id")).map {
+      case (u, rs) =>
+        val r = rs.maxBy(_.getAs[Long]("event_id"))
+        u -> ((r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+          Option(r.getAs[java.lang.Double]("slope_median"))
+            .map(_.doubleValue)))
+    }
+    val batch = graft.operators.Reactive.rxTheilSen(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+          Option(r.getAs[java.lang.Double]("slope_median"))
+            .map(_.doubleValue))))
+      .toMap
+    assert(last === batch)
+  }
+
   test("streaming Holt matches the batch 2-term recurrence bit-for-bit") {
     import spark.implicits._
     val got = run(df => ReactiveStreams.holtStream(spark, df).toDF())

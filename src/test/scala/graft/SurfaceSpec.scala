@@ -278,6 +278,59 @@ class SurfaceSpec extends AnyFunSuite {
     assert(allFiles > clickFiles, "partitioning produced a single directory")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact " +
+      "partitions at RUNTIME (the star-join pattern)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("dpp").toString + "/fact"
+    Sinks.parquet(Tables.events(spark, sf), dir, Seq("event_type"))
+    val fact = spark.read.parquet(dir)
+    // the dim carries the selective predicate; the fact's partition
+    // key is only constrained THROUGH the join — static pruning
+    // cannot fire, DPP must inject the runtime subquery filter
+    val types = fact.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(types.length > 1, "need several partitions for the test")
+    val hot = types.head
+    // the dim must be a SCAN with a Filter node above it — a local
+    // relation constant-folds the predicate away and the PartitionPruning
+    // rule no longer sees a selective dim side
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("dpp").toString + "/dim"
+    types.toSeq.map(t => (t, if (t == hot) "hot" else "cold"))
+      .toDF("event_type", "category")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim.filter(col("category") === "hot"),
+      "event_type")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$plan")
+    // AQE wraps stages in QueryStageExec nodes whose plan is NOT a
+    // child — unwrap recursively before hunting for the scan
+    import org.apache.spark.sql.execution.SparkPlan
+    def scansOf(p: SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scansOf(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f)
+        case other => other.children.flatMap(scansOf)
+      }
+    val factScans = scansOf(q.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("/fact")))
+    assert(factScans.nonEmpty, s"no fact FileSourceScan found:\n$plan")
+    val scanned = factScans.map(_.metrics("numFiles").value).max
+    val hotFiles = new java.io.File(s"$dir/event_type=$hot")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scanned === hotFiles,
+      s"DPP scan read $scanned files, expected the $hotFiles hot ones")
+  }
+
   test("clustered parquet layout: files cover disjoint key ranges") {
     val dir = java.nio.file.Files
       .createTempDirectory("clustered").toString + "/ev"
