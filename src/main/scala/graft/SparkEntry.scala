@@ -1024,6 +1024,8 @@ object SparkEntry {
       Similarity.binaryRerank(e, e.filter(col("vec_id") < 20))
         .orderBy("query_id", "rank")
     }),
+    "emb_kcenter" -> ((s, d) =>
+      Similarity.kcenterSelect(embs(s, d)).orderBy("rank")),
     "pipeline_class_balance" -> ((s, d) =>
       Sampling.classBalance(docs(s, d)).orderBy("doc_id")),
     "pipeline_class_balance_fast" -> ((s, d) =>
@@ -7137,6 +7139,46 @@ object SparkEntry {
         |   AS BIGINT) AS hamming_sum_exact_topk,
         | CAST(min(hamming) AS BIGINT) AS min_hamming
         |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // greedy k-center unrolled to 15 incremental steps: running
+    // min-dist md folds with least() per pick; every pairwise d2 is
+    // the same index-order double sum the l2_argmin kernel computes,
+    // and min over identical doubles is order-free — so the pick
+    // sequence and floor-scaled radii match the engine exactly
+    "emb_kcenter" -> {
+      def d2(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           | z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+           |    * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"""
+          .stripMargin
+      val steps = (2 to 16).map { r =>
+        val prev = if (r == 2) "m1" else s"m${r - 1}"
+        s"""p$r AS MATERIALIZED (SELECT vec_id, embedding, md FROM $prev
+           | ORDER BY md DESC, vec_id LIMIT 1),
+           |m$r AS MATERIALIZED (SELECT m.vec_id, m.embedding,
+           |  least(m.md, ${d2("m.embedding", "p.embedding")}) AS md
+           | FROM $prev m, p$r p WHERE m.vec_id <> p.vec_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 16).map { r =>
+        s"""SELECT $r AS rank, vec_id,
+           | CAST(floor(md * 1e6) AS BIGINT) AS radius_scaled
+           |FROM p$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings),
+         |s1 AS (SELECT vec_id, embedding FROM base
+         |  ORDER BY vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (SELECT b.vec_id, b.embedding,
+         |  ${d2("b.embedding", "s.embedding")} AS md
+         | FROM base b, s1 s WHERE b.vec_id <> s.vec_id),
+         |$steps
+         |SELECT * FROM (
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+         | CAST(NULL AS BIGINT) AS radius_scaled FROM s1
+         |UNION ALL
+         |$unions)
+         |ORDER BY rank""".stripMargin
+    },
     // two-stage retrieval over the same scored frame: hamming-prune
     // to 32, exact-cosine rerank to 10, per-row exact-top-k flag
     "ann_binary_rerank" ->

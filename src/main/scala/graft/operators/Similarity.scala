@@ -1203,6 +1203,58 @@ object Similarity {
         min("hamming").cast("long").as("min_hamming"))
   }
 
+  /** Greedy k-center (farthest-point) selection: starting from the
+    * lowest-id vector, repeatedly add the point whose distance to
+    * the selected set is LARGEST — the classic coreset / diverse-
+    * subset primitive for training-data curation (2-approximation of
+    * the optimal k-center cover), and the principled seeding most
+    * k-means deployments should use instead of first-k. Output is
+    * the selection order with each pick's covering radius (the
+    * min-distance that made it farthest, floor-scaled to a BIGINT)
+    * — the radius sequence is the coverage curve a curation run
+    * reads to choose k.
+    *
+    * Scale shape: k bounded passes over the corpus; each pass is a
+    * NARROW broadcast-argmin against the ≤k selected vectors (the
+    * [[assignPq]] kernel — min distance falls out of l2_argmin's
+    * struct) followed by a TakeOrderedAndProject(1) — the corpus
+    * never shuffles, and the driver holds exactly k rows. The k
+    * sequential passes are the algorithm's DEFINITION (each pick
+    * depends on all previous); parallel variants trade the
+    * approximation bound away. */
+  def kcenterSelect(embs: DataFrame, k: Int = 16): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val seed = corpus.orderBy("vec_id").limit(1)
+      .collect().head
+    var selected = Vector[(Long, Array[Float])](
+      (seed.getLong(0), seed.getSeq[Float](1).toArray))
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+      (1L, selected.head._1, None))
+    for (rank <- 2 to k) {
+      val selFrame = selected.map { case (id, v) => (id, v) }
+        .toDF("code", "c_v")
+        .groupBy()
+        .agg(array_sort(collect_list(struct(col("code"), col("c_v"))))
+          .as("cb"))
+      val far = corpus
+        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .crossJoin(broadcast(selFrame))
+        .withColumn("m",
+          graft.functions.GraftFunctions
+            .l2_argmin(col("embedding"), col("cb")).getField("d2"))
+        .orderBy(col("m").desc, col("vec_id"))
+        .limit(1)
+        .collect().head
+      selected :+= ((far.getLong(0), far.getSeq[Float](1).toArray))
+      picks += ((rank.toLong, far.getLong(0),
+        Some(math.floor(far.getDouble(3) * 1e6).toLong)))
+    }
+    picks.toSeq
+      .toDF("rank", "vec_id", "radius_scaled")
+  }
+
   /** The shared scored candidate frame: broadcast query panel ×
     * corpus with exact cosine, packed-word Hamming, and both rank
     * windows. */

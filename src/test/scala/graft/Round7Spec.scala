@@ -897,6 +897,28 @@ class Round7Spec extends AnyFunSuite {
     assert(nwNovel === nwChunks && nwPpm === 1000000L)
   }
 
+  test("kcenterSelect: picks the square's corners before its center, " +
+      "radii exact and non-increasing") {
+    import spark.implicits._
+    val embs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)),
+      (3L, Array(10f, 10f)), (4L, Array(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kcenterSelect(embs, k = 5).orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // seed 0 at origin; farthest corner (10,10) d2=200; then the two
+    // 100-corners (tie -> lower id first); the center last at d2=50
+    assert(got === Array((0L, -1L), (3L, 200000000L),
+      (1L, 100000000L), (2L, 100000000L), (4L, 50000000L)))
+    // real corpus: the covering-radius curve never increases
+    val radii = Similarity.kcenterSelect(
+      Tables.embeddings(spark, sf)).orderBy("rank").collect()
+      .drop(1).map(_.getLong(2))
+    assert(radii.sliding(2).forall(p => p(1) <= p(0)))
+  }
+
   test("binaryRerank: a tight prune drops the true neighbor (flag 0); " +
       "widening the prune recovers it (flag 1)") {
     import spark.implicits._
