@@ -1026,6 +1026,11 @@ object SparkEntry {
     }),
     "emb_kcenter" -> ((s, d) =>
       Similarity.kcenterSelect(embs(s, d)).orderBy("rank")),
+    "search_mmr" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 20))
+        .orderBy("query_id", "pos")
+    }),
     "pipeline_class_balance" -> ((s, d) =>
       Sampling.classBalance(docs(s, d)).orderBy("doc_id")),
     "pipeline_class_balance_fast" -> ((s, d) =>
@@ -7139,6 +7144,71 @@ object SparkEntry {
         |   AS BIGINT) AS hamming_sum_exact_topk,
         | CAST(min(hamming) AS BIGINT) AS min_hamming
         |FROM r GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // MMR: candidate pool + pairwise sims materialized once, then 4
+    // unrolled greedy steps — each an (already-picked excluded via
+    // HAVING count = |selected|) max-sim rollup + a rank-1 pick;
+    // 0.5 multipliers are exact binary doubles, ties to lower id
+    "search_mmr" -> {
+      def cosSql(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           |  z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE)))
+           |/ sqrt(list_sum(list_transform($a,
+           |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+           |   * list_sum(list_transform($b,
+           |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"""
+          .stripMargin
+      val steps = (2 to 5).map { t =>
+        val selUnion = (1 until t)
+          .map(u => s"SELECT query_id, nid FROM s$u")
+          .mkString(" UNION ALL ")
+        s"""m$t AS MATERIALIZED (
+           | SELECT c.query_id, c.nid,
+           |  0.5 * c.rel - 0.5 * max(s.sim) AS score
+           | FROM cand c
+           | JOIN ($selUnion) x
+           |  ON x.query_id = c.query_id AND c.nid <> x.nid
+           | JOIN sims s ON s.query_id = c.query_id
+           |  AND s.i = c.nid AND s.j = x.nid
+           | GROUP BY c.query_id, c.nid, c.rel
+           | HAVING count(*) = ${t - 1}),
+           |s$t AS MATERIALIZED (
+           | SELECT query_id, nid, score FROM (
+           |  SELECT query_id, nid, score, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY score DESC, nid) AS rn
+           |  FROM m$t) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (2 to 5).map(t =>
+        s"SELECT query_id, $t AS pos, nid, score FROM s$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 20),
+         |sc AS MATERIALIZED (
+         |  SELECT query_id, e.vec_id AS nid,
+         |    ${cosSql("q_emb", "e.embedding")} AS rel, e.embedding
+         |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, nid, rel, embedding FROM (
+         |    SELECT query_id, nid, rel, embedding, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+         |    FROM sc) WHERE rn <= 16),
+         |sims AS MATERIALIZED (
+         |  SELECT a.query_id, a.nid AS i, b.nid AS j,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a JOIN cand b
+         |   ON a.query_id = b.query_id AND a.nid <> b.nid),
+         |s1 AS MATERIALIZED (
+         |  SELECT query_id, nid, 0.5 * rel AS score FROM (
+         |   SELECT query_id, nid, rel, row_number() OVER (
+         |     PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+         |   FROM cand) WHERE rn = 1),
+         |$steps
+         |SELECT query_id, CAST(pos AS BIGINT) AS pos,
+         |  nid AS neighbor_id, score AS mmr_score FROM (
+         |SELECT query_id, 1 AS pos, nid, score FROM s1
+         |UNION ALL
+         |$unions)
+         |ORDER BY query_id, pos""".stripMargin
+    },
     // greedy k-center unrolled to 15 incremental steps: running
     // min-dist md folds with least() per pick; every pairwise d2 is
     // the same index-order double sum the l2_argmin kernel computes,

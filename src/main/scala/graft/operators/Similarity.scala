@@ -1203,6 +1203,71 @@ object Similarity {
         min("hamming").cast("long").as("min_hamming"))
   }
 
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick the candidate maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked — the diversity-aware
+    * top-k every retrieval stack bolts onto its ANN tier so five
+    * near-duplicate neighbors don't fill the whole result page.
+    * λ = 1/2 (exact binary double); rel = cosine to the query,
+    * redundancy = cosine among candidates — all doubles both engines
+    * reproduce bit-for-bit, ties break to the lower neighbor id.
+    *
+    * Scale shape: the expensive part is candidate generation (the
+    * [[bruteForceTopK]] scan — swap in any ANN tier); the greedy
+    * itself runs over a BOUNDED (panel × pool) frame
+    * localCheckpointed once, so the k unrolled selection steps are
+    * window ops over ≤ panel·pool rows each — no corpus re-scan per
+    * step, no driver loop over data. The k sequential steps are
+    * MMR's definition (each pick conditions on all previous). */
+  def mmrRerank(embs: DataFrame, queries: DataFrame, pool: Int = 16,
+                k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    val withEmb = bruteForceTopK(embs, queries, pool)
+      .join(embs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim")
+        .as("rel"), col("c_emb"))
+      .localCheckpoint()
+    val sims = withEmb.as("a")
+      .join(withEmb.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("i"), col("b.neighbor_id").as("j"),
+        GraftFunctions.cosine_sim(col("a.c_emb"), col("b.c_emb"))
+          .as("sim"))
+      .localCheckpoint()
+    val first = withEmb
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("pos"), col("neighbor_id"),
+        (col("rel") * lambda).as("mmr_score"))
+    var selected = first
+    for (pos <- 2 to k) {
+      val simsR = sims.withColumnRenamed("query_id", "sq")
+      val ms = withEmb
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("s_id")), Seq("query_id"))
+        .filter(col("neighbor_id") =!= col("s_id"))
+        .join(simsR, col("query_id") === col("sq") &&
+          col("neighbor_id") === col("i") && col("s_id") === col("j"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(count(lit(1)).as("n_sel"), max("sim").as("max_sim"))
+        .filter(col("n_sel") === (pos - 1)) // drops already-picked
+        .select(col("query_id"), col("neighbor_id"),
+          (col("rel") * lambda - col("max_sim") * (1 - lambda))
+            .as("score"))
+      val pick = ms
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(pos.toLong).as("pos"),
+          col("neighbor_id"), col("score").as("mmr_score"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected
+  }
+
   /** Greedy k-center (farthest-point) selection: starting from the
     * lowest-id vector, repeatedly add the point whose distance to
     * the selected set is LARGEST — the classic coreset / diverse-

@@ -897,6 +897,29 @@ class Round7Spec extends AnyFunSuite {
     assert(nwNovel === nwChunks && nwPpm === 1000000L)
   }
 
+  test("mmrRerank: the near-duplicate of the first pick loses its " +
+      "rank-2 slot to a diverse lower-relevance candidate") {
+    import spark.implicits._
+    // q along x; A nearly along x (top rel); B a near-duplicate of A
+    // (higher rel than C but redundant); C diverse at rel ~0.707
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0.1f)),    // A
+      (2L, Array(1f, 0f, 0.11f)),   // B ~ A
+      (3L, Array(1f, 1f, 0f)))      // C
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(embs,
+        embs.filter(col("vec_id") === 0), pool = 3, k = 3)
+      .orderBy("pos").collect().map(_.getLong(2))
+    assert(got === Array(1L, 3L, 2L),
+      s"expected A, C (diverse), B (redundant) — got ${got.toSeq}")
+    // pure-relevance order would have been A, B, C
+    val byRel = Similarity.bruteForceTopK(embs,
+        embs.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(byRel === Array(1L, 2L, 3L))
+  }
+
   test("kcenterSelect: picks the square's corners before its center, " +
       "radii exact and non-increasing") {
     import spark.implicits._
