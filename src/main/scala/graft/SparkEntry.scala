@@ -754,6 +754,8 @@ object SparkEntry {
       Reactive.rxRunsTest(ev(s, d)).orderBy("user_id")),
     "rx_theil_sen" -> ((s, d) =>
       Reactive.rxTheilSen(ev(s, d)).orderBy("user_id")),
+    "rx_mann_kendall" -> ((s, d) =>
+      Reactive.rxMannKendall(ev(s, d)).orderBy("user_id")),
     "rx_bollinger" -> ((s, d) =>
       Reactive.rxBollinger(ev(s, d)).orderBy("user_id", "event_id")),
     "rx_entropy_rate" -> ((s, d) =>
@@ -5338,6 +5340,40 @@ object SparkEntry {
         |       THEN CASE WHEN n * xi > sx THEN 'above' ELSE 'below' END
         |       ELSE 'in' END AS band
         |FROM m ORDER BY user_id, event_id""".stripMargin,
+    // S over the same capped last-32 window; tie-corrected 18*Var
+    // numerator from a (user, value) count rollup — all integers
+    "rx_mann_kendall" ->
+      """WITH lastn AS (
+        |  SELECT user_id, event_id, "value" FROM (
+        |    SELECT user_id, event_id, "value",
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn <= 32),
+        |p AS (
+        |  SELECT user_id, list("value" ORDER BY event_id) AS vals
+        |  FROM lastn GROUP BY user_id),
+        |s AS (
+        |  SELECT user_id, len(vals) AS n_points,
+        |    CASE WHEN len(vals) < 2 THEN 0
+        |    ELSE list_sum(flatten(list_transform(range(2, len(vals) + 1),
+        |      j -> list_transform(range(1, j), i ->
+        |        CASE WHEN vals[j] > vals[i] THEN 1
+        |             WHEN vals[j] < vals[i] THEN -1 ELSE 0 END))))
+        |    END AS s_stat
+        |  FROM p),
+        |ties AS (
+        |  SELECT user_id,
+        |    coalesce(sum(CASE WHEN t > 1
+        |      THEN t * (t - 1) * (2 * t + 5) END), 0) AS tie_term
+        |  FROM (SELECT user_id, "value", count(*) AS t FROM lastn
+        |        GROUP BY 1, 2)
+        |  GROUP BY user_id)
+        |SELECT s.user_id, CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+        |    - tie_term AS BIGINT) AS var18
+        |FROM s JOIN ties ON ties.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
     // last-32 pairwise slopes as one double division each (identical
     // IEEE result both engines); lower-median order statistic
     "rx_theil_sen" ->

@@ -1443,6 +1443,53 @@ object Reactive {
           END""").as("slope_median"))
   }
 
+  /** Mann–Kendall trend test ingredients per key over the same
+    * capped last-`n` window as [[rxTheilSen]] — the significance
+    * half of the robust-trend pair (Theil–Sen says how steep, M–K
+    * says whether to believe it): S = Σ_{i<j} sign(xⱼ − xᵢ) and the
+    * tie-corrected variance NUMERATOR 18·Var = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) — both exact integers, so the verdict inputs
+    * are bit-identical anywhere (the z-score's √ is the consumer's
+    * one float step, the rx_survival rule; sign of equal doubles is
+    * 0 on any engine).
+    *
+    * Scale shape: one rank window keeps the last n; S folds over the
+    * bounded collected array (≤ n(n−1)/2 = 496 comparisons per key);
+    * the tie term is a (user, value)-keyed count rollup over the
+    * SAME lastN rows — no second corpus pass, counts only on the
+    * wire. */
+  def rxMannKendall(events: DataFrame, n: Int = 32): DataFrame = {
+    val lastN = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") <= n)
+      .localCheckpoint()
+    val sStat = lastN.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+        .as("pts"))
+      .withColumn("vals", expr("transform(pts, p -> p.value)"))
+      .select(col("user_id"),
+        size(col("vals")).cast("long").as("n_points"),
+        expr(
+          """aggregate(IF(size(vals) < 2, array(),
+            |  flatten(transform(sequence(2, size(vals)), j ->
+            |    transform(sequence(1, j - 1), i ->
+            |      IF(element_at(vals, CAST(j AS INT))
+            |           > element_at(vals, CAST(i AS INT)), 1,
+            |         IF(element_at(vals, CAST(j AS INT))
+            |           < element_at(vals, CAST(i AS INT)), -1, 0)))))),
+            |  0L, (a, x) -> a + x)""".stripMargin).as("s_stat"))
+    val ties = lastN.groupBy("user_id", "value")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("t") > 1,
+        expr("t * (t - 1) * (2 * t + 5)"))), lit(0L)).as("tie_term"))
+    sStat.join(ties, "user_id")
+      .select(col("user_id"), col("n_points"), col("s_stat"),
+        (expr("n_points * (n_points - 1) * (2 * n_points + 5)")
+          - col("tie_term")).cast("long").as("var18"))
+  }
+
   /** Wald–Wolfowitz runs test ingredients per key: is the value
     * stream random around its median, or does it trend/oscillate?
     * Values equal to the per-key lower median drop (the standard

@@ -1031,6 +1031,22 @@ class Round7Spec extends AnyFunSuite {
       got(2).getDouble(3)) === ((32L, 496L, 1.0)))
   }
 
+  test("rxMannKendall: monotone series maxes S with full variance; " +
+      "constant series zeroes S and the tie term eats the variance") {
+    import spark.implicits._
+    val ev = ((1 to 5).map(i => (i.toLong, 1L, i.toDouble)) ++
+      (1 to 4).map(i => (10L + i, 2L, 7.0)))
+      .toDF("event_id", "user_id", "value")
+    val got = Reactive.rxMannKendall(ev).orderBy("user_id").collect()
+    // user 1: strictly increasing, n=5 -> S = 10, var18 = 5*4*15=300
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3))
+      === ((5L, 10L, 300L)))
+    // user 2: all equal, n=4 -> S=0; tie run t=4 eats the whole
+    // variance: 4*3*13 - 4*3*13 = 0
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3))
+      === ((4L, 0L, 0L)))
+  }
+
   test("rxRunsTest: alternating series counts 4 runs; all-at-median " +
       "key reports zeros with NULL expectation") {
     import spark.implicits._
