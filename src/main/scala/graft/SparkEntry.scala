@@ -7267,7 +7267,7 @@ object SparkEntry {
       }.mkString(",\n")
       val unions = (2 to 16).map { r =>
         s"""SELECT $r AS rank, vec_id,
-           | CAST(floor(md * 1e6) AS BIGINT) AS radius_scaled
+           | CAST(floor(md * 1e6) AS BIGINT) AS radius2_scaled
            |FROM p$r""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH base AS MATERIALIZED (
@@ -7280,7 +7280,7 @@ object SparkEntry {
          |$steps
          |SELECT * FROM (
          |SELECT CAST(1 AS BIGINT) AS rank, vec_id,
-         | CAST(NULL AS BIGINT) AS radius_scaled FROM s1
+         | CAST(NULL AS BIGINT) AS radius2_scaled FROM s1
          |UNION ALL
          |$unions)
          |ORDER BY rank""".stripMargin

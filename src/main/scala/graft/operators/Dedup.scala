@@ -1073,11 +1073,16 @@ object Dedup {
     docs
       .select(Seq(col("doc_id"), col("source"), col("text"),
         expr(bounds).as("bs")) ++ kept: _*)
+      // size(bs) < 2 ⇔ empty document (bounds collapses to [0]);
+      // without the guard sequence(1, 0) evaluates DESCENDING to
+      // [1, 0] and element_at(bs, 0) throws under ANSI indexing —
+      // same IF() contract as the gear path
       .select(Seq(col("doc_id"), col("source"),
         posexplode(expr(
-          """transform(sequence(1, size(bs) - 1),
-            |  j -> substring(text, element_at(bs, j) + 1,
-            |    element_at(bs, j + 1) - element_at(bs, j)))"""
+          """IF(size(bs) < 2, array(),
+            |  transform(sequence(1, size(bs) - 1),
+            |    j -> substring(text, element_at(bs, j) + 1,
+            |      element_at(bs, j + 1) - element_at(bs, j))))"""
             .stripMargin)).as(Seq("chunk_index", "chunk"))) ++ kept: _*)
       .select(Seq(col("doc_id"), col("source"), col("chunk_index"),
         length(col("chunk")).as("clen"),

@@ -1211,6 +1211,12 @@ object Similarity {
     * λ = 1/2 (exact binary double); rel = cosine to the query,
     * redundancy = cosine among candidates — all doubles both engines
     * reproduce bit-for-bit, ties break to the lower neighbor id.
+    * NOTE on the emitted score: the seed pick (pos = 1) reports
+    * λ·rel, NOT the plain rel classic MMR prints for the seed — it
+    * has no redundancy term by definition, so λ-scaling it keeps
+    * every row on the same λ·rel − (1−λ)·maxSim scale. Selection
+    * order is identical either way; divide pos 1 by λ to recover
+    * the textbook seed score when comparing across engines.
     *
     * Scale shape: the expensive part is candidate generation (the
     * [[bruteForceTopK]] scan — swap in any ANN tier); the greedy
@@ -1274,10 +1280,12 @@ object Similarity {
     * subset primitive for training-data curation (2-approximation of
     * the optimal k-center cover), and the principled seeding most
     * k-means deployments should use instead of first-k. Output is
-    * the selection order with each pick's covering radius (the
-    * min-distance that made it farthest, floor-scaled to a BIGINT)
-    * — the radius sequence is the coverage curve a curation run
-    * reads to choose k.
+    * the selection order with each pick's covering radius — the
+    * SQUARED L2 min-distance that made it farthest (l2_argmin's d2,
+    * floor-scaled to a BIGINT and named `radius2_scaled` to say so)
+    * — the radius² sequence is the coverage curve a curation run
+    * reads to choose k (monotone in the true radius, so the elbow is
+    * the same; take sqrt for metric units).
     *
     * Scale shape: k bounded passes over the corpus; each pass is a
     * NARROW broadcast-argmin against the ≤k selected vectors (the
@@ -1291,33 +1299,41 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
     val corpus = embs.select(col("vec_id"), col("embedding"))
-    val seed = corpus.orderBy("vec_id").limit(1)
-      .collect().head
-    var selected = Vector[(Long, Array[Float])](
-      (seed.getLong(0), seed.getSeq[Float](1).toArray))
-    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
-      (1L, selected.head._1, None))
-    for (rank <- 2 to k) {
-      val selFrame = selected.map { case (id, v) => (id, v) }
-        .toDF("code", "c_v")
-        .groupBy()
-        .agg(array_sort(collect_list(struct(col("code"), col("c_v"))))
-          .as("cb"))
-      val far = corpus
-        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .crossJoin(broadcast(selFrame))
-        .withColumn("m",
-          graft.functions.GraftFunctions
-            .l2_argmin(col("embedding"), col("cb")).getField("d2"))
-        .orderBy(col("m").desc, col("vec_id"))
-        .limit(1)
-        .collect().head
-      selected :+= ((far.getLong(0), far.getSeq[Float](1).toArray))
-      picks += ((rank.toLong, far.getLong(0),
-        Some(math.floor(far.getDouble(3) * 1e6).toLong)))
+    // headOption, not head: an empty corpus returns the empty
+    // selection; a corpus smaller than k returns the partial one
+    val seedOpt = corpus.orderBy("vec_id").limit(1)
+      .collect().headOption
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+    seedOpt.foreach { seed =>
+      var selected = Vector[(Long, Array[Float])](
+        (seed.getLong(0), seed.getSeq[Float](1).toArray))
+      picks += ((1L, selected.head._1, None))
+      var exhausted = false
+      for (rank <- 2 to k if !exhausted) {
+        val selFrame = selected.map { case (id, v) => (id, v) }
+          .toDF("code", "c_v")
+          .groupBy()
+          .agg(array_sort(collect_list(struct(col("code"), col("c_v"))))
+            .as("cb"))
+        corpus
+          .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+          .crossJoin(broadcast(selFrame))
+          .withColumn("m",
+            graft.functions.GraftFunctions
+              .l2_argmin(col("embedding"), col("cb")).getField("d2"))
+          .orderBy(col("m").desc, col("vec_id"))
+          .limit(1)
+          .collect().headOption match {
+          case Some(far) =>
+            selected :+= ((far.getLong(0), far.getSeq[Float](1).toArray))
+            picks += ((rank.toLong, far.getLong(0),
+              Some(math.floor(far.getDouble(3) * 1e6).toLong)))
+          case None => exhausted = true // corpus < k: partial selection
+        }
+      }
     }
     picks.toSeq
-      .toDF("rank", "vec_id", "radius_scaled")
+      .toDF("rank", "vec_id", "radius2_scaled")
   }
 
   /** The shared scored candidate frame: broadcast query panel ×

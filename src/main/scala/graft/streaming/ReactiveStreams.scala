@@ -558,12 +558,16 @@ object ReactiveStreams {
 
   /** Streaming CDC chunk ingest — the delta-sync decision per
     * arriving document: chunk it content-defined
-    * ([[graft.operators.Dedup.cdcChunks]] — per-row stateless HOFs,
-    * stream-safe by construction), flag each chunk against the
+    * ([[graft.operators.Dedup.cdcChunksGear]] — per-row stateless
+    * HOFs, stream-safe by construction), flag each chunk against the
     * FROZEN corpus chunk-hash table (stream-static BROADCAST left
     * join, the [[incrementalDedupStream]] contract — the table never
     * enters state), and roll up per doc: total chunks, novel chunks,
     * novel ppm — "how many bytes of this doc are actually new".
+    * `corpusChunks` MUST be produced by the same gear cut path
+    * ([[graft.operators.Dedup.cdcChunksGear]]); the md5-window
+    * variant cuts at different positions, so mixing the two silently
+    * inflates novel_ppm even though every row still computes.
     * A doc's chunks all carry its single ts, so the watermarked
     * windowed aggregate emits exactly one final row per doc (the
     * [[surprisalScoreStream]] fold shape); state is O(docs in

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Round-8 additions: edge-case hardening flagged by the round-7
+  * advisory (empty-document CDC, under-k k-center) plus the new
+  * operators' invariants. */
+class Round8Spec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("cdcChunks/cdcChunksGear: empty and sub-window docs yield " +
+      "zero chunks instead of throwing") {
+    // doc 2 is EMPTY: bounds collapses to [0] and the unguarded
+    // sequence(1, 0) used to evaluate descending → element_at(bs, 0)
+    // → runtime crash (advisory r7). docs 3/4 are shorter than the
+    // window/min-size: one whole-doc chunk.
+    val docs = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog " * 8),
+      (2L, "web", ""),
+      (3L, "web", "tiny"),
+      (4L, "web", "under-min-size")).toDF("doc_id", "source", "text")
+    for (chunks <- Seq(Dedup.cdcChunks(docs), Dedup.cdcChunksGear(docs))) {
+      val byDoc = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("clen").as("chars"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(!byDoc.contains(2L))               // empty doc: no chunks
+      assert(byDoc(3L) === ((1L, 4L)))          // whole doc, one chunk
+      assert(byDoc(4L)._1 === 1L)
+      // chunks always reassemble the doc: sum(clen) == length(text)
+      assert(byDoc(1L)._2 === 44L * 8)
+    }
+    // the report rollups must also survive an all-empty source
+    val allEmpty = Seq((9L, "s", "")).toDF("doc_id", "source", "text")
+    assert(Dedup.cdcChunkReport(allEmpty).count() === 0)
+    assert(Dedup.cdcGearReport(allEmpty).count() === 0)
+  }
+
+  test("kcenterSelect: corpus smaller than k returns the partial " +
+      "selection; empty corpus returns the empty frame") {
+    val tiny = Seq(
+      (10L, Array(1f, 0f)),
+      (11L, Array(0f, 1f)),
+      (12L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kcenterSelect(tiny, k = 16)
+      .orderBy("rank").collect()
+    assert(out.length === 3)                    // partial, no throw
+    assert(out.map(_.getLong(1)).toSeq === Seq(10L, 12L, 11L))
+    // covering radius² sequence is non-increasing after the seed
+    val radii = out.drop(1).map(_.getLong(2))
+    assert(radii.sorted.reverse.toSeq === radii.toSeq)
+    val empty = tiny.filter(col("vec_id") < 0)
+    assert(Similarity.kcenterSelect(empty, k = 4).count() === 0)
+  }
+}
