@@ -515,6 +515,8 @@ object SparkEntry {
       Sampling.importanceSample(docs(s, d)).orderBy("doc_id")),
     "dedup_substring" -> ((s, d) =>
       Dedup.substringRepetition(docs(s, d)).orderBy("doc_id")),
+    "dedup_substring_spans" -> ((s, d) =>
+      Dedup.substringSpans(docs(s, d)).orderBy("doc_id", "tok_start")),
     "emb_centroids" -> ((s, d) =>
       Similarity.labelCentroids(embs(s, d)).orderBy("label", "dim")),
     // Lloyd-refined IVF centroids: scaled-integer means + argmax
@@ -4242,6 +4244,61 @@ object SparkEntry {
         |   / CAST(sum(n_win) AS BIGINT) AS dup_ratio
         |FROM pc JOIN tot USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact-substring removal: canonical occurrence = (doc_id, pos)
+    // minimum per window hash (row_number), removed starts merge into
+    // islands (fixed width 8 ⇒ merge iff pos <= prev + 8), retained
+    // spans are the per-doc gap complement
+    "dedup_substring_spans" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n, t FROM tk),
+        |sh AS (
+        | SELECT doc_id, n, list_transform(
+        |   generate_series(1, len(t) - 7),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |     || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+        |     || t[i+7]) AS wins
+        | FROM base WHERE len(t) >= 8),
+        |post AS (
+        | SELECT doc_id, n, u.i AS pos,
+        |  ('0x' || substr(md5(wins[u.i]), 1, 15))::BIGINT AS h
+        | FROM sh, unnest(generate_series(1, len(wins))) u(i)),
+        |rem AS (
+        | SELECT doc_id, n, pos FROM (
+        |  SELECT doc_id, n, pos,
+        |   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM post) WHERE rn >= 2),
+        |isl AS (
+        | SELECT doc_id, n, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM (SELECT doc_id, n, pos,
+        |   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM rem)),
+        |mg AS (
+        | SELECT doc_id, n, island, min(pos) AS s, max(pos) + 7 AS e
+        | FROM isl GROUP BY doc_id, n, island),
+        |bef AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |    AS tok_start,
+        |  s - 1 AS tok_end
+        | FROM mg),
+        |aft AS (
+        | SELECT doc_id, max(e) + 1 AS tok_start, n AS tok_end
+        | FROM mg GROUP BY doc_id, n),
+        |whole AS (
+        | SELECT b.doc_id, 1 AS tok_start, b.n AS tok_end
+        | FROM base b LEFT JOIN (SELECT DISTINCT doc_id FROM mg) m
+        |   USING (doc_id)
+        | WHERE m.doc_id IS NULL),
+        |spans AS (SELECT * FROM bef UNION ALL SELECT * FROM aft
+        |  UNION ALL SELECT * FROM whole)
+        |SELECT doc_id, CAST(tok_start AS BIGINT) AS tok_start,
+        | CAST(tok_end AS BIGINT) AS tok_end,
+        | CAST(tok_end - tok_start + 1 AS BIGINT) AS span_toks
+        |FROM spans WHERE tok_start <= tok_end
+        |ORDER BY doc_id, tok_start""".stripMargin,
     "emb_kmeans" ->
       """WITH c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
         |a1 AS (

@@ -876,6 +876,76 @@ object Dedup {
         (col("n_dup_win").cast("double") / col("n_windows")).as("dup_ratio"))
   }
 
+  /** Substring-span dedup with REMOVAL output — the exact-substring
+    * policy of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): any w-token window whose content
+    * occurs elsewhere in the corpus is cut out of every occurrence
+    * EXCEPT the canonical first one ((doc_id, pos)-lexicographic
+    * minimum per window hash), and each document survives as its
+    * retained token spans — the span is removed, never the doc.
+    * Output: one row per retained span (doc_id, tok_start, tok_end,
+    * span_toks), 1-based inclusive token indexes; a doc made
+    * entirely of elsewhere-seen text contributes zero rows, a doc
+    * with no duplicated window survives as its single full span.
+    *
+    * Scale shape (linear, two key exchanges, text never shuffles):
+    * windows collapse to 60-bit md5 hashes in-row; occurrence count
+    * + canonical pick are ONE window pass partitioned by hash
+    * (row_number — removed ⇔ rn ≥ 2, which already implies a prior
+    * occurrence); surviving removed starts flow to a doc_id-keyed
+    * islands pass (sorted starts of fixed-width intervals merge ⇔
+    * next start ≤ prev + w), and retained spans are the gap
+    * complement — lag/groupBy windows over the ≤ per-doc-window
+    * count of removed rows, no HOF fold, no driver loop. Everything
+    * that moves is (doc_id, pos, h) 24-byte rows. */
+  def substringSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"),
+        GraftFunctions.text_shingles(col("t"), w).as("wins"))
+    val hashed = base
+      .select(col("doc_id"), col("n"),
+        posexplode(col("wins")).as(Seq("p0", "s")))
+      .select(col("doc_id"), col("n"), (col("p0") + 1).as("pos"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+    // removed ⇔ a strictly earlier (doc_id, pos) occurrence exists
+    val removed = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("rn") >= 2)
+      .select("doc_id", "n", "pos")
+    // islands of overlapping/adjacent removed intervals [pos, pos+w-1]
+    val merged = removed
+      .withColumn("prev", lag("pos", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("newi",
+        when(col("prev").isNull || col("pos") > col("prev") + w, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("newi").over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("n"), col("island"))
+      .agg(min("pos").cast("long").as("s"),
+        (max("pos") + (w - 1)).cast("long").as("e"))
+    // gap complement: before each island + after the last one
+    val before = merged
+      .withColumn("prev_e", lag("e", 1).over(
+        Window.partitionBy("doc_id").orderBy("s")))
+      .select(col("doc_id"),
+        (coalesce(col("prev_e"), lit(0L)) + 1).as("tok_start"),
+        (col("s") - 1).as("tok_end"))
+    val after = merged.groupBy("doc_id", "n")
+      .agg((max("e") + 1).as("tok_start"))
+      .select(col("doc_id"), col("tok_start"), col("n").as("tok_end"))
+    // untouched docs survive whole
+    val whole = docs.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n"))
+      .join(merged.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("tok_start"), col("n").as("tok_end"))
+    before.unionByName(after).unionByName(whole)
+      .filter(col("tok_start") <= col("tok_end"))
+      .select(col("doc_id"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start") + 1).as("span_toks"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-prune,
     * Abbas et al. 2023): embeddings are coarse-clustered, then only
     * WITHIN-cluster pairs are cosine-compared — the clustering turns

@@ -40,6 +40,33 @@ class Round8Spec extends AnyFunSuite {
     assert(Dedup.cdcGearReport(allEmpty).count() === 0)
   }
 
+  test("substringSpans: a planted shared paragraph is cut from the " +
+      "later doc (the span is removed, never the doc)") {
+    // doc 1 (canonical, lower id) and doc 2 share a 10-token
+    // paragraph; doc 2 keeps its unique head and tail around the cut
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$para"),
+      (2L, s"u1 u2 u3 $para v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")). // untouched: full span
+      toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+      .orderBy("doc_id", "tok_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 survives whole (canonical occurrence of every window)
+    assert(spans.filter(_._1 == 1L).toSeq === Seq((1L, 1L, 10L)))
+    // doc 2: para occupies tokens 4..13; all 3 of its windows that
+    // fall fully inside the para are duplicates, covering 4..13 —
+    // windows straddling the unique head/tail are NOT duplicated, so
+    // exactly the planted span is removed and both flanks survive
+    assert(spans.filter(_._1 == 2L).toSeq ===
+      Seq((2L, 1L, 3L), (2L, 14L, 16L)))
+    assert(spans.filter(_._1 == 3L).toSeq === Seq((3L, 1L, 9L)))
+    // removal accounting: doc 2 lost exactly the 10 para tokens
+    val kept2 = spans.filter(_._1 == 2L).map(s => s._3 - s._2 + 1).sum
+    assert(kept2 === 16L - 10L)
+  }
+
   test("kcenterSelect: corpus smaller than k returns the partial " +
       "selection; empty corpus returns the empty frame") {
     val tiny = Seq(
