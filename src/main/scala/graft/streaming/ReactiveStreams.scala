@@ -586,6 +586,72 @@ object ReactiveStreams {
       .select(col("doc_id"), col("n_chunks"), col("n_novel"),
         expr("n_novel * 1000000 div n_chunks").as("novel_ppm"))
 
+  /** Streaming near-dup admission against a PERSISTED MinHash index
+    * — the ingest half of the frozen-index contract
+    * ([[graft.operators.Dedup.minhashWriteIndex]] builds it,
+    * [[graft.operators.Dedup.minhashProbeIndex]] is the batch twin):
+    * each arriving doc derives its shingle set and band keys
+    * STATELESSLY in-row, the band keys join the static posting table
+    * (stream-static inner equi-join — per micro-batch the tiny
+    * stream side is the BUILD side, so the corpus postings never
+    * shuffle; bucket the postings by `bh` via Sinks.bucketedTable to
+    * make the scan exchange-free too), matches verify with exact
+    * Jaccard against the static per-doc shingle sets, and ONE
+    * verdict row per doc emits: distinct corpus near-dups ≥
+    * threshold, the best match (floor-scaled ppm, −1 when none), and
+    * the admit bit. A sentinel no-candidate row per doc keeps
+    * admitted docs in the output without a streaming outer join on
+    * the corpus side; multi-band hits collapse via the chained
+    * per-(doc, candidate) max-Jaccard window aggregate (Spark 4
+    * multi-stateful-agg append mode), mirroring the batch probe's
+    * DISTINCT. State is O(docs in flight) pairs — the index never
+    * enters state. ≡ [[graft.operators.Dedup.minhashProbeIndex]]'s
+    * per-doc rollup across a trigger split (spec-asserted). */
+  def minhashAdmitStream(docs: DataFrame, postings: DataFrame,
+                         corpusSets: DataFrame, threshold: Double = 0.5,
+                         bands: Int = 16, rows: Int = 4,
+                         auditable: Boolean = false,
+                         watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.GraftFunctions
+    val sh = docs.select(col("doc_id"), col("ts"),
+        GraftFunctions.text_shingles(split(lower(col("text")), " "), 3)
+          .as("sh2"))
+      .filter(size(col("sh2")) > 0)
+    val bandKeys =
+      if (auditable) GraftFunctions.md5_minhash_bands(col("sh2"), bands, rows)
+      else GraftFunctions.minhash_bands(col("sh2"), bands, rows)
+    val probes = sh.select(col("doc_id"), col("ts"), col("sh2"),
+        posexplode(bandKeys))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val matches = postings
+      .select(col("band"), col("bh"), col("doc_id").as("doc1"))
+      .join(broadcast(probes), Seq("band", "bh"))
+      .select(col("doc_id"), col("ts"), col("sh2"), col("doc1"))
+    // sentinel: every shingle-bearing doc gets a null-candidate row,
+    // so a doc with zero posting hits still emits its verdict
+    val sentinel = sh.select(col("doc_id"), col("ts"), col("sh2"),
+      lit(null).cast("long").as("doc1"))
+    val verified = matches.unionByName(sentinel)
+      .join(corpusSets.select(col("doc_id").as("doc1"), col("sh").as("sh1")),
+        Seq("doc1"), "left")
+      .withColumn("j",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+    val perPair = verified
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"), col("doc1"))
+      .agg(max("j").as("j"))
+    perPair
+      .groupBy(window(col("window"), "1 hour"), col("doc_id"))
+      .agg(coalesce(sum(when(col("j") >= threshold, 1L)), lit(0L))
+          .as("n_dup"),
+        coalesce(max(when(col("j") >= threshold,
+          floor(col("j") * 1e6).cast("long"))), lit(-1L))
+          .as("best_j_scaled"))
+      .select(col("doc_id"), col("n_dup"), col("best_j_scaled"),
+        (col("n_dup") === 0L).as("admitted"))
+  }
+
   /** Streaming twin of [[graft.operators.TextAnalysis
     * .unigramSurprisal]]'s SCORING half — the production ingest
     * shape: the unigram model is FROZEN from the static corpus

@@ -1,9 +1,13 @@
 package graft
 
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
+import graft.streaming.ReactiveStreams
 
 /** Round-8 additions: edge-case hardening flagged by the round-7
   * advisory (empty-document CDC, under-k k-center) plus the new
@@ -65,6 +69,63 @@ class Round8Spec extends AnyFunSuite {
     // removal accounting: doc 2 lost exactly the 10 para tokens
     val kept2 = spans.filter(_._1 == 2L).map(s => s._3 - s._2 + 1).sum
     assert(kept2 === 16L - 10L)
+  }
+
+  test("minhashAdmitStream == batch minhashProbeIndex rollup across " +
+      "a trigger split; frozen index never re-derived") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // frozen corpus: two docs, one with a distinctive long sentence
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus content about spark engines here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("mh_idx").toString
+    Dedup.minhashWriteIndex(corpus, dir, auditable = true)
+    val postings = spark.read.parquet(dir + "/postings")
+    val sets = spark.read.parquet(dir + "/sets")
+    // ingest wave: 10 = near-copy of 1 (reject), 11 = fresh (admit),
+    // 12 = exact copy of 2 (reject)
+    val wave = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (11L, "entirely novel text that shares no shingles with anything"),
+      (12L, "completely different corpus content about spark engines here"))
+    val batchWave = wave.map { case (id, tx) => (id, tx) }
+      .toDF("doc_id", "text")
+    val probe = Dedup.minhashProbeIndex(spark, dir, batchWave,
+        auditable = true)
+      .groupBy("doc2")
+      .agg(count(lit(1)).as("n_dup"),
+        max(floor(col("jaccard") * 1e6).cast("long")).as("best"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val qn = s"mh_admit_${System.nanoTime()}"
+    val q = ReactiveStreams.minhashAdmitStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), postings, sets,
+        auditable = true)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, t(0), wave(0)._2)); q.processAllAvailable()
+      mem.addData((11L, t(1), wave(1)._2), (12L, t(2), wave(2)._2))
+      q.processAllAvailable()
+      mem.addData((99L, t(59), "x y z w v u t s")) // not yet closing
+      mem.addData((98L, Timestamp.valueOf("2024-01-01 09:00:00"), "a b c"))
+      q.processAllAvailable()
+      val got = spark.table(qn).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      // rejected docs carry the batch probe's exact pair count + best
+      for (id <- Seq(10L, 12L); (n, b) = probe(id))
+        assert(got(id) === ((n, b, false)), s"doc $id")
+      assert(!probe.contains(11L) && got(11L) === ((0L, -1L, true)))
+      assert(got(12L)._2 === 1000000L) // exact copy: jaccard = 1
+    } finally q.stop()
+    // the admission decision is what ingest acts on: upsert only
+    // admitted docs, preserving the probe-then-upsert contract
   }
 
   test("kcenterSelect: corpus smaller than k returns the partial " +
