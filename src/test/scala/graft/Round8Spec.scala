@@ -128,6 +128,30 @@ class Round8Spec extends AnyFunSuite {
     // admitted docs, preserving the probe-then-upsert contract
   }
 
+  test("bpeTrain multi-merge batching: disjoint top pairs give the " +
+      "1-merge result in a fraction of the rounds; drain terminates") {
+    // four disjoint-alphabet words with strictly separated counts:
+    // every round's top picks share no symbols, so batch = 4 must
+    // reproduce the sequential loop exactly
+    val docs = Seq.tabulate(100)(i => (i.toLong,
+      "aa " * 8 + (if (i < 50) "bb " else "") +
+        (if (i < 25) "cc " else "") + (if (i < 12) "dd" else "ee")))
+      .toDF("doc_id", "text")
+    val seqMerges = TextAnalysis.bpeTrain(docs, rounds = 4, batch = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val batMerges = TextAnalysis.bpeTrain(docs, rounds = 4, batch = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(batMerges === seqMerges)
+    assert(seqMerges.head._2 === "a" && seqMerges.head._3 === "a")
+    // a corpus that fully fuses before `rounds` merges exist must
+    // DRAIN (return fewer merges), not loop or throw on 1-sym words
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val drained = TextAnalysis.bpeTrain(tiny, rounds = 8, batch = 4)
+    assert(drained.count() === 1) // 'a b' fuses, nothing else remains
+  }
+
   test("kcenterSelect: corpus smaller than k returns the partial " +
       "selection; empty corpus returns the empty frame") {
     val tiny = Seq(
