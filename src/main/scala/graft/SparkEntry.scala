@@ -243,6 +243,12 @@ object SparkEntry {
     "graph_resource_alloc" -> ((s, d) =>
       Graph.resourceAllocation(Tables.lineitem(s, d), Tables.orders(s, d))
         .orderBy(col("ra_ppm").desc, col("cust1"), col("cust2"))),
+    "graph_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy(col("aa_ppm").desc, col("cust1"), col("cust2"))),
+    "graph_pref_attachment" -> ((s, d) =>
+      Graph.prefAttachment(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy(col("pa").desc, col("cust1"), col("cust2"))),
     "graph_pagerank" -> ((s, d) =>
       Graph.pageRankTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
@@ -786,6 +792,19 @@ object SparkEntry {
       Reactive.rxOutliersMad(ev(s, d)).orderBy("event_id")),
     "rx_trend_correlation" -> ((s, d) =>
       Reactive.rxTrendCorrelation(ev(s, d)).orderBy("user_id")),
+    "rx_spearman" -> ((s, d) =>
+      Reactive.rxSpearman(ev(s, d)).orderBy("user_id")),
+    "emb_matryoshka" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.matryoshkaAudit(e, e.filter(col("vec_id") < 20))
+        .orderBy("query_id")
+    }),
+    "text_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
+    "dedup_span_stats" -> ((s, d) =>
+      Dedup.substringSpanStats(docs(s, d)).orderBy("source")),
+    "text_lang_matrix" -> ((s, d) =>
+      TextAnalysis.langSourceMatrix(docs(s, d)).orderBy("source")),
     "profile_table" -> ((s, d) =>
       Relational.profileTable(s, d).orderBy("col_name")),
     "q_equidepth" -> ((s, d) =>
@@ -1994,6 +2013,53 @@ object SparkEntry {
         | ON x.supp = y.supp AND x.cust < y.cust
         |GROUP BY 1, 2
         |ORDER BY ra_ppm DESC, cust1, cust2 LIMIT 50""".stripMargin,
+    // Adamic–Adar: RA's generator with the 1/⌊log2 deg⌋ witness
+    // weight (exact bit-length log — Spark length(bin)−1, DuckDB
+    // length(format('{:b}'))−1); degree-1 witnesses produce no pairs
+    "graph_adamic_adar" ->
+      """WITH d AS (
+        | SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |   CAST(l_suppkey AS BIGINT) AS supp
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS (
+        | SELECT cust, supp FROM (
+        |  SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |    ORDER BY md5('aa:' || CAST(supp AS VARCHAR) || ':'
+        |      || CAST(cust AS VARCHAR)), cust) AS rn
+        |  FROM d) WHERE rn <= 64),
+        |wt AS (SELECT supp,
+        |  1000000 // CAST(length(format('{:b}',
+        |    CAST(count(*) AS BIGINT))) - 1 AS BIGINT) AS w
+        | FROM capped GROUP BY 1 HAVING count(*) >= 2),
+        |ww AS (SELECT c.cust, c.supp, w FROM capped c
+        | JOIN wt ON wt.supp = c.supp)
+        |SELECT x.cust AS cust1, y.cust AS cust2,
+        | CAST(count(*) AS BIGINT) AS n_common,
+        | CAST(sum(x.w) AS BIGINT) AS aa_ppm
+        |FROM ww x JOIN ww y
+        | ON x.supp = y.supp AND x.cust < y.cust
+        |GROUP BY 1, 2
+        |ORDER BY aa_ppm DESC, cust1, cust2 LIMIT 50""".stripMargin,
+    // preferential attachment: the oracle affords the full pair
+    // space at gate SF; the engine provably never materializes it
+    // (top-of-degree-table candidates + strict completeness bound)
+    "graph_pref_attachment" ->
+      """WITH d AS (
+        | SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |   CAST(l_suppkey AS BIGINT) AS supp
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS (
+        | SELECT cust, supp FROM (
+        |  SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |    ORDER BY md5('pa:' || CAST(supp AS VARCHAR) || ':'
+        |      || CAST(cust AS VARCHAR)), cust) AS rn
+        |  FROM d) WHERE rn <= 64),
+        |deg AS (SELECT cust, CAST(count(*) AS BIGINT) AS deg
+        | FROM capped GROUP BY 1)
+        |SELECT x.cust AS cust1, y.cust AS cust2,
+        | x.deg AS deg1, y.deg AS deg2, x.deg * y.deg AS pa
+        |FROM deg x JOIN deg y ON x.cust < y.cust
+        |ORDER BY pa DESC, cust1, cust2 LIMIT 50""".stripMargin,
     "graph_pagerank" ->
       """WITH e0 AS (
         | SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
@@ -5114,6 +5180,188 @@ object SparkEntry {
         |    AS trend_r
         |FROM m WHERE n >= 3 AND n * syy - sy * sy > 0
         |ORDER BY user_id""".stripMargin,
+    // Spearman: Pearson over INTEGER ranks (arrival row_number,
+    // min-rank value ties — identical conventions both engines), so
+    // every sum is BIGINT-exact and only the final quotient is float
+    "rx_spearman" ->
+      """WITH e AS (SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS a,
+        |  rank() OVER (PARTITION BY user_id ORDER BY "value") AS b
+        | FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |  CAST(sum(a * a) AS BIGINT) AS saa,
+        |  CAST(sum(b * b) AS BIGINT) AS sbb,
+        |  CAST(sum(a * b) AS BIGINT) AS sab
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CAST(n * sab - sa * sb AS DOUBLE)
+        |    / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+        |       * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+        |    AS spearman_rho
+        |FROM m WHERE n >= 3 AND n * sbb - sb * sb > 0
+        |ORDER BY user_id""".stripMargin,
+    // matryoshka prefix-dim audit: both rank windows re-derived with
+    // the same index-order cosine sums; list_slice = Spark slice
+    "emb_matryoshka" -> {
+      def cos(a: String, b: String) =
+        s"""(list_sum(list_transform(list_zip($a, $b),
+           |  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+           | / sqrt(list_sum(list_transform($a,
+           |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           |   * list_sum(list_transform($b,
+           |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+          .stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 20),
+         |fr AS (
+         | SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |   ORDER BY ${cos("q.q_emb", "e.embedding")} DESC, e.vec_id)
+         |   AS rank
+         | FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |pr AS (
+         | SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.query_id
+         |   ORDER BY ${cos("list_slice(q.q_emb, 1, 32)",
+                            "list_slice(e.embedding, 1, 32)")} DESC,
+         |   e.vec_id) AS p_rank
+         | FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         |f AS (SELECT query_id, neighbor_id, rank FROM fr
+         |  WHERE rank <= 10),
+         |p AS (SELECT query_id, neighbor_id, p_rank FROM pr
+         |  WHERE p_rank <= 10),
+         |g AS (
+         | SELECT f.query_id, CAST(count(*) AS BIGINT) AS k_full,
+         |  CAST(coalesce(sum(CASE WHEN p.p_rank IS NOT NULL THEN 1
+         |    END), 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(max(CASE WHEN f.rank = 1 AND p.p_rank = 1
+         |    THEN 1 END), 0) AS BIGINT) AS top1_match
+         | FROM f LEFT JOIN p ON p.query_id = f.query_id
+         |   AND p.neighbor_id = f.neighbor_id
+         | GROUP BY f.query_id)
+         |SELECT query_id, k_full, n_overlap,
+         | CAST(n_overlap * 1000000 // k_full AS BIGINT) AS recall_ppm,
+         | top1_match
+         |FROM g ORDER BY query_id""".stripMargin
+    },
+    // Gopher structural rules: all-integer milli/ppm thresholds
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ')
+        |   AS toks FROM documents),
+        |v AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(1000 * list_sum(list_transform(toks,
+        |    t -> length(t))) // len(toks) AS BIGINT)
+        |    AS mean_wlen_milli,
+        |  CAST(len(list_filter(toks,
+        |    t -> regexp_full_match(t, '[a-z]+'))) * 1000000
+        |    // len(toks) AS BIGINT) AS alpha_ppm,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']))
+        |    AS BIGINT) AS n_stop
+        | FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, n_words, mean_wlen_milli, alpha_ppm, n_stop,
+        | CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0
+        |    END)
+        |  + (CASE WHEN mean_wlen_milli BETWEEN 3000 AND 10000 THEN 1
+        |    ELSE 0 END)
+        |  + (CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rules_passed,
+        | CAST(CASE WHEN
+        |   (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN mean_wlen_milli BETWEEN 3000 AND 10000 THEN 1
+        |    ELSE 0 END)
+        |  + (CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) = 4
+        |   THEN 1 ELSE 0 END AS BIGINT) AS admit
+        |FROM v ORDER BY doc_id""".stripMargin,
+    // span-dedup removal telemetry: the 49f spans CTE + per-source
+    // LEFT-join rollup (zero-span docs count as fully gone)
+    "dedup_span_stats" ->
+      """WITH tk AS (
+        | SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        | FROM documents),
+        |base AS (SELECT doc_id, source, len(t) AS n, t FROM tk),
+        |sh AS (
+        | SELECT doc_id, n, list_transform(
+        |   generate_series(1, len(t) - 7),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |     || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+        |     || t[i+7]) AS wins
+        | FROM base WHERE len(t) >= 8),
+        |post AS (
+        | SELECT doc_id, n, u.i AS pos,
+        |  ('0x' || substr(md5(wins[u.i]), 1, 15))::BIGINT AS h
+        | FROM sh, unnest(generate_series(1, len(wins))) u(i)),
+        |rem AS (
+        | SELECT doc_id, n, pos FROM (
+        |  SELECT doc_id, n, pos,
+        |   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM post) WHERE rn >= 2),
+        |isl AS (
+        | SELECT doc_id, n, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM (SELECT doc_id, n, pos,
+        |   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM rem)),
+        |mg AS (
+        | SELECT doc_id, n, island, min(pos) AS s, max(pos) + 7 AS e
+        | FROM isl GROUP BY doc_id, n, island),
+        |bef AS (
+        | SELECT doc_id,
+        |  coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+        |    AS tok_start,
+        |  s - 1 AS tok_end
+        | FROM mg),
+        |aft AS (
+        | SELECT doc_id, max(e) + 1 AS tok_start, n AS tok_end
+        | FROM mg GROUP BY doc_id, n),
+        |whole AS (
+        | SELECT b.doc_id, 1 AS tok_start, b.n AS tok_end
+        | FROM base b LEFT JOIN (SELECT DISTINCT doc_id FROM mg) m
+        |   USING (doc_id)
+        | WHERE m.doc_id IS NULL),
+        |spans AS (SELECT * FROM bef UNION ALL SELECT * FROM aft
+        |  UNION ALL SELECT * FROM whole),
+        |perdoc AS (
+        | SELECT doc_id, sum(tok_end - tok_start + 1) AS retained
+        | FROM spans WHERE tok_start <= tok_end GROUP BY doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(CASE WHEN coalesce(retained, 0) < n THEN 1
+        |   END), 0) AS BIGINT) AS n_docs_cut,
+        | CAST(coalesce(sum(CASE WHEN coalesce(retained, 0) = 0 THEN 1
+        |   END), 0) AS BIGINT) AS n_docs_gone,
+        | CAST(sum(n) AS BIGINT) AS total_toks,
+        | CAST(coalesce(sum(coalesce(retained, 0)), 0) AS BIGINT)
+        |   AS retained_toks,
+        | CAST(coalesce(sum(coalesce(retained, 0)), 0) * 1000000
+        |   // sum(n) AS BIGINT) AS retained_ppm
+        |FROM base LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // dense source x lang token matrix; the explicit lang domain is
+    // the generator's contract (and keeps the engine pivot one
+    // groupBy, no distinct-values pre-job)
+    "text_lang_matrix" ->
+      """WITH t AS (SELECT source, lang,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        | FROM documents)
+        |SELECT source,
+        | CAST(coalesce(sum(CASE WHEN lang = 'de' THEN n_tok END), 0)
+        |   AS BIGINT) AS toks_de,
+        | CAST(coalesce(sum(CASE WHEN lang = 'en' THEN n_tok END), 0)
+        |   AS BIGINT) AS toks_en,
+        | CAST(coalesce(sum(CASE WHEN lang = 'es' THEN n_tok END), 0)
+        |   AS BIGINT) AS toks_es,
+        | CAST(coalesce(sum(CASE WHEN lang = 'fr' THEN n_tok END), 0)
+        |   AS BIGINT) AS toks_fr,
+        | CAST(coalesce(sum(CASE WHEN lang = 'zh' THEN n_tok END), 0)
+        |   AS BIGINT) AS toks_zh,
+        | CAST(sum(n_tok) AS BIGINT) AS toks_total
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     // content-defined chunking: the greedy min-size cut fold is the
     // ewma recursive-CTE pattern over per-doc candidate ranks; the
     // boundary hash is the auditable md5 family

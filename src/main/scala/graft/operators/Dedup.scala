@@ -946,6 +946,39 @@ object Dedup {
         (col("tok_end") - col("tok_start") + 1).as("span_toks"))
   }
 
+  /** Per-source rollup of [[substringSpans]] — the removal
+    * telemetry a curation run reads after span-level dedup: how many
+    * docs were touched, how many vanished entirely (all their text
+    * seen earlier), and the retained-token ppm per source. Docs with
+    * zero retained spans count via the LEFT join from the doc table
+    * (they'd otherwise drop out of the rollup and inflate
+    * retained_ppm). Shuffles only (doc_id, counts) rows on top of
+    * the span machinery's own exchanges. */
+  def substringSpanStats(docs: DataFrame, w: Int = 8): DataFrame = {
+    val perDoc = substringSpans(docs, w)
+      .groupBy("doc_id")
+      .agg(sum("span_toks").as("retained"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("n_toks"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(when(col("retained") < col("n_toks"), 1L)), lit(0L))
+          .cast("long").as("n_docs_cut"),
+        coalesce(sum(when(col("retained") === 0, 1L)), lit(0L))
+          .cast("long").as("n_docs_gone"),
+        sum("n_toks").cast("long").as("total_toks"),
+        sum("retained").cast("long").as("retained_toks"))
+      .select(col("source"), col("n_docs"), col("n_docs_cut"),
+        col("n_docs_gone"), col("total_toks"), col("retained_toks"),
+        expr("retained_toks * 1000000 div total_toks")
+          .as("retained_ppm"))
+  }
+
   /** SemDeDup-style semantic deduplication (cluster-then-prune,
     * Abbas et al. 2023): embeddings are coarse-clustered, then only
     * WITHIN-cluster pairs are cosine-compared — the clustering turns

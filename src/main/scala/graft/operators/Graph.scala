@@ -349,10 +349,41 @@ object Graph {
     // whole-stage codegen and loses to the codegen'd sort-merge
     // self-join once the per-group fan-out is thousands (baskets
     // are ≤ tens, which is why the same shape WINS in qBasketPairs).
-    val withDeg = capped.join(deg, "cust")
+    // r8 prune-before-aggregate (below) re-measured the same sf10
+    // run at 27.8 s warm (cap 64; 187 s unpruned) and 167 s at cap
+    // 128 — the cap² fan-out contract with the degree-ratio filter
+    // cutting the pair exchange ~6×; tops byte-identical at both
+    // caps, gate-SF hash-exact vs the unchanged full oracle.
+    val withDeg = capped.join(deg, "cust").localCheckpoint()
+    // prune-before-aggregate: a 1/8 deterministic CUSTOMER sample
+    // keeps its members' ENTIRE posting rows, so every sampled pair
+    // (both endpoints sampled — ~1/64 of the fan-out) aggregates to
+    // its EXACT jaccard; τ̂ = the k-th best sampled score is then a
+    // true lower bound on the global k-th score τ, and every pair
+    // whose UPPER bound ⌊min(deg)·1e6 / max(deg)⌋ (c ≤ min(deg1,
+    // deg2), denominator ≥ max(deg1, deg2)) falls below τ̂ provably
+    // misses the top-k. The filter runs on the join output BEFORE
+    // the pair exchange, so what it cuts is the big shuffle —
+    // lossless by the bound argument; τ̂ = 0 (no prune) when the
+    // sample yields < k pairs, so the gate-SF output is the
+    // unpruned plan verbatim.
+    val sampled = withDeg.filter(
+      expr("CAST(conv(substr(md5(concat('cns:', CAST(cust AS STRING)))," +
+        " 1, 15), 16, 10) AS BIGINT) % 8 = 0"))
+    val tauRows = sampled.as("x")
+      .join(sampled.as("y"),
+        col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"),
+        col("x.deg").as("deg1"), col("y.deg").as("deg2"))
+      .agg(count(lit(1)).as("c_ex"))
+      .select(expr("c_ex * 1000000 div (deg1 + deg2 - c_ex)").as("lb"))
+      .orderBy(col("lb").desc).limit(k).collect()
+    val tau = if (tauRows.length < k) 0L else tauRows.last.getLong(0)
     val pairs = withDeg.as("x")
       .join(withDeg.as("y"),
         col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+      .filter(expr("least(x.deg, y.deg) * 1000000 " +
+        s"div greatest(x.deg, y.deg) >= $tau"))
       .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"),
         col("x.deg").as("deg1"), col("y.deg").as("deg2"))
       .agg(count(lit(1)).as("n_common"))
@@ -481,7 +512,40 @@ object Graph {
     * fan-out (the measured deg-before lesson at :312), and the
     * top-k is TakeOrderedAndProject — never a global sort. */
   def resourceAllocation(lineitem: DataFrame, orders: DataFrame,
-                         cap: Int = 64, k: Int = 50): DataFrame = {
+                         cap: Int = 64, k: Int = 50): DataFrame =
+    witnessWeightedTopK(lineitem, orders, cap, k,
+      capSalt = "ra:", sampleSalt = "ras:",
+      weightSql = "1000000 div sdeg", scoreName = "ra_ppm")
+
+  /** Adamic–Adar link prediction: AA(c1,c2) = Σ_{s ∈ common}
+    * 1/log deg(s) — the witness-weighted index between raw common
+    * counts and [[resourceAllocation]]'s aggressive 1/deg discount
+    * (log damping keeps mid-degree witnesses informative where RA
+    * zeroes them out). The log is the exact integer bit-length
+    * `⌊log2 sdeg⌋ = length(bin(sdeg)) − 1` — the repo's libm-free
+    * log the NB classifier already gates on — so the summed score
+    * `Σ 1e6 div ⌊log2 sdeg⌋` is BIGINT-exact on any engine.
+    * Degree-1 witnesses (⌊log2⌋ = 0) produce no pairs at all, so
+    * the division never sees a zero. Same capped adjacency, same
+    * customer-sampled lossless τ̂ prune, same plan shape as RA —
+    * one shared generator, different witness weight. */
+  def adamicAdar(lineitem: DataFrame, orders: DataFrame,
+                 cap: Int = 64, k: Int = 50): DataFrame =
+    witnessWeightedTopK(lineitem, orders, cap, k,
+      capSalt = "aa:", sampleSalt = "aas:",
+      weightSql = "1000000 div (length(bin(sdeg)) - 1)",
+      scoreName = "aa_ppm", minSdeg = 2)
+
+  /** The shared witness-weighted link-prediction generator behind
+    * [[resourceAllocation]] and [[adamicAdar]]: capped adjacency,
+    * per-witness BIGINT weight `weightSql` over the capped supplier
+    * degree, customer-sampled τ̂ + adaptive W-prune, pair sum,
+    * top-k. */
+  private def witnessWeightedTopK(lineitem: DataFrame, orders: DataFrame,
+                                  cap: Int, k: Int, capSalt: String,
+                                  sampleSalt: String, weightSql: String,
+                                  scoreName: String, minSdeg: Int = 1)
+      : DataFrame = {
     val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -491,22 +555,129 @@ object Graph {
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
-          .orderBy(md5(concat(lit("ra:"), col("supp").cast("string"),
+          .orderBy(md5(concat(lit(capSalt), col("supp").cast("string"),
             lit(":"), col("cust").cast("string"))), col("cust"))))
       .filter(col("rn") <= cap)
       .select("cust", "supp")
     val wt = capped.groupBy("supp")
       .agg(count(lit(1)).as("sdeg"))
-      .select(col("supp"), expr("1000000 div sdeg").as("w"))
-    val withW = capped.join(wt, "supp")
-    withW.as("x")
-      .join(withW.as("y"),
+      .filter(col("sdeg") >= minSdeg)
+      .select(col("supp"), expr(weightSql).as("w"))
+    val withW = capped.join(wt, "supp").localCheckpoint()
+    // prune-before-pair: W(c) = Σ_{s∈N(c)} w(s) bounds every pair
+    // containing c (RA(c1,c2) ≤ min(W1, W2) — the common set is a
+    // subset of either side's suppliers), so once a sampled τ̂ is in
+    // hand, customers with W < τ̂ leave the POSTING LISTS before the
+    // self-join — a GENERATION-level prune (min(W1, W2) ≥ τ̂ is
+    // exactly "both endpoints survive", so no per-row filter
+    // needed). τ̂ comes from a 1/8 deterministic CUSTOMER sample:
+    // sampled members keep their entire posting rows, so every
+    // both-sampled pair (~1/64 of the fan-out) sums to its EXACT RA
+    // score and the k-th best is a true lower bound on τ. The prune
+    // is ADAPTIVE: when the W histogram says < 5% of customers fall
+    // below τ̂ (the skew-free synthetic corpus), the posting-list
+    // join is skipped entirely and the plan is the unpruned original
+    // — the τ̂ pass itself stays, priced at the 1/64 sample.
+    // Lossless either way; τ̂ = 0 when the sample yields < k pairs.
+    val sampled = withW.filter(
+      expr(s"CAST(conv(substr(md5(concat('$sampleSalt', " +
+        "CAST(cust AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8 = 0"))
+    val tauRows = sampled.as("x")
+      .join(sampled.as("y"),
         col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
       .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"))
-      .agg(count(lit(1)).as("n_common"), sum(col("x.w")).as("ra_ppm"))
+      .agg(sum(col("x.w")).as("s_ex"))
+      .select(col("s_ex").cast("long").as("s_ex"))
+      .orderBy(col("s_ex").desc).limit(k).collect()
+    val tau = if (tauRows.length < k) 0L else tauRows.last.getLong(0)
+    val pruned = if (tau == 0L) withW else {
+      val cw = withW.groupBy("cust")
+        .agg(sum("w").as("cw"), count(lit(1)).as("cdeg"))
+        .localCheckpoint()
+      // engage only when the prune removes ≥ 1/3 of POSTING ROWS —
+      // pruned customers are the low-degree tail, so a headcount
+      // fraction overstates the fan-out actually saved, and below
+      // this bar the extra cust-join costs more than it cuts
+      // (measured at sf10: engaging at a ~7% row cut ran 67–106 s
+      // vs 47.8 s baseline; skipping holds the baseline + the ~5 s
+      // τ̂ certificate)
+      val Array(below, total) = cw.agg(
+        coalesce(sum(when(col("cw") < tau, col("cdeg"))), lit(0L)),
+        sum(col("cdeg"))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      if (below * 3 < total) withW
+      else withW.join(cw.filter(col("cw") >= tau).select("cust"), "cust")
+    }
+    pruned.as("x")
+      .join(pruned.as("y"),
+        col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("x.w")).as(scoreName))
       .select(col("cust1"), col("cust2"), col("n_common"),
-        col("ra_ppm").cast("long").as("ra_ppm"))
-      .orderBy(col("ra_ppm").desc, col("cust1"), col("cust2"))
+        col(scoreName).cast("long").as(scoreName))
+      .orderBy(col(scoreName).desc, col("cust1"), col("cust2"))
       .limit(k)
+  }
+
+  /** Preferential-attachment link prediction: PA(c1,c2) =
+    * deg(c1)·deg(c2) — the degree-only baseline every LP study
+    * reports next to common-neighbors/RA/AA. Its defining property
+    * IS the scale story: the score depends on nothing but the two
+    * degrees, so the top-k NEVER touches the pair space — candidates
+    * come from the top-C rows of the DEGREE TABLE (|customers| rows,
+    * one aggregate over the capped adjacency), C·(C−1)/2 bounded
+    * pairs enumerate driver-side-free via a small self-join, and C
+    * doubles until the completeness certificate holds: the best
+    * EXCLUDABLE product deg_top·deg_(C+1) must be STRICTLY below the
+    * candidate k-th product (strict, so (product, cust1, cust2)
+    * tie-breaks can never reach outside the candidate set). Capped
+    * adjacency (salt "pa:") keeps the degrees themselves
+    * deterministic/estimator-contract like the other LP ops. */
+  def prefAttachment(lineitem: DataFrame, orders: DataFrame,
+                     cap: Int = 64, k: Int = 50): DataFrame = {
+    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_suppkey").cast("long").as("supp"))
+      .distinct()
+    val capped = edges
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("supp")
+          .orderBy(md5(concat(lit("pa:"), col("supp").cast("string"),
+            lit(":"), col("cust").cast("string"))), col("cust"))))
+      .filter(col("rn") <= cap)
+      .select("cust", "supp")
+    val deg = capped.groupBy("cust").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var c = math.max(2 * k, 16)
+    var out: Option[DataFrame] = None
+    while (out.isEmpty) {
+      // top C+1 degrees: the last row certifies what C excludes
+      val top = deg.orderBy(col("deg").desc, col("cust")).limit(c + 1)
+        .collect()
+      val cand = top.take(c)
+      val nextDeg = if (top.length > c) top(c).getLong(1) else 0L
+      val spark = deg.sparkSession
+      import spark.implicits._
+      val pairs = for {
+        i <- cand.indices; j <- (i + 1) until cand.length
+        (a, b) = (cand(i), cand(j))
+        (c1, c2) = if (a.getLong(0) < b.getLong(0)) (a, b) else (b, a)
+      } yield (c1.getLong(0), c2.getLong(0), c1.getLong(1), c2.getLong(1),
+        c1.getLong(1) * c2.getLong(1))
+      val ranked = pairs.sortBy(p => (-p._5, p._1, p._2)).take(k)
+      val kth = if (ranked.length < k) 0L else ranked.last._5
+      // complete iff nothing outside the candidate set could beat or
+      // TIE the k-th product (ties must stay inside for the
+      // (pa, cust1, cust2) order to be exact), or the table is spent
+      val maxDeg = cand.headOption.map(_.getLong(1)).getOrElse(0L)
+      if (top.length <= c || maxDeg * nextDeg < kth)
+        out = Some(ranked
+          .toDF("cust1", "cust2", "deg1", "deg2", "pa")
+          .orderBy(col("pa").desc, col("cust1"), col("cust2")))
+      else c *= 2
+    }
+    out.get
   }
 }

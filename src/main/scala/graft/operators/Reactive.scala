@@ -1209,6 +1209,42 @@ object Reactive {
           .as("trend_r"))
   }
 
+  /** Spearman rank correlation per key between arrival order and
+    * value — the nonparametric twin of [[rxTrendCorrelation]]'s
+    * Pearson trend: monotone-but-nonlinear drifts score |ρ| → 1
+    * where Pearson underreports them, and single outliers can't
+    * dominate because only RANKS enter. Ranks are integers (arrival
+    * rank = row_number over event_id — unique; value rank = min-rank
+    * `rank()` over the double order, the identical tie convention in
+    * both engines), so every aggregate is an exact BIGINT sum —
+    * Σrank² ≤ n³ stays far inside long range — and only the final
+    * Pearson-on-ranks quotient is a double. Tie-heavy keys with zero
+    * value-rank variance are filtered like the trend op (no defined
+    * correlation). One shuffle on user_id shared by both rank
+    * windows and the aggregate. */
+  def rxSpearman(events: DataFrame): DataFrame = {
+    val a = row_number().over(byUser).cast("long")
+    val b = rank().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("value")).cast("long")
+    events.select(col("user_id"), a.as("a"), b.as("b"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("a") * col("b")).as("sab"))
+      .filter(col("n") >= 3 &&
+        col("n") * col("sbb") - col("sb") * col("sb") > 0)
+      .select(col("user_id"), col("n"),
+        ((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+          (sqrt((col("n") * col("saa") - col("sa") * col("sa"))
+            .cast("double")) *
+            sqrt((col("n") * col("sbb") - col("sb") * col("sb"))
+              .cast("double"))))
+          .as("spearman_rho"))
+  }
+
   /** Cohort retention: users bucketed by first-seen day, activity
     * counted per (cohort, day offset) — the standard retention
     * triangle. Two aggregates sharing the user_id partitioning; the

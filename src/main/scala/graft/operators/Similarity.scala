@@ -1203,6 +1203,51 @@ object Similarity {
         min("hamming").cast("long").as("min_hamming"))
   }
 
+  /** Matryoshka prefix-dimension audit (Kusupati et al. 2022 MRL):
+    * how much of the FULL-dimension exact top-k does a PREFIX of the
+    * embedding recover? Serving stacks truncate matryoshka-trained
+    * vectors to d/2 or d/4 for the first-stage scan and rerank with
+    * full vectors; this audit is the number that says whether the
+    * truncation is safe for THIS corpus — per query: overlap@k
+    * between the d-dim and prefix-dim exact top-k, and whether the
+    * top-1 survives. All-integer verdict columns (the doubles stay
+    * inside the two rank windows).
+    *
+    * Scale shape: two [[bruteForceTopK]]-pattern scans (the honest
+    * exact baseline — swap the prefix scan for any ANN tier), both
+    * broadcasting the bounded query panel so the corpus never
+    * shuffles; the per-query overlap is a join of two k-row frames
+    * keyed by (query, neighbor). Prefix cosine uses slice() — zero
+    * extra storage, the whole point of matryoshka layouts. */
+  def matryoshkaAudit(embs: DataFrame, queries: DataFrame,
+                      prefixDims: Int = 32, k: Int = 10): DataFrame = {
+    val full = bruteForceTopK(embs, queries, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val pq = queries.select(col("vec_id").as("query_id"),
+      slice(col("embedding"), 1, prefixDims).as("q_emb"))
+    val pcand = embs.select(col("vec_id").as("neighbor_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val prefix = pcand
+      .join(broadcast(pq), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        GraftFunctions.cosine_sim(col("q_emb"), col("embedding")))
+      .withColumn("p_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("p_rank") <= k)
+      .select(col("query_id"), col("p_rank"), col("neighbor_id"))
+    full.join(prefix, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("k_full"),
+        coalesce(sum(when(col("p_rank").isNotNull, 1L)), lit(0L))
+          .cast("long").as("n_overlap"),
+        coalesce(max(when(col("rank") === 1 && col("p_rank") === 1, 1L)),
+          lit(0L)).cast("long").as("top1_match"))
+      .select(col("query_id"), col("k_full"), col("n_overlap"),
+        expr("n_overlap * 1000000 div k_full").as("recall_ppm"),
+        col("top1_match"))
+  }
+
   /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein,
     * SIGIR'98): greedily pick the candidate maximizing
     * λ·rel − (1−λ)·max-sim-to-already-picked — the diversity-aware

@@ -152,6 +152,43 @@ class Round8Spec extends AnyFunSuite {
     assert(drained.count() === 1) // 'a b' fuses, nothing else remains
   }
 
+  test("adamicAdar: bit-length log damping, degree-1 witnesses drop " +
+      "with their pairs") {
+    // supplier 100 has 4 customers (fl=2, w=500000), supplier 200
+    // has 2 (fl=1, w=1000000), supplier 300 has ONE customer —
+    // a degree-1 witness must contribute nothing anywhere
+    val orders = Seq.tabulate(8)(i => (i.toLong, (i % 4).toLong))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((0L, 100L), (1L, 100L), (2L, 100L), (3L, 100L),
+      (0L, 200L), (1L, 200L), (2L, 300L))
+      .toDF("l_orderkey", "l_suppkey")
+    val aa = Graph.adamicAdar(li, orders, cap = 64, k = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // pair (0,1): shares supp 100 (w 500000) AND supp 200 (w 1e6)
+    assert(aa((0L, 1L)) === ((2L, 1500000L)))
+    // pairs through supp 100 only: 500000; supp 300 adds nothing
+    assert(aa((0L, 2L)) === ((1L, 500000L)))
+    assert(aa((2L, 3L)) === ((1L, 500000L)))
+  }
+
+  test("prefAttachment: degree-table top-k == brute-force product " +
+      "ranking, ties force candidate-set growth") {
+    // 40 customers, ALL with identical degree (every supplier sells
+    // to everyone): every pair product ties, so the strict
+    // completeness bound can only hold once C covers the whole
+    // table — the tie-break order must still be exact
+    val orders = Seq.tabulate(40)(i => (i.toLong, i.toLong))
+      .toDF("o_orderkey", "o_custkey")
+    val li = (for (o <- 0 until 40; s <- Seq(7L, 8L, 9L))
+      yield (o.toLong, s)).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.prefAttachment(li, orders, cap = 64, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val expect = (for (i <- 0L until 40L; j <- (i + 1) until 40L)
+      yield (i, j, 9L)).sortBy(p => (-p._3, p._1, p._2)).take(10)
+    assert(got.toSeq === expect)
+  }
+
   test("kcenterSelect: corpus smaller than k returns the partial " +
       "selection; empty corpus returns the empty frame") {
     val tiny = Seq(
