@@ -800,6 +800,11 @@ object SparkEntry {
       Reactive.rxTrendCorrelation(ev(s, d)).orderBy("user_id")),
     "rx_spearman" -> ((s, d) =>
       Reactive.rxSpearman(ev(s, d)).orderBy("user_id")),
+    "rx_sax" -> ((s, d) =>
+      Reactive.rxSax(ev(s, d)).orderBy("user_id")),
+    "q_incremental_topk" -> ((s, d) =>
+      Relational.qIncrementalTopK(s, d)
+        .orderBy("o_orderpriority", "rank")),
     "emb_matryoshka" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.matryoshkaAudit(e, e.filter(col("vec_id") < 20))
@@ -5208,6 +5213,38 @@ object SparkEntry {
         |    AS spearman_rho
         |FROM m WHERE n >= 3 AND n * sbb - sb * sb > 0
         |ORDER BY user_id""".stripMargin,
+    // SAX: integer-grid PAA segments, centi-unit exact means, rank-
+    // equidepth quartile symbols — every step integral, both engines
+    "rx_sax" ->
+      """WITH e AS (SELECT user_id, "value",
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        | FROM events),
+        |p AS (SELECT user_id, n, (rn - 1) * 8 // n AS seg,
+        |   CAST("value" AS DECIMAL(18,2)) AS v
+        | FROM e),
+        |paa AS (SELECT user_id, n, seg,
+        |   CAST(sum(v * 100) AS BIGINT) // count(*) AS paa_centi
+        | FROM p GROUP BY 1, 2, 3),
+        |rk AS (SELECT user_id, n, seg,
+        |   (row_number() OVER (ORDER BY paa_centi, user_id, seg) - 1)
+        |     * 4 // (count(*) OVER ()) AS sym
+        | FROM paa)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  string_agg(CAST(sym AS VARCHAR), '' ORDER BY seg) AS sax
+        |FROM rk GROUP BY user_id, n ORDER BY user_id""".stripMargin,
+    // incremental top-k maintenance: the engine merges stored base
+    // top-k with the delta's top-k; the oracle recomputes from
+    // scratch — the gate IS the mergeable-summary identity
+    "q_incremental_topk" ->
+      """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+        | o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        | FROM orders) WHERE rank <= 3
+        |ORDER BY o_orderpriority, rank""".stripMargin,
     // matryoshka prefix-dim audit: both rank windows re-derived with
     // the same index-order cosine sums; list_slice = Spark slice
     "emb_matryoshka" -> {

@@ -1245,6 +1245,54 @@ object Reactive {
           .as("spearman_rho"))
   }
 
+  /** SAX symbolization (Lin et al. 2003) per key, exact-arithmetic
+    * variant: each user's value series is PAA-compressed into ≤ 8
+    * equal-count segments (seg = (rn−1)·8 div n — integer grid, no
+    * float boundaries) whose means are exact centi-unit BIGINTs
+    * (DECIMAL(18,2) sums — the twap convention — then one floor
+    * div), and each PAA value maps to a quartile SYMBOL by its
+    * global RANK (corpus-equidepth breakpoints: symbol = (r−1)·4
+    * div N over the (paa, user, seg) total order) instead of the
+    * textbook Gaussian table — rank breakpoints are the only
+    * breakpoints two engines reproduce bit-for-bit, and equidepth
+    * is what you want on non-Gaussian telemetry anyway. Output: one
+    * row per user with its SAX word — the index/motif alphabet for
+    * whole-series similarity at 100 TB (8 chars replace the series).
+    *
+    * Plan: one user_id shuffle (segments + per-segment means), one
+    * global rank exchange over the ≤ 8·|users| PAA rows, one
+    * fold-back per user. Values never leave their segment row. */
+  def rxSax(events: DataFrame, segments: Int = 8, alphabet: Int = 4)
+      : DataFrame = {
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("user_id"))
+    val paa = events
+      .select(col("user_id"), col("value"),
+        row_number().over(byUser).as("rn"), n.as("n"))
+      .select(col("user_id"), col("n"),
+        expr(s"(rn - 1) * $segments div n").as("seg"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("user_id", "n", "seg")
+      .agg(sum(col("v") * 100).cast("long").as("sc"),
+        count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("n"), col("seg"),
+        expr("sc div cnt").as("paa_centi"))
+    val ranked = paa
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("paa_centi"), col("user_id"), col("seg"))))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .select(col("user_id"), col("n"), col("seg"),
+        expr(s"(r - 1) * $alphabet div nn").as("sym"))
+    ranked.groupBy("user_id", "n")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(seg, sym)))," +
+          " x -> CAST(x.sym AS STRING))"), "").as("sax"))
+      .select(col("user_id"), col("n").cast("long").as("n"), col("sax"))
+  }
+
   /** Cohort retention: users bucketed by first-seen day, activity
     * counted per (cohort, day offset) — the standard retention
     * triangle. Two aggregates sharing the user_id partitioning; the

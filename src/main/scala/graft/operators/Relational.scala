@@ -262,6 +262,37 @@ object Relational {
         count(lit(1)).as("n"))
 
   /** Group-wise max (correlated-subquery shape done with a window). */
+  /** Incremental top-k maintenance — the mergeable-summary identity
+    * a 100 TB serving layer lives on: the stored per-group top-k
+    * (k-row state from the BASE corpus, even orderkeys here) merged
+    * with the DELTA batch's own top-k re-ranks to EXACTLY the full
+    * recompute, because insert-only top-k is max-monotone — the
+    * true top-k of base ∪ delta is contained in topk(base) ∪
+    * topk(delta). The gate is that equality: the engine emits the
+    * merge-maintained result, the oracle recomputes from scratch.
+    * Work on arrival is O(delta + groups·k): the base never
+    * re-scans — that is the entire point vs re-running the query.
+    * Ties break on o_orderkey; price rides DECIMAL (exact). */
+  def qIncrementalTopK(s: SparkSession, dir: String, k: Int = 3)
+      : DataFrame = {
+    val o = Tables.orders(s, dir)
+    def topk(src: DataFrame): DataFrame = src
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= k)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    val base = topk(o.filter(col("o_orderkey") % 2 === 0))
+    val delta = topk(o.filter(col("o_orderkey") % 2 === 1))
+    base.unionByName(delta)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rank") <= k)
+      .select(col("o_orderpriority"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
   def qGroupwiseMax(s: SparkSession, dir: String): DataFrame =
     Tables.supplier(s, dir)
       .withColumn("rn", row_number().over(
