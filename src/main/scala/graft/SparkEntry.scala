@@ -5758,9 +5758,17 @@ object SparkEntry {
            |   AS n_null,
            | count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    // discrete rank-selected edges (value AT rank k*n div 10) — the
+    // r8 fix: CONT interpolation diverged between engines at n~1M
     "q_equidepth" ->
-      """WITH e AS (SELECT quantile_cont(o_totalprice,
-        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM orders)
+      """WITH nn AS (SELECT count(*) AS n FROM orders),
+        |rk AS (SELECT o_totalprice,
+        |  row_number() OVER (ORDER BY o_totalprice) AS r FROM orders),
+        |e AS (SELECT list_sort(list(o_totalprice)) AS edges
+        | FROM rk, nn
+        | WHERE r IN (n * 1 // 10, n * 2 // 10, n * 3 // 10,
+        |   n * 4 // 10, n * 5 // 10, n * 6 // 10, n * 7 // 10,
+        |   n * 8 // 10, n * 9 // 10))
         |SELECT CAST(len(list_filter(edges, x -> x < o_totalprice)) + 1
         |    AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n,

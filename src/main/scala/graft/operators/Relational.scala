@@ -768,9 +768,26 @@ object Relational {
     * approx_percentile (t-digest), same plan shape (the q_percentiles
     * tradeoff). */
   def qEquiDepth(s: SparkSession, dir: String): DataFrame = {
+    // DISCRETE order statistics, not interpolated percentiles: the
+    // r8 sampled-sf10 sweep caught Spark percentile() and DuckDB
+    // quantile_cont() interpolating the 0.8/0.9 cut one ulp-class
+    // apart at n≈1M (449769.31 vs 449768.33), shifting ~5 boundary
+    // rows — CONT interpolation is not an engine-stable contract at
+    // scale. The value AT rank k·n div 10 is: it is a member of the
+    // multiset, independent of tie order, and both engines pick it
+    // with identical integer arithmetic. The rank filter rides one
+    // global sort (what the exact percentile aggregate did
+    // internally anyway); production swaps in the mergeable
+    // quantile sketch (`sketch_quantiles`) when approximate edges
+    // are acceptable.
     val o = Tables.orders(s, dir).select("o_totalprice")
-    val edges = o.agg(percentile(col("o_totalprice"),
-      lit((1 to 9).map(_ / 10.0).toArray)).as("edges"))
+    val ranked = o.withColumn("r", row_number().over(
+      Window.orderBy("o_totalprice")))
+    val edges = ranked
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+      .filter((1 to 9).map(k => col("r") === expr(s"n * $k div 10"))
+        .reduce(_ || _))
+      .agg(array_sort(collect_list("o_totalprice")).as("edges"))
     o.crossJoin(broadcast(edges))
       .select(col("o_totalprice"),
         (size(filter(col("edges"), e => e < col("o_totalprice"))) + 1)

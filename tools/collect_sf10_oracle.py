@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Assemble SF10_ORACLE_r{N}.json from compare.py runs at two tiers:
+
+  --full=FILE     compare.py stdout against the FULL sf10 tables
+  --sampled=FILE  compare.py stdout against the md5-sampled sf10 twin
+                  (tools/gen_sample_sf.py)
+
+Per key the FULL-sf10 verdict wins when it is PASS; otherwise the
+sampled verdict is recorded with its tier, so every key carries the
+strongest evidence available plus an explained verdict when an
+oracle formulation cannot finish at either tier.
+
+Usage: python3 tools/collect_sf10_oracle.py --full=a.out \
+         --sampled=b.out --out=SF10_ORACLE_r08.json --note="..."
+"""
+import json
+import re
+import sys
+
+
+def parse(path):
+    out = {}
+    pat = re.compile(r"^\[(PASS|FAIL|rows)\] (\S+): (.*)$")
+    for line in open(path, encoding="utf-8"):
+        m = pat.match(line.rstrip())
+        if not m:
+            continue
+        mark, key, detail = m.groups()
+        if detail.startswith("NO_SPARK_OUTPUT"):
+            continue  # key not in this (filtered) dump
+        out[key] = (mark, detail[:300])
+    return out
+
+
+def main():
+    args = dict(a.split("=", 1) for a in sys.argv[1:])
+    full = parse(args["--full"]) if "--full" in args else {}
+    sampled = parse(args["--sampled"]) if "--sampled" in args else {}
+    per_key = {}
+    for key in sorted(set(full) | set(sampled)):
+        if key in full and full[key][0] == "PASS":
+            mark, detail = full[key]
+            tier = "full_sf10"
+        elif key in sampled:
+            mark, detail = sampled[key]
+            tier = "sampled_sf10s"
+        else:
+            mark, detail = full[key]
+            tier = "full_sf10"
+        per_key[key] = {"tier": tier, "verdict": mark, "detail": detail}
+    n_pass = sum(1 for v in per_key.values() if v["verdict"] == "PASS")
+    doc = {
+        "n_keys": len(per_key),
+        "n_pass": n_pass,
+        "n_full_sf10_pass": sum(1 for v in per_key.values()
+                                if v["verdict"] == "PASS"
+                                and v["tier"] == "full_sf10"),
+        "n_sampled_pass": sum(1 for v in per_key.values()
+                              if v["verdict"] == "PASS"
+                              and v["tier"] == "sampled_sf10s"),
+        "note": args.get("--note", ""),
+        "per_key": per_key,
+    }
+    with open(args["--out"], "w", encoding="utf-8") as f:
+        json.dump(doc, f, indent=1)
+    print(f"{n_pass}/{len(per_key)} pass -> {args['--out']}")
+
+
+if __name__ == "__main__":
+    main()
