@@ -6220,24 +6220,24 @@ object SparkEntry {
         |FROM r ORDER BY source, epoch""".stripMargin,
     // 4 unrolled semi-synchronous peeling rounds at k = 20
     "graph_k_core" ->
-      """WITH e0 AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
         |  CAST(l.l_suppkey AS BIGINT) AS supp
         | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |c1 AS (SELECT cust FROM e0 GROUP BY cust HAVING count(*) >= 20),
         |s1 AS (SELECT supp FROM e0 GROUP BY supp HAVING count(*) >= 20),
-        |e1 AS (SELECT e0.cust, e0.supp FROM e0
+        |e1 AS MATERIALIZED (SELECT e0.cust, e0.supp FROM e0
         |  JOIN c1 USING (cust) JOIN s1 USING (supp)),
         |c2 AS (SELECT cust FROM e1 GROUP BY cust HAVING count(*) >= 20),
         |s2 AS (SELECT supp FROM e1 GROUP BY supp HAVING count(*) >= 20),
-        |e2 AS (SELECT e1.cust, e1.supp FROM e1
+        |e2 AS MATERIALIZED (SELECT e1.cust, e1.supp FROM e1
         |  JOIN c2 USING (cust) JOIN s2 USING (supp)),
         |c3 AS (SELECT cust FROM e2 GROUP BY cust HAVING count(*) >= 20),
         |s3 AS (SELECT supp FROM e2 GROUP BY supp HAVING count(*) >= 20),
-        |e3 AS (SELECT e2.cust, e2.supp FROM e2
+        |e3 AS MATERIALIZED (SELECT e2.cust, e2.supp FROM e2
         |  JOIN c3 USING (cust) JOIN s3 USING (supp)),
         |c4 AS (SELECT cust FROM e3 GROUP BY cust HAVING count(*) >= 20),
         |s4 AS (SELECT supp FROM e3 GROUP BY supp HAVING count(*) >= 20),
-        |e4 AS (SELECT e3.cust, e3.supp FROM e3
+        |e4 AS MATERIALIZED (SELECT e3.cust, e3.supp FROM e3
         |  JOIN c4 USING (cust) JOIN s4 USING (supp))
         |SELECT * FROM (
         | SELECT CAST(1 AS BIGINT) AS round,
@@ -6253,38 +6253,38 @@ object SparkEntry {
         |ORDER BY round""".stripMargin,
     // 3 unrolled Gauss-Seidel HITS rounds, 1e12 sum-normalized scale
     "graph_hits" ->
-      """WITH e AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
+      """WITH e AS MATERIALIZED (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS cust,
         |  CAST(l.l_suppkey AS BIGINT) AS supp
         | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |h0 AS (SELECT DISTINCT cust,
+        |h0 AS MATERIALIZED (SELECT DISTINCT cust,
         |  CAST(1000000000000 AS HUGEINT) AS h FROM e),
-        |a1r AS (SELECT supp, sum(h) AS raw FROM e JOIN h0 USING (cust)
+        |a1r AS MATERIALIZED (SELECT supp, sum(h) AS raw FROM e JOIN h0 USING (cust)
         |  GROUP BY supp),
-        |a1 AS (SELECT supp, CAST(raw * 1000000000000 //
+        |a1 AS MATERIALIZED (SELECT supp, CAST(raw * 1000000000000 //
         |  (SELECT sum(raw) FROM a1r) AS BIGINT) AS a FROM a1r),
-        |h1r AS (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
+        |h1r AS MATERIALIZED (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
         |  FROM e JOIN a1 USING (supp) GROUP BY cust),
-        |h1 AS (SELECT cust, CAST(raw * 1000000000000 //
+        |h1 AS MATERIALIZED (SELECT cust, CAST(raw * 1000000000000 //
         |  (SELECT sum(raw) FROM h1r) AS BIGINT) AS h FROM h1r),
-        |a2r AS (SELECT supp, sum(CAST(h AS HUGEINT)) AS raw
+        |a2r AS MATERIALIZED (SELECT supp, sum(CAST(h AS HUGEINT)) AS raw
         |  FROM e JOIN h1 USING (cust) GROUP BY supp),
-        |a2 AS (SELECT supp, CAST(raw * 1000000000000 //
+        |a2 AS MATERIALIZED (SELECT supp, CAST(raw * 1000000000000 //
         |  (SELECT sum(raw) FROM a2r) AS BIGINT) AS a FROM a2r),
-        |h2r AS (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
+        |h2r AS MATERIALIZED (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
         |  FROM e JOIN a2 USING (supp) GROUP BY cust),
-        |h2 AS (SELECT cust, CAST(raw * 1000000000000 //
+        |h2 AS MATERIALIZED (SELECT cust, CAST(raw * 1000000000000 //
         |  (SELECT sum(raw) FROM h2r) AS BIGINT) AS h FROM h2r),
-        |a3r AS (SELECT supp, sum(CAST(h AS HUGEINT)) AS raw
+        |a3r AS MATERIALIZED (SELECT supp, sum(CAST(h AS HUGEINT)) AS raw
         |  FROM e JOIN h2 USING (cust) GROUP BY supp),
-        |a3 AS (SELECT supp, CAST(raw * 1000000000000 //
+        |a3 AS MATERIALIZED (SELECT supp, CAST(raw * 1000000000000 //
         |  (SELECT sum(raw) FROM a3r) AS BIGINT) AS a FROM a3r),
-        |h3r AS (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
+        |h3r AS MATERIALIZED (SELECT cust, sum(CAST(a AS HUGEINT)) AS raw
         |  FROM e JOIN a3 USING (supp) GROUP BY cust),
-        |h3 AS (SELECT cust, CAST(raw * 1000000000000 //
+        |h3 AS MATERIALIZED (SELECT cust, CAST(raw * 1000000000000 //
         |  (SELECT sum(raw) FROM h3r) AS BIGINT) AS h FROM h3r),
-        |ta AS (SELECT 'authority' AS role, supp AS node, a AS score
+        |ta AS MATERIALIZED (SELECT 'authority' AS role, supp AS node, a AS score
         |  FROM a3 ORDER BY a DESC, supp LIMIT 20),
-        |th AS (SELECT 'hub' AS role, cust AS node, h AS score
+        |th AS MATERIALIZED (SELECT 'hub' AS role, cust AS node, h AS score
         |  FROM h3 ORDER BY h DESC, cust LIMIT 20)
         |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
         |ORDER BY role, score DESC, node""".stripMargin,
