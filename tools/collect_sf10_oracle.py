@@ -61,9 +61,13 @@ def main():
         "note": args.get("--note", ""),
         "per_key": per_key,
     }
-    with open(args["--out"], "w", encoding="utf-8") as f:
+    # Default into the repo root so the artifact is tracked by git —
+    # a /tmp draft dies with the image and leaves the headline claim
+    # unverifiable (round-8 lesson).
+    out = args.get("--out", "/root/repo/SF10_ORACLE.json")
+    with open(out, "w", encoding="utf-8") as f:
         json.dump(doc, f, indent=1)
-    print(f"{n_pass}/{len(per_key)} pass -> {args['--out']}")
+    print(f"{n_pass}/{len(per_key)} pass -> {out}")
 
 
 if __name__ == "__main__":
