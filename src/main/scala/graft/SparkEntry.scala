@@ -802,6 +802,18 @@ object SparkEntry {
       Reactive.rxSpearman(ev(s, d)).orderBy("user_id")),
     "rx_sax" -> ((s, d) =>
       Reactive.rxSax(ev(s, d)).orderBy("user_id")),
+    "rx_lis" -> ((s, d) =>
+      Reactive.rxLis(ev(s, d)).select("user_id", "n", "lis_len")
+        .orderBy("user_id")),
+    "rx_sign_changes" -> ((s, d) =>
+      Reactive.rxSignChanges(ev(s, d)).orderBy("user_id")),
+    "graph_sssp" -> ((s, d) =>
+      Graph.ssspTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d)).orderBy("node")),
+    "dedup_bloom_admit" -> ((s, d) =>
+      Dedup.bloomAdmit(docs(s, d),
+        Seq("src16", "src17", "src18", "src19")).orderBy("source")),
     "q_incremental_topk" -> ((s, d) =>
       Relational.qIncrementalTopK(s, d)
         .orderBy("o_orderpriority", "rank")),
@@ -3524,12 +3536,12 @@ object SparkEntry {
       """WITH RECURSIVE
         |tk AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
-        |msh AS (
+        |msh AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_transform(generate_series(1, len(tk) - 2),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
         |  FROM tk WHERE len(tk) >= 3),
-        |dsh AS (SELECT doc_id, list_distinct(sh) AS ds FROM msh),
+        |dsh AS MATERIALIZED (SELECT doc_id, list_distinct(sh) AS ds FROM msh),
         |mpost AS (SELECT doc_id, s.s FROM msh, unnest(msh.sh) AS s(s)),
         |mhv AS (
         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM mpost),
@@ -3543,7 +3555,7 @@ object SparkEntry {
         |mmins AS (
         |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
         |  FROM mhv, mseeds GROUP BY doc_id, j),
-        |mbands AS (
+        |mbands AS MATERIALIZED (
         |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
         |    ('0x' || substr(md5(array_to_string(
         |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))::BIGINT AS bh
@@ -3571,7 +3583,7 @@ object SparkEntry {
         |ssig AS (
         |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sig
         |  FROM sbits GROUP BY doc_id),
-        |schunks AS (
+        |schunks AS MATERIALIZED (
         |  SELECT doc_id, sig, c.c AS chunk_id, (sig >> (c.c * 15)) & 32767 AS chunk
         |  FROM ssig, range(0, 4) c(c)),
         |spairs AS (
@@ -3583,7 +3595,7 @@ object SparkEntry {
         |  SELECT s.doc_id, s.ds AS sh,
         |    substring(lower(trim(t.text)), 1, 24) AS bkey
         |  FROM dsh s JOIN documents t ON t.doc_id = s.doc_id),
-        |nranked AS (
+        |nranked AS MATERIALIZED (
         |  SELECT doc_id, sh,
         |    ROW_NUMBER() OVER (ORDER BY bkey, doc_id) - 1 AS r FROM nkey),
         |npairs0 AS (
@@ -3594,11 +3606,11 @@ object SparkEntry {
         |  SELECT least(d1, d2) AS doc1, greatest(d1, d2) AS doc2 FROM npairs0
         |  WHERE CAST(len(list_intersect(sh1, sh2)) AS DOUBLE) /
         |    (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2))) >= 0.5),
-        |allpairs AS (
+        |allpairs AS MATERIALIZED (
         |  SELECT doc1, doc2 FROM mpairs
         |  UNION SELECT doc1, doc2 FROM spairs
         |  UNION SELECT doc1, doc2 FROM npairs),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT doc1 AS a, doc2 AS b FROM allpairs
         |  UNION ALL SELECT doc2, doc1 FROM allpairs),
         |reach(node, lab) AS (
@@ -5234,6 +5246,125 @@ object SparkEntry {
         |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  string_agg(CAST(sym AS VARCHAR), '' ORDER BY seg) AS sax
         |FROM rk GROUP BY user_id, n ORDER BY user_id""".stripMargin,
+    // LIS: the identical patience-tails fold, list_reduce in DuckDB
+    // / aggregate() in Spark — integer output, engine-exact
+    "rx_lis" ->
+      """WITH e AS (SELECT user_id, "value",
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS rn
+        | FROM events),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  list_transform(list("value" ORDER BY rn), v -> [v]) AS vs
+        | FROM e GROUP BY user_id),
+        |f AS (SELECT user_id, n, list_reduce(vs,
+        |  (tails, x) -> CASE
+        |    WHEN len(list_filter(tails, t -> t < x[1])) = len(tails)
+        |      THEN list_append(tails, x[1])
+        |    ELSE list_concat(list_concat(
+        |        tails[1:len(list_filter(tails, t -> t < x[1]))],
+        |        [x[1]]),
+        |        tails[len(list_filter(tails, t -> t < x[1])) + 2:])
+        |    END) AS tails
+        | FROM s)
+        |SELECT user_id, n, CAST(len(tails) AS BIGINT) AS lis_len
+        |FROM f ORDER BY user_id""".stripMargin,
+    // mean-crossing stats: sign classes from exact decimal
+    // comparisons (v·n vs Σv), flips over the nonzero subsequence,
+    // gaps-and-islands longest above-mean run
+    "rx_sign_changes" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST("value" AS DECIMAL(18,2)) AS v,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n,
+        |  sum(CAST("value" AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id) AS sv
+        | FROM events),
+        |sg AS (SELECT user_id, event_id, rn, n,
+        |  CASE WHEN v * n > sv THEN 1
+        |       WHEN v * n < sv THEN -1 ELSE 0 END AS s
+        | FROM e),
+        |fl AS (SELECT user_id,
+        |  coalesce(sum(CASE WHEN prev IS NOT NULL AND prev <> s
+        |    THEN 1 END), 0) AS n_flips
+        | FROM (SELECT user_id, s,
+        |    lag(s) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev
+        |   FROM sg WHERE s <> 0) GROUP BY user_id),
+        |runs AS (SELECT user_id, max(len) AS max_above_run FROM (
+        |  SELECT user_id, grp, count(*) AS len FROM (
+        |    SELECT user_id, s, rn - row_number() OVER (
+        |      PARTITION BY user_id, s ORDER BY event_id) AS grp
+        |    FROM sg) WHERE s = 1 GROUP BY user_id, grp)
+        | GROUP BY user_id)
+        |SELECT u.user_id, CAST(u.n AS BIGINT) AS n,
+        |  CAST(coalesce(fl.n_flips, 0) AS BIGINT) AS n_flips,
+        |  CAST(coalesce(runs.max_above_run, 0) AS BIGINT)
+        |    AS max_above_run
+        |FROM (SELECT DISTINCT user_id, n FROM sg) u
+        |LEFT JOIN fl USING (user_id) LEFT JOIN runs USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // SSSP: level-synchronous Bellman-Ford as a recursive CTE with a
+    // per-level min aggregation; 30 fixed levels >= any diameter the
+    // 25-node trade graph can have, so level 30 IS the fixpoint
+    "graph_sssp" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS esrc,
+        |    CAST(c_nationkey AS BIGINT) AS edst,
+        |    greatest(1, 1000000 // count(*)) AS cost
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |bf(it, node, d) AS (
+        |  SELECT 0, CAST(n_nationkey AS BIGINT),
+        |    CASE WHEN n_nationkey = 0 THEN CAST(0 AS BIGINT) END
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT it + 1, node, min(d) FROM (
+        |    SELECT bf.it AS it, bf.node AS node, bf.d AS d
+        |    FROM bf WHERE bf.it < 30
+        |    UNION ALL
+        |    SELECT bf.it, e.edst, bf.d + e.cost
+        |    FROM bf JOIN e ON bf.node = e.esrc
+        |    WHERE bf.d IS NOT NULL AND bf.it < 30
+        |  ) GROUP BY 1, 2)
+        |SELECT n_name, node, coalesce(d, -1) AS dist
+        |FROM bf JOIN nation ON node = CAST(n_nationkey AS BIGINT)
+        |WHERE it = 30 ORDER BY node""".stripMargin,
+    // bloom admission audit: every bit position re-derived from md5
+    // alone; false positives = bloom-hit minus exact-dup
+    "dedup_bloom_admit" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  md5(lower(trim(text))) AS content_hash FROM documents),
+        |corpus AS MATERIALIZED (SELECT * FROM h WHERE source NOT IN
+        |  ('src16', 'src17', 'src18', 'src19')),
+        |batch AS (SELECT * FROM h WHERE source IN
+        |  ('src16', 'src17', 'src18', 'src19')),
+        |cpos AS (SELECT DISTINCT
+        |  ('0x' || substr(md5('bloom' || j.j || ':' || content_hash),
+        |    1, 15))::BIGINT % 1048576 AS pos
+        | FROM corpus, range(0, 3) j(j)),
+        |bpos AS (SELECT doc_id, source, content_hash,
+        |  ('0x' || substr(md5('bloom' || j.j || ':' || content_hash),
+        |    1, 15))::BIGINT % 1048576 AS pos
+        | FROM batch, range(0, 3) j(j)),
+        |perdoc AS (SELECT doc_id, source, content_hash,
+        |  count(*) = sum(CASE WHEN c.hit IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS bloom_hit
+        | FROM bpos LEFT JOIN
+        |   (SELECT pos, 1 AS hit FROM cpos) c USING (pos)
+        | GROUP BY 1, 2, 3),
+        |ex AS (SELECT DISTINCT content_hash, 1 AS is_dup FROM corpus)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+        |  CAST(coalesce(sum(CASE WHEN bloom_hit THEN 1 END), 0)
+        |    AS BIGINT) AS n_bloom_hit,
+        |  CAST(coalesce(sum(CASE WHEN is_dup = 1 THEN 1 END), 0)
+        |    AS BIGINT) AS n_exact_dup,
+        |  CAST(coalesce(sum(CASE WHEN bloom_hit AND is_dup IS NULL
+        |    THEN 1 END), 0) AS BIGINT) AS n_false_pos
+        |FROM perdoc LEFT JOIN ex USING (content_hash)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // incremental top-k maintenance: the engine merges stored base
     // top-k with the delta's top-k; the oracle recomputes from
     // scratch — the gate IS the mergeable-summary identity
@@ -5409,7 +5540,7 @@ object SparkEntry {
     // ewma recursive-CTE pattern over per-doc candidate ranks; the
     // boundary hash is the auditable md5 family
     "dedup_cdc_chunks" ->
-      """WITH RECURSIVE d AS (
+      """WITH RECURSIVE d AS MATERIALIZED (
         |  SELECT doc_id, source, text, length(text) AS n FROM documents),
         |cand AS (
         |  SELECT doc_id, list_sort(list_filter(
@@ -5418,7 +5549,7 @@ object SparkEntry {
         |          1, 7))::BIGINT % 32 = 0 THEN i ELSE -1 END),
         |    x -> x > 0)) AS cs
         |  FROM d),
-        |c2 AS (SELECT doc_id, u.i AS pos,
+        |c2 AS MATERIALIZED (SELECT doc_id, u.i AS pos,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY u.i) AS rn
         |  FROM cand, unnest(cs) u(i)),
         |r AS (
@@ -5431,14 +5562,14 @@ object SparkEntry {
         |fin AS (SELECT doc_id, cuts FROM (
         |  SELECT doc_id, cuts, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY rn DESC) AS k FROM r) WHERE k = 1),
-        |b AS (SELECT d.doc_id, d.source, d.text,
+        |b AS MATERIALIZED (SELECT d.doc_id, d.source, d.text,
         |  CASE WHEN cuts[len(cuts)] = length(text) THEN cuts
         |       ELSE list_append(cuts, length(text)) END AS bs
         | FROM fin JOIN d USING (doc_id)),
         |ch AS (SELECT doc_id, source,
         |   substr(text, bs[j.j] + 1, bs[j.j + 1] - bs[j.j]) AS chunk
         | FROM b, unnest(range(1, len(bs))) j(j)),
-        |h AS (SELECT doc_id, source, length(chunk) AS clen,
+        |h AS MATERIALIZED (SELECT doc_id, source, length(chunk) AS clen,
         |   ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS ch FROM ch),
         |g AS (SELECT ch, count(*) AS cnt FROM h GROUP BY 1)
         |SELECT source,

@@ -649,8 +649,13 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           maxIter: Int = 20,
                           driverCutoff: Long = 2000000L): DataFrame = {
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .unionByName(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    // ids normalize to long up front: the driver fast path reads
+    // getLong and an int-typed caller would otherwise hit a
+    // size-dependent ClassCastException only under the cutoff
+    val edges = pairs.select(col("doc1").cast("long").as("a"),
+        col("doc2").cast("long").as("b"))
+      .unionByName(pairs.select(col("doc2").cast("long").as("a"),
+        col("doc1").cast("long").as("b")))
       .localCheckpoint()
     // SIZE-ADAPTIVE execution: the edge count is known for free off
     // the checkpoint, and a near-dup pair set is orders of magnitude
@@ -795,6 +800,56 @@ object Dedup {
         Window.partitionBy("content_hash").orderBy("doc_id")))
       .filter(col("_rn") === 1)
       .select("doc_id", "source", "content_hash")
+  }
+
+  /** Bloom-filter admission audit — the cheapest possible first tier
+    * of incremental exact dedup at 100 TB: the corpus compresses to
+    * a bit set (k md5-derived positions per content hash, m bits),
+    * an arriving doc is DEFINITELY NEW when any of its k positions
+    * is unset, and only maybe-duplicates (bloom hits) pay the exact
+    * content-hash lookup. The audit reports, per batch source, the
+    * bloom verdicts against ground truth: n_batch, n_bloom_hit,
+    * n_exact_dup, n_false_pos (bloom says dup, exact says new — the
+    * fraction that pays the second tier for nothing; false NEGATIVES
+    * are impossible by construction, which is the safety property
+    * dedup needs). The filter here is an auditable RELATIONAL
+    * rendering — the distinct (position) table of the corpus, k
+    * semi-joinable rows per doc — so an external engine re-derives
+    * every bit with md5 alone; a deployed tier swaps in Spark's
+    * native BloomFilter aggregate with the same admission semantics.
+    * Positions distinct-collapse before the join (≤ m rows no matter
+    * the corpus), the batch side carries k rows per doc, and the
+    * verdict is one groupBy — no per-pair work anywhere. */
+  def bloomAdmit(docs: DataFrame, batchSources: Seq[String],
+                 mBits: Long = 1L << 20, k: Int = 3): DataFrame = {
+    val h = docs.select(col("doc_id"), col("source"),
+      md5(lower(trim(col("text")))).as("content_hash"))
+    val corpus = h.filter(!col("source").isin(batchSources: _*))
+      .localCheckpoint()
+    val batch = h.filter(col("source").isin(batchSources: _*))
+    def positions(src: DataFrame): DataFrame = src.select(
+        col("doc_id"), col("source"), col("content_hash"),
+        explode(expr(s"transform(sequence(0, ${k - 1}), j -> " +
+          s"CAST(conv(substr(md5(concat('bloom', j, ':', " +
+          s"content_hash)), 1, 15), 16, 10) AS BIGINT) % $mBits)"))
+          .as("pos"))
+    val bits = positions(corpus).select("pos").distinct()
+    val exact = corpus.select("content_hash").distinct()
+      .withColumn("is_dup", lit(1L))
+    positions(batch)
+      .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left")
+      .groupBy("doc_id", "source", "content_hash")
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
+        .as("bloom_hit"))
+      .join(exact, Seq("content_hash"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        coalesce(sum(when(col("bloom_hit"), 1L)), lit(0L))
+          .as("n_bloom_hit"),
+        coalesce(sum(when(col("is_dup") === 1L, 1L)), lit(0L))
+          .as("n_exact_dup"),
+        coalesce(sum(when(col("bloom_hit") && col("is_dup").isNull, 1L)),
+          lit(0L)).as("n_false_pos"))
   }
 
   /** Production form of [[incrementalNew]]: the corpus side arrives

@@ -623,16 +623,26 @@ object Graph {
     * deg(c1)·deg(c2) — the degree-only baseline every LP study
     * reports next to common-neighbors/RA/AA. Its defining property
     * IS the scale story: the score depends on nothing but the two
-    * degrees, so the top-k NEVER touches the pair space — candidates
-    * come from the top-C rows of the DEGREE TABLE (|customers| rows,
-    * one aggregate over the capped adjacency), C·(C−1)/2 bounded
-    * pairs enumerate driver-side-free via a small self-join, and C
-    * doubles until the completeness certificate holds: the best
-    * EXCLUDABLE product deg_top·deg_(C+1) must be STRICTLY below the
-    * candidate k-th product (strict, so (product, cust1, cust2)
-    * tie-breaks can never reach outside the candidate set). Capped
-    * adjacency (salt "pa:") keeps the degrees themselves
-    * deterministic/estimator-contract like the other LP ops. */
+    * degrees, so the top-k NEVER touches the pair space.
+    *
+    * Candidate completeness is closed-form, no certificate loop:
+    * order nodes by (deg DESC, cust ASC). Replacing either endpoint
+    * of a pair with an EARLIER node in that order strictly improves
+    * the pair's sort key (pa DESC, cust1 ASC, cust2 ASC) — a higher
+    * degree strictly raises the product; an equal degree with a
+    * smaller cust leaves the product tied and strictly improves the
+    * sorted-endpoint tie-break wherever the new id lands. So if a
+    * pair has an endpoint OUTSIDE the first k+1 nodes, swapping that
+    * endpoint for each of the ≥ k first-k+1 nodes distinct from the
+    * other endpoint yields ≥ k pairs strictly ahead of it — it
+    * cannot be in the top k. Candidates are therefore exactly the
+    * top k+1 DEGREE-TABLE rows (one TakeOrdered over |customers|
+    * rows), the (k+1)·k/2 candidate pairs enumerate via a broadcast
+    * self-join (never the driver — an all-tied degree table used to
+    * force a driver-side quadratic enumeration here), and one more
+    * TakeOrdered keeps k. Capped adjacency (salt "pa:") keeps the
+    * degrees themselves deterministic/estimator-contract like the
+    * other LP ops. */
   def prefAttachment(lineitem: DataFrame, orders: DataFrame,
                      cap: Int = 64, k: Int = 50): DataFrame = {
     val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
@@ -649,35 +659,74 @@ object Graph {
       .filter(col("rn") <= cap)
       .select("cust", "supp")
     val deg = capped.groupBy("cust").agg(count(lit(1)).as("deg"))
+    val cand = deg.orderBy(col("deg").desc, col("cust")).limit(k + 1)
       .localCheckpoint()
-    var c = math.max(2 * k, 16)
-    var out: Option[DataFrame] = None
-    while (out.isEmpty) {
-      // top C+1 degrees: the last row certifies what C excludes
-      val top = deg.orderBy(col("deg").desc, col("cust")).limit(c + 1)
-        .collect()
-      val cand = top.take(c)
-      val nextDeg = if (top.length > c) top(c).getLong(1) else 0L
-      val spark = deg.sparkSession
-      import spark.implicits._
-      val pairs = for {
-        i <- cand.indices; j <- (i + 1) until cand.length
-        (a, b) = (cand(i), cand(j))
-        (c1, c2) = if (a.getLong(0) < b.getLong(0)) (a, b) else (b, a)
-      } yield (c1.getLong(0), c2.getLong(0), c1.getLong(1), c2.getLong(1),
-        c1.getLong(1) * c2.getLong(1))
-      val ranked = pairs.sortBy(p => (-p._5, p._1, p._2)).take(k)
-      val kth = if (ranked.length < k) 0L else ranked.last._5
-      // complete iff nothing outside the candidate set could beat or
-      // TIE the k-th product (ties must stay inside for the
-      // (pa, cust1, cust2) order to be exact), or the table is spent
-      val maxDeg = cand.headOption.map(_.getLong(1)).getOrElse(0L)
-      if (top.length <= c || maxDeg * nextDeg < kth)
-        out = Some(ranked
-          .toDF("cust1", "cust2", "deg1", "deg2", "pa")
-          .orderBy(col("pa").desc, col("cust1"), col("cust2")))
-      else c *= 2
+    cand.as("x").join(broadcast(cand.as("y")),
+        col("x.cust") < col("y.cust"))
+      .select(col("x.cust").as("cust1"), col("y.cust").as("cust2"),
+        col("x.deg").as("deg1"), col("y.deg").as("deg2"),
+        (col("x.deg") * col("y.deg")).as("pa"))
+      .orderBy(col("pa").desc, col("cust1"), col("cust2"))
+      .limit(k)
+  }
+
+  /** Single-source shortest paths over the weighted nation trade
+    * graph (edge cost = integer trade FRICTION, max(1, 10⁶ div
+    * lineitem-count) — heavy trade lanes are cheap to traverse), by
+    * distributed Bellman–Ford relaxation: each round joins the
+    * current distance table to the edge list, takes the per-node min
+    * of carry-forward and relaxed distances, and stops at the first
+    * round that improves nothing (≤ diameter rounds — 2–3 on a trade
+    * graph — never the textbook n−1; the convergence check is the
+    * one action per round, the iterative-fixpoint exception like
+    * [[Dedup.connectedComponents]]). All-integer costs make every
+    * distance engine-exact. The frame is O(nodes) rows keyed by
+    * node: at a billion-node graph each round is one co-partitioned
+    * join + groupBy — the standard Pregel round — and the edge list
+    * localCheckpoints once. Unreachable nodes report −1. */
+  def ssspTrade(lineitem: DataFrame, orders: DataFrame,
+                customer: DataFrame, supplier: DataFrame,
+                nation: DataFrame, src: Long = 0L,
+                maxIter: Int = 30): DataFrame = {
+    val edges = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("esrc"),
+        col("c_nationkey").cast("long").as("edst"))
+      .agg(greatest(lit(1L), expr("1000000 div count(1)")).as("cost"))
+      .localCheckpoint()
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    var dist = nodes.select(col("node"),
+        when(col("node") === src, 0L).as("d"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = edges
+        .join(dist.filter(col("d").isNotNull), col("esrc") === col("node"))
+        .select(col("edst").as("node"), (col("d") + col("cost")).as("d"))
+        .unionByName(dist)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint()
+      val improved = relaxed.as("a")
+        .join(dist.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.d").isNotNull &&
+          (col("b.d").isNull || col("a.d") < col("b.d")))
+        .count()
+      converged = improved == 0
+      dist = relaxed
+      i += 1
     }
-    out.get
+    if (!converged)
+      throw new IllegalStateException(
+        s"ssspTrade did not converge in $maxIter rounds " +
+          "(negative-cost cycle cannot exist with positive costs; " +
+          "raise maxIter for a graph of larger diameter)")
+    dist
+      .join(broadcast(nation),
+        dist("node") === nation("n_nationkey").cast("long"))
+      .select(col("n_name"), col("node"),
+        coalesce(col("d"), lit(-1L)).as("dist"))
   }
 }

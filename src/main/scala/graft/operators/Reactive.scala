@@ -1259,8 +1259,14 @@ object Reactive {
     * row per user with its SAX word — the index/motif alphabet for
     * whole-series similarity at 100 TB (8 chars replace the series).
     *
-    * Plan: one user_id shuffle (segments + per-segment means), one
-    * global rank exchange over the ≤ 8·|users| PAA rows, one
+    * Plan: one user_id shuffle (segments + per-segment means), then
+    * the global rank over the 8·|users| PAA rows via the
+    * [[Sampling.shuffleShard]] two-level construction — range
+    * repartition on (paa, user, seg) + in-partition sort +
+    * zipWithIndex offset composition — NOT a single-task
+    * row_number() window: the PAA frame is users-proportional, and
+    * at 10⁹ keys a global WindowExec would push 8B rows through one
+    * task. The biggest sorted run is bounded by a partition; one
     * fold-back per user. Values never leave their segment row. */
   def rxSax(events: DataFrame, segments: Int = 8, alphabet: Int = 4)
       : DataFrame = {
@@ -1277,20 +1283,114 @@ object Reactive {
         count(lit(1)).as("cnt"))
       .select(col("user_id"), col("n"), col("seg"),
         expr("sc div cnt").as("paa_centi"))
-    val ranked = paa
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("paa_centi"), col("user_id"), col("seg"))))
-      .withColumn("nn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))))
+      // materialized once: the rank pass and the total-count scalar
+      // both read the PAA frame — without this the events shuffle +
+      // segment aggregation would run twice
+      .localCheckpoint()
+    val sorted = paa
+      .repartitionByRange(32, col("paa_centi"), col("user_id"),
+        col("seg"))
+      .sortWithinPartitions("paa_centi", "user_id", "seg")
+    val sp = paa.sparkSession
+    val withRank = sp.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx) },
+      sorted.schema.add("r0", org.apache.spark.sql.types.LongType))
+    val ranked = withRank
+      .crossJoin(broadcast(paa.agg(count(lit(1)).as("nn"))))
       .select(col("user_id"), col("n"), col("seg"),
-        expr(s"(r - 1) * $alphabet div nn").as("sym"))
+        expr(s"r0 * $alphabet div nn").as("sym"))
     ranked.groupBy("user_id", "n")
       .agg(array_join(expr(
         "transform(array_sort(collect_list(struct(seg, sym)))," +
           " x -> CAST(x.sym AS STRING))"), "").as("sax"))
       .select(col("user_id"), col("n").cast("long").as("n"), col("sax"))
+  }
+
+  /** Longest (strictly) increasing subsequence per key — the classic
+    * order-statistics telemetry: how monotone is each user's value
+    * stream under arbitrary interleaving (LIS = n means perfectly
+    * sorted arrivals; LIS ≈ 2√n is the random baseline by the
+    * Vershik–Kerov/Logan–Shepp theorem, so the ratio is an
+    * out-of-orderness score).
+    *
+    * Patience-sorting fold in pure higher-order functions: one
+    * user_id shuffle collects each series in arrival order, then
+    * `aggregate` maintains the classic tails array (smallest
+    * possible tail value of an increasing subsequence of each
+    * length; replace the first tail ≥ v, else append — the
+    * insertion point is `size(filter(tails, t < v))`). O(n·L) per
+    * key as a narrow map over the grouped row; no value comparisons
+    * ever cross engines as arithmetic, only as comparisons of
+    * stored doubles, so the length is engine-exact. The identical
+    * fold runs in DuckDB via list_reduce — same algorithm, same
+    * integer output, a cross-engine proof of the HOF semantics. */
+  def rxLis(events: DataFrame): DataFrame = {
+    val seqs = events
+      .select(col("user_id"), col("value"),
+        row_number().over(byUser).as("rn"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        expr("transform(array_sort(collect_list(struct(rn, value)))," +
+          " x -> x.value)").as("vs"))
+    seqs.select(col("user_id"), col("n"),
+      expr(
+        """CAST(size(aggregate(vs, CAST(array() AS ARRAY<DOUBLE>),
+          |  (tails, v) -> CASE
+          |    WHEN size(filter(tails, t -> t < v)) = size(tails)
+          |      THEN concat(tails, array(v))
+          |    ELSE concat(
+          |      slice(tails, 1, size(filter(tails, t -> t < v))),
+          |      array(v),
+          |      slice(tails, size(filter(tails, t -> t < v)) + 2,
+          |        size(tails)))
+          |    END)) AS BIGINT)""".stripMargin).as("lis_len"))
+  }
+
+  /** Mean-crossing / run statistics per key: each value is compared
+    * to the key's own mean with EXACT arithmetic — sign of
+    * (v·n − Σv) where v and Σv ride DECIMAL(18,2) (the twap/sax
+    * convention: no division ever happens, so the zero class is
+    * engine-stable) — and the op reports the number of sign FLIPS
+    * over the nonzero-sign subsequence (zero-crossings of the
+    * centered series: ~n/2 for white noise, ≪ n/2 for trending or
+    * sticky regimes) plus the longest consecutive above-mean run
+    * (zeros break runs). One user_id shuffle; the mean rides the
+    * same partitioning as a window aggregate, the flip count and
+    * the gaps-and-islands run id are per-key window folds over the
+    * already-shuffled rows. */
+  def rxSignChanges(events: DataFrame): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 2))
+    val keyAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+    val signed = events
+      .select(col("user_id"), col("event_id"), v.as("v"))
+      .withColumn("n", count(lit(1)).over(keyAll))
+      .withColumn("sv", sum(col("v")).over(keyAll))
+      // pure decimal COMPARISONS decide the sign class — no cast,
+      // no division, the identical CASE both engines evaluate
+      .withColumn("s",
+        when(col("v") * col("n") > col("sv"), 1)
+          .when(col("v") * col("n") < col("sv"), -1).otherwise(0))
+      .withColumn("rn", row_number().over(byUser))
+    val flips = signed.filter(col("s") =!= 0)
+      .withColumn("prev", lag("s", 1).over(byUser))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("prev").isNotNull &&
+        col("prev") =!= col("s"), 1L)), lit(0L)).as("n_flips"))
+    val runs = signed
+      .withColumn("grp", col("rn") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "s").orderBy("event_id")))
+      .filter(col("s") === 1)
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("max_above_run"))
+    signed.groupBy("user_id").agg(max("n").as("n"))
+      .join(flips, Seq("user_id"), "left")
+      .join(runs, Seq("user_id"), "left")
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        coalesce(col("n_flips"), lit(0L)).as("n_flips"),
+        coalesce(col("max_above_run"), lit(0L)).as("max_above_run"))
   }
 
   /** Cohort retention: users bucketed by first-seen day, activity

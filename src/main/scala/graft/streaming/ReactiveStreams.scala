@@ -334,6 +334,41 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming (running) longest increasing subsequence: the
+    * unbounded twin of [[graft.operators.Reactive.rxLis]] in the
+    * running sense — each arrival performs the same patience-tails
+    * insertion step (replace the first tail ≥ v, else append) and
+    * re-emits the key's current LIS length, so the LAST emission per
+    * key over a bounded replay equals the batch op (spec-asserted).
+    * State per key = the tails array itself — O(current LIS), NOT
+    * the series: the fold never needs history beyond the tails,
+    * which is what makes LIS streamable at all. */
+  case class LisRow(user_id: Long, event_id: Long, n: Long,
+                    lis_len: Long)
+  def lisStream(spark: SparkSession, events: DataFrame)
+      : Dataset[LisRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Vector[Double]), LisRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Vector[Double])]) =>
+          var (cnt, tails) =
+            state.getOption.getOrElse((0L, Vector.empty[Double]))
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            val i = tails.count(_ < e.value) // batch insertion point
+            tails = if (i == tails.length) tails :+ e.value
+                    else tails.updated(i, e.value)
+            cnt += 1
+            LisRow(uid, e.event_id, cnt, tails.length.toLong)
+          }
+          state.update((cnt, tails))
+          out.iterator
+      }
+  }
+
   /** Streaming withLatestFrom / as-of enrichment: each primary-type
     * element is emitted with the latest-seen secondary-type value of
     * its key (the unbounded form of [[graft.operators.AsOf]]). State

@@ -84,4 +84,17 @@ class InventorySpec extends AnyFunSuite {
     val orphanOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphanOracle.isEmpty, s"oracleSql without queries: $orphanOracle")
   }
+
+  test("PLANS.md carries a plan section for every registry key") {
+    // graft.Plans derives its query list from the registry, so a
+    // missing heading means PLANS.md was not re-run after keys were
+    // added — the silent-staleness the round-8 audit caught.
+    val txt = scala.io.Source.fromFile("PLANS.md")("UTF-8").mkString
+    val headings = "(?m)^## (\\S+)$".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- headings
+    assert(missing.isEmpty,
+      s"PLANS.md is stale — rerun `sbt \"runMain graft.Plans\"`; " +
+        s"missing: ${missing.toSeq.sorted.mkString(", ")}")
+  }
 }

@@ -123,6 +123,20 @@ class Round8Spec extends AnyFunSuite {
         assert(got(id) === ((n, b, false)), s"doc $id")
       assert(!probe.contains(11L) && got(11L) === ((0L, -1L, true)))
       assert(got(12L)._2 === 1000000L) // exact copy: jaccard = 1
+      // the scaladoc's scan contract, pinned: the per-trigger stream
+      // side is the broadcast BUILD side, so the static posting /
+      // shingle-set tables reach their joins with ZERO exchanges —
+      // the index never shuffles, no matter how large the corpus
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val planTxt = exec.toString
+      assert("BroadcastHashJoin".r.findAllIn(planTxt).nonEmpty,
+        s"posting probe must be a broadcast join:\n$planTxt")
+      val scanSideExchanges = planTxt.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("bh#"))
+      assert(scanSideExchanges === 0,
+        s"posting table must never shuffle on bh:\n$planTxt")
     } finally q.stop()
     // the admission decision is what ingest acts on: upsert only
     // admitted docs, preserving the probe-then-upsert contract
@@ -173,11 +187,11 @@ class Round8Spec extends AnyFunSuite {
   }
 
   test("prefAttachment: degree-table top-k == brute-force product " +
-      "ranking, ties force candidate-set growth") {
+      "ranking under an all-tied degree table") {
     // 40 customers, ALL with identical degree (every supplier sells
-    // to everyone): every pair product ties, so the strict
-    // completeness bound can only hold once C covers the whole
-    // table — the tie-break order must still be exact
+    // to everyone): every pair product ties, the adversarial case
+    // for candidate selection — the k+1-node closure argument must
+    // still produce the exact (pa, cust1, cust2) tie-break order
     val orders = Seq.tabulate(40)(i => (i.toLong, i.toLong))
       .toDF("o_orderkey", "o_custkey")
     val li = (for (o <- 0 until 40; s <- Seq(7L, 8L, 9L))

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Round-9 additions: order-statistics telemetry (LIS, mean-crossing
+  * runs), weighted SSSP, and the bloom admission tier — planted
+  * cases pin the invariants the oracles can't isolate. */
+class Round9Spec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("rxLis: sorted, reversed, and the classic mixed series") {
+    val ev = (
+      (1 to 6).map(i => (i.toLong, 1L, i.toDouble)) ++
+        (1 to 6).map(i => (i.toLong, 2L, (7 - i).toDouble)) ++
+        Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0).zipWithIndex.map {
+          case (v, i) => ((i + 1).toLong, 3L, v)
+        }).toDF("event_id", "user_id", "value")
+    val got = Reactive.rxLis(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((6L, 6L))) // sorted arrivals: LIS = n
+    assert(got(2L) === ((6L, 1L))) // reversed: LIS = 1
+    assert(got(3L) === ((8L, 4L))) // 3 1 4 1 5 9 2 6 -> 1,4,5,9
+  }
+
+  test("rxSignChanges: flips over the nonzero subsequence, zeros " +
+      "break above-mean runs") {
+    val ev = (
+      Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0)) ++ // mean 2
+        Seq((1L, 2L, 1.0), (2L, 2L, 3.0), (3L, 2L, 1.0),
+          (4L, 2L, 3.0)) ++                               // mean 2
+        Seq((1L, 3L, 5.0), (2L, 3L, 5.0), (3L, 3L, 5.0))  // constant
+      ).toDF("event_id", "user_id", "value")
+    val got = Reactive.rxSignChanges(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // user 1: signs -1,0,+1 -> nonzero seq [-1,+1] = 1 flip; the
+    // at-mean zero breaks nothing above (single +1 run of length 1)
+    assert(got(1L) === ((3L, 1L, 1L)))
+    // user 2: -1,+1,-1,+1 -> 3 flips, above-runs all length 1
+    assert(got(2L) === ((4L, 3L, 1L)))
+    // constant key: all zeros -> no flips, no above-mean run
+    assert(got(3L) === ((3L, 0L, 0L)))
+  }
+
+  test("ssspTrade: cheap 2-hop beats the expensive direct lane; " +
+      "unreachable nations report -1") {
+    val nation = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 0), (11L, 2))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1), (21L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    // orders: o1 cust 20 (nation 1), o2 cust 21 (nation 2)
+    val orders = Seq((100L, 20L), (101L, 21L))
+      .toDF("o_orderkey", "o_custkey")
+    // edge 0->1: w=1 (cost 1000000); edge 0->2: w=4 (cost 250000);
+    // edge 2->1: w=5 (cost 200000) -> dist(1) = 450000 via 2 hops
+    val lineitem = (
+      Seq((100L, 10L)) ++
+        Seq.fill(4)((101L, 10L)) ++
+        Seq.fill(5)((100L, 11L))).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.ssspTrade(lineitem, orders, customer, supplier,
+        nation).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 450000L, 2L -> 250000L,
+      3L -> -1L))
+  }
+
+  test("bloomAdmit: exact dups always bloom-hit (no false " +
+      "negatives), false positives = hits minus exact dups") {
+    val docs = Seq(
+      (1L, "src1", "shared corpus text alpha"),
+      (2L, "src1", "another corpus text beta"),
+      (3L, "src16", "shared corpus text alpha"), // exact dup
+      (4L, "src16", "entirely new text gamma")   // definitely new
+    ).toDF("doc_id", "source", "text")
+    val r = Dedup.bloomAdmit(docs, Seq("src16", "src17", "src18",
+        "src19")).collect()
+    assert(r.length === 1)
+    val (nb, nh, nd, nfp) = (r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4))
+    assert(nb === 2L && nd === 1L)
+    assert(nh >= nd)           // false negatives impossible
+    assert(nfp === nh - nd)    // the audit identity
+    assert(nh === 1L && nfp === 0L) // 3/2^20 collision never planted
+  }
+}

@@ -323,6 +323,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === batch)
   }
 
+  test("streaming running LIS: last emission per key equals the " +
+      "batch patience fold") {
+    import spark.implicits._
+    val rows = run(df => ReactiveStreams.lisStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+    val last = rows.groupBy(_.getAs[Long]("user_id")).map {
+      case (u, rs) =>
+        val r = rs.maxBy(_.getAs[Long]("event_id"))
+        u -> ((r.getAs[Long]("n"), r.getAs[Long]("lis_len")))
+    }
+    val batch = graft.operators.Reactive.rxLis(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lis_len"))))
+      .toMap
+    assert(last === batch)
+  }
+
   test("streaming Holt matches the batch 2-term recurrence bit-for-bit") {
     import spark.implicits._
     val got = run(df => ReactiveStreams.holtStream(spark, df).toDF())
