@@ -805,6 +805,14 @@ object SparkEntry {
     "rx_lis" -> ((s, d) =>
       Reactive.rxLis(ev(s, d)).select("user_id", "n", "lis_len")
         .orderBy("user_id")),
+    "rx_kendall_tau" -> ((s, d) =>
+      Reactive.rxKendallTau(ev(s, d)).orderBy("user_id")),
+    "rx_xcorr" -> ((s, d) =>
+      Reactive.rxXcorr(ev(s, d)).orderBy("user_id")),
+    "graph_closeness" -> ((s, d) =>
+      Graph.closenessTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d)).orderBy("node")),
     "rx_sign_changes" -> ((s, d) =>
       Reactive.rxSignChanges(ev(s, d)).orderBy("user_id")),
     "graph_sssp" -> ((s, d) =>
@@ -5268,6 +5276,89 @@ object SparkEntry {
         | FROM s)
         |SELECT user_id, n, CAST(len(tails) AS BIGINT) AS lis_len
         |FROM f ORDER BY user_id""".stripMargin,
+    // Kendall tau_a over the capped last-32 frame: the oracle counts
+    // the same pairs with a plain self-join — different plan from
+    // the engine's HOF fold, identical integers
+    "rx_kendall_tau" ->
+      """WITH lastn AS (SELECT user_id, event_id, "value",
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY event_id DESC) AS rn
+        | FROM events),
+        |k AS (SELECT user_id, event_id, "value" FROM lastn
+        |  WHERE rn <= 32),
+        |p AS (SELECT a.user_id,
+        |   CASE WHEN b."value" > a."value" THEN 1 ELSE 0 END AS conc,
+        |   CASE WHEN b."value" < a."value" THEN 1 ELSE 0 END AS disc
+        |  FROM k a JOIN k b ON a.user_id = b.user_id
+        |    AND a.event_id < b.event_id),
+        |c AS (SELECT user_id, CAST(sum(conc) AS BIGINT) AS conc,
+        |   CAST(sum(disc) AS BIGINT) AS disc FROM p GROUP BY user_id),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        | FROM k GROUP BY user_id)
+        |SELECT m.user_id, m.n AS n_points,
+        |  m.n * (m.n - 1) // 2 AS n_pairs,
+        |  coalesce(c.conc, 0) AS n_concordant,
+        |  coalesce(c.disc, 0) AS n_discordant,
+        |  m.n * (m.n - 1) // 2 - coalesce(c.conc, 0)
+        |    - coalesce(c.disc, 0) AS n_value_ties,
+        |  CASE WHEN m.n >= 2 THEN (coalesce(c.conc, 0)
+        |    - coalesce(c.disc, 0)) * 1000000 // (m.n * (m.n - 1) // 2)
+        |   ELSE 0 END AS tau_a_ppm
+        |FROM m LEFT JOIN c USING (user_id)
+        |ORDER BY m.user_id""".stripMargin,
+    // raw autocovariance cross-products at lags 0..3 — exact BIGINT
+    // centi-unit sums (lead windows, no normalization)
+    "rx_xcorr" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  CAST(CAST("value" AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        | FROM events),
+        |w AS (SELECT user_id, c,
+        |  lead(c, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS c1,
+        |  lead(c, 2) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS c2,
+        |  lead(c, 3) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS c3
+        | FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(c * c), 0) AS BIGINT) AS xcorr0,
+        |  CAST(coalesce(sum(c * c1), 0) AS BIGINT) AS xcorr1,
+        |  CAST(coalesce(sum(c * c2), 0) AS BIGINT) AS xcorr2,
+        |  CAST(coalesce(sum(c * c3), 0) AS BIGINT) AS xcorr3
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // out-closeness: the SSSP recursion with a source dimension —
+    // (src, node) distances, per-source reach + total at level 30
+    "graph_closeness" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS esrc,
+        |    CAST(c_nationkey AS BIGINT) AS edst,
+        |    greatest(1, 1000000 // count(*)) AS cost
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |nn AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+        |bf(it, src, node, d) AS (
+        |  SELECT 0, a.node, b.node,
+        |    CASE WHEN a.node = b.node THEN CAST(0 AS BIGINT) END
+        |  FROM nn a, nn b
+        |  UNION ALL
+        |  SELECT it + 1, src, node, min(d) FROM (
+        |    SELECT bf.it AS it, bf.src AS src, bf.node AS node,
+        |      bf.d AS d
+        |    FROM bf WHERE bf.it < 30
+        |    UNION ALL
+        |    SELECT bf.it, bf.src, e.edst, bf.d + e.cost
+        |    FROM bf JOIN e ON bf.node = e.esrc
+        |    WHERE bf.d IS NOT NULL AND bf.it < 30
+        |  ) GROUP BY 1, 2, 3)
+        |SELECT n_name, src AS node,
+        |  CAST(coalesce(sum(CASE WHEN d IS NOT NULL THEN 1 END), 0)
+        |    AS BIGINT) AS n_reachable,
+        |  CAST(coalesce(sum(d), 0) AS BIGINT) AS total_dist
+        |FROM bf JOIN nation ON src = CAST(n_nationkey AS BIGINT)
+        |WHERE it = 30 GROUP BY n_name, src
+        |ORDER BY src""".stripMargin,
     // mean-crossing stats: sign classes from exact decimal
     // comparisons (v·n vs Σv), flips over the nonzero subsequence,
     // gaps-and-islands longest above-mean run

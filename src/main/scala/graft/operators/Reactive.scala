@@ -1600,6 +1600,72 @@ object Reactive {
     * Scale shape: one rank window to keep the last n, one
     * collect-to-array per key (bounded at n), then per-row HOFs;
     * only (user, event_id, value) triples shuffle. */
+  /** Kendall rank correlation (τ_a) per key over the LAST `n`
+    * points — the pair-counting partner of [[rxSpearman]] (τ is the
+    * probability-of-concordance statistic; Spearman weights
+    * disagreements by rank distance, τ counts them): arrival order
+    * vs value order, concordant = later arrival has strictly larger
+    * value. Pairwise by definition, so the theil_sen last-n cap
+    * bounds the fan-out at n(n−1)/2 = 496 comparisons per key
+    * regardless of stream length. INTEGER outputs only — concordant
+    * / discordant / value-tie counts and τ_a in exact ppm
+    * ((C−D)·10⁶ div pairs); the tie-corrected τ_b's √ is the
+    * consumer's float step (the runs-test rule). One key shuffle +
+    * bounded collect + one HOF fold; the oracle counts the same
+    * pairs with a capped self-join — different plan, identical
+    * integers. */
+  def rxKendallTau(events: DataFrame, n: Int = 32): DataFrame = {
+    val lastN = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") <= n)
+    lastN.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+        .as("pts"))
+      .withColumn("vals", expr("transform(pts, p -> p.value)"))
+      .withColumn("conc", expr(
+        """IF(size(vals) < 2, 0L, aggregate(sequence(2, size(vals)), 0L,
+          |  (acc, j) -> acc + size(filter(slice(vals, 1, j - 1),
+          |    x -> x < element_at(vals, CAST(j AS INT))))))"""
+          .stripMargin))
+      .withColumn("disc", expr(
+        """IF(size(vals) < 2, 0L, aggregate(sequence(2, size(vals)), 0L,
+          |  (acc, j) -> acc + size(filter(slice(vals, 1, j - 1),
+          |    x -> x > element_at(vals, CAST(j AS INT))))))"""
+          .stripMargin))
+      .select(col("user_id"),
+        size(col("vals")).cast("long").as("n_points"),
+        expr("size(vals) * (size(vals) - 1) div 2").as("n_pairs"),
+        col("conc").as("n_concordant"), col("disc").as("n_discordant"),
+        expr("size(vals) * (size(vals) - 1) div 2 - conc - disc")
+          .as("n_value_ties"),
+        expr("""CASE WHEN size(vals) >= 2 THEN
+          (conc - disc) * 1000000 div (size(vals) * (size(vals) - 1) div 2)
+          ELSE 0 END""").as("tau_a_ppm"))
+  }
+
+  /** Raw autocovariance cross-products per key at lags 0..`maxLag`:
+    * xcorr_ℓ = Σᵢ cᵢ·cᵢ₊ℓ over the centi-unit integer series
+    * (DECIMAL(18,2)·100 — the twap convention), the building block a
+    * signal consumer normalizes into autocorrelation or matched
+    * filters. Everything is exact BIGINT (products ≤ 10¹⁰ per term);
+    * unlike [[rxAcf]]'s normalized floats these raw sums are
+    * bit-stable at any partitioning. One user_id shuffle shared by
+    * the lead windows and the fold. */
+  def rxXcorr(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val c = (col("value").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val base = events.select(col("user_id"), col("event_id"), c.as("c"))
+    val withLeads = (1 to maxLag).foldLeft(
+      base.withColumn("xc0", col("c") * col("c"))) { (df, l) =>
+      df.withColumn(s"xc$l", col("c") * lead("c", l).over(byUser))
+    }
+    val sums = (0 to maxLag).map(l =>
+      coalesce(sum(col(s"xc$l")), lit(0L)).as(s"xcorr$l"))
+    withLeads.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sums: _*)
+  }
+
   def rxTheilSen(events: DataFrame, n: Int = 32): DataFrame = {
     val lastN = events
       .withColumn("rn", row_number().over(

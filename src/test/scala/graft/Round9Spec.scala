@@ -69,6 +69,53 @@ class Round9Spec extends AnyFunSuite {
       3L -> -1L))
   }
 
+  test("rxKendallTau: perfect concordance, perfect discordance, and " +
+      "tie accounting") {
+    val ev = (
+      (1 to 5).map(i => (i.toLong, 1L, i.toDouble)) ++        // tau +1
+        (1 to 5).map(i => (i.toLong, 2L, (6 - i).toDouble)) ++ // tau -1
+        Seq((1L, 3L, 2.0), (2L, 3L, 2.0), (3L, 3L, 5.0))       // one tie
+      ).toDF("event_id", "user_id", "value")
+    val got = Reactive.rxKendallTau(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) === ((10L, 10L, 0L, 0L, 1000000L)))
+    assert(got(2L) === ((10L, 0L, 10L, 0L, -1000000L)))
+    // user 3: pairs (1,2) tie, (1,3) conc, (2,3) conc
+    assert(got(3L) === ((3L, 2L, 0L, 1L, 666666L)))
+  }
+
+  test("rxXcorr: exact centi-unit lag products") {
+    val ev = Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0))
+      .toDF("event_id", "user_id", "value")
+    val r = Reactive.rxXcorr(ev).collect()(0)
+    // c = 100, 200, 300
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 100L * 100 + 200L * 200 + 300L * 300)
+    assert(r.getLong(3) === 100L * 200 + 200L * 300)
+    assert(r.getLong(4) === 100L * 300)
+    assert(r.getLong(5) === 0L)
+  }
+
+  test("closenessTrade: per-source totals match single-source sssp") {
+    val nation = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 0), (11L, 2)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1), (21L, 2)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 20L), (101L, 21L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = (Seq((100L, 10L)) ++ Seq.fill(4)((101L, 10L)) ++
+      Seq.fill(5)((100L, 11L))).toDF("l_orderkey", "l_suppkey")
+    val got = Graph.closenessTrade(lineitem, orders, customer, supplier,
+        nation).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // node 0 reaches {0,1,2}: dist 0 + 450000 + 250000
+    assert(got(0L) === ((3L, 700000L)))
+    // node 2 reaches {2,1}: 0 + 200000
+    assert(got(2L) === ((2L, 200000L)))
+    // nodes 1 and 3 reach only themselves
+    assert(got(1L) === ((1L, 0L)) && got(3L) === ((1L, 0L)))
+  }
+
   test("bloomAdmit: exact dups always bloom-hit (no false " +
       "negatives), false positives = hits minus exact dups") {
     val docs = Seq(
