@@ -822,6 +822,23 @@ object SparkEntry {
     "dedup_bloom_admit" -> ((s, d) =>
       Dedup.bloomAdmit(docs(s, d),
         Seq("src16", "src17", "src18", "src19")).orderBy("source")),
+    "dedup_admit_indexed" -> ((s, d) => {
+      val dd = docs(s, d)
+      val srcs = Seq("src16", "src17", "src18", "src19")
+      val corpus = dd.filter(!col("source").isin(srcs: _*))
+        .select("doc_id", "text")
+      val wave = dd.filter(col("source").isin(srcs: _*))
+        .select("doc_id", "text")
+      // corpus-keyed frozen index, built once per SF dir (the
+      // ingest contract: the index is a prior artifact, not per-run
+      // work — same convention as the q_incremental_topk state)
+      val idx = "/root/repo/target/" +
+        s"mh_gate_idx_${Integer.toHexString(d.hashCode)}"
+      if (!new java.io.File(idx + "/postings").exists())
+        Dedup.minhashWriteIndex(corpus, idx, auditable = true)
+      Dedup.minhashAdmitIndexed(s, idx, wave, auditable = true)
+        .orderBy("doc_id")
+    }),
     "q_incremental_topk" -> ((s, d) =>
       Relational.qIncrementalTopK(s, d)
         .orderBy("o_orderpriority", "rank")),
@@ -5423,6 +5440,72 @@ object SparkEntry {
         |SELECT n_name, node, coalesce(d, -1) AS dist
         |FROM bf JOIN nation ON node = CAST(n_nationkey AS BIGINT)
         |WHERE it = 30 ORDER BY node""".stripMargin,
+    // indexed wave admission: the md5 minhash band family
+    // (union_cluster's CTEs) split corpus-vs-wave, jaccard verify,
+    // one verdict row per shingle-bearing wave doc
+    "dedup_admit_indexed" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |msh AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM tk WHERE len(tk) >= 3),
+        |dsh AS MATERIALIZED (
+        |  SELECT doc_id, source, list_distinct(sh) AS ds FROM msh),
+        |mpost AS (SELECT doc_id, s.s
+        |  FROM msh, unnest(msh.sh) AS s(s)),
+        |mhv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h
+        |  FROM mpost),
+        |mseeds AS (
+        |  SELECT j.j AS j,
+        |    1 + (('0x' || substr(md5('a:' || j.j), 1, 15))::BIGINT
+        |         % 2147483646) AS a,
+        |    ('0x' || substr(md5('b:' || j.j), 1, 15))::BIGINT
+        |      % 2147483647 AS b
+        |  FROM range(0, 64) j(j)),
+        |mmins AS (
+        |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+        |  FROM mhv, mseeds GROUP BY doc_id, j),
+        |mbands AS MATERIALIZED (
+        |  SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |    ('0x' || substr(md5(array_to_string(
+        |      list(CAST(m AS VARCHAR) ORDER BY j), '|')), 1, 15))
+        |      ::BIGINT AS bh
+        |  FROM mmins GROUP BY doc_id, j // 4),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS doc1, w.doc_id AS doc2
+        |  FROM mbands c
+        |  JOIN dsh dc ON dc.doc_id = c.doc_id AND dc.source NOT IN
+        |    ('src16', 'src17', 'src18', 'src19')
+        |  JOIN mbands w ON c.band = w.band AND c.bh = w.bh
+        |  JOIN dsh dw ON dw.doc_id = w.doc_id AND dw.source IN
+        |    ('src16', 'src17', 'src18', 'src19')),
+        |ver AS (
+        |  SELECT doc2,
+        |    CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE) /
+        |      (len(a.ds) + len(b.ds)
+        |        - len(list_intersect(a.ds, b.ds))) AS j
+        |  FROM cand JOIN dsh a ON a.doc_id = cand.doc1
+        |            JOIN dsh b ON b.doc_id = cand.doc2),
+        |roll AS (
+        |  SELECT doc2 AS doc_id,
+        |    coalesce(sum(CASE WHEN j >= 0.5 THEN 1 END), 0) AS n_dup,
+        |    coalesce(max(CASE WHEN j >= 0.5
+        |      THEN CAST(floor(j * 1e6) AS BIGINT) END), -1)
+        |      AS best_j_scaled
+        |  FROM ver GROUP BY doc2)
+        |SELECT w.doc_id,
+        |  CAST(coalesce(r.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(r.best_j_scaled, -1) AS BIGINT)
+        |    AS best_j_scaled,
+        |  coalesce(r.n_dup, 0) = 0 AS admitted
+        |FROM (SELECT doc_id FROM dsh WHERE source IN
+        |  ('src16', 'src17', 'src18', 'src19')) w
+        |LEFT JOIN roll r USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
     // bloom admission audit: every bit position re-derived from md5
     // alone; false positives = bloom-hit minus exact-dup
     "dedup_bloom_admit" ->

@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Dev-only per-trigger cost probe for the streaming MinHash
+  * admission path (§2.9 63zs): builds the persisted index from the
+  * corpus at <sfDir>, then feeds `waves` micro-batches of
+  * `waveSize` docs (half near-copies of corpus docs, half fresh)
+  * through [[graft.streaming.ReactiveStreams.minhashAdmitStream]]
+  * and times each trigger's processAllAvailable. The steady-state
+  * per-trigger number is the ingest-admission latency a deployment
+  * pays per micro-batch; the index side never shuffles (Round8Spec
+  * pins the plan), so this cost is O(wave), not O(corpus).
+  *
+  * runMain graft.tools.AdmitProbe <sfDir> [waves] [waveSize]
+  */
+object AdmitProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val waves = if (args.length > 1) args(1).toInt else 5
+    val waveSize = if (args.length > 2) args(2).toInt else 100
+    val dd = graft.sources.Tables.documents(spark, args(0))
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("admit_probe_idx").toString
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.minhashWriteIndex(dd, dir, auditable = false)
+    println(f"[admit] index build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val postings = spark.read.parquet(dir + "/postings")
+    val sets = spark.read.parquet(dir + "/sets")
+    val corpusTexts = dd.orderBy("doc_id").limit(waves * waveSize / 2)
+      .collect().map(_.getString(1))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val qn = s"admit_probe_${System.nanoTime()}"
+    val q = graft.streaming.ReactiveStreams.minhashAdmitStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), postings, sets)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      var id = 1000000L
+      val times = (0 until waves).map { w =>
+        val rows = (0 until waveSize).map { i =>
+          val txt =
+            if (i % 2 == 0 && (w * waveSize + i) / 2 < corpusTexts.length)
+              corpusTexts((w * waveSize + i) / 2) + " tail"
+            else s"fresh wave $w doc $i with unique content tokens " +
+              s"alpha$w beta$i gamma delta"
+          id += 1
+          (id, Timestamp.valueOf(f"2024-01-01 00:${w % 60}%02d:00"), txt)
+        }
+        mem.addData(rows)
+        val s = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - s) / 1e9
+      }
+      val steady = times.drop(1)
+      println(("{\"probe\":\"minhash_admit_per_trigger\"," +
+        "\"wave_size\":%d,\"first_trigger_sec\":%.3f," +
+        "\"steady_mean_sec\":%.3f,\"steady_min_sec\":%.3f}")
+        .format(waveSize, times.head,
+          steady.sum / steady.length, steady.min))
+    } finally q.stop()
+    // the indexed (file-skipping) path, called per wave the way a
+    // foreachBatch deployment would
+    var id2 = 2000000L
+    val idxTimes = (0 until waves).map { w =>
+      val rows = (0 until waveSize).map { i =>
+        val txt =
+          if (i % 2 == 0 && (w * waveSize + i) / 2 < corpusTexts.length)
+            corpusTexts((w * waveSize + i) / 2) + " tail"
+          else s"fresh wave $w doc $i with unique content tokens " +
+            s"alpha$w beta$i gamma delta"
+        id2 += 1
+        (id2, txt)
+      }
+      val waveDf = rows.toDF("doc_id", "text")
+      val s = System.nanoTime()
+      graft.operators.Dedup.minhashAdmitIndexed(spark, dir, waveDf)
+        .agg(sum(when(col("admitted"), 1L))).head()
+      (System.nanoTime() - s) / 1e9
+    }
+    val iSteady = idxTimes.drop(1)
+    println(("{\"probe\":\"minhash_admit_indexed_per_wave\"," +
+      "\"wave_size\":%d,\"first_wave_sec\":%.3f," +
+      "\"steady_mean_sec\":%.3f,\"steady_min_sec\":%.3f}")
+      .format(waveSize, idxTimes.head,
+        iSteady.sum / iSteady.length, iSteady.min))
+    spark.stop()
+  }
+}

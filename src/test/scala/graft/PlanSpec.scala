@@ -499,6 +499,53 @@ class PlanSpec extends AnyFunSuite {
       s"expected 3 checkpointed round frames:\n$p")
   }
 
+  test("global (partition-less) windows appear only in the audited " +
+      "bounded-frame whitelist") {
+    // The 100 TB scale-killer this gate exists to catch: a
+    // row_number()/sum() window with NO partition key pushes its
+    // whole input through ONE task. Round 9 removed the two real
+    // offenders (rx_sax, q_equidepth — now two-level ranks); every
+    // remaining partition-less windowspec in PLANS.md runs over a
+    // frame bounded by construction, audited here one by one. A new
+    // key appearing in this set must either adopt the two-level
+    // rank or justify its bound in this whitelist — it can no
+    // longer hide in the bench tail's WARN flood.
+    val bounded = Set(
+      "dedup_sorted_neighborhood", // pid prefix-sum: 32 rows
+      "dedup_threshold_sweep",     // 11 threshold rows
+      "dq_drift",                  // 10 period rows
+      "emb_pq_balanced",           // dim-variance rows (<= dims)
+      "pipeline_balanced_shards",  // shard rollup (8 rows)
+      "pipeline_contrastive",      // per-label centroid frame
+      "pipeline_epoch_mix",        // sources x epochs frame
+      "pipeline_quantile_norm",    // pid prefix-sum: 32 rows
+      "pipeline_token_budget",     // |sources| water-filling frame
+      "q_abc_pareto",              // pid prefix-sum: 32 rows
+      "q_decile_lift",             // 10 decile rows
+      "q_period_growth",           // |months| frame
+      "q_skyline",                 // pid prefix-max: 32 rows
+      "rx_concurrency",            // minute-bucket sweep (time-bounded)
+      "rx_funnel_rates",           // 3 stage rows
+      "rx_seasonality",            // 24 hour-of-day rows
+      "rx_slo_burn",               // minute-bucket burn frame
+      "rx_survival",               // 11 hazard rows
+      "search_hybrid_rrf",         // k-row rank frames
+      "text_zipf_audit")           // k-row rank frame
+    val txt = scala.io.Source.fromFile("PLANS.md")("UTF-8").mkString
+    val sections = txt.split("(?m)^## ").drop(1)
+    val globalWin =
+      "windowspecdefinition\\([^,()]*? (?:ASC|DESC)".r
+    val offenders = sections.flatMap { s =>
+      val key = s.linesIterator.next().trim
+      if (globalWin.findFirstIn(s).isDefined) Some(key) else None
+    }.toSet
+    val rogue = offenders -- bounded
+    assert(rogue.isEmpty,
+      s"NEW partition-less window(s) — single-task scale cliff " +
+        s"unless the frame is provably bounded; fix with the " +
+        s"two-level rank or audit into the whitelist: $rogue")
+  }
+
   test("classBalance: corpus shuffles once for ranking, quota rides a broadcast") {
     val p = plan(Sampling.classBalance(Tables.documents(spark, sf)))
     // exactly two lang exchanges: the corpus ranking shuffle plus the

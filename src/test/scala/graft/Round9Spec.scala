@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
@@ -114,6 +115,41 @@ class Round9Spec extends AnyFunSuite {
     assert(got(2L) === ((2L, 200000L)))
     // nodes 1 and 3 reach only themselves
     assert(got(1L) === ((1L, 0L)) && got(3L) === ((1L, 0L)))
+  }
+
+  test("minhashAdmitIndexed: verdicts equal the batch probe rollup, " +
+      "with and without the literal pushdown") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different corpus content about spark engines here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("mh_idx9").toString
+    Dedup.minhashWriteIndex(corpus, dir, auditable = true)
+    val wave = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again ok"),
+      (11L, "entirely novel text that shares no shingles with anything"),
+      (12L, "completely different corpus content about spark engines here"))
+      .toDF("doc_id", "text")
+    val probe = Dedup.minhashProbeIndex(spark, dir, wave,
+        auditable = true)
+      .groupBy("doc2")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_dup"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.floor(
+            col("jaccard") * 1e6).cast("long")).as("best"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    for (cap <- Seq(100000, 0)) { // pushdown on / forced full-scan
+      val got = Dedup.minhashAdmitIndexed(spark, dir, wave,
+          auditable = true, pushdownCap = cap)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      for (id <- Seq(10L, 12L); (n, b) = probe(id))
+        assert(got(id) === ((n, b, false)), s"doc $id cap $cap")
+      assert(got(11L) === ((0L, -1L, true)), s"cap $cap")
+    }
   }
 
   test("bloomAdmit: exact dups always bloom-hit (no false " +
