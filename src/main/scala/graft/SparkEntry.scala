@@ -813,6 +813,14 @@ object SparkEntry {
       Graph.closenessTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
         Tables.nation(s, d)).orderBy("node")),
+    "graph_scc" -> ((s, d) =>
+      Graph.sccTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d)).orderBy("node")),
+    "q_equiwidth_2d" -> ((s, d) =>
+      Relational.qEquiWidth2D(s, d).orderBy("q_bucket", "p_bucket")),
+    "emb_cos_hist" -> ((s, d) =>
+      Similarity.cosineHistogram(embs(s, d)).orderBy("bucket")),
     "rx_sign_changes" -> ((s, d) =>
       Reactive.rxSignChanges(ev(s, d)).orderBy("user_id")),
     "graph_sssp" -> ((s, d) =>
@@ -5506,6 +5514,73 @@ object SparkEntry {
         |  ('src16', 'src17', 'src18', 'src19')) w
         |LEFT JOIN roll r USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // SCC: transitive closure as a UNION-dedup recursion, mutual
+    // reachability min-label
+    "graph_scc" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS a,
+        |    CAST(c_nationkey AS BIGINT) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |mutual AS (
+        |  SELECT f.a AS node, f.b AS peer
+        |  FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a),
+        |scc AS (
+        |  SELECT n.node,
+        |    coalesce(least(n.node, min(m.peer)), n.node) AS scc_id
+        |  FROM (SELECT CAST(n_nationkey AS BIGINT) AS node
+        |        FROM nation) n
+        |  LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+        |  FROM scc GROUP BY scc_id)
+        |SELECT n_name, node, scc_id, scc_size
+        |FROM scc JOIN sz USING (scc_id)
+        |JOIN nation ON node = CAST(n_nationkey AS BIGINT)
+        |ORDER BY node""".stripMargin,
+    // 2-D equi-width histogram: both edges from one min/max row,
+    // exact-cents cell revenue
+    "q_equiwidth_2d" ->
+      """WITH s AS (SELECT min(l_quantity) AS qlo,
+        |  max(l_quantity) AS qhi, min(l_extendedprice) AS plo,
+        |  max(l_extendedprice) AS phi FROM lineitem)
+        |SELECT least(9, CAST(floor((l_quantity - qlo) * 10
+        |    / (qhi - qlo)) AS BIGINT)) AS q_bucket,
+        |  least(9, CAST(floor((l_extendedprice - plo) * 10
+        |    / (phi - plo)) AS BIGINT)) AS p_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS cents
+        |FROM lineitem, s GROUP BY 1, 2
+        |ORDER BY q_bucket, p_bucket""".stripMargin,
+    // pairwise-cosine geometry histogram over two independent
+    // md5-deterministic samples; the ann_bruteforce cosine form
+    "emb_cos_hist" ->
+      """WITH sa AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE ('0x' || substr(md5('ca:' || CAST(vec_id AS VARCHAR)),
+        |    1, 15))::BIGINT % 64 = 0),
+        |sb AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE ('0x' || substr(md5('cb:' || CAST(vec_id AS VARCHAR)),
+        |    1, 15))::BIGINT % 64 = 0),
+        |p AS (SELECT
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(a.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    * list_sum(list_transform(b.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cos
+        | FROM sa a JOIN sb b ON a.vec_id < b.vec_id)
+        |SELECT least(19, CAST(floor((cos + 1.0) * 20 / 2.0)
+        |    AS BIGINT)) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(floor(cos * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS sum_cos_ppm
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
     // bloom admission audit: every bit position re-derived from md5
     // alone; false positives = bloom-hit minus exact-dup
     "dedup_bloom_admit" ->

@@ -730,6 +730,63 @@ object Graph {
         coalesce(col("d"), lit(-1L)).as("dist"))
   }
 
+  /** Strongly connected components of the DIRECTED trade graph:
+    * scc(v) = the minimum node mutually reachable with v (self
+    * included) — the prerequisite for condensation-DAG analytics
+    * (cycle detection, topological layering of trade flows).
+    *
+    * Exact transitive closure by ITERATED SQUARING: each round
+    * extends reach pairs with one join hop and dedups, so the
+    * reachable path length DOUBLES per round — log₂(diameter)
+    * rounds of one pair-join + distinct, the CC convergence-action
+    * pattern. The closure frame is ≤ V² pairs — the right call for
+    * the small/medium dense graphs this gate carries (V = 25 ⇒ 625
+    * rows); billion-node sparse graphs swap in FW-BW-trim
+    * decomposition (forward/backward reachability coloring from
+    * pivots), which keeps the same per-round join shape without
+    * materializing the closure. */
+  def sccTrade(lineitem: DataFrame, orders: DataFrame,
+               customer: DataFrame, supplier: DataFrame,
+               nation: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var reach = edges
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nxt = reach.unionByName(
+          reach.as("x").join(reach.as("y"), col("x.b") === col("y.a"))
+            .select(col("x.a").as("a"), col("y.b").as("b")))
+        .distinct().localCheckpoint()
+      converged = nxt.count() == reach.count()
+      reach = nxt
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"sccTrade closure did not converge in $maxIter rounds")
+    val mutual = reach.as("f").join(reach.as("r"),
+        col("f.a") === col("r.b") && col("f.b") === col("r.a"))
+      .select(col("f.a").as("node"), col("f.b").as("peer"))
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    val scc = nodes.join(mutual, Seq("node"), "left")
+      .groupBy("node")
+      .agg(coalesce(least(min("peer"), col("node")), col("node"))
+        .as("scc_id"))
+    val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, "scc_id")
+      .join(broadcast(nation),
+        col("node") === nation("n_nationkey").cast("long"))
+      .select(col("n_name"), col("node"), col("scc_id"), col("scc_size"))
+  }
+
   /** Out-closeness centrality over the weighted trade graph: for
     * every node, the sum of its shortest-path distances to all
     * reachable nodes plus the reach count — the "how quickly can

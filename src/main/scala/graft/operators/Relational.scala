@@ -859,6 +859,35 @@ object Relational {
         max("o_totalprice").as("b_max"))
   }
 
+  /** 2-D equi-width histogram (quantity × extended price) — the
+    * heatmap/profile twin of [[qEquiWidth]]: both axes' edges come
+    * from one broadcast min/max row, bucketing is a narrow map, and
+    * the nb² cells aggregate with map-side combine. Revenue per cell
+    * rides DECIMAL→exact cents. The correlation structure this
+    * surfaces (price tracks quantity?) is what a cost-based
+    * optimizer's 2-D stats need and the 1-D histograms can't see. */
+  def qEquiWidth2D(s: SparkSession, dir: String, nb: Int = 10)
+      : DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_quantity", "l_extendedprice")
+    val stats = li.agg(
+      min("l_quantity").as("qlo"), max("l_quantity").as("qhi"),
+      min("l_extendedprice").as("plo"), max("l_extendedprice").as("phi"))
+    li.crossJoin(broadcast(stats))
+      .select(
+        least(lit(nb - 1).cast("long"),
+          floor((col("l_quantity") - col("qlo")) * nb /
+            (col("qhi") - col("qlo")))).as("q_bucket"),
+        least(lit(nb - 1).cast("long"),
+          floor((col("l_extendedprice") - col("plo")) * nb /
+            (col("phi") - col("plo")))).as("p_bucket"),
+        col("l_extendedprice"))
+      .groupBy("q_bucket", "p_bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))) * 100)
+          .cast("long").as("cents"))
+  }
+
   /** Data-quality audit: referential integrity, key uniqueness, and
     * range invariants as ONE result table (check_name, n_violations) —
     * the pre-ingest gate a production pipeline runs before publishing

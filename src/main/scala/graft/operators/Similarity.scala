@@ -1648,4 +1648,36 @@ object Similarity {
       .withColumn("centroid_id", col("centroid_id").cast("long"))
     ivfPqScore(postings, adc, k)
   }
+
+  /** Pairwise-cosine geometry histogram — the anisotropy audit next
+    * to [[abttCorrect]]: the distribution of cos(a, b) over random
+    * vector pairs (mean ≫ 0 ⇒ the anisotropic cone LLM embeddings
+    * are known for; post-ABTT it should re-center). Pairs come from
+    * TWO independent md5-deterministic samples (salts "ca:"/"cb:",
+    * 1/`mod` each), so the pair fan-out is (n/mod)² by construction
+    * — never an in-corpus self-join — and reproducible without an
+    * RNG. Buckets are fixed-width over [−1, 1]; the per-bucket
+    * cosine mass is emitted as floor-scaled ppm integers (sum of
+    * floor(cos·10⁶) — exact BIGINT once each cosine double is
+    * engine-identical, which the shared eval order guarantees, the
+    * ann_bruteforce contract). */
+  def cosineHistogram(embs: DataFrame, mod: Int = 64, nb: Int = 20)
+      : DataFrame = {
+    def side(salt: String) = embs
+      .filter(expr("CAST(conv(substr(md5(concat('" + salt +
+        "', CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT) " +
+        s"% $mod = 0"))
+      .select(col("vec_id"), col("embedding"))
+    val pairs = side("ca:").as("a")
+      .join(side("cb:").as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(GraftFunctions.cosine_sim(col("a.embedding"),
+        col("b.embedding")).as("cos"))
+    pairs
+      .select(least(lit(nb - 1).cast("long"),
+          floor((col("cos") + 1.0) * nb / 2.0)).as("bucket"),
+        floor(col("cos") * 1e6).cast("long").as("cos_ppm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("cos_ppm").as("sum_cos_ppm"))
+  }
 }

@@ -334,6 +334,46 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming (running) Kendall τ_a: the unbounded twin of
+    * [[graft.operators.Reactive.rxKendallTau]] — each arrival
+    * re-counts concordant/discordant pairs over the key's last-32
+    * point ring (the same cap that bounds the batch fan-out bounds
+    * the state, ≤ 496 integer comparisons per event) and re-emits
+    * the running τ_a in exact ppm; last emission per key ≡ the
+    * batch op (spec-asserted), because the batch op is ALSO the
+    * capped last-32 form. */
+  case class KendallRow(user_id: Long, event_id: Long, n_points: Long,
+                        n_pairs: Long, n_concordant: Long,
+                        n_discordant: Long, tau_a_ppm: Long)
+  def kendallStream(spark: SparkSession, events: DataFrame,
+                    n: Int = 32): Dataset[KendallRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Double)], KendallRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[List[(Long, Double)]]) =>
+          var pts = state.getOption.getOrElse(Nil) // newest first
+          val out = rows.toSeq.sortBy(_.event_id).map { e =>
+            pts = ((e.event_id, e.value) :: pts).take(n)
+            val asc = pts.reverse.toArray // event_id ascending
+            var conc = 0L
+            var disc = 0L
+            for (j <- 1 until asc.length; i <- 0 until j) {
+              if (asc(i)._2 < asc(j)._2) conc += 1
+              else if (asc(i)._2 > asc(j)._2) disc += 1
+            }
+            val np = asc.length.toLong * (asc.length - 1) / 2
+            KendallRow(uid, e.event_id, asc.length.toLong, np, conc,
+              disc, if (np > 0) (conc - disc) * 1000000L / np else 0L)
+          }
+          state.update(pts)
+          out.iterator
+      }
+  }
+
   /** Streaming (running) longest increasing subsequence: the
     * unbounded twin of [[graft.operators.Reactive.rxLis]] in the
     * running sense — each arrival performs the same patience-tails

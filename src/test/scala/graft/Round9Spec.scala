@@ -117,6 +117,25 @@ class Round9Spec extends AnyFunSuite {
     assert(got(1L) === ((1L, 0L)) && got(3L) === ((1L, 0L)))
   }
 
+  test("sccTrade: a planted 2-cycle, a chain tail, and an isolate") {
+    // 0 <-> 1 (one SCC), 1 -> 2 (tail, own SCC), 3 isolated
+    val nation = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 0), (11L, 1)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1), (21L, 0), (22L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 20L), (101L, 21L), (102L, 22L))
+      .toDF("o_orderkey", "o_custkey")
+    // edges: 0->1 (s10,o100), 1->0 (s11,o101), 1->2 (s11,o102)
+    val lineitem = Seq((100L, 10L), (101L, 11L), (102L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.sccTrade(lineitem, orders, customer, supplier,
+        nation).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === ((0L, 2L)) && got(1L) === ((0L, 2L)))
+    assert(got(2L) === ((2L, 1L)) && got(3L) === ((3L, 1L)))
+  }
+
   test("minhashAdmitIndexed: verdicts equal the batch probe rollup, " +
       "with and without the literal pushdown") {
     val corpus = Seq(

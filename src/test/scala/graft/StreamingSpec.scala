@@ -341,6 +341,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === batch)
   }
 
+  test("streaming running Kendall tau: last emission per key equals " +
+      "the capped batch op") {
+    import spark.implicits._
+    val rows = run(df => ReactiveStreams.kendallStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+    val last = rows.groupBy(_.getAs[Long]("user_id")).map {
+      case (u, rs) =>
+        val r = rs.maxBy(_.getAs[Long]("event_id"))
+        u -> ((r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_concordant"), r.getAs[Long]("n_discordant"),
+          r.getAs[Long]("tau_a_ppm")))
+    }
+    val batch = graft.operators.Reactive.rxKendallTau(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_concordant"), r.getAs[Long]("n_discordant"),
+          r.getAs[Long]("tau_a_ppm"))))
+      .toMap
+    assert(last === batch)
+  }
+
   test("streaming Holt matches the batch 2-term recurrence bit-for-bit") {
     import spark.implicits._
     val got = run(df => ReactiveStreams.holtStream(spark, df).toDF())
