@@ -817,6 +817,17 @@ object SparkEntry {
       Graph.sccTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
         Tables.nation(s, d)).orderBy("node")),
+    "graph_topo_layers" -> ((s, d) =>
+      Graph.topoLayersTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d)).orderBy("node")),
+    "rx_cadence" -> ((s, d) =>
+      Reactive.rxCadence(ev(s, d)).orderBy("user_id")),
+    "text_shingle_spectrum" -> ((s, d) =>
+      TextAnalysis.shingleSpectrum(docs(s, d)).orderBy("log2_df")),
+    "pack_bfd" -> ((s, d) =>
+      Packing.packBfd(docs(s, d))
+        .orderBy("source", "shard", "bin_id")),
     "q_equiwidth_2d" -> ((s, d) =>
       Relational.qEquiWidth2D(s, d).orderBy("q_bucket", "p_bucket")),
     "emb_cos_hist" -> ((s, d) =>
@@ -5514,6 +5525,131 @@ object SparkEntry {
         |  ('src16', 'src17', 'src18', 'src19')) w
         |LEFT JOIN roll r USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // cadence regularity: division-free CV^2 ppm on HUGEINT moments
+    "rx_cadence" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS g
+        | FROM events),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(g) AS BIGINT) AS sg,
+        |  sum(CAST(g AS HUGEINT) * g) AS sgg,
+        |  CAST(min(g) AS BIGINT) AS min_gap_ms,
+        |  CAST(max(g) AS BIGINT) AS max_gap_ms
+        | FROM g WHERE g IS NOT NULL AND g > 0 GROUP BY user_id)
+        |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_ms,
+        |  min_gap_ms, max_gap_ms,
+        |  CAST((n_gaps * sgg * 1000000)
+        |    // (CAST(sg AS HUGEINT) * sg) - 1000000 AS BIGINT)
+        |    AS cv2_ppm
+        |FROM m WHERE n_gaps >= 2 ORDER BY user_id""".stripMargin,
+    // shingle df spectrum: both engines group by the identical
+    // 60-bit md5-prefix hash, so the verdict is exact by construction
+    "text_shingle_spectrum" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+        |  FROM tk WHERE len(tk) >= 3),
+        |post AS (SELECT doc_id,
+        |    ('0x' || substr(md5(s.s), 1, 15))::BIGINT AS h
+        |  FROM sh, unnest(sh.sh) AS s(s)),
+        |agg AS (SELECT h, CAST(count(*) AS BIGINT) AS tf,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM post GROUP BY h)
+        |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(df) AS BIGINT) AS sum_df,
+        |  CAST(sum(tf) AS BIGINT) AS sum_tf
+        |FROM agg GROUP BY 1 ORDER BY log2_df""".stripMargin,
+    // BFD packing: the identical largest-first best-fit walk with a
+    // loads LIST carried through a recursive CTE
+    "pack_bfd" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1)
+        |         IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1
+        |    END AS shard,
+        |    doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source,
+        |      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1)
+        |           IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1
+        |      END
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |walk AS (
+        |  SELECT source, shard, doc_id, n_chars, rn,
+        |    CAST(0 AS BIGINT) AS bin_id,
+        |    [n_chars] AS loads
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.shard, d.doc_id, d.n_chars, d.rn,
+        |    CASE WHEN len(list_filter(w.loads,
+        |           l -> l + d.n_chars <= 4096)) = 0
+        |      THEN CAST(len(w.loads) AS BIGINT)
+        |      ELSE CAST(list_position(w.loads, list_aggregate(
+        |        list_filter(w.loads, l -> l + d.n_chars <= 4096),
+        |        'max')) - 1 AS BIGINT) END,
+        |    CASE WHEN len(list_filter(w.loads,
+        |           l -> l + d.n_chars <= 4096)) = 0
+        |      THEN list_append(w.loads, d.n_chars)
+        |      ELSE list_concat(list_concat(
+        |        w.loads[1:list_position(w.loads, list_aggregate(
+        |          list_filter(w.loads, l -> l + d.n_chars <= 4096),
+        |          'max')) - 1],
+        |        [list_aggregate(list_filter(w.loads,
+        |           l -> l + d.n_chars <= 4096), 'max') + d.n_chars]),
+        |        w.loads[list_position(w.loads, list_aggregate(
+        |          list_filter(w.loads, l -> l + d.n_chars <= 4096),
+        |          'max')) + 1:]) END
+        |  FROM walk w JOIN d
+        |    ON d.source = w.source AND d.shard = w.shard
+        |   AND d.rn = w.rn + 1)
+        |SELECT source, CAST(shard AS INT) AS shard, bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM walk GROUP BY source, shard, bin_id
+        |ORDER BY source, shard, bin_id""".stripMargin,
+    // condensation topological layers: the SCC closure + a depth
+    // recursion over the condensation DAG (max depth per component)
+    "graph_topo_layers" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS a,
+        |    CAST(c_nationkey AS BIGINT) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |mutual AS MATERIALIZED (
+        |  SELECT f.a AS node, f.b AS peer
+        |  FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a),
+        |scc AS MATERIALIZED (
+        |  SELECT n.node,
+        |    coalesce(least(n.node, min(m.peer)), n.node) AS scc_id
+        |  FROM (SELECT CAST(n_nationkey AS BIGINT) AS node
+        |        FROM nation) n
+        |  LEFT JOIN mutual m ON m.node = n.node GROUP BY n.node),
+        |cond AS MATERIALIZED (
+        |  SELECT DISTINCT sa.scc_id AS sa, sb.scc_id AS sb
+        |  FROM e JOIN scc sa ON sa.node = e.a
+        |         JOIN scc sb ON sb.node = e.b
+        |  WHERE sa.scc_id <> sb.scc_id),
+        |lay(s, dep) AS (
+        |  SELECT DISTINCT scc_id, CAST(0 AS BIGINT) FROM scc
+        |  UNION
+        |  SELECT c.sb, l.dep + 1 FROM lay l JOIN cond c ON l.s = c.sa),
+        |layer AS (SELECT s AS scc_id, max(dep) AS layer
+        |  FROM lay GROUP BY s)
+        |SELECT n_name, node, scc_id, layer
+        |FROM scc JOIN layer USING (scc_id)
+        |JOIN nation ON node = CAST(n_nationkey AS BIGINT)
+        |ORDER BY node""".stripMargin,
     // SCC: transitive closure as a UNION-dedup recursion, mutual
     // reachability min-label
     "graph_scc" ->

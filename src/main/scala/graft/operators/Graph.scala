@@ -787,6 +787,63 @@ object Graph {
       .select(col("n_name"), col("node"), col("scc_id"), col("scc_size"))
   }
 
+  /** Condensation-DAG topological layers: collapse the trade graph
+    * to its SCCs ([[sccTrade]]) and assign each component its
+    * longest-path depth from the DAG's sources — the build-order /
+    * dependency-tier view of trade flow (layer 0 = pure exporters'
+    * components, deeper layers only reachable through earlier ones).
+    * The condensation of any digraph is acyclic, so max-relaxation
+    * (layer = 1 + max over predecessors, the SSSP loop with max/+1
+    * in place of min/cost) converges in depth rounds over an
+    * O(#SCCs) frame. Output: every nation with its component and
+    * layer — the per-node join back is one broadcast. */
+  def topoLayersTrade(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, maxIter: Int = 30): DataFrame = {
+    val scc = sccTrade(lineitem, orders, customer, supplier, nation)
+      .select("node", "scc_id").localCheckpoint()
+    val edges = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val cond = edges
+      .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
+      .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
+      .filter(col("sa") =!= col("sb"))
+      .select("sa", "sb").distinct()
+      .localCheckpoint()
+    var layers = scc.select(col("scc_id")).distinct()
+      .withColumn("layer", lit(0L)).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val relaxed = cond
+        .join(layers, col("sa") === col("scc_id"))
+        .select(col("sb").as("scc_id"), (col("layer") + 1L).as("layer"))
+        .unionByName(layers)
+        .groupBy("scc_id").agg(max("layer").as("layer"))
+        .localCheckpoint()
+      val improved = relaxed.as("x")
+        .join(layers.as("y"), Seq("scc_id"))
+        .filter(col("x.layer") > col("y.layer")).count()
+      converged = improved == 0
+      layers = relaxed
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"topoLayersTrade did not converge in $maxIter rounds " +
+          "(the condensation is a DAG; raise maxIter for deeper ones)")
+    scc.join(layers, "scc_id")
+      .join(broadcast(nation),
+        col("node") === nation("n_nationkey").cast("long"))
+      .select(col("n_name"), col("node"), col("scc_id"), col("layer"))
+  }
+
   /** Out-closeness centrality over the weighted trade graph: for
     * every node, the sum of its shortest-path distances to all
     * reachable nodes plus the reach count — the "how quickly can

@@ -66,6 +66,55 @@ object Packing {
         max("doc_id").as("last_doc"))
   }
 
+  /** Best-fit-decreasing packing — the tighter (offline) sibling of
+    * [[packGreedy]]'s arrival-order first-fit: docs sort LARGEST
+    * FIRST within each (source, md5-shard) group and each one drops
+    * into the FULLEST bin that still fits (ties → lowest bin id),
+    * else opens a new bin. BFD is the classic ≤ 11/9·OPT + 6/9
+    * bound; against first-fit it trades arrival-order streaming for
+    * measurably fewer, fuller bins when the size distribution is
+    * heavy-tailed. Same O(1)-per-group-state sorted walk (the bin
+    * LOADS array is the only state, bounded by bins-per-group);
+    * oversized docs open singleton bins. The DuckDB oracle replays
+    * the identical walk with a loads LIST in a recursive CTE —
+    * same tie rule (list_position = first occurrence). */
+  def packBfd(docs: DataFrame, capacity: Long = 4096L,
+              shards: Int = 2): DataFrame = {
+    require(shards >= 1 && shards <= 16,
+      s"shards must be in [1,16] (got $shards)")
+    val s = docs.sparkSession
+    import s.implicits._
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int") * shards / 16).cast("int")
+    docs
+      .select(col("source"), shard.as("shard"), col("doc_id"),
+        col("n_chars"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapSortedGroups(col("n_chars").desc, col("doc_id")) {
+        case ((src, sh), it) =>
+          val loads = scala.collection.mutable.ArrayBuffer[Long]()
+          it.map { case (_, _, id, n) =>
+            val fits = loads.zipWithIndex
+              .filter { case (l, _) => l + n <= capacity }
+            val bin =
+              if (fits.isEmpty) { loads += n; loads.length - 1 }
+              else {
+                val (l, i) = fits.maxBy(_._1) // first max = lowest idx
+                loads(i) = l + n
+                i
+              }
+            (src, sh, bin.toLong, id, n)
+          }
+      }
+      .toDF("source", "shard", "bin_id", "doc_id", "n_chars")
+      .groupBy("source", "shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("bin_chars"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
   /** The daily-ingestion pipeline as ONE composed plan: admit only
     * documents new to the corpus (Dedup.incrementalNew), drop
     * low-quality ones, pack the survivors into training bins. The

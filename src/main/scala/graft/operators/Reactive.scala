@@ -1600,6 +1600,34 @@ object Reactive {
     * Scale shape: one rank window to keep the last n, one
     * collect-to-array per key (bounded at n), then per-row HOFs;
     * only (user, event_id, value) triples shuffle. */
+  /** Arrival-cadence regularity per key: the squared coefficient of
+    * variation of inter-arrival gaps in exact ppm — CV² ≈ 0 flags
+    * metronome/bot cadence, ≈ 10⁶ is Poisson, ≫ 10⁶ is bursty — via
+    * the division-free identity CV²·10⁶ = n·Σg²·10⁶ div (Σg)² − 10⁶
+    * with Σg² riding DECIMAL(38,0) (gap² ≤ 10¹⁶ per term overflows
+    * BIGINT over long streams). One user_id shuffle: the lag window
+    * and the moment aggregate share it; min/mean/max gap ms round
+    * out the report. Keys with < 2 gaps are filtered (no defined
+    * dispersion — the trend-op rule). */
+  def rxCadence(events: DataFrame): DataFrame = {
+    val ms = unix_millis(col("ts"))
+    val g = events
+      .select(col("user_id"),
+        (ms - lag(ms, 1).over(byUser)).as("g"))
+      .filter(col("g").isNotNull && col("g") > 0)
+    g.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(col("g").cast(DecimalType(38, 0)) * col("g")).as("sgg"),
+        min("g").as("min_gap_ms"), max("g").as("max_gap_ms"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_ms"),
+        col("min_gap_ms"), col("max_gap_ms"),
+        expr("CAST((n_gaps * sgg * 1000000) div (CAST(sg AS " +
+          "DECIMAL(38,0)) * sg) - 1000000 AS BIGINT)").as("cv2_ppm"))
+  }
+
   /** Kendall rank correlation (τ_a) per key over the LAST `n`
     * points — the pair-counting partner of [[rxSpearman]] (τ is the
     * probability-of-concordance statistic; Spearman weights

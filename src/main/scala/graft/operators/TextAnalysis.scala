@@ -92,6 +92,31 @@ object TextAnalysis {
     * (source, hash, id) — the shingle strings never leave the scan
     * stage. Pairs sharing zero shingles have jaccard 0 < minJaccard,
     * so dropping them is exact. */
+  /** Shingle document-frequency SPECTRUM: shingles rolled into
+    * log₂(df) buckets with shingle counts, df mass, and occurrence
+    * mass per bucket — the one-page answer to "how much cross-doc
+    * repetition does this corpus carry and where should the df-cap
+    * sit" before running any pairwise dedup ([[ngramJaccardCapped]]
+    * consumes exactly this: the cap should sit where the spectrum's
+    * heavy tail starts). One scan, one shuffle of 8-byte md5-prefix
+    * hashes (text never rides the exchange; the 60-bit prefix makes
+    * collisions negligible AND both engines group by the identical
+    * hash, so the verdict is hash-exact by construction), tf + df in
+    * one partial-aggregable pass, |buckets| output rows. */
+  def shingleSpectrum(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .text_shingles(tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .groupBy(expr("CAST(length(bin(df)) - 1 AS BIGINT)")
+        .as("log2_df"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum("df").as("sum_df"), sum("tf").as("sum_tf"))
+
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.05): DataFrame = {
     require(minJaccard > 0, "minJaccard must be > 0: zero-overlap pairs " +
       "are never generated by the inverted index")
