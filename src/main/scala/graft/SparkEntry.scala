@@ -828,6 +828,15 @@ object SparkEntry {
     "pack_bfd" -> ((s, d) =>
       Packing.packBfd(docs(s, d))
         .orderBy("source", "shard", "bin_id")),
+    "graph_reciprocity" -> ((s, d) =>
+      Graph.reciprocityTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d)).orderBy("node")),
+    "q_tukey_outliers" -> ((s, d) =>
+      Relational.qTukeyOutliers(s, d).orderBy("o_orderpriority")),
+    "pipeline_class_upsample" -> ((s, d) =>
+      Sampling.classUpsample(docs(s, d))
+        .orderBy("doc_id", "copy_id")),
     "q_equiwidth_2d" -> ((s, d) =>
       Relational.qEquiWidth2D(s, d).orderBy("q_bucket", "p_bucket")),
     "emb_cos_hist" -> ((s, d) =>
@@ -5525,6 +5534,72 @@ object SparkEntry {
         |  ('src16', 'src17', 'src18', 'src19')) w
         |LEFT JOIN roll r USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+    // per-node dyad reciprocity over the distinct trade edge set
+    "graph_reciprocity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS a,
+        |    CAST(c_nationkey AS BIGINT) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |r AS (SELECT e.a, CAST(count(*) AS BIGINT) AS n_recip
+        |  FROM e WHERE EXISTS (SELECT 1 FROM e r2
+        |    WHERE r2.a = e.b AND r2.b = e.a)
+        |  GROUP BY e.a),
+        |o AS (SELECT a, CAST(count(*) AS BIGINT) AS n_out
+        |  FROM e GROUP BY a)
+        |SELECT n_name, o.a AS node, n_out,
+        |  CAST(coalesce(n_recip, 0) AS BIGINT) AS n_recip,
+        |  coalesce(n_recip, 0) * 1000000 // n_out AS recip_ppm
+        |FROM o LEFT JOIN r USING (a)
+        |JOIN nation ON o.a = CAST(n_nationkey AS BIGINT)
+        |ORDER BY node""".stripMargin,
+    // Tukey fences on exact discrete quartiles (integer cents)
+    "q_tukey_outliers" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders),
+        |rk AS (SELECT o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY cents) AS r,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM o),
+        |q AS (SELECT o_orderpriority,
+        |  CAST(min(cents) AS BIGINT) AS q1,
+        |  CAST(max(cents) AS BIGINT) AS q3
+        | FROM rk WHERE r = greatest(1, n // 4)
+        |    OR r = greatest(1, (3 * n) // 4)
+        | GROUP BY o_orderpriority),
+        |f AS (SELECT o_orderpriority, q1, q3,
+        |  q1 - (3 * (q3 - q1)) // 2 AS lo,
+        |  q3 + (3 * (q3 - q1)) // 2 AS hi FROM q)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  max(q1) AS q1_cents, max(q3) AS q3_cents,
+        |  CAST(coalesce(sum(CASE WHEN cents < lo THEN 1 END), 0)
+        |    AS BIGINT) AS n_low,
+        |  CAST(coalesce(sum(CASE WHEN cents > hi THEN 1 END), 0)
+        |    AS BIGINT) AS n_high
+        |FROM o JOIN f USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // deterministic minority oversampling to the largest class
+    "pipeline_class_upsample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cn
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT max(cn) AS target FROM c),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY
+        |    md5('cu:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS rank_in_class
+        | FROM documents),
+        |nc AS (SELECT r.doc_id, r.lang,
+        |  t.target // c.cn + CASE WHEN r.rank_in_class
+        |    <= t.target % c.cn THEN 1 ELSE 0 END AS n_copies
+        | FROM r JOIN c USING (lang), t)
+        |SELECT doc_id, lang, CAST(u.i AS BIGINT) AS copy_id
+        |FROM nc, unnest(generate_series(1, n_copies)) u(i)
+        |ORDER BY doc_id, copy_id""".stripMargin,
     // cadence regularity: division-free CV^2 ppm on HUGEINT moments
     "rx_cadence" ->
       """WITH g AS (SELECT user_id,

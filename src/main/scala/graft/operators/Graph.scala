@@ -787,6 +787,38 @@ object Graph {
       .select(col("n_name"), col("node"), col("scc_id"), col("scc_size"))
   }
 
+  /** Edge reciprocity per node: of each nation's outgoing trade
+    * lanes, the fraction that flow back (dyad mutuality — the
+    * density-free symmetry measure; near 10⁶ ppm ⇒ balanced trading
+    * partners, near 0 ⇒ pure exporter). One distinct edge frame,
+    * one self-semi-join on the reversed keys, one groupBy — every
+    * step co-partitions on the edge key at any scale. */
+  def reciprocityTrade(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       nation: DataFrame): DataFrame = {
+    val edges = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val recip = edges.join(
+        edges.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("n_recip"))
+    edges.groupBy("a").agg(count(lit(1)).as("n_out"))
+      .join(recip, Seq("a"), "left")
+      .join(broadcast(nation),
+        col("a") === nation("n_nationkey").cast("long"))
+      .select(col("n_name"), col("a").as("node"), col("n_out"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        expr("coalesce(n_recip, 0L) * 1000000 div n_out")
+          .as("recip_ppm"))
+  }
+
   /** Condensation-DAG topological layers: collapse the trade graph
     * to its SCCs ([[sccTrade]]) and assign each component its
     * longest-path depth from the DAG's sources — the build-order /

@@ -859,6 +859,44 @@ object Relational {
         max("o_totalprice").as("b_max"))
   }
 
+  /** Tukey-fence outlier audit per order priority: exact DISCRETE
+    * quartiles (value AT rank n·k div 4 — the q_equidepth
+    * engine-stable order-statistic contract) on integer cents, IQR
+    * fences at ±1.5·IQR via integer (3·iqr) div 2, and the per-group
+    * outlier counts both sides — the box-plot numbers a data-quality
+    * dashboard draws. The rank windows are GROUP-partitioned, which
+    * with few groups still funnels each group through one task (the
+    * q_percentiles tradeoff, stated there too): this is the exact
+    * AUDIT tool; at the 100 TB budget swap the quartiles for
+    * approx_percentile (t-digest, fully partial-aggregable) — the
+    * fences and counts below are unchanged. The quartile frame
+    * (|groups| rows) broadcasts back. */
+  def qTukeyOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val byP = Window.partitionBy("o_orderpriority")
+    val ranked = o
+      .withColumn("r", row_number().over(byP.orderBy("cents")))
+      .withColumn("n", count(lit(1)).over(byP))
+    val quarts = ranked
+      .filter(col("r") === expr("greatest(1L, n div 4)") ||
+        col("r") === expr("greatest(1L, (3 * n) div 4)"))
+      .groupBy("o_orderpriority")
+      .agg(min("cents").as("q1"), max("cents").as("q3"))
+      .select(col("o_orderpriority"), col("q1"), col("q3"),
+        expr("q1 - (3 * (q3 - q1)) div 2").as("lo"),
+        expr("q3 + (3 * (q3 - q1)) div 2").as("hi"))
+    o.join(broadcast(quarts), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        max("q1").as("q1_cents"), max("q3").as("q3_cents"),
+        coalesce(sum(when(col("cents") < col("lo"), 1L)), lit(0L))
+          .as("n_low"),
+        coalesce(sum(when(col("cents") > col("hi"), 1L)), lit(0L))
+          .as("n_high"))
+  }
+
   /** 2-D equi-width histogram (quantity × extended price) — the
     * heatmap/profile twin of [[qEquiWidth]]: both axes' edges come
     * from one broadcast min/max row, bucketing is a narrow map, and

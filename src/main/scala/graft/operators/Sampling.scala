@@ -386,6 +386,36 @@ object Sampling {
         col("rank_in_class").cast("long").as("rank_in_class"))
   }
 
+  /** Class-balanced UP-sampling — the replication twin of
+    * [[classBalance]]'s downsampling: every class is brought UP to
+    * the LARGEST class's count by deterministic replication, the
+    * standard minority-oversampling move when downsampling would
+    * throw away majority data. Each doc gets target div cn copies,
+    * and the first target mod cn docs in the class's md5 order get
+    * one extra — per-class totals are EXACTLY the target, and the
+    * md5 rank makes which docs carry the extra copy reproducible on
+    * any engine. Replication is one narrow `sequence` explode; the
+    * per-class count frame is O(classes) and broadcast. Consumers
+    * shuffle copies downstream (pipeline_shard); copy_id keeps
+    * provenance. */
+  def classUpsample(docs: DataFrame, classCol: String = "lang")
+      : DataFrame = {
+    val counts = docs.groupBy(classCol).agg(count(lit(1)).as("cn"))
+    val target = counts.agg(max("cn").as("target"))
+    docs
+      .withColumn("_h",
+        md5(concat(lit("cu:"), col("doc_id").cast("string"))))
+      .withColumn("rank_in_class", row_number().over(
+        Window.partitionBy(col(classCol))
+          .orderBy(col("_h"), col("doc_id"))).cast("long"))
+      .join(broadcast(counts), Seq(classCol))
+      .crossJoin(broadcast(target))
+      .withColumn("n_copies",
+        expr("target div cn + IF(rank_in_class <= target % cn, 1, 0)"))
+      .select(col("doc_id"), col(classCol),
+        explode(expr("sequence(1L, n_copies)")).as("copy_id"))
+  }
+
   /** Sort-free class balancing for EXTREME per-class cardinality:
     * instead of ranking every class member ([[classBalance]] puts a
     * whole class through one window task), keep a row when its
