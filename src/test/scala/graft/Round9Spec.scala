@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
@@ -115,6 +115,70 @@ class Round9Spec extends AnyFunSuite {
     assert(got(2L) === ((2L, 200000L)))
     // nodes 1 and 3 reach only themselves
     assert(got(1L) === ((1L, 0L)) && got(3L) === ((1L, 0L)))
+  }
+
+  test("rxCadence: metronome cadence scores 0, bursty scores high") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = (
+      (1 to 5).map(i => (i.toLong, 1L, t(i * 2))) ++        // exact 2-min
+        Seq((1L, 2L, t(1)), (2L, 2L, t(2)), (3L, 2L, t(3)),
+          (4L, 2L, t(40)))                                  // burst + gap
+      ).toDF("event_id", "user_id", "ts")
+    val got = Reactive.rxCadence(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(5)))).toMap
+    assert(got(1L) === ((4L, 120000L, 0L))) // constant gaps: CV^2 = 0
+    val (n2, mean2, cv2) = got(2L)
+    assert(n2 === 3L && mean2 === (60000L * 39) / 3)
+    assert(cv2 > 1000000L) // burstier than Poisson
+  }
+
+  test("shingleSpectrum: a planted repeated shingle lands in the " +
+      "right df bucket") {
+    // 4 docs share one 3-token shingle; each also has unique tail
+    val docs = Seq.tabulate(4)(i =>
+      ((i + 1).toLong, s"alpha beta gamma tail$i extra$i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.shingleSpectrum(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // df=4 shingle ("alpha beta gamma") -> log2 bucket 2; the
+    // per-doc unique shingles (df=1) -> bucket 0
+    assert(got(2L) === ((1L, 4L, 4L)))
+    assert(got(0L)._1 === 8L) // 2 unique shingles per doc x 4 docs
+  }
+
+  test("packBfd: largest-first best-fit uses fewer bins than " +
+      "arrival-order first-fit on the adversarial mix") {
+    // sizes 6,5,4,3,2,2 with cap 8: FF by id (6|5|4,3|2,2...) vs
+    // BFD (6,2|5,3|4,2... ) — classic BFD win
+    val docs = Seq((1L, "s", 6L), (2L, "s", 5L), (3L, "s", 4L),
+      (4L, "s", 3L), (5L, "s", 2L), (6L, "s", 2L))
+      .toDF("doc_id", "source", "n_chars")
+    val bfd = Packing.packBfd(docs, capacity = 8L, shards = 1)
+    val ff = Packing.packGreedy(docs, capacity = 8L, shards = 1)
+    val bfdBins = bfd.count()
+    val ffBins = ff.count()
+    assert(bfdBins <= ffBins)
+    assert(bfdBins === 3L) // 6+2, 5+3, 4+2 — perfect fill
+    // capacity is never exceeded and every doc is packed once
+    assert(bfd.agg(max("bin_chars")).head().getLong(0) <= 8L)
+    assert(bfd.agg(sum("n_docs")).head().getLong(0) === 6L)
+  }
+
+  test("classUpsample: per-class totals equal the largest class " +
+      "exactly; copy ids dense from 1") {
+    val docs = (Seq.tabulate(6)(i => ((i + 1).toLong, "en")) ++
+      Seq((10L, "fr"), (11L, "fr")) ++ Seq((20L, "de")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.classUpsample(docs)
+    val per = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per === Map("en" -> 6L, "fr" -> 6L, "de" -> 6L))
+    // de: one doc carries all 6 copies, ids 1..6
+    val de = got.filter(col("lang") === "de")
+      .select("copy_id").collect().map(_.getLong(0)).sorted
+    assert(de.toSeq === (1L to 6L))
   }
 
   test("sccTrade: a planted 2-cycle, a chain tail, and an isolate") {
