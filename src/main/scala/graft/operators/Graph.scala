@@ -745,18 +745,26 @@ object Graph {
     * decomposition (forward/backward reachability coloring from
     * pivots), which keeps the same per-round join shape without
     * materializing the closure. */
-  def sccTrade(lineitem: DataFrame, orders: DataFrame,
-               customer: DataFrame, supplier: DataFrame,
-               nation: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .select(col("s_nationkey").cast("long").as("a"),
-        col("c_nationkey").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+  /** The distinct directed nation trade edge frame (a → b), self
+    * loops dropped — shared by the SCC / layering / reciprocity
+    * family so composites pay the 4-table fact join once. */
+  private def tradeEdges(lineitem: DataFrame, orders: DataFrame,
+                         customer: DataFrame, supplier: DataFrame)
+      : DataFrame = lineitem
+    .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+    .join(customer, orders("o_custkey") === customer("c_custkey"))
+    .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+    .select(col("s_nationkey").cast("long").as("a"),
+      col("c_nationkey").cast("long").as("b"))
+    .filter(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint()
+
+  /** [[sccTrade]]'s core over an already-built edge frame — the
+    * composition point [[topoLayersTrade]] uses to avoid paying the
+    * fact join twice. */
+  private def sccFromEdges(edges: DataFrame, nation: DataFrame,
+                           maxIter: Int): DataFrame = {
     var reach = edges
     var converged = false
     var i = 0
@@ -776,10 +784,17 @@ object Graph {
         col("f.a") === col("r.b") && col("f.b") === col("r.a"))
       .select(col("f.a").as("node"), col("f.b").as("peer"))
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
-    val scc = nodes.join(mutual, Seq("node"), "left")
+    nodes.join(mutual, Seq("node"), "left")
       .groupBy("node")
       .agg(coalesce(least(min("peer"), col("node")), col("node"))
         .as("scc_id"))
+  }
+
+  def sccTrade(lineitem: DataFrame, orders: DataFrame,
+               customer: DataFrame, supplier: DataFrame,
+               nation: DataFrame, maxIter: Int = 10): DataFrame = {
+    val scc = sccFromEdges(
+      tradeEdges(lineitem, orders, customer, supplier), nation, maxIter)
     val sizes = scc.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
     scc.join(sizes, "scc_id")
       .join(broadcast(nation),
@@ -796,15 +811,7 @@ object Graph {
   def reciprocityTrade(lineitem: DataFrame, orders: DataFrame,
                        customer: DataFrame, supplier: DataFrame,
                        nation: DataFrame): DataFrame = {
-    val edges = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .select(col("s_nationkey").cast("long").as("a"),
-        col("c_nationkey").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    val edges = tradeEdges(lineitem, orders, customer, supplier)
     val recip = edges.join(
         edges.select(col("b").as("a"), col("a").as("b")),
         Seq("a", "b"), "left_semi")
@@ -832,16 +839,9 @@ object Graph {
   def topoLayersTrade(lineitem: DataFrame, orders: DataFrame,
                       customer: DataFrame, supplier: DataFrame,
                       nation: DataFrame, maxIter: Int = 30): DataFrame = {
-    val scc = sccTrade(lineitem, orders, customer, supplier, nation)
-      .select("node", "scc_id").localCheckpoint()
-    val edges = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .select(col("s_nationkey").cast("long").as("a"),
-        col("c_nationkey").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val edges = tradeEdges(lineitem, orders, customer, supplier)
+    val scc = sccFromEdges(edges, nation, maxIter)
+      .localCheckpoint()
     val cond = edges
       .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
       .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
