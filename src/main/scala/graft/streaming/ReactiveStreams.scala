@@ -334,6 +334,68 @@ object ReactiveStreams {
       }
   }
 
+  /** Streaming (running) cadence regularity: the unbounded twin of
+    * [[graft.operators.Reactive.rxCadence]] — each arrival updates
+    * the key's gap moments and re-emits the running CV²·ppm verdict,
+    * so the last emission per key over a bounded replay equals the
+    * batch op for every key with ≥ 2 positive gaps (spec-asserted).
+    * State is O(1) per key: (last-ms, count, Σg, min, max) as longs
+    * plus Σg² as BigInteger BYTES — gap² summed over an unbounded
+    * stream exceeds any fixed-width type eventually, and the batch
+    * op's DECIMAL(38,0) exactness contract must survive streaming,
+    * so the state carries arbitrary precision (a few dozen bytes)
+    * rather than a lossy double. The emission arithmetic is the
+    * identical division-free n·Σg²·10⁶ div (Σg)² − 10⁶. */
+  case class CadenceRow(user_id: Long, event_id: Long, n_gaps: Long,
+                        mean_gap_ms: Long, min_gap_ms: Long,
+                        max_gap_ms: Long, cv2_ppm: Option[Long])
+  def cadenceStream(spark: SparkSession, events: DataFrame)
+      : Dataset[CadenceRow] = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[
+        (Long, Long, Long, Long, Long, Array[Byte]), CadenceRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long, Long, Long, Long, Array[Byte])]) =>
+          var (lastMs, cnt, sg, mn, mx, sqB) = state.getOption
+            .getOrElse((Long.MinValue, 0L, 0L, Long.MaxValue,
+              Long.MinValue, java.math.BigInteger.ZERO.toByteArray))
+          var sq = new java.math.BigInteger(sqB)
+          val out = rows.toSeq.sortBy(_.event_id).flatMap { e =>
+            val ms = e.ts.getTime
+            val g = if (lastMs == Long.MinValue) 0L else ms - lastMs
+            lastMs = ms
+            if (g > 0) {
+              cnt += 1; sg += g
+              mn = math.min(mn, g); mx = math.max(mx, g)
+              sq = sq.add(java.math.BigInteger.valueOf(g)
+                .multiply(java.math.BigInteger.valueOf(g)))
+            }
+            if (cnt == 0) None
+            else {
+              val cv2 =
+                if (cnt < 2) None
+                else {
+                  val sgB = java.math.BigInteger.valueOf(sg)
+                  Some(java.math.BigInteger.valueOf(cnt)
+                    .multiply(sq)
+                    .multiply(java.math.BigInteger.valueOf(1000000L))
+                    .divide(sgB.multiply(sgB))
+                    .subtract(java.math.BigInteger.valueOf(1000000L))
+                    .longValueExact())
+                }
+              Some(CadenceRow(uid, e.event_id, cnt, sg / cnt, mn, mx,
+                cv2))
+            }
+          }
+          state.update((lastMs, cnt, sg, mn, mx, sq.toByteArray))
+          out.iterator
+      }
+  }
+
   /** Streaming (running) Kendall τ_a: the unbounded twin of
     * [[graft.operators.Reactive.rxKendallTau]] — each arrival
     * re-counts concordant/discordant pairs over the key's last-32

@@ -363,6 +363,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === batch)
   }
 
+  test("streaming running cadence: last emission per key equals the " +
+      "batch CV2 verdict") {
+    import spark.implicits._
+    val rows = run(df => ReactiveStreams.cadenceStream(spark, df).toDF())
+      .filter(_.getAs[Long]("user_id") != 99L)
+    val last = rows.groupBy(_.getAs[Long]("user_id")).flatMap {
+      case (u, rs) =>
+        val r = rs.maxBy(_.getAs[Long]("event_id"))
+        // batch emits only keys with >= 2 gaps; mirror that here
+        Option(r.getAs[java.lang.Long]("cv2_ppm")).map(cv =>
+          u -> ((r.getAs[Long]("n_gaps"), r.getAs[Long]("mean_gap_ms"),
+            r.getAs[Long]("min_gap_ms"), r.getAs[Long]("max_gap_ms"),
+            cv.longValue)))
+    }.toMap
+    val batch = graft.operators.Reactive.rxCadence(sample.toDF())
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("mean_gap_ms"),
+          r.getAs[Long]("min_gap_ms"), r.getAs[Long]("max_gap_ms"),
+          r.getAs[Long]("cv2_ppm"))))
+      .toMap
+    assert(last === batch)
+  }
+
   test("streaming Holt matches the batch 2-term recurrence bit-for-bit") {
     import spark.implicits._
     val got = run(df => ReactiveStreams.holtStream(spark, df).toDF())
