@@ -249,4 +249,67 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1)
     out.unpersist()
   }
+
+  test("property: HOF patience-fold LIS matches the O(n^2) DP " +
+      "reference on random streams (ties included)") {
+    // values 0..12 at 2dp force plenty of EQUAL values: the strict
+    // LIS must never count ties as increases
+    val streams = sample(
+      Gen.choose(0, 25).flatMap(k => Gen.listOfN(k, Gen.choose(0, 12))),
+      40, 909L).filter(_.nonEmpty)
+    val df = eventsDf(streams)
+    val got = Reactive.rxLis(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def lisRef(a: Seq[Double]): Long = {
+      val dp = Array.fill(a.length)(1)
+      for (j <- a.indices; i <- 0 until j if a(i) < a(j))
+        dp(j) = math.max(dp(j), dp(i) + 1)
+      if (dp.isEmpty) 0L else dp.max.toLong
+    }
+    streams.zipWithIndex.foreach { case (vals, uid) =>
+      assert(got(uid.toLong) === lisRef(vals.map(_ * 0.25)),
+        s"user $uid: $vals")
+    }
+  }
+
+  test("property: Kendall tau counts match the brute-force pair " +
+      "reference; tau_a bounded by |1e6|") {
+    val streams = sample(
+      Gen.choose(2, 25).flatMap(k => Gen.listOfN(k, Gen.choose(0, 15))),
+      30, 910L)
+    val df = eventsDf(streams)
+    val got = Reactive.rxKendallTau(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    streams.zipWithIndex.foreach { case (vals0, uid) =>
+      val vals = vals0.takeRight(32).map(_ * 0.25)
+      var (c, d) = (0L, 0L)
+      for (j <- vals.indices; i <- 0 until j) {
+        if (vals(i) < vals(j)) c += 1
+        else if (vals(i) > vals(j)) d += 1
+      }
+      val np = vals.length.toLong * (vals.length - 1) / 2
+      val tau = if (np > 0) (c - d) * 1000000L / np else 0L
+      assert(got(uid.toLong) === ((c, d, tau)), s"user $uid")
+      assert(math.abs(tau) <= 1000000L)
+    }
+  }
+
+  test("property: BFD packing never exceeds capacity, packs every " +
+      "doc exactly once, and never uses more bins than first-fit " +
+      "needs items") {
+    import spark.implicits._
+    val sizes = sample(Gen.choose(1L, 9L), 60, 911L)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, "s", n) }
+      .toDF("doc_id", "source", "n_chars")
+    val bfd = graft.operators.Packing
+      .packBfd(docs, capacity = 10L, shards = 1).cache()
+    assert(bfd.agg(max("bin_chars")).head().getLong(0) <= 10L)
+    assert(bfd.agg(sum("n_docs")).head().getLong(0) === sizes.length)
+    // lower bound: no packing beats ceil(total/capacity)
+    val lb = (sizes.sum + 9) / 10
+    assert(bfd.count() >= lb)
+    bfd.unpersist()
+  }
 }
