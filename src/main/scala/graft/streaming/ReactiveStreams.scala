@@ -819,6 +819,39 @@ object ReactiveStreams {
         expr("sum(s_bits) * 1000 div count(*)").as("surprisal_milli"))
       .select("doc_id", "n_tokens", "surprisal_milli")
 
+  /** Streaming bloom admission — the stateless first tier of ingest
+    * dedup ([[graft.operators.Dedup.bloomAdmit]]'s unbounded twin):
+    * each arriving doc derives its k=3 md5 bit positions in-row,
+    * joins the FROZEN corpus position table (stream-static LEFT
+    * broadcast — the bit set is ≤ m distinct rows by construction,
+    * the rare static side that is provably broadcastable at ANY
+    * corpus size, which is the whole point of a bloom tier), and one
+    * watermarked windowed aggregate emits the verdict: definitely
+    * new (some position unset — no second tier needed) vs bloom-hit
+    * (pay the exact check). NO keyed state anywhere: the filter is
+    * the state, and it lives outside the stream. ≡ the batch
+    * audit's per-doc verdict (spec-asserted across a trigger
+    * split). */
+  def bloomAdmitStream(docs: DataFrame, corpusPositions: DataFrame,
+                       mBits: Long = 1L << 20, k: Int = 3,
+                       watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        md5(lower(trim(col("text")))).as("content_hash"))
+      .select(col("doc_id"), col("ts"), col("content_hash"),
+        explode(expr(s"transform(sequence(0, ${k - 1}), j -> " +
+          s"CAST(conv(substr(md5(concat('bloom', j, ':', " +
+          s"content_hash)), 1, 15), 16, 10) AS BIGINT) % $mBits)"))
+          .as("pos"))
+      .join(broadcast(corpusPositions
+        .select(col("pos"), lit(1L).as("hit"))), Seq("pos"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"),
+        col("content_hash"))
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0L))))
+        .as("bloom_hit"))
+      .select(col("doc_id"), col("content_hash"), col("bloom_hit"),
+        (!col("bloom_hit")).as("definitely_new"))
+
   /** Streaming OOV drift monitor — the serving twin of
     * [[graft.operators.TextAnalysis.vocabCoverage]]: the top-v
     * vocabulary is FROZEN from the static corpus

@@ -235,6 +235,51 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("bloomAdmitStream: per-doc verdicts equal the batch audit " +
+      "across a trigger split; zero keyed state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val corpus = Seq((1L, "shared corpus text alpha"),
+      (2L, "another corpus text beta")).toDF("doc_id", "text")
+    val positions = corpus
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.trim(col("text"))))
+        .as("content_hash"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(0, 2), j -> CAST(conv(substr(md5(" +
+            "concat('bloom', j, ':', content_hash)), 1, 15), 16, 10)" +
+            s" AS BIGINT) % ${1L << 20})")).as("pos"))
+      .distinct()
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val qn = s"bloom_${System.nanoTime()}"
+    val q = graft.streaming.ReactiveStreams.bloomAdmitStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), positions)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, t(0), "shared corpus text alpha")) // exact dup
+      q.processAllAvailable()
+      mem.addData((11L, t(1), "entirely new text gamma"))
+      mem.addData((99L, java.sql.Timestamp.valueOf(
+        "2024-01-01 09:00:00"), "watermark closer"))
+      q.processAllAvailable()
+      val got = spark.table(qn).collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3))))
+        .toMap
+      assert(got(10L) === ((true, false)))  // dup: bloom-hit
+      assert(got(11L) === ((false, true))) // new: some bit unset
+      // the plan carries no flatMapGroupsWithState / keyed state op
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("FlatMapGroupsWithState"),
+        s"bloom admission must be stateless:\n$exec")
+    } finally q.stop()
+  }
+
   test("bloomAdmit: exact dups always bloom-hit (no false " +
       "negatives), false positives = hits minus exact dups") {
     val docs = Seq(
