@@ -181,6 +181,30 @@ class Round9Spec extends AnyFunSuite {
     assert(de.toSeq === (1L to 6L))
   }
 
+  test("graph loops survive an edgeless graph: every node is its " +
+      "own SCC at layer 0, unreachable everywhere, 0-reciprocal") {
+    val nation = Seq((0, "A"), (1, "B")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 0)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 0)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 20L)).toDF("o_orderkey", "o_custkey")
+    // the only trade lane is a self-loop (nation 0 -> nation 0),
+    // which every op in the family drops: the edge set is EMPTY
+    val lineitem = Seq((100L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val scc = Graph.sccTrade(lineitem, orders, customer, supplier,
+        nation).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(scc === Map(0L -> ((0L, 1L)), 1L -> ((1L, 1L))))
+    val lay = Graph.topoLayersTrade(lineitem, orders, customer,
+        supplier, nation).collect().map(r => r.getLong(3)).distinct
+    assert(lay.toSeq === Seq(0L))
+    val sssp = Graph.ssspTrade(lineitem, orders, customer, supplier,
+        nation).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sssp === Map(0L -> 0L, 1L -> -1L))
+    assert(Graph.reciprocityTrade(lineitem, orders, customer,
+      supplier, nation).count() === 0) // no out-edges anywhere
+  }
+
   test("sccTrade: a planted 2-cycle, a chain tail, and an isolate") {
     // 0 <-> 1 (one SCC), 1 -> 2 (tail, own SCC), 3 isolated
     val nation = Seq((0, "A"), (1, "B"), (2, "C"), (3, "D"))
