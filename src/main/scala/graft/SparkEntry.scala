@@ -859,11 +859,26 @@ object SparkEntry {
         .select("doc_id", "text")
       // corpus-keyed frozen index, built once per SF dir (the
       // ingest contract: the index is a prior artifact, not per-run
-      // work — same convention as the q_incremental_topk state)
-      val idx = "/root/repo/target/" +
-        s"mh_gate_idx_${Integer.toHexString(d.hashCode)}"
-      if (!new java.io.File(idx + "/postings").exists())
+      // work — same convention as the q_incremental_topk state).
+      // Keyed by an md5 fingerprint of the corpus FILE (path + size
+      // + mtime), not the dir string's 32-bit hashCode: regenerated
+      // testdata under the same dir must rebuild, and distinct dirs
+      // must never collide. A `_COMPLETE` marker written AFTER both
+      // postings and sets succeed gates reuse — a crash between the
+      // two writes must not leave a half-index that passes the check
+      // (minhashWriteIndex overwrites, so a rebuild over a torn
+      // index is safe).
+      val srcFile = new java.io.File(d, "documents.parquet")
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest((srcFile.getCanonicalPath + ":" + srcFile.length +
+          ":" + srcFile.lastModified).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val idx = s"/root/repo/target/mh_gate_idx_$fp"
+      val marker = new java.io.File(idx, "_COMPLETE")
+      if (!marker.exists()) {
         Dedup.minhashWriteIndex(corpus, idx, auditable = true)
+        marker.createNewFile()
+      }
       Dedup.minhashAdmitIndexed(s, idx, wave, auditable = true)
         .orderBy("doc_id")
     }),

@@ -536,9 +536,18 @@ object Dedup {
     * driver and push into the index scans as LITERAL `isin` filters,
     * which parquet row-group min/max stats turn into whole-file
     * skips against the range-clustered layout [[minhashWriteIndex]]
-    * writes. `pushdownCap` guards the driver: a pathological wave
-    * whose candidate set exceeds it falls back to the full-scan
-    * join (correct either way — the cap only chooses the plan).
+    * writes. `pushdownCap` guards the driver, and the guard guards
+    * the COLLECT, not just the plan choice: each id set is COUNTED
+    * distributed-side first, and only a set under the cap is ever
+    * materialized on the driver (a boilerplate-heavy wave hitting a
+    * hot bucket can blow the candidate set past any wave bound — it
+    * must never reach the driver first). Past the cap the scan
+    * filter rides a broadcast left-semi join instead of literals
+    * (correct either way — the cap only chooses the plan), and the
+    * default cap sits at 4096: an `isin` of ~100k literals bloats
+    * analysis and exceeds what parquet row-group pruning evaluates
+    * usefully, so past a few thousand keys the semi-join is the
+    * honest plan.
     * Output is one verdict row per shingle-bearing wave doc:
     * (doc_id, n_dup, best_j_scaled, admitted) — identical to the
     * streaming twin's rollup and spec-asserted ≡ the batch probe. */
@@ -546,7 +555,7 @@ object Dedup {
                           dir: String, wave: DataFrame,
                           threshold: Double = 0.5, bands: Int = 16,
                           rows: Int = 4, auditable: Boolean = false,
-                          pushdownCap: Int = 100000): DataFrame = {
+                          pushdownCap: Int = 4096): DataFrame = {
     val sh = wave
       .select(col("doc_id"), shingles(toks(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -554,24 +563,29 @@ object Dedup {
     val probes = bandBuckets(sh, bands, rows, auditable)
       .select(col("band"), col("bh"), col("doc_id").as("doc2"))
       .localCheckpoint()
-    // wave-bounded literal pushdown: waveSize * bands key values
-    val bhs = probes.select("bh").distinct().collect().map(_.getLong(0))
+    // wave-bounded key set (waveSize * bands values) — count BEFORE
+    // collect so an over-cap set never materializes on the driver
+    val bhKeys = probes.select("bh").distinct()
     val postings0 = spark.read.parquet(dir + "/postings")
     val postings =
-      if (bhs.length <= pushdownCap)
-        postings0.filter(col("bh").isin(bhs.toSeq: _*))
-      else postings0
+      if (bhKeys.count() <= pushdownCap)
+        postings0.filter(col("bh").isin(
+          bhKeys.collect().map(_.getLong(0)).toSeq: _*))
+      else postings0.join(broadcast(bhKeys), Seq("bh"), "left_semi")
     val cand = postings
       .join(broadcast(probes), Seq("band", "bh"))
       .select(col("doc_id").as("doc1"), col("doc2")).distinct()
       .localCheckpoint()
-    val doc1s = cand.select("doc1").distinct().collect().map(_.getLong(0))
+    // candidate ids are bucket-occupancy-bounded, NOT wave-bounded:
+    // same count-then-collect guard, broadcast semi-join past the cap
+    val doc1Keys = cand.select("doc1").distinct()
     val sets0 = spark.read.parquet(dir + "/sets")
       .select(col("doc_id").as("doc1"), col("sh").as("sh1"))
     val corpusSets =
-      if (doc1s.length <= pushdownCap)
-        sets0.filter(col("doc1").isin(doc1s.toSeq: _*))
-      else sets0
+      if (doc1Keys.count() <= pushdownCap)
+        sets0.filter(col("doc1").isin(
+          doc1Keys.collect().map(_.getLong(0)).toSeq: _*))
+      else sets0.join(broadcast(doc1Keys), Seq("doc1"), "left_semi")
     val verdicts = cand
       .join(corpusSets, "doc1")
       .join(broadcast(sh.select(col("doc_id").as("doc2"),

@@ -292,9 +292,21 @@ object Relational {
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
       .filter(col("rn") <= k)
       .select("o_orderpriority", "o_orderkey", "o_totalprice")
-    // state-table name is corpus-keyed: a different SF dir can never
-    // serve stale state (String.hashCode is deterministic in Java)
-    val state = s"graft_topk_state_${Integer.toHexString(dir.hashCode)}"
+    // State-table name is keyed by (corpus fingerprint, k): the
+    // mergeable-summary identity needs base top-k' with k' >= k, so
+    // a caller passing a different k must NEVER reuse state built
+    // under another k — encoding k in the name makes a mismatch
+    // structurally impossible (it resolves to a different table).
+    // The corpus half is an md5 of the orders file's (path, size,
+    // mtime), not the dir string's 32-bit hashCode: regenerated data
+    // under the same dir gets a fresh fingerprint and rebuilds, and
+    // distinct dirs cannot collide.
+    val src = new java.io.File(dir, "orders.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((src.getCanonicalPath + ":" + src.length + ":" +
+        src.lastModified).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val state = s"graft_topk_state_${fp}_k$k"
     if (!s.catalog.tableExists(state)) {
       // the in-memory catalog forgets tables across JVMs while the
       // warehouse directory persists: re-attach an existing state

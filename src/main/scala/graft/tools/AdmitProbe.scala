@@ -52,7 +52,13 @@ object AdmitProbe {
             else s"fresh wave $w doc $i with unique content tokens " +
               s"alpha$w beta$i gamma delta"
           id += 1
-          (id, Timestamp.valueOf(f"2024-01-01 00:${w % 60}%02d:00"), txt)
+          // monotone in w (base epoch + w minutes), never w % 60:
+          // wrapped timestamps arrive non-monotonically into the
+          // watermarked stream and can drop late rows, skewing the
+          // per-trigger timing the probe reports
+          (id, new Timestamp(
+            Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+              w * 60000L), txt)
         }
         mem.addData(rows)
         val s = System.nanoTime()

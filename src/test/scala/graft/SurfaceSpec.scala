@@ -494,4 +494,71 @@ class SurfaceSpec extends AnyFunSuite {
     assert(pairs2.contains((10L, 20L)) && pairs2.contains((1L, 20L)),
       "post-upsert probe must see both the original corpus and the upserted batch")
   }
+
+  test("q_incremental_topk state survives a catalog loss (JVM restart): " +
+      "external re-attach, hash-exact, within the exchange budget") {
+    // SURVEY §5.11 claims the bucketed state table re-attaches as an
+    // external table when the warehouse location survives a JVM.
+    // Simulate the restart faithfully: copy the state files out, DROP
+    // the managed table (which deletes both files and catalog entry),
+    // restore the files — the catalog has now forgotten the table but
+    // its location exists, exactly the post-restart state.
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val wh = new java.io.File(java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    // start clean: an earlier JVM may have left state FILES in the
+    // warehouse (the catalog is per-JVM, the files are not; a
+    // leftover location would flip run 1 onto the re-attach path) —
+    // drop any catalog entries, then sweep the disk
+    for (t <- spark.catalog.listTables().collect().map(_.name)
+         if t.startsWith("graft_topk_state_"))
+      spark.sql(s"DROP TABLE $t")
+    for (d <- Option(wh.listFiles()).getOrElse(Array.empty)
+         if d.getName.startsWith("graft_topk_state_"))
+      new scala.reflect.io.Directory(d).deleteRecursively()
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).length
+    val r1 = graft.operators.Relational.qIncrementalTopK(spark, sf)
+      .orderBy("o_orderpriority", "rank")
+    val rows1 = r1.collect().toSeq
+    val state = spark.catalog.listTables().collect().map(_.name)
+      .filter(s => s.startsWith("graft_topk_state_") && s.endsWith("_k3"))
+      .head
+    val e1 = exchanges(r1)
+    val loc = new java.io.File(wh, state).toPath
+    val stash = Files.createTempDirectory("topk_state_stash")
+      .resolve(state)
+    copyTree(loc, stash)
+    spark.sql(s"DROP TABLE $state")
+    assert(!spark.catalog.tableExists(state), "DROP must clear the entry")
+    assert(!Files.exists(loc), "managed DROP must delete the files")
+    copyTree(stash, loc)
+    val r2 = graft.operators.Relational.qIncrementalTopK(spark, sf)
+      .orderBy("o_orderpriority", "rank")
+    val rows2 = r2.collect().toSeq
+    assert(rows2 === rows1, "post-restart arrival merge must be exact")
+    // the second run must have RE-ATTACHED (external), not rebuilt
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(state))
+    assert(meta.tableType ===
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      "restart path must re-attach the existing location, not rebuild")
+    // exchange budget: arrival work is O(delta + groups·k) — the
+    // delta's rank window plus the post-union re-rank, never a
+    // base-side re-rank. Two exchanges, and re-attached must cost no
+    // more than the freshly-built managed state did.
+    val e2 = exchanges(r2)
+    assert(e2 <= 2 && e2 <= e1,
+      s"arrival plan exceeded the exchange budget (fresh=$e1, " +
+        s"re-attached=$e2):\n${r2.queryExecution.executedPlan}")
+  }
 }
