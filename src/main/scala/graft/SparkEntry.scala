@@ -847,6 +847,12 @@ object SparkEntry {
       Graph.ssspTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d),
         Tables.nation(s, d)).orderBy("node")),
+    "graph_scc_keys" -> ((s, d) =>
+      Graph.sccKeysTrade(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("node")),
+    "graph_sssp_keys" -> ((s, d) =>
+      Graph.ssspKeysTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)).orderBy("node")),
     "dedup_bloom_admit" -> ((s, d) =>
       Dedup.bloomAdmit(docs(s, d),
         Seq("src16", "src17", "src18", "src19")).orderBy("source")),
@@ -5769,6 +5775,78 @@ object SparkEntry {
         |FROM scc JOIN sz USING (scc_id)
         |JOIN nation ON node = CAST(n_nationkey AS BIGINT)
         |ORDER BY node""".stripMargin,
+    // key-level SCC over the thresholded repeat-business trade
+    // graph: the oracle proves the engine's FW-BW-trim decomposition
+    // by an independent algorithm — full transitive closure +
+    // mutual-pair min (feasible because the thresholded arc frame
+    // stays small at every tier; the engine never builds reach pairs)
+    "graph_scc_keys" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |mutual AS (
+        |  SELECT f.a AS node, f.b AS peer
+        |  FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |scc AS (
+        |  SELECT n.node,
+        |    coalesce(least(n.node, min(m.peer)), n.node) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+        |  GROUP BY n.node),
+        |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+        |  FROM scc GROUP BY scc_id)
+        |SELECT node, scc_id, scc_size
+        |FROM scc JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
+    // key-level SSSP over the same thresholded graph: fixed-sweep
+    // Bellman-Ford (60 = the engine's convergence bound; the engine
+    // throws past it, so a deeper graph fails loud, never unequal)
+    "graph_sssp_keys" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b,
+        |    greatest(1, 1000000 // n) AS cost FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b,
+        |    greatest(1, 1000000 // nr) AS cost FROM p WHERE nr >= 2),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |src AS (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS node FROM customer
+        |  WHERE c_nationkey = (SELECT n_nationkey FROM nation
+        |    ORDER BY n_name, n_nationkey LIMIT 1)
+        |    AND CAST(c_custkey * 2 AS BIGINT) IN
+        |      (SELECT node FROM nodes)),
+        |bf(it, node, d) AS (
+        |  SELECT 0, node, CAST(0 AS BIGINT) FROM src
+        |  UNION ALL
+        |  SELECT it + 1, node, min(d) FROM (
+        |    SELECT bf.it AS it, bf.node AS node, bf.d AS d
+        |    FROM bf WHERE bf.it < 60
+        |    UNION ALL
+        |    SELECT bf.it, e.b, bf.d + e.cost
+        |    FROM bf JOIN e ON bf.node = e.a WHERE bf.it < 60
+        |  ) GROUP BY 1, 2)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |    AS node_type,
+        |  node, d AS dist
+        |FROM bf WHERE it = 60 ORDER BY node""".stripMargin,
     // 2-D equi-width histogram: both edges from one min/max row,
     // exact-cents cell revenue
     "q_equiwidth_2d" ->
