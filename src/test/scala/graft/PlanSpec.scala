@@ -558,4 +558,63 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"quota didn't broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("partition-less WindowExec gate: only the documented " +
+      "horizon-bounded queries may move a window to one task") {
+    // The bounded-window CONVENTION, turned into a gate (the WARN
+    // flood hid rx_sax's corpus-proportional single-task window for
+    // seven rounds). Every query key whose physical plan contains a
+    // WindowExec/WindowGroupLimitExec with an EMPTY partition spec
+    // must be on this whitelist, and every whitelist entry must
+    // still exhibit one (no stale entries). Whitelisted frames are
+    // bounded by the TIME HORIZON or a fixed small cardinality
+    // (minutes, days, months, stages, deciles, per-partition
+    // maxima, k rows), never by corpus volume — adding a
+    // partition-less window over a corpus-proportional frame now
+    // fails this spec instead of drowning in WARN noise.
+    val whitelist = Map(
+      "rx_concurrency" -> "minute grid (horizon-bounded)",
+      "rx_slo_burn" -> "minute grid (horizon-bounded)",
+      "rx_seasonality" -> "day grid (horizon-bounded)",
+      "rx_survival" -> "day/horizon hazard frame",
+      "q_period_growth" -> "month frame (calendar-bounded)",
+      "rx_funnel_rates" -> "stage frame (|stages| rows)",
+      "q_skyline" -> "per-partition maxima prefix (<=1 row/part)",
+      "q_decile_lift" -> "decile frame (10 rows)",
+      "q_abc_pareto" -> "per-partition maxima prefix (<=1 row/part)",
+      "search_hybrid_rrf" -> "k-row post-limit rank frames",
+      "pipeline_token_budget" -> "per-source frame (|sources| rows)",
+      "pipeline_epoch_mix" -> "sources x epochs frame",
+      "pipeline_balanced_shards" ->
+        "shuffleShard partition offsets (<=|parts| rows)",
+      "pipeline_quantile_norm" ->
+        "shuffleShard partition offsets (<=|parts| rows)",
+      "dedup_sorted_neighborhood" ->
+        "shuffleShard partition offsets (<=|parts| rows)",
+      "dedup_threshold_sweep" -> "11 jaccard bands",
+      "text_zipf_audit" -> "k-row post-limit head frame",
+      "emb_pq_balanced" -> "per-dimension frame (|dims| rows)",
+      "pipeline_contrastive" -> "label universe (tiny by contract)",
+      "dq_drift" ->
+        "distinct token-length frame (doc-length-domain-bounded)")
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      val n = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window
+              .WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) offenders(name) = n
+    }
+    val undocumented = offenders.keySet -- whitelist.keySet
+    val stale = whitelist.keySet -- offenders.keySet
+    assert(undocumented.isEmpty,
+      s"NEW partition-less window(s) — document the bound or " +
+        s"partition the frame: ${undocumented.toSeq.sorted}")
+    assert(stale.isEmpty,
+      s"whitelist entries whose plans no longer hold a " +
+        s"partition-less window: ${stale.toSeq.sorted}")
+  }
 }
