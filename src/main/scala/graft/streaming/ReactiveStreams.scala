@@ -1516,6 +1516,83 @@ object ReactiveStreams {
       }
   }
 
+  case class MinuteDelta(minute: Long, d: Long)
+
+  /** Streaming concurrency curve — the unbounded twin of
+    * [[graft.operators.Reactive.rxConcurrency]]. Per-key state is
+    * one (session_start, prev_t) pair (the gap-session recurrence,
+    * uncapped like the batch op's gapSessions): a CLOSED session
+    * emits its ±1 minute-level deltas — (start-minute, +1),
+    * (end-minute + 1, −1) — and a chained unwindowed aggregate
+    * (the [[transitionsStream]] multi-stateful pattern) keeps the
+    * per-minute delta table queryable at any moment; the running
+    * active-session count is the consumer's prefix sum over the
+    * minute axis, exactly the batch op's window.
+    *
+    * Closure is emitted at the two provable points: a same-key
+    * later event past the gap (exact under the suite's in-order
+    * cross-trigger contract), and the event-time TIMEOUT once the
+    * watermark passes prev_t + gap — at which point any future
+    * event is guaranteed a gap split, so the state can be dropped
+    * and the deltas emitted without ever retracting (the
+    * sessionCappedStream eviction argument). Deltas therefore
+    * appear exactly once per closed session; open sessions
+    * contribute nothing until they close — batch parity holds on
+    * watermark-closed sessions (spec-asserted across a trigger
+    * split). State is two longs per active key, evicted on idle.
+    *
+    * Deployment note: delta rows necessarily carry minutes BELOW
+    * the closure watermark (a session's start minute is old by the
+    * time its closure is provable), so Spark's conservative
+    * global-watermark checker flags the chain; it is safe HERE
+    * because the downstream aggregate is UNWINDOWED — it never
+    * evicts per-minute state on the watermark, so a below-watermark
+    * delta is merged, never discarded (the exact risk the checker
+    * guards against cannot occur). Callers must set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * to false before starting the query — the documented,
+    * deliberate exception, asserted working in StreamingSpec. */
+  def concurrencyStream(spark: SparkSession, events: DataFrame,
+                        gapMs: Long = 1800000L): DataFrame = {
+    import spark.implicits._
+    val deltas = events.withWatermark("ts", "10 minutes")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), MinuteDelta](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev],
+         state: GroupState[(Long, Long)]) =>
+          def close(ss: Long, end: Long): Seq[MinuteDelta] =
+            Seq(MinuteDelta(ss / 60000L, 1L),
+              MinuteDelta(end / 60000L + 1L, -1L))
+          if (state.hasTimedOut) {
+            val (ss, prev) = state.get
+            state.remove()
+            close(ss, prev).iterator
+          } else {
+            var (ss, prev) = state.getOption.getOrElse((-1L, -1L))
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[MinuteDelta]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              .foreach { e =>
+                val t = e.ts.getTime
+                if (ss < 0) ss = t
+                else if (t - prev > gapMs) {
+                  out ++= close(ss, prev)
+                  ss = t
+                }
+                prev = t
+              }
+            state.update((ss, prev))
+            state.setTimeoutTimestamp(math.max(prev + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+    deltas.groupBy(col("minute")).agg(sum(col("d")).as("delta"))
+  }
+
   case class TransRow(user_id: Long, from_type: String, to_type: String)
 
   /** Streaming Markov transition counts — the unbounded twin of

@@ -1720,4 +1720,67 @@ class StreamingSpec extends AnyFunSuite {
         ("s2", 2L, 0L, 1000000L)))
     } finally q.stop()
   }
+
+  test("streaming concurrency curve: closed-session minute deltas " +
+      "equal the batch sweep-line across a trigger split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: two sessions split by a 50-min gap; user 2: one
+    // session straddling the trigger boundary (all above-watermark:
+    // a 10-min-late event would be dropped at the watermark, the
+    // documented honest boundary)
+    val evs = Seq(
+      Ev(1, ts(0), 1, "m", 0), Ev(2, ts(10), 1, "m", 0),
+      Ev(5, ts(5), 2, "m", 0),
+      Ev(3, ts(60), 1, "m", 0), Ev(4, ts(75), 1, "m", 0),
+      Ev(6, ts(20), 2, "m", 0))
+    val mem = MemoryStream[Ev]
+    val qName = s"conc_${System.nanoTime()}"
+    // the documented global-watermark exception: the chained
+    // unwindowed agg never evicts on the watermark, so the
+    // below-watermark delta rows merge instead of dropping
+    val ccKey = "spark.sql.streaming.statefulOperator." +
+      "checkCorrectness.enabled"
+    val prevCc = spark.conf.get(ccKey)
+    spark.conf.set(ccKey, "false")
+    val q = ReactiveStreams.concurrencyStream(spark, mem.toDF(),
+        gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName(qName)
+      .outputMode("complete").start()
+    try {
+      // split mid-session: user 1's first session crosses the
+      // trigger boundary, so its closure must come from carried state
+      mem.addData(evs.take(3)); q.processAllAvailable()
+      mem.addData(evs.drop(3)); q.processAllAvailable()
+      // two watermark pushes: the first advances the watermark past
+      // every prev_t + gap, the second fires the event-time timeouts
+      // that prove and emit the remaining closures
+      mem.addData(Seq(Ev(99, ts(10000), 99, "wm", 0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(100, ts(10010), 99, "wm", 0)))
+      q.processAllAvailable()
+      val streamed = spark.table(qName).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .filter(_._2 != 0L)
+      // batch twin over the real events (the sentinel user's session
+      // never closes and must contribute nothing)
+      val batch = graft.operators.Reactive.rxConcurrency(
+          evs.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          gapMs = 30 * 60000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      // prefix sum over the deltas reproduces the batch concurrency
+      val active = streamed.toSeq.sortBy(_._1)
+        .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (m, d)) =>
+          (m, acc + d) }.drop(1).toMap
+      val batchActive = graft.operators.Reactive.rxConcurrency(
+          evs.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          gapMs = 30 * 60000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(active === batchActive)
+    } finally {
+      q.stop()
+      spark.conf.set(ccKey, prevCc)
+    }
+  }
 }
