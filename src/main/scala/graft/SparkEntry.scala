@@ -556,6 +556,10 @@ object SparkEntry {
     "text_ngram_jaccard_capped" -> ((s, d) =>
       TextAnalysis.ngramJaccardCapped(docs(s, d), minJaccard = 0.02,
         maxDocFreq = 10).orderBy("source", "doc1", "doc2")),
+    "text_containment" -> ((s, d) =>
+      TextAnalysis.containmentCapped(docs(s, d),
+        minContainmentPpm = 50000L, maxDocFreq = 10)
+        .orderBy("source", "doc1", "doc2")),
     "q21_waiting_suppliers" -> ((s, d) =>
       Relational.q21WaitingSuppliers(s, d)),
     "q2_min_cost_supplier" -> ((s, d) =>
@@ -853,6 +857,13 @@ object SparkEntry {
     "graph_sssp_keys" -> ((s, d) =>
       Graph.ssspKeysTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d)).orderBy("node")),
+    "graph_topo_layers_keys" -> ((s, d) =>
+      Graph.topoLayersKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("node")),
+    "rx_mann_whitney" -> ((s, d) =>
+      Reactive.rxMannWhitney(ev(s, d)).orderBy("event_type")),
+    "rx_ks_test" -> ((s, d) =>
+      Reactive.rxKsTest(ev(s, d)).orderBy("event_type")),
     "dedup_bloom_admit" -> ((s, d) =>
       Dedup.bloomAdmit(docs(s, d),
         Seq("src16", "src17", "src18", "src19")).orderBy("source")),
@@ -4596,6 +4607,39 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (c1.n_sh + c2.n_sh - n_common)
         |  >= 0.02
         |ORDER BY pairs.source, doc1, doc2""".stripMargin,
+    // asymmetric containment over the same capped 3-gram frame:
+    // all-integral score, contained side = the smaller capped set
+    "text_containment" ->
+      """WITH sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents WHERE len(string_split(lower(text), ' ')) >= 3),
+        |p AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |k AS (SELECT source, s FROM p GROUP BY source, s
+        |      HAVING count(*) <= 10),
+        |kp AS (SELECT p.doc_id, p.source, p.s
+        |       FROM p JOIN k USING (source, s)),
+        |c AS (SELECT doc_id, count(*) AS n_sh FROM kp GROUP BY 1),
+        |pairs AS (
+        | SELECT a.source, a.doc_id AS doc1, b.doc_id AS doc2,
+        |  count(*) AS n_common
+        | FROM kp a JOIN kp b ON a.source = b.source AND a.s = b.s
+        | WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3)
+        |SELECT pairs.source, doc1, doc2,
+        | CAST(n_common AS BIGINT) AS n_common,
+        | CAST(least(c1.n_sh, c2.n_sh) AS BIGINT) AS n_small,
+        | CAST(n_common * 1000000 // least(c1.n_sh, c2.n_sh)
+        |   AS BIGINT) AS containment_ppm,
+        | CASE WHEN c1.n_sh <= c2.n_sh THEN doc1 ELSE doc2 END
+        |   AS contained_doc
+        |FROM pairs JOIN c c1 ON doc1 = c1.doc_id
+        | JOIN c c2 ON doc2 = c2.doc_id
+        |WHERE n_common * 1000000 // least(c1.n_sh, c2.n_sh) >= 50000
+        |ORDER BY pairs.source, doc1, doc2""".stripMargin,
     "q21_waiting_suppliers" ->
       """WITH l AS (
         |  SELECT l_orderkey, l_suppkey,
@@ -5809,6 +5853,107 @@ object SparkEntry {
         |  FROM scc GROUP BY scc_id)
         |SELECT node, scc_id, scc_size
         |FROM scc JOIN sz USING (scc_id) ORDER BY node""".stripMargin,
+    // key-level condensation layers: the scc_keys closure oracle
+    // extended with a fixed-sweep longest-path max-relaxation over
+    // the condensed arc frame (60 = the engine's asserted depth
+    // bound — the sssp parity-bound pattern)
+    "graph_topo_layers_keys" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |mutual AS (
+        |  SELECT f.a AS node, f.b AS peer
+        |  FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |scc AS MATERIALIZED (
+        |  SELECT n.node,
+        |    coalesce(least(n.node, min(m.peer)), n.node) AS scc_id
+        |  FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+        |  GROUP BY n.node),
+        |cond AS MATERIALIZED (
+        |  SELECT DISTINCT s1.scc_id AS sa, s2.scc_id AS sb
+        |  FROM e JOIN scc s1 ON s1.node = e.a
+        |         JOIN scc s2 ON s2.node = e.b
+        |  WHERE s1.scc_id <> s2.scc_id),
+        |lay(it, scc_id, layer) AS (
+        |  SELECT 0, scc_id, CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT scc_id FROM scc)
+        |  UNION ALL
+        |  SELECT it + 1, scc_id, max(layer) FROM (
+        |    SELECT lay.it AS it, lay.scc_id AS scc_id, lay.layer
+        |    FROM lay WHERE lay.it < 60
+        |    UNION ALL
+        |    SELECT lay.it, c.sb, lay.layer + 1
+        |    FROM lay JOIN cond c ON lay.scc_id = c.sa
+        |    WHERE lay.it < 60
+        |  ) GROUP BY 1, 2)
+        |SELECT s.node, s.scc_id, l.layer
+        |FROM scc s JOIN lay l ON l.scc_id = s.scc_id AND l.it = 60
+        |ORDER BY s.node""".stripMargin,
+    // Mann-Whitney U per event type between the md5 A/B arms:
+    // doubled average ranks keep tie handling exactly integral
+    "rx_mann_whitney" ->
+      """WITH v AS (SELECT event_type, value,
+        |  CASE WHEN instr('01234567',
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) > 0
+        |    THEN 1 ELSE 0 END AS isa
+        |  FROM events),
+        |g AS (SELECT event_type, value, sum(isa) AS ca,
+        |  count(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, ca, c,
+        |  coalesce(sum(c) OVER (PARTITION BY event_type
+        |    ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cb
+        |  FROM g),
+        |agg AS (SELECT event_type,
+        |  sum(ca) AS n1, sum(c - ca) AS n2,
+        |  sum(ca * (2 * cb + c + 1)) AS r1x2
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  CAST((r1x2 - n1 * (n1 + 1) - n1 * n2) * 1000000
+        |    // (n1 * n2) AS BIGINT) AS rank_biserial_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
+    // two-sample KS per event type: D maxed on cross-multiplied
+    // integer ECDF numerators, ppm of n1*n2
+    "rx_ks_test" ->
+      """WITH v AS (SELECT event_type, value,
+        |  CASE WHEN instr('01234567',
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) > 0
+        |    THEN 1 ELSE 0 END AS isa
+        |  FROM events),
+        |g AS (SELECT event_type, value, sum(isa) AS ca,
+        |  count(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, ca, c,
+        |  sum(ca) OVER (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cuma,
+        |  sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cumc,
+        |  sum(ca) OVER (PARTITION BY event_type) AS n1,
+        |  sum(c) OVER (PARTITION BY event_type) - sum(ca)
+        |    OVER (PARTITION BY event_type) AS n2
+        |  FROM g)
+        |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(cuma * n2 - (cumc - cuma) * n1)) * 1000000
+        |    // (max(n1) * max(n2)) AS BIGINT) AS d_ppm
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     // key-level SSSP over the same thresholded graph: fixed-sweep
     // Bellman-Ford (60 = the engine's convergence bound; the engine
     // throws past it, so a deeper graph fails loud, never unequal)

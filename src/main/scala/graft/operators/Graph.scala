@@ -1201,6 +1201,102 @@ object Graph {
     * bound: the oracle relaxes a fixed `maxIter` sweeps, the engine
     * throws if convergence needs more — loud, never silently
     * unequal. */
+  /** Condensation-DAG topological layers of the KEY-LEVEL
+    * repeat-business graph — [[topoLayersTrade]] lifted off the
+    * nation roll-up: collapse to SCCs ([[sccKeysTrade]]), build the
+    * condensed arc frame (one scc-assignment join per arc end,
+    * distinct — O(arcs) exchanged), and assign every component its
+    * longest-path depth from the DAG's sources. Size-adaptive like
+    * the SCC op: under the cutoff a driver Kahn pass layers the
+    * condensation in milliseconds and ASSERTS depth ≤ `sweepBound`
+    * (the oracle relaxes a fixed `sweepBound` max-sweeps — the
+    * ssspKeysTrade parity-bound pattern: a deeper DAG fails loud,
+    * never silently unequal); above it the distributed max-relax
+    * loop ([[topoLayersTrade]]'s) runs on the O(#SCCs) frame.
+    * Output: (node, scc_id, layer) for every edge-bearing node. */
+  def topoLayersKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                          minTrades: Int = 2, minReturns: Int = 2,
+                          maxIter: Int = 200, sweepBound: Int = 60,
+                          driverCutoff: Long = 2000000L): DataFrame = {
+    val scc = sccKeysTrade(lineitem, orders, minTrades, minReturns,
+      maxIter, driverCutoff).localCheckpoint()
+    val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b")
+    val cond = edges
+      .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
+      .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
+      .filter(col("sa") =!= col("sb"))
+      .select("sa", "sb").distinct()
+      .localCheckpoint()
+    val layers =
+      if (cond.count() <= driverCutoff) {
+        import scala.collection.mutable
+        val succs = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        val indeg = mutable.LongMap.empty[Int].withDefaultValue(0)
+        val comps = mutable.SortedSet.empty[Long]
+        scc.select("scc_id").distinct().collect()
+          .foreach(r => comps += r.getLong(0))
+        cond.collect().foreach { r =>
+          val (sa, sb) = (r.getLong(0), r.getLong(1))
+          succs.getOrElseUpdate(sa,
+            mutable.ArrayBuffer.empty[Long]) += sb
+          indeg(sb) = indeg(sb) + 1
+        }
+        val layer = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        val queue = mutable.Queue.empty[Long]
+        comps.foreach(c => if (indeg(c) == 0) queue += c)
+        val none = mutable.ArrayBuffer.empty[Long]
+        var processed = 0
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          processed += 1
+          for (w <- succs.getOrElse(v, none)) {
+            layer(w) = math.max(layer(w), layer(v) + 1L)
+            indeg(w) = indeg(w) - 1
+            if (indeg(w) == 0) queue += w
+          }
+        }
+        if (processed != comps.size)
+          throw new IllegalStateException(
+            "topoLayersKeysTrade: condensation is not acyclic — " +
+              "SCC collapse failed")
+        if (layer.values.nonEmpty && layer.values.max > sweepBound)
+          throw new IllegalStateException(
+            s"topoLayersKeysTrade depth exceeds $sweepBound — raise " +
+              "sweepBound (and the oracle's sweep bound)")
+        val spark = lineitem.sparkSession
+        import spark.implicits._
+        comps.toSeq.map(c => (c, layer(c))).toDF("scc_id", "layer")
+      } else {
+        var lay = scc.select("scc_id").distinct()
+          .withColumn("layer", lit(0L)).localCheckpoint()
+        var converged = false
+        var i = 0
+        while (!converged && i < sweepBound) {
+          val relaxed = cond
+            .join(lay, col("sa") === col("scc_id"))
+            .select(col("sb").as("scc_id"),
+              (col("layer") + 1L).as("layer"))
+            .unionByName(lay)
+            .groupBy("scc_id").agg(max("layer").as("layer"))
+            .localCheckpoint()
+          val improved = relaxed.as("x")
+            .join(lay.as("y"), Seq("scc_id"))
+            .filter(col("x.layer") > col("y.layer")).count()
+          converged = improved == 0
+          lay = relaxed
+          i += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"topoLayersKeysTrade did not converge in $sweepBound " +
+              "rounds (the condensation is a DAG; raise sweepBound " +
+              "and the oracle bound for deeper ones)")
+        lay
+      }
+    scc.join(layers, "scc_id").select("node", "scc_id", "layer")
+  }
+
   def ssspKeysTrade(lineitem: DataFrame, orders: DataFrame,
                     customer: DataFrame, nation: DataFrame,
                     minTrades: Int = 2, minReturns: Int = 2,

@@ -2703,4 +2703,76 @@ object Reactive {
       .select(col("user_id"), col("event_id"), col("cents"),
         col("state"))
   }
+
+  /** The (event_type, value)-grouped two-arm count frame shared by
+    * the nonparametric tests ([[rxMannWhitney]], [[rxKsTest]]): arm
+    * A/B by the md5 user split (the [[rxAbTest]] convention —
+    * deterministic, engine-re-derivable), one partial-aggregable
+    * collapse to DISTINCT VALUE BLOCKS per event_type. Everything
+    * downstream runs on the block frame — bounded by the value
+    * domain per type, not the event count — under a per-type
+    * (PARTITIONED) window. */
+  private def armValueBlocks(events: DataFrame): DataFrame = events
+    .select(col("event_type"), col("value"),
+      when(expr("instr('01234567', " +
+        "substr(md5(cast(user_id AS string)), 1, 1))") > 0, 1L)
+        .otherwise(0L).as("isa"))
+    .groupBy("event_type", "value")
+    .agg(sum("isa").as("ca"), count(lit(1)).as("c"))
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per event type between the
+    * md5 A/B arms — the NONPARAMETRIC sibling of [[rxAbTest]]'s
+    * means: does arm A's value distribution stochastically dominate
+    * arm B's, with the rank-biserial correlation as the effect
+    * size. All-integer by DOUBLED ranks: a tied block of size t
+    * after `cb` predecessors has average rank cb + (t+1)/2, so its
+    * doubled rank 2·cb + t + 1 is exact in integers; U₁ = R₁ −
+    * n₁(n₁+1)/2 doubles to u1_x2 = Σ ca·(2·cb + t + 1) − n₁(n₁+1),
+    * and rank-biserial (2U₁/(n₁n₂) − 1) lands in integral ppm via
+    * the div-truncation contract. One shuffle (the block collapse);
+    * the rank window is per-type PARTITIONED; the final rollup
+    * partial-aggregates. */
+  def rxMannWhitney(events: DataFrame): DataFrame = {
+    val byTypeVal = Window.partitionBy("event_type").orderBy("value")
+    armValueBlocks(events)
+      .withColumn("cb", coalesce(sum("c").over(
+        byTypeVal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("ca").as("n1"), sum(col("c") - col("ca")).as("n2"),
+        sum(col("ca") * (lit(2L) * col("cb") + col("c") + lit(1L)))
+          .as("r1x2"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        (col("r1x2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
+        expr("(r1x2 - n1 * (n1 + 1) - n1 * n2) * 1000000 " +
+          "div (n1 * n2)").as("rank_biserial_ppm"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D per event type between the md5
+    * A/B arms — the distribution-shape test next to
+    * [[rxMannWhitney]]'s location shift (KS sees variance/shape
+    * differences a rank-sum misses). D = max over the value axis of
+    * |ECDF_A − ECDF_B|, computed exactly on cross-multiplied
+    * integers: |cumA·n₂ − cumB·n₁| max'd per type, reported in
+    * integral ppm of n₁·n₂. Same one-shuffle block frame and
+    * per-type partitioned cumulative window as the U test. */
+  def rxKsTest(events: DataFrame): DataFrame = {
+    val byTypeVal = Window.partitionBy("event_type").orderBy("value")
+    val byType = Window.partitionBy("event_type")
+    armValueBlocks(events)
+      .withColumn("cuma", sum("ca").over(
+        byTypeVal.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("cumc", sum("c").over(
+        byTypeVal.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("n1", sum("ca").over(byType))
+      .withColumn("n2", sum("c").over(byType) - col("n1"))
+      .withColumn("dn", abs(col("cuma") * col("n2") -
+        (col("cumc") - col("cuma")) * col("n1")))
+      .groupBy("event_type")
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max("dn").as("d_num"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        expr("d_num * 1000000 div (n1 * n2)").as("d_ppm"))
+  }
 }

@@ -398,9 +398,13 @@ object TextAnalysis {
     * plain generator (posexplode + slice of the sorted list) with no
     * join and no window sort. One shuffle of the postings total; the
     * per-doc kept-set sizes reuse that same (source, h) Exchange. */
-  def ngramJaccardCapped(docs: DataFrame, minJaccard: Double = 0.05,
-                         maxDocFreq: Int = 100): DataFrame = {
-    require(minJaccard > 0, "minJaccard must be > 0")
+  /** The df-capped 3-gram pair frame shared by [[ngramJaccardCapped]]
+    * and [[containmentCapped]]: (source, doc1, doc2, n_common, n1,
+    * n2) over the CAPPED posting lists — both consumers score the
+    * same estimator-contract adjacency, paying the posting collapse
+    * once in source. */
+  private def cappedPairFrame(docs: DataFrame, maxDocFreq: Int)
+      : DataFrame = {
     val sh = docs.select(col("doc_id"), col("source"),
       array_distinct(graft.functions.GraftFunctions
         .text_shingles(tokens(col("text")), 3)).as("sh"))
@@ -428,11 +432,41 @@ object TextAnalysis {
         Map("doc_id" -> "doc1", "n_sh" -> "n1")), "doc1")
       .join(counts.withColumnsRenamed(
         Map("doc_id" -> "doc2", "n_sh" -> "n2")), "doc2")
+  }
+
+  def ngramJaccardCapped(docs: DataFrame, minJaccard: Double = 0.05,
+                         maxDocFreq: Int = 100): DataFrame = {
+    require(minJaccard > 0, "minJaccard must be > 0")
+    cappedPairFrame(docs, maxDocFreq)
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n1") + col("n2") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("source", "doc1", "doc2", "jaccard")
   }
+
+  /** Asymmetric CONTAINMENT near-dup detection over the same
+    * df-capped 3-gram frame: C = |A∩B| / min(|A|, |B|) — the
+    * subset-copy signal symmetric Jaccard structurally misses (a
+    * short doc quoted whole inside a long one has tiny Jaccard but
+    * containment 1.0; Broder's original resemblance/containment
+    * pair). All-integral score (`n_common·10⁶ div n_small` — no
+    * float division anywhere), plus which doc is the contained one
+    * (the smaller capped set, ties to doc1). Same estimator
+    * contract and plan shape as [[ngramJaccardCapped]]: capped
+    * posting lists bound the pair fan-out, sets never ride a
+    * shuffle, scoring is a narrow integer map over the pair frame. */
+  def containmentCapped(docs: DataFrame,
+                        minContainmentPpm: Long = 600000L,
+                        maxDocFreq: Int = 100): DataFrame =
+    cappedPairFrame(docs, maxDocFreq)
+      .withColumn("n_small", least(col("n1"), col("n2")))
+      .withColumn("containment_ppm",
+        expr("n_common * 1000000 div n_small"))
+      .filter(col("containment_ppm") >= minContainmentPpm)
+      .withColumn("contained_doc",
+        when(col("n1") <= col("n2"), col("doc1")).otherwise(col("doc2")))
+      .select("source", "doc1", "doc2", "n_common", "n_small",
+        "containment_ppm", "contained_doc")
 
   /** Okapi BM25 relevance of every document against a fixed term set
     * — the classic quality/relevance scorer for corpus curation.
