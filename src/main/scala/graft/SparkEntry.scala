@@ -860,6 +860,15 @@ object SparkEntry {
     "graph_topo_layers_keys" -> ((s, d) =>
       Graph.topoLayersKeysTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("node")),
+    "graph_harmonic_keys" -> ((s, d) =>
+      Graph.harmonicKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("node")),
+    "ann_mips" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.mipsTopK(e, e.filter(col("vec_id") < 10))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "rx_mann_whitney" -> ((s, d) =>
       Reactive.rxMannWhitney(ev(s, d)).orderBy("event_type")),
     "rx_ks_test" -> ((s, d) =>
@@ -5954,6 +5963,54 @@ object SparkEntry {
         |  CAST(max(abs(cuma * n2 - (cumc - cuma) * n1)) * 1000000
         |    // (max(n1) * max(n2)) AS BIGINT) AS d_ppm
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // MIPS: the ann_bruteforce contract without the norm — raw
+    // index-order dot products, top-k per query
+    "ann_mips" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q_emb, e.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) AS ip
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, ip,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ip DESC, neighbor_id) AS rank
+        | FROM s)
+        |SELECT query_id, rank, neighbor_id, ip FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // landmark-sampled harmonic centrality: 8 md5-chosen probes,
+    // fixed-sweep multi-source BFS keyed (landmark, node), integral
+    // 10^6 div hops summed per reached node
+    "graph_harmonic_keys" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+        |lm AS MATERIALIZED (SELECT node AS lm FROM nodes
+        |  ORDER BY md5('hl:' || CAST(node AS VARCHAR)), node LIMIT 8),
+        |bf(it, lm, node, h) AS (
+        |  SELECT 0, lm, lm, CAST(0 AS BIGINT) FROM lm
+        |  UNION ALL
+        |  SELECT it + 1, lm, node, min(h) FROM (
+        |    SELECT bf.it AS it, bf.lm AS lm, bf.node AS node, bf.h
+        |    FROM bf WHERE bf.it < 60
+        |    UNION ALL
+        |    SELECT bf.it, bf.lm, e.b, bf.h + 1
+        |    FROM bf JOIN e ON bf.node = e.a WHERE bf.it < 60
+        |  ) GROUP BY 1, 2, 3)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_reach,
+        |  CAST(sum(1000000 // h) AS BIGINT) AS harmonic_ppm
+        |FROM bf WHERE it = 60 AND h >= 1
+        |GROUP BY node ORDER BY node""".stripMargin,
     // key-level SSSP over the same thresholded graph: fixed-sweep
     // Bellman-Ford (60 = the engine's convergence bound; the engine
     // throws past it, so a deeper graph fails loud, never unequal)

@@ -132,6 +132,21 @@ object Kernels {
   }
 
   /** Cosine similarity between two float vectors (single fused loop). */
+  /** Raw inner product (MIPS score) — [[cosine]] without the norm:
+    * sequential index-order left fold, bit-identical to DuckDB's
+    * list_sum over the zipped products (the ann_bruteforce float
+    * contract). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -832,6 +847,19 @@ case class CosineSimExpr(left: Expression, right: Expression)
       : CosineSimExpr = copy(left = l, right = r)
 }
 
+/** Raw inner product of two array<float> columns (the MIPS score —
+  * cosine without the norm), codegen'd. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : DotProductExpr = copy(left = l, right = r)
+}
+
 /** Word n-gram shingles (space-joined) of an array<string> tokens
   * column. */
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
@@ -1083,6 +1111,11 @@ object GraftFunctions {
   /** Cosine similarity of two array<float> embedding columns. */
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSimExpr(toExpr(a), toExpr(b)))
+
+  /** Raw inner product of two array<float> embedding columns (the
+    * MIPS score). */
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProductExpr(toExpr(a), toExpr(b)))
 
   /** Double → scaled BIGINT with decimal-cast rounding semantics
     * (the money-sum fast path's per-row kernel). */

@@ -1297,6 +1297,100 @@ object Graph {
     scc.join(layers, "scc_id").select("node", "scc_id", "layer")
   }
 
+  /** Landmark-sampled harmonic centrality over the KEY-LEVEL
+    * repeat-business graph — the estimator [[closenessTrade]]'s
+    * docstring names as the billion-node swap for its exact |V|²
+    * frame, delivered at key level: pick `landmarks` fixed probes
+    * (the smallest md5("hl:"+node) edge-bearing nodes — id-pattern-
+    * free, engine-re-derivable, the capped-adjacency salt
+    * convention), run ONE multi-source BFS keyed (landmark, node) —
+    * O(landmarks·reached) frame, one arc⋈frontier join + min-hop
+    * per round, never all-sources — and report each reached node's
+    * harmonic estimate Σ 10⁶ div hops over the landmarks that reach
+    * it (integral by construction; Boldi–Vigna's in-harmonic
+    * sampling). Size-adaptive: driver BFS under the arc cutoff,
+    * the distributed min-hop loop above it; both assert hops ≤
+    * `maxIter`, the oracle's fixed sweep bound. Output:
+    * (node, n_reach, harmonic_ppm) for nodes ≥1 landmark reaches. */
+  def harmonicKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                        minTrades: Int = 2, minReturns: Int = 2,
+                        landmarks: Int = 8, maxIter: Int = 60,
+                        driverCutoff: Long = 2000000L): DataFrame = {
+    val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b").localCheckpoint()
+    val nodes = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node"))).distinct()
+    val lms = nodes
+      .orderBy(md5(concat(lit("hl:"), col("node").cast("string"))),
+        col("node"))
+      .limit(landmarks)
+      .select(col("node").as("lm"))
+      .localCheckpoint()
+    if (edges.count() <= driverCutoff) {
+      import scala.collection.mutable
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      edges.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      val none = mutable.ArrayBuffer.empty[Long]
+      val nReach = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      val harmonic = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      var maxHop = 0L
+      lms.collect().map(_.getLong(0)).foreach { lm =>
+        val hop = mutable.LongMap.empty[Long]
+        hop(lm) = 0L
+        var frontier = List(lm)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap { v =>
+            adj.getOrElse(v, none).filterNot(hop.contains).map { w =>
+              hop(w) = hop(v) + 1L; w
+            }
+          }
+        }
+        hop.foreach { case (n, h) =>
+          if (h >= 1L) {
+            nReach(n) += 1L; harmonic(n) += 1000000L / h
+            if (h > maxHop) maxHop = h
+          }
+        }
+      }
+      if (maxHop > maxIter)
+        throw new IllegalStateException(
+          s"harmonicKeysTrade hops exceed $maxIter — raise maxIter " +
+            "(and the oracle's sweep bound)")
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return nReach.keys.toSeq.sorted
+        .map(n => (n, nReach(n), harmonic(n)))
+        .toDF("node", "n_reach", "harmonic_ppm")
+    }
+    var dist = lms.select(col("lm"), col("lm").as("node"))
+      .withColumn("h", lit(0L)).localCheckpoint()
+    var improved = 1L
+    var i = 0
+    while (improved > 0 && i < maxIter) {
+      val relaxed = edges.join(dist, edges("a") === dist("node"))
+        .select(col("lm"), col("b").as("node"), (col("h") + 1L).as("h"))
+        .unionByName(dist)
+        .groupBy("lm", "node").agg(min("h").as("h"))
+        .localCheckpoint()
+      improved = relaxed.as("x")
+        .join(dist.as("y"), Seq("lm", "node"), "left_outer")
+        .filter(col("y.h").isNull || col("x.h") < col("y.h")).count()
+      dist = relaxed
+      i += 1
+    }
+    if (improved > 0)
+      throw new IllegalStateException(
+        s"harmonicKeysTrade did not converge in $maxIter rounds — " +
+          "raise maxIter (and the oracle's sweep bound)")
+    dist.filter(col("h") >= 1L)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000000 div h")).as("harmonic_ppm"))
+  }
+
   def ssspKeysTrade(lineitem: DataFrame, orders: DataFrame,
                     customer: DataFrame, nation: DataFrame,
                     minTrades: Int = 2, minReturns: Int = 2,

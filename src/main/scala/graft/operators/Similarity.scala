@@ -33,6 +33,32 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Maximum inner-product search (MIPS) — [[bruteForceTopK]] with
+    * the RAW dot product: the recommendation-scoring retrieval
+    * (user·item affinity, un-normalized rerankers) where magnitude
+    * MATTERS and cosine's normalization is wrong — the two rankings
+    * genuinely differ (a long vector can win MIPS while losing
+    * cosine), which is why MIPS has its own reduction literature
+    * (Shrivastava & Li's asymmetric LSH). Same exchange-free plan:
+    * queries broadcast onto one corpus scan, the codegen'd dot
+    * kernel (index-order left fold — the ann_bruteforce float
+    * contract), one per-query top-k window as the only exchange. */
+  def mipsTopK(embs: DataFrame, queries: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val cand = embs.select(col("vec_id").as("neighbor_id"),
+      col("embedding"))
+    cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip",
+        GraftFunctions.dot_product(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ip").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "ip")
+  }
+
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized to its
     * nearest of `nlist` centroids; each query probes only the
     * `nprobe` nearest centroid lists. The second classic ANN scale
