@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.{CosineArgmaxExpr, L2ArgminExpr, CosineSimExpr, Md5MinHashBandsExpr, Md5RhpLshExpr, Md5SimHash60Expr, MinHashBandsExpr, QuantizeAuditExpr, RhpLshExpr, ShinglesExpr, SimHash64Expr, SortedJaccardExpr, SortedJaccardLongExpr}
+import graft.functions.{CosineArgmaxExpr, DotProductExpr, L2ArgminExpr, CosineSimExpr, Md5MinHashBandsExpr, Md5RhpLshExpr, Md5SimHash60Expr, MinHashBandsExpr, QuantizeAuditExpr, RhpLshExpr, ShinglesExpr, SimHash64Expr, SortedJaccardExpr, SortedJaccardLongExpr}
 import graft.sources.Tables
 
 /** SQL surface of the engine: registers the custom Catalyst
@@ -18,6 +18,8 @@ object GraftSql {
       es => SimHash64Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProductExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("rhp_lsh",
       es => RhpLshExpr(es(0), intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_bands",

@@ -50,6 +50,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("dot_product is the exact index-order left fold (MIPS score)") {
+    import spark.implicits._
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val expected = a.zip(b)
+      .foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.dot_product(col("a"), col("b")))
+      .head.getDouble(0)
+    assert(got === expected)
+    // reachable from SQL like the rest of the kernel family
+    GraftSql.registerFunctions(spark)
+    val viaSql = Seq((a, b)).toDF("a", "b").createOrReplaceTempView("dp_t")
+    assert(spark.sql("SELECT dot_product(a, b) FROM dp_t")
+      .head.getDouble(0) === expected)
+  }
+
   test("cosine_sim is 1 on self, 0 on zero vector") {
     import spark.implicits._
     val v = Array(0.3f, -0.7f, 2.2f)
