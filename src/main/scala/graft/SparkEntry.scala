@@ -556,7 +556,7 @@ object SparkEntry {
     "text_ngram_jaccard_capped" -> ((s, d) =>
       TextAnalysis.ngramJaccardCapped(docs(s, d), minJaccard = 0.02,
         maxDocFreq = 10).orderBy("source", "doc1", "doc2")),
-    "text_containment" -> ((s, d) =>
+    "text_containment_capped" -> ((s, d) =>
       TextAnalysis.containmentCapped(docs(s, d),
         minContainmentPpm = 50000L, maxDocFreq = 10)
         .orderBy("source", "doc1", "doc2")),
@@ -4618,7 +4618,7 @@ object SparkEntry {
         |ORDER BY pairs.source, doc1, doc2""".stripMargin,
     // asymmetric containment over the same capped 3-gram frame:
     // all-integral score, contained side = the smaller capped set
-    "text_containment" ->
+    "text_containment_capped" ->
       """WITH sh AS (
         | SELECT doc_id, source,
         |  list_distinct(list_transform(
