@@ -1016,9 +1016,21 @@ object Graph {
   def sccKeysTrade(lineitem: DataFrame, orders: DataFrame,
                    minTrades: Int = 2, minReturns: Int = 2,
                    maxIter: Int = 200,
-                   driverCutoff: Long = 2000000L): DataFrame = {
-    val edges0 = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-      .select("a", "b").localCheckpoint()
+                   driverCutoff: Long = 2000000L): DataFrame =
+    sccKeysCore(
+      repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+        .select("a", "b").localCheckpoint(),
+      lineitem.sparkSession, maxIter, driverCutoff)
+
+  /** [[sccKeysTrade]]'s core over an already-built arc frame — the
+    * composition point [[topoLayersKeysTrade]] uses so the layering
+    * composite pays the corpus fact collapse ONCE (the r9
+    * sccFromEdges lesson, applied at key level: the nation layering
+    * used to pay the 4-table join twice, 9.24 -> 4.95 s at sf10). */
+  private def sccKeysCore(edges0: DataFrame,
+                          session: org.apache.spark.sql.SparkSession,
+                          maxIter: Int,
+                          driverCutoff: Long): DataFrame = {
     // SIZE-ADAPTIVE execution (the [[graft.operators.Dedup
     // .connectedComponents]] contract): the thresholded arc frame is
     // orders of magnitude smaller than its corpus and its count is
@@ -1032,12 +1044,16 @@ object Graph {
     if (edges0.count() <= driverCutoff) {
       import scala.collection.mutable
       val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
-      val nodeSet = mutable.SortedSet.empty[Long]
+      // node universe as a LongMap + one array sort — a SortedSet's
+      // per-insert tree rebalance was ~10 s of the sf10 pass alone
+      val seen = mutable.LongMap.empty[Unit]
       edges0.collect().foreach { r =>
         val (a, b) = (r.getLong(0), r.getLong(1))
         adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
-        nodeSet += a; nodeSet += b
+        seen(a) = (); seen(b) = ()
       }
+      val nodeSet = seen.keys.toArray
+      java.util.Arrays.sort(nodeSet)
       val empty = mutable.ArrayBuffer.empty[Long]
       val index = mutable.LongMap.empty[Int]
       val low = mutable.LongMap.empty[Int]
@@ -1080,13 +1096,17 @@ object Graph {
           }
         }
       }
-      val sizes = comp.values.groupBy(identity).map {
-        case (id, vs) => id -> vs.size.toLong
-      }
-      val spark = lineitem.sparkSession
+      val sizes = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      comp.values.foreach(id => sizes(id) = sizes(id) + 1L)
+      val spark = session
       import spark.implicits._
-      return nodeSet.toSeq
-        .map(n => (n, comp(n), sizes(comp(n))))
+      // ship the result as a parallelized RDD, not a LocalRelation:
+      // LocalRelation encodes every row ON THE DRIVER per execution
+      // (~60 s of the 890k-node sf10 pass); parallelize slices the
+      // raw tuples and converts on executors
+      return spark.sparkContext
+        .parallelize(nodeSet.toSeq.map(n =>
+          (n, comp(n), sizes(comp(n)))), 32)
         .toDF("node", "scc_id", "scc_size")
     }
     val allNodes = edges0.select(col("a").as("node"))
@@ -1218,10 +1238,10 @@ object Graph {
                           minTrades: Int = 2, minReturns: Int = 2,
                           maxIter: Int = 200, sweepBound: Int = 60,
                           driverCutoff: Long = 2000000L): DataFrame = {
-    val scc = sccKeysTrade(lineitem, orders, minTrades, minReturns,
-      maxIter, driverCutoff).localCheckpoint()
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-      .select("a", "b")
+      .select("a", "b").localCheckpoint()
+    val scc = sccKeysCore(edges, lineitem.sparkSession, maxIter,
+      driverCutoff).localCheckpoint()
     val cond = edges
       .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
       .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
@@ -1266,7 +1286,12 @@ object Graph {
               "sweepBound (and the oracle's sweep bound)")
         val spark = lineitem.sparkSession
         import spark.implicits._
-        comps.toSeq.map(c => (c, layer(c))).toDF("scc_id", "layer")
+        // parallelized, not LocalRelation — same driver-encoding
+        // trap as the SCC result (the frame is every scc_id,
+        // singletons included)
+        spark.sparkContext
+          .parallelize(comps.toSeq.map(c => (c, layer(c))), 32)
+          .toDF("scc_id", "layer")
       } else {
         var lay = scc.select("scc_id").distinct()
           .withColumn("layer", lit(0L)).localCheckpoint()
@@ -1361,8 +1386,8 @@ object Graph {
             "(and the oracle's sweep bound)")
       val spark = lineitem.sparkSession
       import spark.implicits._
-      return nReach.keys.toSeq.sorted
-        .map(n => (n, nReach(n), harmonic(n)))
+      return spark.sparkContext.parallelize(nReach.keys.toSeq.sorted
+          .map(n => (n, nReach(n), harmonic(n))), 32)
         .toDF("node", "n_reach", "harmonic_ppm")
     }
     var dist = lms.select(col("lm"), col("lm").as("node"))
@@ -1446,10 +1471,12 @@ object Graph {
             "raise maxIter (and the oracle's sweep bound)")
       val spark = lineitem.sparkSession
       import spark.implicits._
-      return d.toSeq
-        .map { case (n, dd) =>
-          (if (n % 2 == 0) "cust" else "supp", n, dd)
-        }
+      // parallelized, not LocalRelation (the reached set is
+      // corpus-proportional under wide seed nations)
+      return spark.sparkContext.parallelize(d.toSeq
+          .map { case (n, dd) =>
+            (if (n % 2 == 0) "cust" else "supp", n, dd)
+          }, 32)
         .toDF("node_type", "node", "dist")
     }
     var dist = seeds
