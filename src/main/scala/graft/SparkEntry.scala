@@ -863,6 +863,8 @@ object SparkEntry {
     "graph_harmonic_keys" -> ((s, d) =>
       Graph.harmonicKeysTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("node")),
+    "emb_norm_hist" -> ((s, d) =>
+      Similarity.normHistogram(embs(s, d)).orderBy("bucket")),
     "ann_mips" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.mipsTopK(e, e.filter(col("vec_id") < 10))
@@ -5963,6 +5965,18 @@ object SparkEntry {
         |  CAST(max(abs(cuma * n2 - (cumc - cuma) * n1)) * 1000000
         |    // (max(n1) * max(n2)) AS BIGINT) AS d_ppm
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // L2-norm spread histogram: floor-scaled integral squared
+    // norms, one min/max row for both equi-width edges
+    "emb_norm_hist" ->
+      """WITH s AS (SELECT CAST(floor(list_sum(list_transform(
+        |    embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |    * 10000) AS BIGINT) AS nsq FROM embeddings),
+        |mm AS (SELECT min(nsq) AS lo, max(nsq) AS hi FROM s)
+        |SELECT least(19, (nsq - lo) * 20 // greatest(hi - lo, 1))
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(nsq) AS BIGINT) AS sum_nsq
+        |FROM s, mm GROUP BY 1 ORDER BY bucket""".stripMargin,
     // MIPS: the ann_bruteforce contract without the norm — raw
     // index-order dot products, top-k per query
     "ann_mips" ->

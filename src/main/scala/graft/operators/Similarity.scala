@@ -59,6 +59,33 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "ip")
   }
 
+  /** Embedding L2-norm spread histogram — the diagnostic that
+    * decides whether [[mipsTopK]] and cosine retrieval can disagree
+    * (equal norms ⇒ identical rankings; a wide norm spread is where
+    * MIPS work lives) and the standard pre-normalization audit.
+    * Squared norms floor-scale to integers (×10⁴) BEFORE the
+    * equi-width bucketing, so every downstream number is integral
+    * (the q_equiwidth edge contract: both edges from ONE min/max
+    * row, zero-width guarded). The norm fold itself is the
+    * index-order left fold of the ann float contract (Spark
+    * `aggregate` HOF ≡ DuckDB list_sum — a one-scan narrow
+    * projection, no kernel needed off the hot path). One scan, one
+    * broadcast stats row, |buckets| output rows at any corpus
+    * size. */
+  def normHistogram(embs: DataFrame, buckets: Int = 20): DataFrame = {
+    val nsq = embs.select(
+      expr("CAST(floor(aggregate(embedding, CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) " +
+        "* 10000) AS BIGINT)").as("nsq"))
+    val mm = nsq.agg(min("nsq").as("lo"), max("nsq").as("hi"))
+    nsq.crossJoin(broadcast(mm))
+      .select(least(lit(buckets - 1),
+        expr(s"(nsq - lo) * $buckets div greatest(hi - lo, 1)"))
+        .as("bucket"), col("nsq"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), sum("nsq").as("sum_nsq"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is coarse-quantized to its
     * nearest of `nlist` centroids; each query probes only the
     * `nprobe` nearest centroid lists. The second classic ANN scale

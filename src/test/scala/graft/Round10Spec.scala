@@ -85,6 +85,22 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("normHistogram: integral buckets partition the corpus; " +
+      "zero-width and spread edges both hold") {
+    val e = Tables.embeddings(spark, sf)
+    val got = graft.operators.Similarity.normHistogram(e).collect()
+    assert(got.map(_.getLong(1)).sum === e.count(),
+      "bucket counts must partition the corpus")
+    assert(got.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    // a constant-norm frame collapses to bucket 0 (zero-width guard)
+    import spark.implicits._
+    val const = Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+      .toDF("embedding")
+    val c = graft.operators.Similarity.normHistogram(const).collect()
+    assert(c.length === 1 && c.head.getLong(0) === 0L &&
+      c.head.getLong(1) === 2L)
+  }
+
   test("size-adaptive paths are byte-equal on real data (sf0.001): " +
       "driver Tarjan/Dijkstra == distributed FW-BW-trim/Bellman-Ford") {
     val li = Tables.lineitem(spark, sf)
