@@ -896,15 +896,43 @@ object SparkEntry {
       // two writes must not leave a half-index that passes the check
       // (minhashWriteIndex overwrites, so a rebuild over a torn
       // index is safe).
+      // STABLE name per dataset dir (md5 of the canonical path —
+      // survives regeneration, one index dir per SF tier, bounded
+      // growth) + a _FINGERPRINT file carrying the content key
+      // (size + mtime): a regenerated corpus mismatches the stored
+      // fingerprint and rebuilds IN PLACE instead of accreting a
+      // new fp-named sibling every round. Legacy fp-/hashCode-named
+      // dirs (no 'p' prefix) are GC'd on any rebuild.
       val srcFile = new java.io.File(d, "documents.parquet")
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest((srcFile.getCanonicalPath + ":" + srcFile.length +
-          ":" + srcFile.lastModified).getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val idx = s"/root/repo/target/mh_gate_idx_$fp"
+      def md5hex(sIn: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sIn.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      val fp = md5hex(srcFile.getCanonicalPath + ":" + srcFile.length +
+        ":" + srcFile.lastModified)
+      val idx = s"/root/repo/target/mh_gate_idx_p" +
+        md5hex(srcFile.getCanonicalPath)
       val marker = new java.io.File(idx, "_COMPLETE")
-      if (!marker.exists()) {
+      val fpFile = new java.io.File(idx, "_FINGERPRINT")
+      def storedFp: Option[String] =
+        if (fpFile.exists())
+          Some(new String(java.nio.file.Files.readAllBytes(
+            fpFile.toPath), "UTF-8").trim)
+        else None
+      if (!marker.exists() || !storedFp.contains(fp)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        Option(new java.io.File("/root/repo/target").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            f.getName.startsWith("mh_gate_idx_") &&
+            !f.getName.startsWith("mh_gate_idx_p"))
+          .foreach(rm)
+        if (marker.exists()) marker.delete()
         Dedup.minhashWriteIndex(corpus, idx, auditable = true)
+        java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
         marker.createNewFile()
       }
       Dedup.minhashAdmitIndexed(s, idx, wave, auditable = true)

@@ -537,17 +537,21 @@ object Dedup {
     * which parquet row-group min/max stats turn into whole-file
     * skips against the range-clustered layout [[minhashWriteIndex]]
     * writes. `pushdownCap` guards the driver, and the guard guards
-    * the COLLECT, not just the plan choice: each id set is COUNTED
-    * distributed-side first, and only a set under the cap is ever
-    * materialized on the driver (a boilerplate-heavy wave hitting a
-    * hot bucket can blow the candidate set past any wave bound — it
-    * must never reach the driver first). Past the cap the scan
-    * filter rides a broadcast left-semi join instead of literals
-    * (correct either way — the cap only chooses the plan), and the
-    * default cap sits at 4096: an `isin` of ~100k literals bloats
-    * analysis and exceeds what parquet row-group pruning evaluates
-    * usefully, so past a few thousand keys the semi-join is the
-    * honest plan.
+    * the COLLECT, not just the plan choice: each id set is fetched
+    * via ONE `limit(cap+1).collect()` action (incremental
+    * executeTake — no full count job), so the driver never
+    * materializes more than cap+1 ids even when a
+    * boilerplate-heavy wave hitting a hot bucket blows the
+    * candidate set past any wave bound. Past the cap the scan
+    * filter rides a PLAIN (un-hinted) left-semi join — the planner
+    * auto-broadcasts a small build side and falls back to a
+    * shuffled semi-join for a genuinely huge one, so an unbounded
+    * id set can never force a driver-built hash relation the way a
+    * `broadcast()` hint would (hints bypass
+    * autoBroadcastJoinThreshold). The default cap sits at 4096: an
+    * `isin` of ~100k literals bloats analysis and exceeds what
+    * parquet row-group pruning evaluates usefully, so past a few
+    * thousand keys the semi-join is the honest plan.
     * Output is one verdict row per shingle-bearing wave doc:
     * (doc_id, n_dup, best_j_scaled, admitted) — identical to the
     * streaming twin's rollup and spec-asserted ≡ the batch probe. */
@@ -563,29 +567,34 @@ object Dedup {
     val probes = bandBuckets(sh, bands, rows, auditable)
       .select(col("band"), col("bh"), col("doc_id").as("doc2"))
       .localCheckpoint()
-    // wave-bounded key set (waveSize * bands values) — count BEFORE
-    // collect so an over-cap set never materializes on the driver
+    // wave-bounded key set (waveSize * bands values) — one
+    // limit(cap+1).collect() action: the driver sees at most cap+1
+    // ids, and an over-cap set never fully materializes there
     val bhKeys = probes.select("bh").distinct()
     val postings0 = spark.read.parquet(dir + "/postings")
+    val bhArr = bhKeys.limit(pushdownCap + 1).collect()
     val postings =
-      if (bhKeys.count() <= pushdownCap)
+      if (bhArr.length <= pushdownCap)
         postings0.filter(col("bh").isin(
-          bhKeys.collect().map(_.getLong(0)).toSeq: _*))
-      else postings0.join(broadcast(bhKeys), Seq("bh"), "left_semi")
+          bhArr.map(_.getLong(0)).toSeq: _*))
+      else postings0.join(bhKeys, Seq("bh"), "left_semi")
     val cand = postings
       .join(broadcast(probes), Seq("band", "bh"))
       .select(col("doc_id").as("doc1"), col("doc2")).distinct()
       .localCheckpoint()
     // candidate ids are bucket-occupancy-bounded, NOT wave-bounded:
-    // same count-then-collect guard, broadcast semi-join past the cap
+    // same capped take, and the past-cap fallback is an UN-hinted
+    // left-semi — the planner sizes the build side, so a hot-bucket
+    // blowup can't force a driver-built broadcast relation
     val doc1Keys = cand.select("doc1").distinct()
     val sets0 = spark.read.parquet(dir + "/sets")
       .select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val doc1Arr = doc1Keys.limit(pushdownCap + 1).collect()
     val corpusSets =
-      if (doc1Keys.count() <= pushdownCap)
+      if (doc1Arr.length <= pushdownCap)
         sets0.filter(col("doc1").isin(
-          doc1Keys.collect().map(_.getLong(0)).toSeq: _*))
-      else sets0.join(broadcast(doc1Keys), Seq("doc1"), "left_semi")
+          doc1Arr.map(_.getLong(0)).toSeq: _*))
+      else sets0.join(doc1Keys, Seq("doc1"), "left_semi")
     val verdicts = cand
       .join(corpusSets, "doc1")
       .join(broadcast(sh.select(col("doc_id").as("doc2"),

@@ -702,7 +702,10 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // maxIter bounds IMPROVING rounds; the +1 is the no-improvement
+    // confirming round, so a diameter-exactly-maxIter graph
+    // converges instead of throwing (oracle: fixed maxIter sweeps)
+    while (!converged && i < maxIter + 1) {
       val relaxed = edges
         .join(dist.filter(col("d").isNotNull), col("esrc") === col("node"))
         .select(col("edst").as("node"), (col("d") + col("cost")).as("d"))
@@ -768,7 +771,8 @@ object Graph {
     var reach = edges
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // improving rounds ≤ maxIter; +1 is the confirming round
+    while (!converged && i < maxIter + 1) {
       val nxt = reach.unionByName(
           reach.as("x").join(reach.as("y"), col("x.b") === col("y.a"))
             .select(col("x.a").as("a"), col("y.b").as("b")))
@@ -852,7 +856,8 @@ object Graph {
       .withColumn("layer", lit(0L)).localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // improving rounds ≤ maxIter; +1 is the confirming round
+    while (!converged && i < maxIter + 1) {
       val relaxed = cond
         .join(layers, col("sa") === col("scc_id"))
         .select(col("sb").as("scc_id"), (col("layer") + 1L).as("layer"))
@@ -911,7 +916,8 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // improving rounds ≤ maxIter; +1 is the confirming round
+    while (!converged && i < maxIter + 1) {
       val relaxed = edges
         .join(dist.filter(col("d").isNotNull), col("esrc") === col("node"))
         .select(col("src"), col("edst").as("node"),
@@ -1141,7 +1147,8 @@ object Graph {
           .localCheckpoint()
         var changed = 1L
         var it = 0
-        while (changed > 0 && it < maxIter) {
+        // improving rounds ≤ maxIter; +1 is the confirming round
+        while (changed > 0 && it < maxIter + 1) {
           val upd = edges.join(colors, edges("a") === colors("node"))
             .select(col("b").as("node"), col("color"))
             .unionByName(colors)
@@ -1297,7 +1304,10 @@ object Graph {
           .withColumn("layer", lit(0L)).localCheckpoint()
         var converged = false
         var i = 0
-        while (!converged && i < sweepBound) {
+        // improving rounds ≤ sweepBound; +1 is the confirming
+        // round — a depth-exactly-sweepBound DAG converges here
+        // just as it passes the driver path's '> sweepBound' assert
+        while (!converged && i < sweepBound + 1) {
           val relaxed = cond
             .join(lay, col("sa") === col("scc_id"))
             .select(col("sb").as("scc_id"),
@@ -1394,7 +1404,10 @@ object Graph {
       .withColumn("h", lit(0L)).localCheckpoint()
     var improved = 1L
     var i = 0
-    while (improved > 0 && i < maxIter) {
+    // improving rounds ≤ maxIter; +1 is the confirming round — a
+    // hop-diameter-exactly-maxIter graph converges here just as it
+    // passes the driver BFS's '> maxIter' assert
+    while (improved > 0 && i < maxIter + 1) {
       val relaxed = edges.join(dist, edges("a") === dist("node"))
         .select(col("lm"), col("b").as("node"), (col("h") + 1L).as("h"))
         .unionByName(dist)
@@ -1463,6 +1476,15 @@ object Graph {
             if (!d.contains(w) || dv + c < d(w)) {
               d(w) = dv + c; hops(w) = hops(v) + 1
               pq.enqueue((dv + c, w))
+            } else if (dv + c == d(w) && hops(v) + 1 < hops(w)) {
+              // tie-break on (distance, hops): among equal-cost
+              // paths record the MIN-hop witness, else the parity
+              // assert below can fire on a graph whose min-hop
+              // optimal paths the oracle's fixed sweeps do handle
+              // (the re-enqueue propagates the shorter witness
+              // downstream; hops only decreases, so it terminates)
+              hops(w) = hops(v) + 1
+              pq.enqueue((dv + c, w))
             }
       }
       if (hops.values.nonEmpty && hops.values.max > maxIter)
@@ -1484,7 +1506,12 @@ object Graph {
       .localCheckpoint()
     var improved = 1L
     var i = 0
-    while (improved > 0 && i < maxIter) {
+    // maxIter bounds IMPROVING rounds, the +1 is the no-improvement
+    // confirming round: a graph whose hop-diameter equals maxIter
+    // exactly converges on the distributed path just as it passes
+    // the driver Dijkstra's 'hops > maxIter' assert and the
+    // oracle's fixed maxIter-sweep Bellman–Ford
+    while (improved > 0 && i < maxIter + 1) {
       val relaxed = edges.join(dist, edges("a") === dist("node"))
         .select(col("b").as("node"), (col("d") + col("cost")).as("d"))
         .unionByName(dist)

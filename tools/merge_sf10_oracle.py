@@ -40,12 +40,13 @@ def main():
     for path, tier in ((args.get("--full"), "full_sf10"),
                        (args.get("--sampled"), "sampled_sf10s")):
         for key, (mark, detail) in parse(path).items():
-            # full-tier verdict wins over sampled for the same key
+            # full-tier verdict wins over sampled for the same key —
+            # regardless of mark: a fresh full_sf10 FAIL must NOT be
+            # overwritten by a later-parsed sampled-tier PASS.
             if (tier == "sampled_sf10s" and key in per_key
                     and per_key[key].get("detail", "").endswith(
                         f"swept:{tag}")
-                    and per_key[key]["tier"] == "full_sf10"
-                    and per_key[key]["verdict"] == "PASS"):
+                    and per_key[key]["tier"] == "full_sf10"):
                 continue
             per_key[key] = {"tier": tier, "verdict": mark,
                             "detail": f"{detail} swept:{tag}"}
