@@ -863,6 +863,18 @@ object SparkEntry {
     "graph_harmonic_keys" -> ((s, d) =>
       Graph.harmonicKeysTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("node")),
+    "graph_pagerank_keys" -> ((s, d) =>
+      Graph.pageRankKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("node")),
+    "graph_reciprocity_keys" -> ((s, d) =>
+      Graph.reciprocityKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("node")),
+    "graph_triangles_keys" -> ((s, d) =>
+      Graph.trianglesKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("cust")),
+    "graph_clustering_keys" -> ((s, d) =>
+      Graph.clusteringKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("cust")),
     "emb_norm_hist" -> ((s, d) =>
       Similarity.normHistogram(embs(s, d)).orderBy("bucket")),
     "ann_mips" -> ((s, d) => {
@@ -6091,6 +6103,148 @@ object SparkEntry {
         |    AS node_type,
         |  node, d AS dist
         |FROM bf WHERE it = 60 ORDER BY node""".stripMargin,
+    // key-level PageRank: the nation unrolled-3-iteration oracle on
+    // the repeat-business arc frame, uniform out-arc split
+    "graph_pagerank_keys" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |nodes AS MATERIALIZED (
+        |  SELECT a AS node FROM e UNION SELECT b FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |od AS (SELECT a, count(*) AS od FROM e GROUP BY 1),
+        |ed AS MATERIALIZED (
+        |  SELECT e.a AS src, e.b AS dst, 1000000 // od.od AS frac_ppm
+        |  FROM e JOIN od ON e.a = od.a),
+        |r0 AS (SELECT node,
+        |  1000000000000 // (SELECT n FROM nn) AS pr FROM nodes),
+        |r1 AS (SELECT nd.node,
+        |  ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   + (coalesce(s.c, 0) * 85) // 100 AS pr
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT ed.dst AS node,
+        |   CAST(sum((r.pr * ed.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM ed JOIN r0 r ON ed.src = r.node GROUP BY 1) s
+        |  USING (node)),
+        |r2 AS (SELECT nd.node,
+        |  ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   + (coalesce(s.c, 0) * 85) // 100 AS pr
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT ed.dst AS node,
+        |   CAST(sum((r.pr * ed.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM ed JOIN r1 r ON ed.src = r.node GROUP BY 1) s
+        |  USING (node)),
+        |r3 AS (SELECT nd.node,
+        |  ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |   + (coalesce(s.c, 0) * 85) // 100 AS pr
+        | FROM nodes nd LEFT JOIN (
+        |  SELECT ed.dst AS node,
+        |   CAST(sum((r.pr * ed.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM ed JOIN r2 r ON ed.src = r.node GROUP BY 1) s
+        |  USING (node))
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |    AS node_type,
+        |  node, pr AS pr_scaled
+        |FROM r3 ORDER BY node""".stripMargin,
+    // key-level reciprocity: reverse-arc EXISTS over the same frame
+    "graph_reciprocity_keys" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |r AS (SELECT e1.a, count(*) AS n_recip FROM e e1
+        |  WHERE EXISTS (SELECT 1 FROM e e2
+        |    WHERE e2.a = e1.b AND e2.b = e1.a)
+        |  GROUP BY 1)
+        |SELECT CASE WHEN o.a % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |    AS node_type,
+        |  o.a AS node, o.n_out,
+        |  coalesce(r.n_recip, 0) AS n_recip,
+        |  coalesce(r.n_recip, 0) * 1000000 // o.n_out AS recip_ppm
+        |FROM (SELECT a, count(*) AS n_out FROM e GROUP BY 1) o
+        |LEFT JOIN r ON o.a = r.a
+        |ORDER BY node""".stripMargin,
+    // capped co-sourcing projection triangles: the engine's
+    // orientation changes only intermediates — the oracle counts
+    // corners off the plain id-ordered 3-way join
+    "graph_triangles_keys" ->
+      """WITH bp AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(l_suppkey AS BIGINT) AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS MATERIALIZED (
+        |  SELECT cust, supp FROM (
+        |    SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |      ORDER BY md5('tri:' || CAST(supp AS VARCHAR) || ':'
+        |        || CAST(cust AS VARCHAR)), cust) AS rn
+        |    FROM bp) WHERE rn <= 64),
+        |ue AS MATERIALIZED (
+        |  SELECT x.cust AS u, y.cust AS v
+        |  FROM capped x JOIN capped y
+        |    ON x.supp = y.supp AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |  FROM ue e1 JOIN ue e2 ON e1.v = e2.u
+        |  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT n1 AS node FROM tri
+        |    UNION ALL SELECT n2 FROM tri
+        |    UNION ALL SELECT n3 FROM tri) GROUP BY 1),
+        |nodes AS (SELECT u AS node FROM ue UNION SELECT v FROM ue)
+        |SELECT n.node AS cust, coalesce(c.n_tri, 0) AS n_tri
+        |FROM nodes n LEFT JOIN corners c USING (node)
+        |ORDER BY cust""".stripMargin,
+    "graph_clustering_keys" ->
+      """WITH bp AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(l_suppkey AS BIGINT) AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS MATERIALIZED (
+        |  SELECT cust, supp FROM (
+        |    SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |      ORDER BY md5('tri:' || CAST(supp AS VARCHAR) || ':'
+        |        || CAST(cust AS VARCHAR)), cust) AS rn
+        |    FROM bp) WHERE rn <= 64),
+        |ue AS MATERIALIZED (
+        |  SELECT x.cust AS u, y.cust AS v
+        |  FROM capped x JOIN capped y
+        |    ON x.supp = y.supp AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |  FROM ue e1 JOIN ue e2 ON e1.v = e2.u
+        |  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT n1 AS node FROM tri
+        |    UNION ALL SELECT n2 FROM tri
+        |    UNION ALL SELECT n3 FROM tri) GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
+        |  GROUP BY 1)
+        |SELECT d.node AS cust, d.deg,
+        |  coalesce(c.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg >= 2 THEN coalesce(c.n_tri, 0) * 2000000
+        |    // (d.deg * (d.deg - 1)) END AS cc_ppm
+        |FROM deg d LEFT JOIN corners c USING (node)
+        |ORDER BY cust""".stripMargin,
     // 2-D equi-width histogram: both edges from one min/max row,
     // exact-cents cell revenue
     "q_equiwidth_2d" ->

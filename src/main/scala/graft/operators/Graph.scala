@@ -1533,4 +1533,212 @@ object Graph {
         .as("node_type"),
       col("node"), col("d").as("dist"))
   }
+
+  /** Deterministic PageRank over the KEY-LEVEL repeat-business
+    * trade graph — [[pageRankTrade]] lifted off the 25-node nation
+    * roll-up onto [[repeatKeyEdges]]' sparse arc frame: which real
+    * entities (customers, suppliers) accumulate standing when rank
+    * flows along sustained order/return relationships. Uniform
+    * out-arc split (frac_ppm = 10⁶ div outdeg — the arc frame's
+    * thresholds already encode "sustained", so every surviving arc
+    * carries equal vote), damping 85/100, ranks at scale 1e12,
+    * every division an integer floor — bit-identical on any engine,
+    * the [[pageRankTrade]] fixed-point contract. Dangling-node mass
+    * (a node with only in-arcs) leaks — ranks are a centrality
+    * ORDER, not a distribution.
+    *
+    * Scale shape: the corpus is touched once ([[repeatKeyEdges]]'
+    * partial-aggregated fact collapse); each of the `iters` rounds
+    * is ONE co-partitioned arc⋈rank join + groupBy over O(arcs) —
+    * the node universe never materializes beyond the edge-bearing
+    * set, and the iteration frame is (node, pr) BIGINT pairs. */
+  def pageRankKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                        minTrades: Int = 2, minReturns: Int = 2,
+                        iters: Int = 3): DataFrame = {
+    val S = 1000000000000L
+    val arcs = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b")
+    val nodes = arcs.select(col("a").as("node"))
+      .unionByName(arcs.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    val outd = arcs.groupBy("a").agg(count(lit(1)).as("od"))
+    val edges = arcs.join(outd, "a")
+      .select(col("a").as("src"), col("b").as("dst"),
+        expr("1000000 div od").as("frac_ppm"))
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = ((S / n) * 15L) / 100L
+    var ranks = nodes.withColumn("pr", lit(S / n))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(pr * frac_ppm) div 1000000").as("term"))
+        .groupBy("node").agg(sum("term").as("c"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(c, 0L) * 85) div 100"))
+            .as("pr"))
+    }
+    ranks.select(
+      when(col("node") % 2 === 0, "cust").otherwise("supp")
+        .as("node_type"),
+      col("node"), col("pr").as("pr_scaled"))
+  }
+
+  /** Arc reciprocity over the KEY-LEVEL repeat-business graph —
+    * [[reciprocityTrade]] at entity grain: for each node with
+    * out-arcs, how many of them are reciprocated (the reverse arc
+    * exists — for a customer, a supplier it sustains demand with
+    * ALSO ships it sustained returns; the churn-risk signature at
+    * pair level). One reversed-key left-semi self-join on the
+    * O(arcs) frame + two co-partitioned groupBys — the corpus is
+    * touched only by [[repeatKeyEdges]]' single fact collapse.
+    * recip_ppm is an exact integer ratio. */
+  def reciprocityKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                           minTrades: Int = 2, minReturns: Int = 2)
+      : DataFrame = {
+    // (a, b) pairs are unique by construction: forward arcs run
+    // even→odd, return arcs odd→even — no cross-duplicates
+    val arcs = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b")
+    val recip = arcs.join(
+        arcs.select(col("b").as("a"), col("a").as("b")),
+        Seq("a", "b"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("n_recip"))
+    arcs.groupBy("a").agg(count(lit(1)).as("n_out"))
+      .join(recip, Seq("a"), "left")
+      .select(
+        when(col("a") % 2 === 0, "cust").otherwise("supp")
+          .as("node_type"),
+        col("a").as("node"), col("n_out"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        expr("coalesce(n_recip, 0L) * 1000000 div n_out")
+          .as("recip_ppm"))
+  }
+
+  /** The capped CO-SOURCING projection shared by
+    * [[trianglesKeysTrade]] / [[clusteringKeysTrade]]: an
+    * undirected edge joins customers (u < v) who share at least
+    * `minShared` suppliers — the repeat-business digraph's own
+    * undirected support is bipartite (cust↔supp only) and therefore
+    * triangle-free BY PARITY, so the triangle/clustering family
+    * runs on the one-mode projection instead. Each supplier's
+    * customer list is capped at `cap` (smallest
+    * md5("tri:"+supp+":"+cust) first — deterministic under any
+    * resharding, the [[commonNeighbors]] capped-adjacency
+    * contract), bounding the projection fan-out at
+    * cap²·|suppliers|/2 regardless of hub skew; `minShared` then
+    * keeps the EDGE frame sparse (one shared megasupplier is noise,
+    * repeated co-sourcing is structure). */
+  private def coSourceEdges(lineitem: DataFrame, orders: DataFrame,
+                            cap: Int, minShared: Int): DataFrame = {
+    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_suppkey").cast("long").as("supp"))
+      .distinct()
+    val capped = edges
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("supp")
+          .orderBy(md5(concat(lit("tri:"), col("supp").cast("string"),
+            lit(":"), col("cust").cast("string"))), col("cust"))))
+      .filter(col("rn") <= cap)
+      .select("cust", "supp")
+    capped.as("x").join(capped.as("y"),
+        col("x.supp") === col("y.supp") &&
+          col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("u"), col("y.cust").as("v"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= minShared)
+      .select("u", "v")
+      .localCheckpoint()
+  }
+
+  /** Compact-forward triangle corner counts over an undirected
+    * (u < v) edge frame — [[trianglesTrade]]'s orientation
+    * machinery factored out at entity scale: orient every edge from
+    * the (degree, id)-smaller endpoint, enumerate each wedge at its
+    * unique apex (per-node fan-out O(√E) by the arboricity bound —
+    * a hub of degree m contributes min(m, √E)² wedges, not m²),
+    * close with one equi-join, credit each triangle's three
+    * corners via a narrow explode. Returns (node, n_tri) for every
+    * edge-bearing node, 0 included. */
+  private def triangleCorners(und0: DataFrame): DataFrame = {
+    val und = und0.localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val oriented = und
+      .join(deg.withColumnRenamed("node", "u")
+        .withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v")
+        .withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("dst"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n")))
+          .as("dstOrd"))
+      .localCheckpoint()
+    val e1 = oriented.select(col("src"), col("dst").as("b"),
+      col("dstOrd").as("bOrd"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"),
+      col("dstOrd").as("cOrd"))
+    val wedges = e1.join(e2, "src")
+      .filter(col("bOrd") < col("cOrd"))
+      .select(col("src").as("apex"), col("b"), col("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val corners = wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("apex"), col("b"), col("c")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.select("node")
+      .join(corners, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Per-customer triangle participation in the capped co-sourcing
+    * projection ([[coSourceEdges]]) — the KEY-LEVEL lift of
+    * [[trianglesTrade]], whose 25-node nation triple set is
+    * degenerate by the survey's own admission. A triangle is three
+    * customers pairwise joined by repeated shared sourcing — the
+    * tightest co-demand motif. Output: (cust, n_tri) for every
+    * projection-edge-bearing customer. The oracle re-derives the
+    * identical count from the plain id-ordered 3-way join —
+    * orientation changes only the intermediate size. */
+  def trianglesKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                         cap: Int = 64, minShared: Int = 2)
+      : DataFrame =
+    triangleCorners(coSourceEdges(lineitem, orders, cap, minShared))
+      .select(col("node").as("cust"), col("n_tri"))
+
+  /** Per-customer local clustering coefficient over the capped
+    * co-sourcing projection — [[localClustering]] at entity grain:
+    * cc(v) = 2·T(v)·10⁶ div (deg(v)·(deg(v)−1)) exact ppm, NULL for
+    * degree-1 nodes (undefined, not zero — a pendant has no wedge
+    * to close). Shares [[coSourceEdges]] + [[triangleCorners]] with
+    * [[trianglesKeysTrade]]; the only additions are the degree
+    * frame it already built and one integer division. */
+  def clusteringKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                          cap: Int = 64, minShared: Int = 2)
+      : DataFrame = {
+    val und = coSourceEdges(lineitem, orders, cap, minShared)
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    triangleCorners(und)
+      .join(deg, "node")
+      .select(col("node").as("cust"), col("deg"), col("n_tri"),
+        expr("""CASE WHEN deg >= 2 THEN
+          n_tri * 2000000 div (deg * (deg - 1)) END""")
+          .cast("long").as("cc_ppm"))
+  }
 }

@@ -97,6 +97,42 @@ object AdmitProbe {
       "\"steady_mean_sec\":%.3f,\"steady_min_sec\":%.3f}")
       .format(waveSize, idxTimes.head,
         iSteady.sum / iSteady.length, iSteady.min))
+    // the STREAMING indexed path: foreachBatch over the same
+    // file-skipping probe — per-trigger cost should track the
+    // indexed batch waves above (O(wave-matched files)), not the
+    // corpus-scanning stream's growth curve
+    val mem2 = MemoryStream[(Long, String)]
+    val sunk = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q2 = graft.streaming.ReactiveStreams.minhashAdmitIndexedStream(
+      mem2.toDF().toDF("doc_id", "text"), dir,
+      v => sunk.addAndGet(
+        v.agg(sum(when(col("admitted"), 1L))).head().getLong(0)))
+    var id3 = 3000000L
+    val sTimes =
+      try {
+        (0 until waves).map { w =>
+          val rows = (0 until waveSize).map { i =>
+            val txt =
+              if (i % 2 == 0 && (w * waveSize + i) / 2 < corpusTexts.length)
+                corpusTexts((w * waveSize + i) / 2) + " tail"
+              else s"fresh wave $w doc $i with unique content tokens " +
+                s"alpha$w beta$i gamma delta"
+            id3 += 1
+            (id3, txt)
+          }
+          mem2.addData(rows)
+          val s = System.nanoTime()
+          q2.processAllAvailable()
+          (System.nanoTime() - s) / 1e9
+        }
+      } finally q2.stop()
+    val sSteady = sTimes.drop(1)
+    println(("{\"probe\":\"minhash_admit_indexed_stream_per_trigger\"," +
+      "\"wave_size\":%d,\"first_trigger_sec\":%.3f," +
+      "\"steady_mean_sec\":%.3f,\"steady_min_sec\":%.3f," +
+      "\"admitted_total\":%d}")
+      .format(waveSize, sTimes.head,
+        sSteady.sum / sSteady.length, sSteady.min, sunk.get()))
     spark.stop()
   }
 }
