@@ -542,16 +542,19 @@ object Dedup {
     * executeTake — no full count job), so the driver never
     * materializes more than cap+1 ids even when a
     * boilerplate-heavy wave hitting a hot bucket blows the
-    * candidate set past any wave bound. Past the cap the scan
-    * filter rides a PLAIN (un-hinted) left-semi join — the planner
-    * auto-broadcasts a small build side and falls back to a
-    * shuffled semi-join for a genuinely huge one, so an unbounded
-    * id set can never force a driver-built hash relation the way a
-    * `broadcast()` hint would (hints bypass
-    * autoBroadcastJoinThreshold). The default cap sits at 4096: an
-    * `isin` of ~100k literals bloats analysis and exceeds what
-    * parquet row-group pruning evaluates usefully, so past a few
-    * thousand keys the semi-join is the honest plan.
+    * candidate set past any wave bound. Past the cap the scans run
+    * UNFILTERED — the pre-filter is redundant there: a semi-join
+    * cannot skip parquet files (only literal min/max predicates
+    * can), so it cuts exactly the rows the downstream
+    * probes/candidate joins cut anyway while paying an extra
+    * exchange of the corpus side (measured: the r11 un-hinted
+    * semi-join fallback turned SMJ at a corpus-proportional wave
+    * and cost +2 s at sf10), and a broadcast-hinted one builds the
+    * unbounded id set as a hash relation ON THE DRIVER (hints
+    * bypass autoBroadcastJoinThreshold) — the OOM the cap exists
+    * to prevent. The default cap sits at 4096: an `isin` of ~100k
+    * literals bloats analysis and exceeds what parquet row-group
+    * pruning evaluates usefully.
     * Output is one verdict row per shingle-bearing wave doc:
     * (doc_id, n_dup, best_j_scaled, admitted) — identical to the
     * streaming twin's rollup and spec-asserted ≡ the batch probe. */
@@ -577,15 +580,19 @@ object Dedup {
       if (bhArr.length <= pushdownCap)
         postings0.filter(col("bh").isin(
           bhArr.map(_.getLong(0)).toSeq: _*))
-      else postings0.join(bhKeys, Seq("bh"), "left_semi")
+      else postings0 // unfiltered: the probes join filters below
     val cand = postings
       .join(broadcast(probes), Seq("band", "bh"))
       .select(col("doc_id").as("doc1"), col("doc2")).distinct()
       .localCheckpoint()
     // candidate ids are bucket-occupancy-bounded, NOT wave-bounded:
-    // same capped take, and the past-cap fallback is an UN-hinted
-    // left-semi — the planner sizes the build side, so a hot-bucket
-    // blowup can't force a driver-built broadcast relation
+    // same capped take; past the cap the sets scan keeps a PLAIN
+    // (un-hinted) left-semi pre-filter — unlike the postings side
+    // it earns its keep (sets rows are WIDE shingle arrays, and an
+    // id set under autoBroadcastJoinThreshold semi-joins broadcast,
+    // cutting the sets shuffle before the cand join; un-hinted, the
+    // planner never builds an over-threshold relation on the
+    // driver, so the hot-bucket exposure is gone either way)
     val doc1Keys = cand.select("doc1").distinct()
     val sets0 = spark.read.parquet(dir + "/sets")
       .select(col("doc_id").as("doc1"), col("sh").as("sh1"))
