@@ -875,6 +875,14 @@ object SparkEntry {
     "graph_clustering_keys" -> ((s, d) =>
       Graph.clusteringKeysTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("cust")),
+    "graph_ppr_keys" -> ((s, d) =>
+      Graph.pprKeysTrade(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)).orderBy("node")),
+    "graph_cosource_components" -> ((s, d) =>
+      Graph.cosourceComponents(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("cust")),
+    "dedup_canonical" -> ((s, d) =>
+      Dedup.canonicalSelection(docs(s, d)).orderBy("cluster_id")),
     "emb_norm_hist" -> ((s, d) =>
       Similarity.normHistogram(embs(s, d)).orderBy("bucket")),
     "ann_mips" -> ((s, d) => {
@@ -6245,6 +6253,149 @@ object SparkEntry {
         |    // (d.deg * (d.deg - 1)) END AS cc_ppm
         |FROM deg d LEFT JOIN corners c USING (node)
         |ORDER BY cust""".stripMargin,
+    // personalized PageRank: seed-only teleport mass, 3 unrolled
+    // full-outer rounds over the repeat-business arcs
+    "graph_ppr_keys" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |nodes AS MATERIALIZED (
+        |  SELECT a AS node FROM e UNION SELECT b FROM e),
+        |src AS MATERIALIZED (
+        |  SELECT CAST(c_custkey * 2 AS BIGINT) AS node FROM customer
+        |  WHERE c_nationkey = (SELECT n_nationkey FROM nation
+        |    ORDER BY n_name, n_nationkey LIMIT 1)
+        |    AND CAST(c_custkey * 2 AS BIGINT) IN
+        |      (SELECT node FROM nodes)),
+        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+        |od AS (SELECT a, count(*) AS od FROM e GROUP BY 1),
+        |ed AS MATERIALIZED (
+        |  SELECT e.a AS src, e.b AS dst, 1000000 // od.od AS frac_ppm
+        |  FROM e JOIN od ON e.a = od.a),
+        |sb AS (SELECT node,
+        |  ((1000000000000 // (SELECT n FROM ns)) * 15) // 100 AS b
+        | FROM src),
+        |r0 AS (SELECT node,
+        |  1000000000000 // (SELECT n FROM ns) AS pr FROM src),
+        |r1 AS (SELECT coalesce(s.node, c.node) AS node,
+        |  coalesce(s.b, 0) + (coalesce(c.c, 0) * 85) // 100 AS pr
+        | FROM sb s FULL JOIN (
+        |  SELECT ed.dst AS node,
+        |   CAST(sum((r.pr * ed.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM ed JOIN r0 r ON ed.src = r.node GROUP BY 1) c
+        |  ON s.node = c.node),
+        |r2 AS (SELECT coalesce(s.node, c.node) AS node,
+        |  coalesce(s.b, 0) + (coalesce(c.c, 0) * 85) // 100 AS pr
+        | FROM sb s FULL JOIN (
+        |  SELECT ed.dst AS node,
+        |   CAST(sum((r.pr * ed.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM ed JOIN r1 r ON ed.src = r.node GROUP BY 1) c
+        |  ON s.node = c.node),
+        |r3 AS (SELECT coalesce(s.node, c.node) AS node,
+        |  coalesce(s.b, 0) + (coalesce(c.c, 0) * 85) // 100 AS pr
+        | FROM sb s FULL JOIN (
+        |  SELECT ed.dst AS node,
+        |   CAST(sum((r.pr * ed.frac_ppm) // 1000000) AS BIGINT) AS c
+        |  FROM ed JOIN r2 r ON ed.src = r.node GROUP BY 1) c
+        |  ON s.node = c.node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |    AS node_type,
+        |  node, pr AS ppr_scaled
+        |FROM r3 WHERE pr > 0 ORDER BY node""".stripMargin,
+    // co-sourcing market segments: recursive min-label closure over
+    // the capped projection (the dedup_cluster CC convention)
+    "graph_cosource_components" ->
+      """WITH RECURSIVE bp AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(l_suppkey AS BIGINT) AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS MATERIALIZED (
+        |  SELECT cust, supp FROM (
+        |    SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |      ORDER BY md5('tri:' || CAST(supp AS VARCHAR) || ':'
+        |        || CAST(cust AS VARCHAR)), cust) AS rn
+        |    FROM bp) WHERE rn <= 64),
+        |ue AS MATERIALIZED (
+        |  SELECT x.cust AS u, y.cust AS v
+        |  FROM capped x JOIN capped y
+        |    ON x.supp = y.supp AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (
+        |  SELECT u AS a, v AS b FROM ue
+        |  UNION ALL SELECT v, u FROM ue),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |lab AS (SELECT node AS cust, min(lab) AS segment_id
+        |  FROM reach GROUP BY 1),
+        |sz AS (SELECT segment_id,
+        |  CAST(count(*) AS BIGINT) AS segment_size
+        | FROM lab GROUP BY 1)
+        |SELECT l.cust, l.segment_id, s.segment_size
+        |FROM lab l JOIN sz s USING (segment_id)
+        |ORDER BY cust""".stripMargin,
+    // canonical survivor per near-dup cluster: most tokens wins,
+    // ties to the smallest doc_id — same cluster CTE as dedup_cluster
+    "dedup_canonical" ->
+      """WITH RECURSIVE
+        |sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS sh
+        | FROM documents
+        | WHERE len(string_split(lower(text), ' ')) >= 3),
+        |post AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |pairs AS (
+        | SELECT doc1, doc2 FROM (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+        |  FROM post a JOIN post b
+        |   ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) c
+        | JOIN sz s1 ON s1.doc_id = c.doc1
+        | JOIN sz s2 ON s2.doc_id = c.doc2
+        | WHERE CAST(c.n_common AS DOUBLE)
+        |   / (s1.n + s2.n - c.n_common) >= 0.2),
+        |edges AS (
+        | SELECT doc1 AS a, doc2 AS b FROM pairs
+        | UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT DISTINCT a, a FROM edges
+        | UNION
+        | SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
+        |labeled AS (
+        | SELECT node AS doc_id, min(lab) AS cluster_id
+        | FROM reach GROUP BY node),
+        |cl AS (
+        | SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        | FROM documents d LEFT JOIN labeled l ON d.doc_id = l.doc_id),
+        |tok AS (SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |j AS (SELECT cl.cluster_id, cl.doc_id, t.n_tok
+        | FROM cl JOIN tok t USING (doc_id)),
+        |agg AS (SELECT cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  max(n_tok) AS canon_tokens
+        | FROM j GROUP BY 1)
+        |SELECT a.cluster_id, a.n_members, a.canon_tokens,
+        | min(j.doc_id) AS canonical_doc,
+        | a.n_members - 1 AS n_dropped
+        |FROM agg a JOIN j ON j.cluster_id = a.cluster_id
+        | AND j.n_tok = a.canon_tokens
+        |GROUP BY 1, 2, 3 ORDER BY a.cluster_id""".stripMargin,
     // 2-D equi-width histogram: both edges from one min/max row,
     // exact-cents cell revenue
     "q_equiwidth_2d" ->

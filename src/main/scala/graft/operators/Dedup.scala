@@ -637,6 +637,36 @@ object Dedup {
     * (fingerprint, count) partials and (pair-id) frames before any
     * rollup — text never rides a shuffle; the per-source report is
     * |sources| rows. */
+  /** CANONICAL-SURVIVOR selection — the keep-best half of dedup
+    * that [[connectedComponents]]' docstring promises (cluster_id ==
+    * doc_id marks A canonical; production pipelines keep the BEST
+    * member, not the min-id one): per near-dup cluster
+    * ([[graft.operators.TextAnalysis.ngramJaccard]] pairs → CC), the
+    * survivor is the member with the MOST tokens (near-dups differ
+    * by truncation/boilerplate more than by content, so longest ≈
+    * most complete), ties to the smallest doc_id — fully
+    * deterministic under any partitioning via ONE grouped
+    * max(struct(n_tok, −doc_id)) — no rank window, no second pass.
+    * Output one row per cluster (singletons included: a clean doc
+    * is its own survivor): (cluster_id, n_members, canon_tokens,
+    * canonical_doc, n_dropped). Text never rides a shuffle — token
+    * counts collapse per doc before the cluster join. */
+  def canonicalSelection(docs: DataFrame,
+                         minJaccard: Double = 0.2): DataFrame = {
+    val clusters = connectedComponents(
+      graft.operators.TextAnalysis.ngramJaccard(docs, minJaccard), docs)
+    val toks = docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
+    clusters.join(toks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tok"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), col("n_members"),
+        col("m.n_tok").as("canon_tokens"),
+        (-col("m.nid")).cast("long").as("canonical_doc"),
+        (col("n_members") - 1L).as("n_dropped"))
+  }
+
   def dedupReport(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val fp = docs.select(col("doc_id"), col("source"),
       md5(lower(trim(col("text")))).as("fp"))

@@ -1720,6 +1720,95 @@ object Graph {
     triangleCorners(coSourceEdges(lineitem, orders, cap, minShared))
       .select(col("node").as("cust"), col("n_tri"))
 
+  /** PERSONALIZED PageRank over the key-level repeat-business graph
+    * — rank with teleport restricted to the seed set (every
+    * edge-bearing customer of the lexicographically first nation,
+    * the [[ssspKeysTrade]] seeds): "which entities accumulate
+    * standing FROM THIS MARKET's sustained demand", the
+    * trust-propagation / recommendation primitive next to
+    * [[pageRankKeysTrade]]'s global centrality. Same fixed-point
+    * integer contract (scale 1e12, ppm fractions, 85/100 damping,
+    * floors everywhere — bit-identical on any engine); base mass
+    * (S div |seeds|)·15/100 flows ONLY to seeds, so non-seed rank
+    * is pure propagation.
+    *
+    * Scale shape: the rank frame starts at the seed set and grows
+    * with the REACHED set only (each round one co-partitioned
+    * arc⋈rank join + groupBy + a full-outer merge with the seed
+    * base — all O(reached), the ssspKeys billion-node contract);
+    * rows whose floored rank is 0 are dropped at the end (they
+    * contribute nothing and keep the output O(positive-rank)). */
+  def pprKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                   customer: DataFrame, nation: DataFrame,
+                   minTrades: Int = 2, minReturns: Int = 2,
+                   iters: Int = 3): DataFrame = {
+    val S = 1000000000000L
+    val arcs = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b")
+    val nodes = arcs.select(col("a").as("node"))
+      .unionByName(arcs.select(col("b").as("node"))).distinct()
+    val srcNation = nation.orderBy("n_name", "n_nationkey").limit(1)
+      .select("n_nationkey")
+    val seeds = customer
+      .join(broadcast(srcNation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select((col("c_custkey") * 2).cast("long").as("node"))
+      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint()
+    val outd = arcs.groupBy("a").agg(count(lit(1)).as("od"))
+    val edges = arcs.join(outd, "a")
+      .select(col("a").as("src"), col("b").as("dst"),
+        expr("1000000 div od").as("frac_ppm"))
+      .localCheckpoint()
+    val nSeeds = seeds.count()
+    val base = ((S / nSeeds) * 15L) / 100L
+    val seedBase = seeds.withColumn("b", lit(base))
+    var ranks = seeds.withColumn("pr", lit(S / nSeeds))
+    for (_ <- 0 until iters) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(pr * frac_ppm) div 1000000").as("term"))
+        .groupBy("node").agg(sum("term").as("c"))
+      ranks = seedBase
+        .join(contrib, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("b"), lit(0L)) +
+            expr("(coalesce(c, 0L) * 85) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.filter(col("pr") > 0L)
+      .select(
+        when(col("node") % 2 === 0, "cust").otherwise("supp")
+          .as("node_type"),
+        col("node"), col("pr").as("ppr_scaled"))
+  }
+
+  /** Customer MARKET SEGMENTS: connected components of the capped
+    * co-sourcing projection ([[coSourceEdges]]) — customers linked
+    * by repeated shared sourcing collapse into supply communities,
+    * the graph twin of the dedup clusters (and literally the same
+    * machinery: [[graft.operators.Dedup.connectedComponents]]' size-
+    * adaptive union-find / path-halving label propagation, min-id
+    * labels). Output one row per edge-bearing customer with its
+    * segment id and segment size; isolated customers have no
+    * projection edge and are absent by the O(edge-bearing) output
+    * contract. */
+  def cosourceComponents(lineitem: DataFrame, orders: DataFrame,
+                         cap: Int = 64, minShared: Int = 2)
+      : DataFrame = {
+    val und = coSourceEdges(lineitem, orders, cap, minShared)
+    val nodes = und.select(col("u").as("doc_id"))
+      .unionByName(und.select(col("v").as("doc_id"))).distinct()
+    val labeled = graft.operators.Dedup.connectedComponents(
+      und.select(col("u").as("doc1"), col("v").as("doc2")), nodes)
+      .select(col("doc_id").as("cust"), col("cluster_id").as("segment_id"))
+    labeled.join(
+      labeled.groupBy("segment_id").agg(count(lit(1)).as("segment_size")),
+      "segment_id")
+      .select("cust", "segment_id", "segment_size")
+  }
+
   /** Per-customer local clustering coefficient over the capped
     * co-sourcing projection — [[localClustering]] at entity grain:
     * cc(v) = 2·T(v)·10⁶ div (deg(v)·(deg(v)−1)) exact ppm, NULL for

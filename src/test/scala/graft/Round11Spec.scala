@@ -153,6 +153,71 @@ class Round11Spec extends AnyFunSuite {
       3L -> ((1L, 0L, -1L))))
   }
 
+  test("pprKeysTrade: teleport mass stays on the seeds; non-seed " +
+      "rank is pure propagation (hand graph, independent reference)") {
+    val (li, ord) = fixture
+    val customer = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 0L), (6L, 1L)).toDF("c_custkey", "c_nationkey")
+    val nation = Seq((0L, "AAA"), (1L, "BBB"))
+      .toDF("n_nationkey", "n_name")
+    // seeds: custs 1 and 5 (nation AAA) -> nodes 2, 10
+    val seeds = Set(2L, 10L)
+    val S = 1000000000000L
+    val base = ((S / seeds.size) * 15L) / 100L
+    val od = fixtureArcs.groupBy(_._1).map { case (k, v) => k -> v.length }
+    var pr = seeds.map(_ -> S / seeds.size).toMap
+      .withDefaultValue(0L)
+    for (_ <- 0 until 3) {
+      val contrib = fixtureArcs
+        .map { case (a, b) =>
+          b -> (pr(a) * (1000000L / od(a))) / 1000000L }
+        .groupBy(_._1).map { case (b, ts) => b -> ts.map(_._2).sum }
+        .withDefaultValue(0L)
+      val frame = seeds ++ contrib.keys
+      pr = frame.map(nd => nd ->
+        ((if (seeds(nd)) base else 0L) + (contrib(nd) * 85L) / 100L))
+        .toMap.withDefaultValue(0L)
+    }
+    val expected = pr.filter(_._2 > 0L)
+    val got = Graph.pprKeysTrade(li, ord, customer, nation).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // the {6,7,8,9} component and the pure sources 12 (unseeded)
+    // are unreachable from seeds {2, 10}: absent from the frame
+    assert(Seq(6L, 7L, 8L, 9L, 12L).forall(n => !got.contains(n)))
+    // 11 IS reached (10 -> 11) purely by propagation
+    assert(got.contains(11L))
+  }
+
+  test("cosourceComponents: the closed triple is one segment; " +
+      "edge-free customers are absent") {
+    val (li, ord) = coFixture
+    val got = Graph.cosourceComponents(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L)))
+  }
+
+  test("canonicalSelection: longest member survives, ties to the " +
+      "smallest doc_id, singletons survive themselves") {
+    // 1 and 2 near-dup (2 longer -> 2 survives); 3 and 4 exact
+    // same length (tie -> 3); 5 clean singleton
+    val docs = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "s", "alpha beta gamma delta epsilon zeta eta theta iota extra"),
+      (3L, "s", "one two three four five six seven eight nine"),
+      (4L, "s", "one two three four five six seven eight ten"),
+      (5L, "s", "completely unrelated content about spark engines"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.canonicalSelection(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 10L, 2L, 1L)),
+      3L -> ((2L, 9L, 3L, 1L)),
+      5L -> ((1L, 6L, 5L, 0L))))
+  }
+
   test("minhashAdmitIndexedStream: foreachBatch verdicts across a " +
       "trigger split equal the batch indexed probe per wave") {
     implicit val sqlCtx = spark.sqlContext
