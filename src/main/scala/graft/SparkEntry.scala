@@ -6310,10 +6310,17 @@ object SparkEntry {
         |    AS node_type,
         |  node, pr AS ppr_scaled
         |FROM r3 WHERE pr > 0 ORDER BY node""".stripMargin,
-    // co-sourcing market segments: recursive min-label closure over
-    // the capped projection (the dedup_cluster CC convention)
+    // co-sourcing market segments: min-label with POINTER DOUBLING,
+    // 16 unrolled rounds (reach >= 2^16 hops) — the naive recursive
+    // closure materializes sum(|component|^2) reach pairs and times
+    // out at both sf10 tiers on this projection's giant components;
+    // each doubling round is one edge join + one label-chase join +
+    // a grouped min, O(edges + nodes) rows, feasible at any tier.
+    // Under-convergence cannot pass silently: the min labels would
+    // differ from the engine's converged labels and the hash gate
+    // fails loud.
     "graph_cosource_components" ->
-      """WITH RECURSIVE bp AS MATERIALIZED (
+      ("""WITH bp AS MATERIALIZED (
         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
         |    CAST(l_suppkey AS BIGINT) AS supp
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -6328,21 +6335,32 @@ object SparkEntry {
         |  FROM capped x JOIN capped y
         |    ON x.supp = y.supp AND x.cust < y.cust
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT u AS a, v AS b FROM ue
         |  UNION ALL SELECT v, u FROM ue),
-        |reach(node, lab) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON r.node = e.a),
-        |lab AS (SELECT node AS cust, min(lab) AS segment_id
-        |  FROM reach GROUP BY 1),
+        |l0 AS MATERIALIZED (
+        |  SELECT a AS node, a AS lab FROM edges GROUP BY 1, 2),
+        |""" +
+        (0 until 16).map { k =>
+          s"""l${k + 1} AS MATERIALIZED (
+             |  SELECT node, min(lab) AS lab FROM (
+             |    SELECT node, lab FROM l$k
+             |    UNION ALL
+             |    SELECT e.b AS node, l.lab FROM edges e
+             |      JOIN l$k l ON e.a = l.node
+             |    UNION ALL
+             |    SELECT x.node, y.lab FROM l$k x
+             |      JOIN l$k y ON x.lab = y.node
+             |  ) GROUP BY 1)""".stripMargin
+        }.mkString(",\n") +
+        """,
+        |lab AS (SELECT node AS cust, lab AS segment_id FROM l16),
         |sz AS (SELECT segment_id,
         |  CAST(count(*) AS BIGINT) AS segment_size
         | FROM lab GROUP BY 1)
         |SELECT l.cust, l.segment_id, s.segment_size
         |FROM lab l JOIN sz s USING (segment_id)
-        |ORDER BY cust""".stripMargin,
+        |ORDER BY cust""").stripMargin,
     // canonical survivor per near-dup cluster: most tokens wins,
     // ties to the smallest doc_id — same cluster CTE as dedup_cluster
     "dedup_canonical" ->

@@ -1793,15 +1793,29 @@ object Graph {
     * labels). Output one row per edge-bearing customer with its
     * segment id and segment size; isolated customers have no
     * projection edge and are absent by the O(edge-bearing) output
-    * contract. */
+    * contract.
+    *
+    * driverCutoff sits at 8M directed edges here (vs the dedup
+    * default 2M): the projection frame is (long, long) pairs ONLY
+    * — ~128 MB driver-resident at the cutoff, safe on any driver
+    * profile — and the measured alternative is brutal: at sf10 the
+    * projection lands at 4.25M directed edges, just past the 2M
+    * default, and the distributed label loop burned ~20 min of
+    * single-JVM GC-pressured rounds where the union-find takes
+    * seconds (the r10 dedup_union_cluster measurement, 32.7 s loop
+    * vs 0.3 s union-find, reproduced one size tier up). Past 8M —
+    * true cluster scale — the distributed path-halving loop runs
+    * unchanged. */
   def cosourceComponents(lineitem: DataFrame, orders: DataFrame,
-                         cap: Int = 64, minShared: Int = 2)
+                         cap: Int = 64, minShared: Int = 2,
+                         driverCutoff: Long = 8000000L)
       : DataFrame = {
     val und = coSourceEdges(lineitem, orders, cap, minShared)
     val nodes = und.select(col("u").as("doc_id"))
       .unionByName(und.select(col("v").as("doc_id"))).distinct()
     val labeled = graft.operators.Dedup.connectedComponents(
-      und.select(col("u").as("doc1"), col("v").as("doc2")), nodes)
+      und.select(col("u").as("doc1"), col("v").as("doc2")), nodes,
+      driverCutoff = driverCutoff)
       .select(col("doc_id").as("cust"), col("cluster_id").as("segment_id"))
     labeled.join(
       labeled.groupBy("segment_id").agg(count(lit(1)).as("segment_size")),
