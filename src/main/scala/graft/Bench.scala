@@ -32,15 +32,55 @@ object Bench {
     * prior query's checkpoints (measured: graph_scc_keys 186 s
     * in-suite vs 37 s isolated). A production job never carries a
     * NEIGHBOR query's blocks, so the bench drops them at each
-    * boundary, OUTSIDE the timed window. unpersist is async
-    * (blocking=false); the periodic System.gc() lets the
-    * ContextCleaner also reap dead broadcasts. */
+    * boundary, OUTSIDE the timed window — and BLOCKING, so the
+    * removal itself also lands outside it (r11's blocking=false
+    * issued the call outside the window but let the block-removal
+    * work bleed into the next query's timer; removal cost is
+    * negligible next to query runtime). [[graft.operators
+    * .FrameCache]]'s ids are the one exception: those frames are
+    * the family-shared inputs a production job DOES keep
+    * materialized across queries, so the boundary leaves them
+    * live. The periodic System.gc() lets the ContextCleaner also
+    * reap dead broadcasts. */
   private var sinceGc = 0
   private def cleanup(spark: SparkSession): Unit = {
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    val keep = graft.operators.FrameCache.protectedIds
+    spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(blocking = true) }
     sinceGc += 1
     if (sinceGc >= 25) { sinceGc = 0; System.gc() }
+  }
+
+  /** In-artifact host-noise probe (tools/noise_probe.py's fixed-work
+    * spin, inlined): the guest shares a host, and two r10/r11
+    * incidents inflated committed bench numbers 1.4–3.5× with the
+    * guest idle. A reading RECORDED NEXT TO the number makes every
+    * BENCH artifact carry its own epoch — runs are comparable only
+    * when their spin_sec agree within ~15%. The spin is a fixed
+    * 4e8-iteration integer loop (~0.2 s quiet); probed before the
+    * warmup and again after the last timed pass, with 5-min load
+    * average and /proc/pressure/cpu avg300 at both points. */
+  private def spinSec(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L; var i = 0
+    while (i < 400000000) { x += i & 7; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    require(x > 0, "spin optimized away")
+    dt
+  }
+  private def loadCpu(): (Double, Double) = {
+    def readF(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => None }
+    val l5 = readF("/proc/loadavg")
+      .map(_.split(" ")(1).toDouble).getOrElse(-1.0)
+    val c300 = readF("/proc/pressure/cpu").flatMap(
+      _.linesIterator.find(_.startsWith("some"))
+        .flatMap(_.split(" ").find(_.startsWith("avg300="))
+          .map(_.stripPrefix("avg300=").toDouble))).getOrElse(-1.0)
+    (l5, c300)
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,6 +101,8 @@ object Bench {
     def queries = SparkEntry.queries
       .filter { case (name, _) =>
         (only.isEmpty || only(name)) && !skipQ(name) }
+    val spin0 = spinSec()
+    val (l5a, c3a) = loadCpu()
     // Untimed warm-up pass: JIT compilation, whole-stage codegen,
     // parquet footer caching. Measures steady-state throughput (the
     // 100 TB-relevant number), not single-JVM cold start.
@@ -120,8 +162,13 @@ object Bench {
     val qs = headline.filter(results.contains)
       .map(k => "\"" + k + "\":" + r3(results(k)))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
-    require(line.length < 1500, s"bench JSON line too long: ${line.length}")
+    val spin1 = spinSec()
+    val (l5b, c3b) = loadCpu()
+    def r2(v: Double): String = f"$v%.2f"
+    val noise = s""""noise":{"spin":[${r2(spin0)},${r2(spin1)}],""" +
+      s""""load5":[${r2(l5a)},${r2(l5b)}],"cpu300":[${r2(c3a)},${r2(c3b)}]}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},$noise,"queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1600, s"bench JSON line too long: ${line.length}")
     println(line)
     spark.stop()
   }

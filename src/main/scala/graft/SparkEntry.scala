@@ -961,6 +961,43 @@ object SparkEntry {
     "q_incremental_topk" -> ((s, d) =>
       Relational.qIncrementalTopK(s, d)
         .orderBy("o_orderpriority", "rank")),
+    "emb_admit_indexed" -> ((s, d) => {
+      val e = embs(s, d)
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+        .select("vec_id", "embedding")
+      val wave = e.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      // frozen per-SF IVF index, the dedup_admit_indexed
+      // fingerprint/marker contract verbatim (stable p-name per
+      // dataset, content fingerprint, complete-marker after the
+      // write); iters = 0 keeps the centroids at the auditable
+      // vec_id < nlist init so the DuckDB oracle re-derives the
+      // identical assignment
+      val srcFile = new java.io.File(d, "embeddings.parquet")
+      def md5hex(sIn: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sIn.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      val fp = md5hex(srcFile.getCanonicalPath + ":" + srcFile.length +
+        ":" + srcFile.lastModified)
+      val idx = s"/root/repo/target/ivf_gate_idx_p" +
+        md5hex(srcFile.getCanonicalPath)
+      val marker = new java.io.File(idx, "_COMPLETE")
+      val fpFile = new java.io.File(idx, "_FINGERPRINT")
+      def storedFp: Option[String] =
+        if (fpFile.exists())
+          Some(new String(java.nio.file.Files.readAllBytes(
+            fpFile.toPath), "UTF-8").trim)
+        else None
+      if (!marker.exists() || !storedFp.contains(fp)) {
+        if (marker.exists()) marker.delete()
+        Similarity.ivfWriteIndex(corpus, idx, nlist = 16, iters = 0)
+        java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+        marker.createNewFile()
+      }
+      Dedup.embeddingAdmitIndexed(s, idx, wave, minCosine = 0.4)
+        .orderBy("vec_id")
+    }),
     "emb_matryoshka" -> ((s, d) => {
       val e = embs(s, d)
       Similarity.matryoshkaAudit(e, e.filter(col("vec_id") < 20))
@@ -1228,6 +1265,12 @@ object SparkEntry {
     "graph_communities" -> ((s, d) =>
       Graph.labelPropTrade(Tables.lineitem(s, d), Tables.orders(s, d))
         .orderBy("node")),
+    "graph_modularity" -> ((s, d) =>
+      Graph.modularityTrade(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("community")),
+    "graph_modularity_proj" -> ((s, d) =>
+      Graph.modularityProjection(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("community")),
     "pipeline_quantile_norm" -> ((s, d) =>
       Sampling.quantileNormalize(docs(s, d)).orderBy("doc_id")),
     "emb_robust_scale" -> ((s, d) =>
@@ -8975,6 +9018,201 @@ object SparkEntry {
         |SELECT l3.node, l3.lbl AS community, sizes.community_size
         |FROM l3 JOIN sizes USING (lbl)
         |ORDER BY node""".stripMargin,
+    // Newman-Girvan modularity over the SAME 3 unrolled LPA rounds:
+    // per-community integer-ppm contribution, every division a
+    // BIGINT floor (in_c*1e6 // 2m  -  (tot_c*1e6 // 2m)^2 // 1e6)
+    "graph_modularity" ->
+      """WITH e0 AS (
+        | SELECT CAST(o.o_custkey * 2 AS BIGINT) AS a,
+        |  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS b, count(*) AS w
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | GROUP BY 1, 2),
+        |sym AS (
+        | SELECT a, b, w FROM e0
+        | UNION ALL SELECT b, a, w FROM e0),
+        |l0 AS (
+        | SELECT node, node AS lbl FROM
+        |  (SELECT DISTINCT a AS node FROM sym)),
+        |v1 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+        |b1 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v1),
+        |l1 AS (
+        | SELECT l0.node, coalesce(b.lbl, l0.lbl) AS lbl FROM l0
+        | LEFT JOIN (SELECT node, lbl FROM b1 WHERE rn = 1) b
+        |  USING (node)),
+        |v2 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+        |b2 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v2),
+        |l2 AS (
+        | SELECT l1.node, coalesce(b.lbl, l1.lbl) AS lbl FROM l1
+        | LEFT JOIN (SELECT node, lbl FROM b2 WHERE rn = 1) b
+        |  USING (node)),
+        |v3 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+        |b3 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v3),
+        |l3 AS (
+        | SELECT l2.node, coalesce(b.lbl, l2.lbl) AS lbl FROM l2
+        | LEFT JOIN (SELECT node, lbl FROM b3 WHERE rn = 1) b
+        |  USING (node)),
+        |m AS (SELECT CAST(sum(w) AS BIGINT) AS twom FROM sym),
+        |innw AS (
+        | SELECT la.lbl AS community, CAST(sum(e.w) AS BIGINT) AS in_w
+        | FROM sym e JOIN l3 la ON e.a = la.node
+        |  JOIN l3 lb ON e.b = lb.node
+        | WHERE la.lbl = lb.lbl GROUP BY 1),
+        |st AS (
+        | SELECT a AS node, CAST(sum(w) AS BIGINT) AS s
+        | FROM sym GROUP BY 1),
+        |tot AS (
+        | SELECT l3.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(st.s) AS BIGINT) AS tot_w
+        | FROM l3 JOIN st ON st.node = l3.node GROUP BY 1)
+        |SELECT t.community, t.n_nodes,
+        | CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w, t.tot_w,
+        | CAST(coalesce(i.in_w, 0) * 1000000 // m.twom
+        |  - ((t.tot_w * 1000000 // m.twom)
+        |     * (t.tot_w * 1000000 // m.twom)) // 1000000
+        |  AS BIGINT) AS q_contrib_ppm
+        |FROM tot t LEFT JOIN innw i USING (community), m
+        |ORDER BY community""".stripMargin,
+    // semantic admission against the frozen IVF gate index:
+    // auditable centroids (corpus vec_id < 16, iters = 0), corpus
+    // assigned to argmax-cosine centroid (ties -> min centroid_id,
+    // the cosine_argmax contract), wave probes its top-4 lists,
+    // verdict = embeddingNearDup threshold over probed candidates
+    "emb_admit_indexed" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+        |wave AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS c_emb
+        |  FROM corpus WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS rn
+        |  FROM corpus e, cents c),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM asg WHERE rn = 1),
+        |qp AS (
+        |  SELECT q.vec_id AS qid, q.embedding AS q_emb, c.centroid_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY (list_sum(list_transform(list_zip(q.embedding, c.c_emb),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) DESC, c.centroid_id) AS pr
+        |  FROM wave q, cents c),
+        |probes AS (SELECT qid, q_emb, centroid_id FROM qp WHERE pr <= 4),
+        |cand AS (
+        |  SELECT p.qid,
+        |    (list_sum(list_transform(list_zip(p.q_emb, a.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(p.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos_sim
+        |  FROM probes p JOIN a USING (centroid_id)),
+        |v AS (
+        |  SELECT qid,
+        |    CAST(coalesce(sum(CASE WHEN cos_sim >= 0.4 THEN 1 END), 0)
+        |      AS BIGINT) AS n_dup,
+        |    CAST(coalesce(max(CASE WHEN cos_sim >= 0.4
+        |      THEN CAST(floor(cos_sim * 1e6) AS BIGINT) END), -1)
+        |      AS BIGINT) AS best_cos_scaled
+        |  FROM cand GROUP BY 1)
+        |SELECT w.vec_id,
+        | CAST(coalesce(v.n_dup, 0) AS BIGINT) AS n_dup,
+        | CAST(coalesce(v.best_cos_scaled, -1) AS BIGINT) AS best_cos_scaled,
+        | coalesce(v.n_dup, 0) = 0 AS admitted
+        |FROM wave w LEFT JOIN v ON v.qid = w.vec_id
+        |ORDER BY w.vec_id""".stripMargin,
+    // modularity over the UNIPARTITE co-sourcing projection: the
+    // capped/thresholded ue CTE (the triangles oracle's), ns as the
+    // edge weight, 3 unrolled LPA rounds, same BIGINT-floor rollup
+    "graph_modularity_proj" ->
+      """WITH bp AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(l_suppkey AS BIGINT) AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS MATERIALIZED (
+        |  SELECT cust, supp FROM (
+        |    SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |      ORDER BY md5('tri:' || CAST(supp AS VARCHAR) || ':'
+        |        || CAST(cust AS VARCHAR)), cust) AS rn
+        |    FROM bp) WHERE rn <= 64),
+        |ue AS MATERIALIZED (
+        |  SELECT x.cust AS u, y.cust AS v, CAST(count(*) AS BIGINT) AS ns
+        |  FROM capped x JOIN capped y
+        |    ON x.supp = y.supp AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS a, v AS b, ns AS w FROM ue
+        |  UNION ALL SELECT v, u, ns FROM ue),
+        |l0 AS (
+        | SELECT node, node AS lbl FROM
+        |  (SELECT DISTINCT a AS node FROM sym)),
+        |v1 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+        |b1 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v1),
+        |l1 AS (
+        | SELECT l0.node, coalesce(b.lbl, l0.lbl) AS lbl FROM l0
+        | LEFT JOIN (SELECT node, lbl FROM b1 WHERE rn = 1) b
+        |  USING (node)),
+        |v2 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+        |b2 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v2),
+        |l2 AS (
+        | SELECT l1.node, coalesce(b.lbl, l1.lbl) AS lbl FROM l1
+        | LEFT JOIN (SELECT node, lbl FROM b2 WHERE rn = 1) b
+        |  USING (node)),
+        |v3 AS (
+        | SELECT e.a AS node, l.lbl, CAST(sum(e.w) AS BIGINT) AS vw
+        | FROM sym e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+        |b3 AS (
+        | SELECT node, lbl, row_number() OVER (PARTITION BY node
+        |  ORDER BY vw DESC, lbl) AS rn FROM v3),
+        |l3 AS (
+        | SELECT l2.node, coalesce(b.lbl, l2.lbl) AS lbl FROM l2
+        | LEFT JOIN (SELECT node, lbl FROM b3 WHERE rn = 1) b
+        |  USING (node)),
+        |m AS (SELECT CAST(sum(w) AS BIGINT) AS twom FROM sym),
+        |innw AS (
+        | SELECT la.lbl AS community, CAST(sum(e.w) AS BIGINT) AS in_w
+        | FROM sym e JOIN l3 la ON e.a = la.node
+        |  JOIN l3 lb ON e.b = lb.node
+        | WHERE la.lbl = lb.lbl GROUP BY 1),
+        |st AS (
+        | SELECT a AS node, CAST(sum(w) AS BIGINT) AS s
+        | FROM sym GROUP BY 1),
+        |tot AS (
+        | SELECT l3.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(st.s) AS BIGINT) AS tot_w
+        | FROM l3 JOIN st ON st.node = l3.node GROUP BY 1)
+        |SELECT t.community, t.n_nodes,
+        | CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w, t.tot_w,
+        | CAST(coalesce(i.in_w, 0) * 1000000 // m.twom
+        |  - ((t.tot_w * 1000000 // m.twom)
+        |     * (t.tot_w * 1000000 // m.twom)) // 1000000
+        |  AS BIGINT) AS q_contrib_ppm
+        |FROM tot t LEFT JOIN innw i USING (community), m
+        |ORDER BY community""".stripMargin,
     // temporal drift: ref-half decile cuts by exact rank selection
     // over the score-domain rollup, then per-half decile masses
     "dq_drift" ->

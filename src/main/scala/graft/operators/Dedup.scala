@@ -624,6 +624,75 @@ object Dedup {
         (coalesce(col("n_dup"), lit(0L)) === 0L).as("admitted"))
   }
 
+  /** SEMANTIC (embedding-space) streaming-admission batch probe —
+    * [[minhashAdmitIndexed]]'s twin on the persisted IVF index
+    * ([[graft.operators.Similarity.ivfWriteIndex]]'s layout:
+    * centroid table + postings PARTITIONED BY centroid_id): each
+    * wave vector probes its top-`nprobe` centroids, ONLY those
+    * posting directories are listed and scanned (the probe-id
+    * `isin` is a PartitionFilter — whole-directory skips, the disk
+    * twin of "probe nprobe of nlist lists"), and the verdict is the
+    * [[embeddingNearDup]] threshold over the probed candidates: a
+    * wave vector with any corpus neighbor at cosine ≥ `minCosine`
+    * among its probed lists is a semantic duplicate. This is the
+    * production ingest gate for embedding dedup at 100 TB — the
+    * index is a prior artifact, per-wave cost is
+    * O(wave × probed partitions), never O(corpus).
+    *
+    * Approximation contract (same as every IVF consumer): recall is
+    * bounded by the probed lists — a true neighbor assigned to an
+    * unprobed centroid is missed; `nprobe` is the recall/cost lever
+    * and [[graft.operators.Similarity.recallAudit]] the monitor.
+    * The probe-set collect is nwave×nprobe INDEX IDS (a lookup key,
+    * not data). Each corpus vector lives in exactly ONE posting
+    * partition, so candidate pairs are unique by construction — no
+    * dedup step. Output: one verdict row per wave vector —
+    * (vec_id, n_dup, best_cos_scaled, admitted), best_cos_scaled =
+    * floor(cos·10⁶) over verified dups, −1 when none (the
+    * [[minhashAdmitIndexed]] verdict shape). */
+  def embeddingAdmitIndexed(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, wave: DataFrame,
+                            minCosine: Double = 0.95,
+                            nprobe: Int = 4): DataFrame = {
+    val q = wave.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val cents = spark.read.parquet(dir + "/centroids")
+    val qprobes = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim", GraftFunctions.cosine_sim(
+        col("embedding"), col("c_emb")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"),
+        col("centroid_id").cast("long").as("centroid_id"))
+      .localCheckpoint()
+    val probeIds = qprobes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val verdicts = spark.read.parquet(dir + "/postings")
+      // filter the raw inferred-int partition attribute FIRST (a
+      // cast above the filter can block PartitionFilters), then
+      // normalize to the long the probe side carries
+      .filter(col("centroid_id").isin(probeIds.map(_.toInt): _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .join(broadcast(qprobes), Seq("centroid_id"))
+      .withColumn("cos", GraftFunctions.cosine_sim(
+        col("q_emb"), col("embedding")))
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(when(col("cos") >= minCosine, 1L)), lit(0L))
+          .as("n_dup"),
+        coalesce(max(when(col("cos") >= minCosine,
+          floor(col("cos") * 1e6).cast("long"))), lit(-1L))
+          .as("best_cos_scaled"))
+    q.select(col("vec_id"))
+      .join(verdicts.withColumnRenamed("qid", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("best_cos_scaled"), lit(-1L)).as("best_cos_scaled"),
+        (coalesce(col("n_dup"), lit(0L)) === 0L).as("admitted"))
+  }
+
   /** Per-source dedup telemetry: the curation dashboard's first
     * page — for every source, how many documents are exact
     * duplicates (their normalized fingerprint occurs more than once
@@ -792,7 +861,8 @@ object Dedup {
     * throws (partial labels would silently corrupt clusters). */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           maxIter: Int = 20,
-                          driverCutoff: Long = 2000000L): DataFrame = {
+                          driverCutoff: Long = DriverCutoff.pairRows)
+      : DataFrame = {
     // ids normalize to long up front: the driver fast path reads
     // getLong and an int-typed caller would otherwise hit a
     // size-dependent ClassCastException only under the cutoff
@@ -803,8 +873,9 @@ object Dedup {
       .localCheckpoint()
     // SIZE-ADAPTIVE execution: the edge count is known for free off
     // the checkpoint, and a near-dup pair set is orders of magnitude
-    // smaller than its corpus — under the cutoff (≤ driverCutoff
-    // directed edges ≈ 32 MB of id pairs) the label-propagation loop
+    // smaller than its corpus — under the cutoff ([[DriverCutoff
+    // .pairRows]] of 16-byte directed-edge rows, the shared 128 MiB
+    // driver byte budget) the label-propagation loop
     // pays ~6 scheduled jobs × log(diameter) rounds of fixed latency
     // to do what a driver union-find does in milliseconds (measured
     // at sf10: 32.7 s loop vs 0.3 s union-find on 168 k pairs, the

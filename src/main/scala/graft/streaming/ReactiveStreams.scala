@@ -823,10 +823,64 @@ object ReactiveStreams {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
+            // trigger-boundary cleanup: the batch probe
+            // localCheckpoints its wave/probe/candidate frames, and
+            // in a long-running stream those blocks would accrete in
+            // the executor store across triggers (the exact
+            // cross-query accretion Bench.cleanup counters: measured
+            // 186 s vs 37 s for a late query under the pile).
+            // Verdicts are fully materialized by `sink` before the
+            // diff-unpersist runs, so nothing live is dropped; the
+            // id diff leaves any pre-existing (shared/cached)
+            // frames alone.
+            val sc = batch.sparkSession.sparkContext
+            val before = sc.getPersistentRDDs.keySet
             sink(graft.operators.Dedup.minhashAdmitIndexed(
               batch.sparkSession, indexDir, batch.toDF(), threshold,
               bands, rows, auditable, pushdownCap))
+            val after = sc.getPersistentRDDs
+            after.view.filterKeys(!before.contains(_)).values
+              .foreach(_.unpersist(blocking = false))
+          }
+      }
+      .start()
+
+  /** SEMANTIC streaming admission — [[minhashAdmitIndexedStream]]'s
+    * embedding-space twin: each micro-batch of vectors is an
+    * admission wave routed through the partition-pruned IVF probe
+    * ([[graft.operators.Dedup.embeddingAdmitIndexed]]) via
+    * foreachBatch, so the trigger pays O(wave × probed posting
+    * directories), never O(corpus) — the production ingest gate for
+    * semantic dedup at 100 TB. foreachBatch is again the honest
+    * Spark shape: the probe needs a data-dependent partition filter
+    * per wave (the top-nprobe centroid ids), which no static
+    * streaming plan can express, and it carries no cross-trigger
+    * state. Verdicts stream to `sink` once per trigger, one row per
+    * wave vector, identical to the batch probe on the same wave
+    * (spec-asserted across a trigger split). Same trigger-boundary
+    * block cleanup as the minhash path: the probe localCheckpoints
+    * its wave/probe frames, and a long-running stream must not
+    * accrete them across triggers. */
+  def embeddingAdmitStream(vecs: DataFrame, indexDir: String,
+                           sink: DataFrame => Unit,
+                           minCosine: Double = 0.95,
+                           nprobe: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          if (!batch.isEmpty) {
+            val sc = batch.sparkSession.sparkContext
+            val before = sc.getPersistentRDDs.keySet
+            sink(graft.operators.Dedup.embeddingAdmitIndexed(
+              batch.sparkSession, indexDir, batch.toDF(), minCosine,
+              nprobe))
+            val after = sc.getPersistentRDDs
+            after.view.filterKeys(!before.contains(_)).values
+              .foreach(_.unpersist(blocking = false))
+          }
       }
       .start()
 

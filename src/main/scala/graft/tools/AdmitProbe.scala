@@ -133,6 +133,60 @@ object AdmitProbe {
       "\"admitted_total\":%d}")
       .format(waveSize, sTimes.head,
         sSteady.sum / sSteady.length, sSteady.min, sunk.get()))
+    // the SEMANTIC (IVF) admission stream: per-trigger cost must
+    // track the PROBED posting partitions (the nprobe sweep below —
+    // nprobe=nlist is the degenerate full-scan bound), and stay
+    // near-flat across a 10x index at fixed small nprobe (each
+    // probed list grows 10x in rows but the trigger's work is
+    // nprobe directories, never the corpus)
+    val allEmbs = graft.sources.Tables.embeddings(spark, args(0))
+      .select("vec_id", "embedding")
+    val waveVecs = allEmbs.orderBy("vec_id").limit(waves * waveSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    for ((mult, tag) <- Seq(1 -> "1x", 10 -> "10x")) {
+      val big = (0 until mult)
+        .map(i => allEmbs.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+      val dirE = java.nio.file.Files
+        .createTempDirectory(s"admit_probe_ivf_$tag").toString
+      val tB = System.nanoTime()
+      graft.operators.Similarity.ivfWriteIndex(big, dirE,
+        nlist = 16, iters = 2)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      for (np <- Seq(1, 4, 16)) {
+        val memE = MemoryStream[(Long, Array[Float])]
+        val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
+        val qE = graft.streaming.ReactiveStreams.embeddingAdmitStream(
+          memE.toDF().toDF("vec_id", "embedding"), dirE,
+          v => admitted.addAndGet(
+            v.agg(sum(when(col("admitted"), 1L))).head().getLong(0)),
+          minCosine = 0.95, nprobe = np)
+        var idE = 4000000L
+        val eTimes =
+          try {
+            (0 until waves).map { w =>
+              val rows = (0 until waveSize).map { i =>
+                idE += 1
+                (idE, waveVecs((w * waveSize + i) % waveVecs.length))
+              }
+              memE.addData(rows)
+              val s = System.nanoTime()
+              qE.processAllAvailable()
+              (System.nanoTime() - s) / 1e9
+            }
+          } finally qE.stop()
+        val eSteady = eTimes.drop(1)
+        println(("{\"probe\":\"embedding_admit_stream_per_trigger\"," +
+          "\"index\":\"%s\",\"index_build_sec\":%.1f,\"nprobe\":%d," +
+          "\"wave_size\":%d,\"first_trigger_sec\":%.3f," +
+          "\"steady_mean_sec\":%.3f,\"steady_min_sec\":%.3f," +
+          "\"admitted_total\":%d}")
+          .format(tag, buildSec, np, waveSize, eTimes.head,
+            eSteady.sum / eSteady.length, eSteady.min, admitted.get()))
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,319 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, DriverCutoff, FrameCache, Graph}
+
+/** Round-12 additions: the cross-query FrameCache (family-shared
+  * graph frames), the byte-budget driver-cutoff contract, the
+  * arc-free guards on the keyed PageRank family, and the
+  * Newman-Girvan modularity score over the LPA communities. */
+class Round12Spec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** The Round10/11 repeat-business fixture — known arc set. */
+  private def fixture: (DataFrame, DataFrame) = {
+    val pairs = Seq(
+      (1L, 1L, 2, 2), (1L, 2L, 2, 0), (2L, 2L, 2, 2),
+      (3L, 3L, 2, 0), (4L, 3L, 2, 2), (4L, 4L, 2, 0),
+      (3L, 4L, 2, 2), (5L, 5L, 2, 0), (6L, 5L, 2, 0),
+      (1L, 5L, 1, 0))
+    val orders = pairs.map(_._1).distinct
+      .map(c => (c * 1000L, c)).toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.flatMap { case (c, s, n, nr) =>
+      (0 until n).map(i =>
+        (c * 1000L, s, if (i < nr) "R" else "N"))
+    }.toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    (lineitem, orders)
+  }
+
+  // ---------------- FrameCache ----------------
+
+  test("FrameCache: same key is built once and reused; results equal") {
+    FrameCache.invalidateAll(spark)
+    var builds = 0
+    def build(): DataFrame = {
+      builds += 1
+      Seq((1L, 2L), (3L, 4L)).toDF("a", "b").localCheckpoint()
+    }
+    val k = "r12spec:reuse"
+    val d1 = FrameCache.cached(spark, k)(build())
+    val d2 = FrameCache.cached(spark, k)(build())
+    assert(builds == 1, "second cached() call must not rebuild")
+    assert(d2 eq d1, "cache must return the SAME frame instance")
+    assert(d1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (3L, 4L)))
+    FrameCache.invalidateAll(spark)
+  }
+
+  test("FrameCache: externally unpersisted entry is detected and rebuilt") {
+    FrameCache.invalidateAll(spark)
+    var builds = 0
+    val k = "r12spec:stale"
+    def build(): DataFrame = {
+      builds += 1
+      Seq((7L, 8L)).toDF("a", "b").localCheckpoint()
+    }
+    FrameCache.cached(spark, k)(build())
+    // simulate a boundary cleanup that ignored protectedIds
+    val ids = FrameCache.protectedIds
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => ids.contains(id) }
+      .values.foreach(_.unpersist(blocking = true))
+    val d2 = FrameCache.cached(spark, k)(build())
+    assert(builds == 2, "dropped blocks must trigger a rebuild")
+    assert(d2.count() == 1L)
+    FrameCache.invalidateAll(spark)
+  }
+
+  test("FrameCache: planKey separates datasets and protectedIds covers entries") {
+    FrameCache.invalidateAll(spark)
+    val a = Seq((1L, 1L)).toDF("x", "y")
+    val b = Seq((1L, 1L), (2L, 2L)).toDF("x", "y")
+    assert(FrameCache.planKey(a) != FrameCache.planKey(b),
+      "different inputs must produce different plan keys")
+    val d = FrameCache.cached(spark, "r12spec:prot")(
+      a.localCheckpoint())
+    assert(FrameCache.protectedIds.nonEmpty,
+      "a live entry must expose its blocks for boundary-skip")
+    assert(d.count() == 1L)
+    FrameCache.invalidateAll(spark)
+    assert(FrameCache.protectedIds.isEmpty)
+  }
+
+  test("family sharing: triangles/clustering agree with and without the cache") {
+    val (li, ord) = fixture
+    FrameCache.invalidateAll(spark)
+    val tri1 = Graph.trianglesKeysTrade(li, ord, cap = 4, minShared = 1)
+      .orderBy("cust").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cc1 = Graph.clusteringKeysTrade(li, ord, cap = 4, minShared = 1)
+      .orderBy("cust").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // second pass rides the memoized corners — must be identical
+    val tri2 = Graph.trianglesKeysTrade(li, ord, cap = 4, minShared = 1)
+      .orderBy("cust").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cc2 = Graph.clusteringKeysTrade(li, ord, cap = 4, minShared = 1)
+      .orderBy("cust").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri1.toSeq == tri2.toSeq)
+    assert(cc1.toSeq == cc2.toSeq)
+    FrameCache.invalidateAll(spark)
+  }
+
+  // ---------------- byte-budget driver cutoffs ----------------
+
+  test("DriverCutoff: budget arithmetic and documented widths") {
+    assert(DriverCutoff.budgetBytes == (128L << 20))
+    assert(DriverCutoff.pairRows == DriverCutoff.budgetBytes / 16)
+    assert(DriverCutoff.weightedArcRows == DriverCutoff.budgetBytes / 24)
+    assert(DriverCutoff.pairRows > 8000000L,
+      "pair budget must cover the measured 4.25M-edge sf10 projection")
+  }
+
+  test("cutoff boundary: union-find and distributed CC byte-equal") {
+    // chain + singleton: 1-2-3, 4-5, isolated 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc1", "doc2")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    def run(cut: Long) =
+      Dedup.connectedComponents(pairs, nodes, driverCutoff = cut)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(0L) == run(DriverCutoff.pairRows),
+      "driver and distributed paths must emit byte-equal labelings")
+  }
+
+  test("cutoff boundary: keyed SSSP byte-equal across paths") {
+    val (li, ord) = fixture
+    def run(cut: Long) =
+      Graph.ssspKeysTrade(li, ord,
+        customer = Seq((1L, 0L), (2L, 0L), (3L, 1L))
+          .toDF("c_custkey", "c_nationkey"),
+        nation = Seq((0L, "ALPHA"), (1L, "BETA"))
+          .toDF("n_nationkey", "n_name"),
+        driverCutoff = cut)
+        .orderBy("node").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(run(0L) == run(DriverCutoff.weightedArcRows))
+  }
+
+  // ---------------- arc-free guards ----------------
+
+  test("pageRankKeys/pprKeys: arc-free graph returns empty, not div-by-zero") {
+    val (li, ord) = fixture
+    // minTrades above any pair's support -> zero arcs
+    val pr = Graph.pageRankKeysTrade(li, ord, minTrades = 99,
+      minReturns = 99)
+    assert(pr.count() == 0L)
+    assert(pr.columns.toSeq == Seq("node_type", "node", "pr_scaled"))
+    val ppr = Graph.pprKeysTrade(li, ord,
+      customer = Seq((1L, 0L)).toDF("c_custkey", "c_nationkey"),
+      nation = Seq((0L, "ALPHA")).toDF("n_nationkey", "n_name"),
+      minTrades = 99, minReturns = 99)
+    assert(ppr.count() == 0L)
+    assert(ppr.columns.toSeq == Seq("node_type", "node", "ppr_scaled"))
+  }
+
+  test("pprKeys: seed-free market (no edge-bearing seed) returns empty") {
+    val (li, ord) = fixture
+    // nation 7 has no customers in the graph -> zero seeds
+    val ppr = Graph.pprKeysTrade(li, ord,
+      customer = Seq((100L, 7L)).toDF("c_custkey", "c_nationkey"),
+      nation = Seq((7L, "GAMMA")).toDF("n_nationkey", "n_name"))
+    assert(ppr.count() == 0L)
+  }
+
+  // ---------------- modularity ----------------
+
+  test("modularityTrade: hand-checked values incl. the bipartite in_w=0 law") {
+    // two disjoint customer-supplier pairs:
+    //   cust 1 - supp 1 (3 lineitems), cust 2 - supp 2 (1 lineitem)
+    val orders = Seq((1000L, 1L), (2000L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1000L, 1L, "N"), (1000L, 1L, "N"), (1000L, 1L, "N"),
+      (2000L, 2L, "N")).toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val out = Graph.modularityTrade(lineitem, orders)
+      .orderBy("community").collect()
+    // nodes: c1=2, s1=3, c2=4, s2=5; w(2,3)=3 both ways, w(4,5)=1;
+    // 2m = 8. Semi-synchronous LPA on a bipartite pair oscillates:
+    // after 3 (odd) rounds labels are swapped within each pair ->
+    // four singleton communities 2,3,4,5; label parity keeps every
+    // community single-side, so in_w = 0 (the documented law).
+    // q(strength 3) = 0 - (3e6//8)^2 // 1e6 = -(375000^2 // 1e6)
+    //              = -140625;  q(strength 1) = -(125000^2 // 1e6)
+    //              = -15625
+    assert(out.length == 4)
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(2L) == ((1L, 0L, 3L, -140625L)))
+    assert(m(3L) == ((1L, 0L, 3L, -140625L)))
+    assert(m(4L) == ((1L, 0L, 1L, -15625L)))
+    assert(m(5L) == ((1L, 0L, 1L, -15625L)))
+  }
+
+  test("modularityProjection: unipartite communities carry real in_w") {
+    // two disjoint co-sourcing cliques: custs {1,2,3} all share
+    // supps 1,2; custs {10,11} share supps 10,11 -> projection
+    // edges (2,4,ns2) (2,6,2) (4,6,2) and (20,22,2); LPA unifies
+    // each clique to its min node id
+    val rows =
+      (for { c <- Seq(1L, 2L, 3L); s <- Seq(1L, 2L); r <- 1 to 1 }
+        yield (c, s)) ++
+      (for { c <- Seq(10L, 11L); s <- Seq(10L, 11L) } yield (c, s))
+    val orders = rows.map(_._1).distinct
+      .map(c => (c * 100L, c)).toDF("o_orderkey", "o_custkey")
+    val lineitem = rows.map { case (c, s) => (c * 100L, s, "N") }
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val out = Graph.modularityProjection(lineitem, orders,
+      cap = 8, minShared = 2).orderBy("community").collect()
+    // projection nodes are RAW custkeys: triangle edges (1,2),(1,3),
+    // (2,3) ns=2 -> sym 6 arcs w=2 (weight 12); pair edge (10,11)
+    // ns=2 -> sym 2 arcs w=2 (weight 4); 2m = 16.
+    // LPA: the triangle converges to min label 1 by round 2; the
+    // lone pair oscillates (single-edge bipartite-like swap), so
+    // after 3 rounds 10<->11 carry each other's label -> two
+    // singleton communities.
+    // tri community 1: n=3, in_w=12, tot=12
+    //   q = 12e6//16 - (12e6//16)^2//1e6 = 750000 - 562500 = 187500
+    // pair communities 10,11: n=1, in_w=0, tot=2
+    //   q = 0 - (2e6//16)^2//1e6 = -(125000^2 // 1e6) = -15625
+    assert(out.length == 3)
+    val m = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(1L) == ((3L, 12L, 12L, 187500L)))
+    assert(m(10L) == ((1L, 0L, 2L, -15625L)))
+    assert(m(11L) == ((1L, 0L, 2L, -15625L)))
+    assert(m(1L)._2 > 0L, "unipartite community must carry real in_w")
+  }
+
+  // ---------------- semantic streaming admission ----------------
+
+  test("embeddingAdmitStream: foreachBatch verdicts across a trigger " +
+      "split equal the batch IVF probe per wave") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // corpus: two clear directions + a near-dup + an anti-vector;
+    // iters = 0 keeps centroids at the vec_id < nlist init (0, 1)
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_idx12").toString
+    graft.operators.Similarity.ivfWriteIndex(corpus, dir,
+      nlist = 2, iters = 0)
+    val wave1 = Seq((100L, Array(1f, 0.01f)))
+    val wave2 = Seq(
+      (101L, Array(0.70710678f, 0.70710678f)),
+      (102L, Array(0f, 1f)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Boolean)]
+    val q = graft.streaming.ReactiveStreams.embeddingAdmitStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir,
+      v => buf.synchronized {
+        buf ++= v.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      }, minCosine = 0.95, nprobe = 1)
+    try {
+      mem.addData(wave1: _*); q.processAllAvailable()
+      mem.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = buf.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val batch = (Dedup.embeddingAdmitIndexed(spark, dir,
+        wave1.toDF("vec_id", "embedding"), minCosine = 0.95,
+        nprobe = 1).collect() ++
+      Dedup.embeddingAdmitIndexed(spark, dir,
+        wave2.toDF("vec_id", "embedding"), minCosine = 0.95,
+        nprobe = 1).collect())
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === batch)
+    // 100 probes list 0 -> dups {0, 2}; 101 ties both centroids
+    // (min id wins), nothing >= 0.95; 102 is an exact copy of 1
+    assert(got(100L)._1 === 2L && got(100L)._3 === false)
+    assert(got(101L) === ((0L, -1L, true)))
+    assert(got(102L) === ((1L, 1000000L, false)))
+  }
+
+  test("embeddingAdmitStream: trigger cleanup leaves no new persisted blocks") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_idx12b").toString
+    graft.operators.Similarity.ivfWriteIndex(corpus, dir,
+      nlist = 2, iters = 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.ReactiveStreams.embeddingAdmitStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir,
+      v => { v.collect(); () })
+    try {
+      mem.addData((200L, Array(1f, 0f))); q.processAllAvailable()
+      mem.addData((201L, Array(0f, 1f))); q.processAllAvailable()
+    } finally q.stop()
+    // the diff-unpersist is async (blocking = false): poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
+    while (leaked().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty,
+      "per-trigger probe checkpoints must not accrete across triggers")
+  }
+
+  test("modularityTrade: edge-free corpus returns empty with schema") {
+    val orders = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq.empty[(Long, Long, String)]
+      .toDF("l_orderkey", "l_suppkey", "l_returnflag")
+    val out = Graph.modularityTrade(lineitem, orders)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("community", "n_nodes", "in_w", "tot_w", "q_contrib_ppm"))
+  }
+}

@@ -17,9 +17,16 @@ recorded epochs below rather than an absolute bar:
   morning): spin_sec 5.85, load5 6.6, cpu avg300 0.98 — guest idle.
 Record a reading alongside every timing artifact; a pair of runs is
 only comparable when their spin_sec agree within ~15%.
+
+r12+: the parallel pool is sized to os.cpu_count() (32 here) to
+match the bench's local[32]; parallel_spin_sec is NOT comparable to
+r11-and-earlier readings taken with the old hardcoded 16-worker
+pool (single-thread spin_sec is unaffected and remains the
+cross-epoch anchor).
 """
 import json
 import multiprocessing
+import os
 import time
 
 
@@ -34,10 +41,11 @@ def main():
     t0 = time.perf_counter()
     x = _spin(100_000_000)
     spin = time.perf_counter() - t0
-    # parallel spin: host oversubscription hits 32-way parallelism
-    # far harder than one thread — this is the number that tracks
-    # Spark local[32] inflation
-    nproc = 16
+    # parallel spin: host oversubscription hits wide parallelism far
+    # harder than one thread — this is the number that tracks Spark
+    # local[32] inflation, so the pool is sized to every guest CPU
+    # (32 here), not a fraction of them
+    nproc = os.cpu_count() or 32
     t0 = time.perf_counter()
     with multiprocessing.Pool(nproc) as p:
         p.map(_spin, [50_000_000] * nproc)
