@@ -161,7 +161,8 @@ object AdmitProbe {
         val qE = graft.streaming.ReactiveStreams.embeddingAdmitStream(
           memE.toDF().toDF("vec_id", "embedding"), dirE,
           v => admitted.addAndGet(
-            v.agg(sum(when(col("admitted"), 1L))).head().getLong(0)),
+            v.agg(coalesce(sum(when(col("admitted"), 1L)), lit(0L)))
+              .head().getLong(0)),
           minCosine = 0.95, nprobe = np)
         var idE = 4000000L
         val eTimes =
@@ -169,7 +170,10 @@ object AdmitProbe {
             (0 until waves).map { w =>
               val rows = (0 until waveSize).map { i =>
                 idE += 1
-                (idE, waveVecs((w * waveSize + i) % waveVecs.length))
+                val v0 = waveVecs((w * waveSize + i) % waveVecs.length)
+                // half exact corpus copies (rejected), half negated
+                // (cos -1 vs their source -> admitted)
+                (idE, if (i % 2 == 1) v0.map(-_) else v0)
               }
               memE.addData(rows)
               val s = System.nanoTime()
