@@ -89,6 +89,10 @@ object FrameCache {
   def cached(spark: SparkSession, key: String,
              keepOnlyLast: Boolean = false)
             (build: => DataFrame): DataFrame = synchronized {
+    // measurement kill-switch (scaling probes time the UNSHARED
+    // per-key cost to quantify what the cache saves): every call
+    // builds, nothing is retained
+    if (sys.env.contains("SPARK_GRAFT_FRAMECACHE_OFF")) return build
     entries.get(key) match {
       case Some(e) if valid(spark, e) =>
         // refresh insertion order so hot keys survive eviction

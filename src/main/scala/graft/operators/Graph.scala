@@ -295,10 +295,25 @@ object Graph {
       .localCheckpoint()
   }
 
+  /** [[lpaLabelsRaw]] memoized per (edge frame, iters): the 3-round
+    * vote fixpoint is the dominant cost of BOTH community consumers
+    * (communities pays it for the sizes rollup, modularity for the
+    * score — measured 65.6 s + 133.7 s at sf10 when each re-ran it),
+    * and like the edge collapse it is one deterministic frame a
+    * deployment materializes once per (dataset, params). Keyed off
+    * the INPUT frame's plan hash: a rebuilt edge frame re-keys, so
+    * reuse can never cross datasets. keepOnlyLast prunes the
+    * per-round checkpoints the loop leaves behind. */
+  private def lpaLabels(edges: DataFrame, iters: Int): DataFrame =
+    FrameCache.cached(edges.sparkSession,
+      s"lpa:${FrameCache.planKey(edges)}:$iters", keepOnlyLast = true) {
+      lpaLabelsRaw(edges, iters)
+    }
+
   /** [[labelPropTrade]]'s deterministic semi-synchronous vote loop
     * over an already-built symmetric edge frame; returns the final
     * (node, lbl). */
-  private def lpaLabels(edges: DataFrame, iters: Int): DataFrame = {
+  private def lpaLabelsRaw(edges: DataFrame, iters: Int): DataFrame = {
     val nodes = edges.select(col("a").as("node")).distinct()
     var labels = nodes.withColumn("lbl", col("node"))
     for (_ <- 0 until iters) {
@@ -370,20 +385,26 @@ object Graph {
       return edges.select(col("a").as("community"),
         col("a").as("n_nodes"), col("a").as("in_w"),
         col("a").as("tot_w"), col("a").as("q_contrib_ppm")).limit(0)
-    val inC = edges
-      .join(labels.select(col("node").as("a"), col("lbl").as("la")), "a")
+    // one pass over the labeled edge frame, not three: join the
+    // b-side labels FIRST (the edge frame ships repartitioned on b —
+    // the LPA vote join's layout — so the big side moves zero bytes),
+    // then the a-side labels (the one unavoidable big exchange), and
+    // fold intra-weight + strength into a single (a, la) aggregate —
+    // tot/in/n_nodes all fall out of its O(nodes) result (measured:
+    // the two-join-per-rollup form re-exchanged the 100M-arc sf10
+    // frame twice)
+    val labeled = edges
       .join(labels.select(col("node").as("b"), col("lbl").as("lb")), "b")
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("community")).agg(sum("w").as("in_w"))
-    val strength = edges.groupBy("a").agg(sum("w").as("s"))
-    val tot = strength
-      .join(labels.select(col("node").as("a"), col("lbl")), "a")
-      .groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), sum("s").as("tot_w"))
-    tot.join(inC, Seq("community"), "left")
-      .select(col("community"), col("n_nodes"),
-        coalesce(col("in_w"), lit(0L)).as("in_w"), col("tot_w"),
-        (expr(s"coalesce(in_w, 0L) * 1000000 div ${twoM}L") -
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")), "a")
+    val perNode = labeled.groupBy(col("a"), col("la"))
+      .agg(sum("w").as("s"),
+        coalesce(sum(when(col("la") === col("lb"), col("w"))), lit(0L))
+          .as("si"))
+    perNode.groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("si").as("in_w"),
+        sum("s").as("tot_w"))
+      .select(col("community"), col("n_nodes"), col("in_w"), col("tot_w"),
+        (expr(s"in_w * 1000000 div ${twoM}L") -
           expr(s"((tot_w * 1000000 div ${twoM}L) * " +
             s"(tot_w * 1000000 div ${twoM}L)) div 1000000"))
           .as("q_contrib_ppm"))
