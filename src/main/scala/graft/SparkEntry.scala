@@ -8667,7 +8667,7 @@ object SparkEntry {
         |FROM r GROUP BY 1 ORDER BY n_name""".stripMargin,
     "graph_bfs" ->
       """WITH RECURSIVE
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         | SELECT DISTINCT o_custkey AS c, l_suppkey AS s
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |edges AS (
@@ -8971,16 +8971,16 @@ object SparkEntry {
     // rounds over the symmetrized bipartite purchase edge frame
     // (even ids = customers, odd = suppliers, the graph_bfs space)
     "graph_communities" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         | SELECT CAST(o.o_custkey * 2 AS BIGINT) AS a,
         |  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS b, count(*) AS w
         | FROM lineitem l
         | JOIN orders o ON l.l_orderkey = o.o_orderkey
         | GROUP BY 1, 2),
-        |sym AS (
+        |sym AS MATERIALIZED (
         | SELECT a, b, w FROM e0
         | UNION ALL SELECT b, a, w FROM e0),
-        |l0 AS (
+        |l0 AS MATERIALIZED (
         | SELECT node, node AS lbl FROM
         |  (SELECT DISTINCT a AS node FROM sym)),
         |v1 AS (
@@ -8989,7 +8989,7 @@ object SparkEntry {
         |b1 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v1),
-        |l1 AS (
+        |l1 AS MATERIALIZED (
         | SELECT l0.node, coalesce(b.lbl, l0.lbl) AS lbl FROM l0
         | LEFT JOIN (SELECT node, lbl FROM b1 WHERE rn = 1) b
         |  USING (node)),
@@ -8999,7 +8999,7 @@ object SparkEntry {
         |b2 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v2),
-        |l2 AS (
+        |l2 AS MATERIALIZED (
         | SELECT l1.node, coalesce(b.lbl, l1.lbl) AS lbl FROM l1
         | LEFT JOIN (SELECT node, lbl FROM b2 WHERE rn = 1) b
         |  USING (node)),
@@ -9009,7 +9009,7 @@ object SparkEntry {
         |b3 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v3),
-        |l3 AS (
+        |l3 AS MATERIALIZED (
         | SELECT l2.node, coalesce(b.lbl, l2.lbl) AS lbl FROM l2
         | LEFT JOIN (SELECT node, lbl FROM b3 WHERE rn = 1) b
         |  USING (node)),
@@ -9022,16 +9022,16 @@ object SparkEntry {
     // per-community integer-ppm contribution, every division a
     // BIGINT floor (in_c*1e6 // 2m  -  (tot_c*1e6 // 2m)^2 // 1e6)
     "graph_modularity" ->
-      """WITH e0 AS (
+      """WITH e0 AS MATERIALIZED (
         | SELECT CAST(o.o_custkey * 2 AS BIGINT) AS a,
         |  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS b, count(*) AS w
         | FROM lineitem l
         | JOIN orders o ON l.l_orderkey = o.o_orderkey
         | GROUP BY 1, 2),
-        |sym AS (
+        |sym AS MATERIALIZED (
         | SELECT a, b, w FROM e0
         | UNION ALL SELECT b, a, w FROM e0),
-        |l0 AS (
+        |l0 AS MATERIALIZED (
         | SELECT node, node AS lbl FROM
         |  (SELECT DISTINCT a AS node FROM sym)),
         |v1 AS (
@@ -9040,7 +9040,7 @@ object SparkEntry {
         |b1 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v1),
-        |l1 AS (
+        |l1 AS MATERIALIZED (
         | SELECT l0.node, coalesce(b.lbl, l0.lbl) AS lbl FROM l0
         | LEFT JOIN (SELECT node, lbl FROM b1 WHERE rn = 1) b
         |  USING (node)),
@@ -9050,7 +9050,7 @@ object SparkEntry {
         |b2 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v2),
-        |l2 AS (
+        |l2 AS MATERIALIZED (
         | SELECT l1.node, coalesce(b.lbl, l1.lbl) AS lbl FROM l1
         | LEFT JOIN (SELECT node, lbl FROM b2 WHERE rn = 1) b
         |  USING (node)),
@@ -9060,7 +9060,7 @@ object SparkEntry {
         |b3 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v3),
-        |l3 AS (
+        |l3 AS MATERIALIZED (
         | SELECT l2.node, coalesce(b.lbl, l2.lbl) AS lbl FROM l2
         | LEFT JOIN (SELECT node, lbl FROM b3 WHERE rn = 1) b
         |  USING (node)),
@@ -9159,7 +9159,7 @@ object SparkEntry {
         |sym AS MATERIALIZED (
         |  SELECT u AS a, v AS b, ns AS w FROM ue
         |  UNION ALL SELECT v, u, ns FROM ue),
-        |l0 AS (
+        |l0 AS MATERIALIZED (
         | SELECT node, node AS lbl FROM
         |  (SELECT DISTINCT a AS node FROM sym)),
         |v1 AS (
@@ -9168,7 +9168,7 @@ object SparkEntry {
         |b1 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v1),
-        |l1 AS (
+        |l1 AS MATERIALIZED (
         | SELECT l0.node, coalesce(b.lbl, l0.lbl) AS lbl FROM l0
         | LEFT JOIN (SELECT node, lbl FROM b1 WHERE rn = 1) b
         |  USING (node)),
@@ -9178,7 +9178,7 @@ object SparkEntry {
         |b2 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v2),
-        |l2 AS (
+        |l2 AS MATERIALIZED (
         | SELECT l1.node, coalesce(b.lbl, l1.lbl) AS lbl FROM l1
         | LEFT JOIN (SELECT node, lbl FROM b2 WHERE rn = 1) b
         |  USING (node)),
@@ -9188,7 +9188,7 @@ object SparkEntry {
         |b3 AS (
         | SELECT node, lbl, row_number() OVER (PARTITION BY node
         |  ORDER BY vw DESC, lbl) AS rn FROM v3),
-        |l3 AS (
+        |l3 AS MATERIALIZED (
         | SELECT l2.node, coalesce(b.lbl, l2.lbl) AS lbl FROM l2
         | LEFT JOIN (SELECT node, lbl FROM b3 WHERE rn = 1) b
         |  USING (node)),

@@ -467,12 +467,7 @@ object Graph {
     * driver merge of k rows), never a global sort. */
   def commonNeighbors(lineitem: DataFrame, orders: DataFrame,
                       cap: Int = 64, k: Int = 50): DataFrame = {
-    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_suppkey").cast("long").as("supp"))
-      .distinct()
+    val edges = bipartitePairs(lineitem, orders)
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
@@ -558,13 +553,7 @@ object Graph {
     * exchange. */
   def kCoreTrade(lineitem: DataFrame, orders: DataFrame,
                  k: Int = 20, rounds: Int = 4): DataFrame = {
-    var e = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_suppkey").cast("long").as("supp"))
-      .distinct()
-      .localCheckpoint()
+    var e = bipartitePairs(lineitem, orders)
     val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val keepC = e.groupBy("cust").agg(count(lit(1)).as("dc"))
@@ -602,13 +591,7 @@ object Graph {
   def hitsTrade(lineitem: DataFrame, orders: DataFrame,
                 iters: Int = 3, k: Int = 20): DataFrame = {
     val S = 1000000000000L
-    val e = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_suppkey").cast("long").as("supp"))
-      .distinct()
-      .localCheckpoint()
+    val e = bipartitePairs(lineitem, orders)
     var hub = e.select("cust").distinct().withColumn("h", lit(S))
     var auth = e.select("supp").distinct().withColumn("a", lit(S))
     for (_ <- 0 until iters) {
@@ -688,12 +671,7 @@ object Graph {
                                   sampleSalt: String, weightSql: String,
                                   scoreName: String, minSdeg: Int = 1)
       : DataFrame = {
-    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_suppkey").cast("long").as("supp"))
-      .distinct()
+    val edges = bipartitePairs(lineitem, orders)
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
@@ -787,12 +765,7 @@ object Graph {
     * other LP ops. */
   def prefAttachment(lineitem: DataFrame, orders: DataFrame,
                      cap: Int = 64, k: Int = 50): DataFrame = {
-    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_suppkey").cast("long").as("supp"))
-      .distinct()
+    val edges = bipartitePairs(lineitem, orders)
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
@@ -1108,6 +1081,25 @@ object Graph {
     * arcs and 1.3k→1.4k return arcs across sf0.01→sf0.1, a 10×
     * corpus). Every iterative consumer runs on that sparse frame —
     * never on the corpus. */
+  /** The DISTINCT bipartite (cust, supp) purchase pair frame —
+    * the corpus collapse six operators used to re-pay independently
+    * (HITS, k-core, common-neighbors, the RA/AA witness generator,
+    * preferential attachment, the co-sourcing projection), memoized
+    * like [[repeatKeyEdges]]: one map-side-partial distinct per
+    * (dataset), every consumer caps/weights it downstream with its
+    * own md5 seed family. */
+  private def bipartitePairs(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame = FrameCache.cached(lineitem.sparkSession,
+    s"bpp:${FrameCache.planKey(lineitem, orders)}") {
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("cust"),
+        col("l_suppkey").cast("long").as("supp"))
+      .distinct()
+      .localCheckpoint()
+  }
+
   private def repeatKeyEdges(lineitem: DataFrame, orders: DataFrame,
                              minTrades: Int, minReturns: Int)
       : DataFrame = FrameCache.cached(lineitem.sparkSession,
@@ -1791,12 +1783,7 @@ object Graph {
                             cap: Int, minShared: Int): DataFrame =
     FrameCache.cached(lineitem.sparkSession,
       s"cse:${FrameCache.planKey(lineitem, orders)}:$cap:$minShared") {
-    val edges = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").cast("long").as("cust"),
-        col("l_suppkey").cast("long").as("supp"))
-      .distinct()
+    val edges = bipartitePairs(lineitem, orders)
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
