@@ -881,6 +881,18 @@ object SparkEntry {
     "graph_cosource_components" -> ((s, d) =>
       Graph.cosourceComponents(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("cust")),
+    "graph_eccentricity_keys" -> ((s, d) =>
+      Graph.eccentricityKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("node")),
+    "graph_betweenness_keys" -> ((s, d) =>
+      Graph.betweennessKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("node")),
+    "graph_degree_mixing" -> ((s, d) =>
+      Graph.degreeMixingTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("src_bucket", "dst_bucket")),
+    "graph_hop_histogram" -> ((s, d) =>
+      Graph.hopHistogramKeysTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("h")),
     "dedup_canonical" -> ((s, d) =>
       Dedup.canonicalSelection(docs(s, d)).orderBy("cluster_id")),
     "emb_norm_hist" -> ((s, d) =>
@@ -6404,6 +6416,181 @@ object SparkEntry {
         |SELECT l.cust, l.segment_id, s.segment_size
         |FROM lab l JOIN sz s USING (segment_id)
         |ORDER BY cust""").stripMargin,
+    // landmark eccentricity bounds: same 'bw:' pivots + 60-sweep
+    // multi-source BFS as the betweenness forward pass; per-node
+    // max-over-pivots distance is the standard pivot lower bound
+    "graph_eccentricity_keys" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+        |lm AS MATERIALIZED (SELECT node AS lm FROM nodes
+        |  ORDER BY md5('bw:' || CAST(node AS VARCHAR)), node LIMIT 8),
+        |bf(it, lm, node, h) AS (
+        |  SELECT 0, lm, lm, CAST(0 AS BIGINT) FROM lm
+        |  UNION ALL
+        |  SELECT it + 1, lm, node, min(h) FROM (
+        |    SELECT bf.it AS it, bf.lm AS lm, bf.node AS node, bf.h
+        |    FROM bf WHERE bf.it < 60
+        |    UNION ALL
+        |    SELECT bf.it, bf.lm, e.b, bf.h + 1
+        |    FROM bf JOIN e ON bf.node = e.a WHERE bf.it < 60
+        |  ) GROUP BY 1, 2, 3),
+        |dd AS (SELECT lm, node, h FROM bf WHERE it = 60)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |    AS node_type,
+        |  node, CAST(max(h) AS BIGINT) AS ecc_lb,
+        |  CAST(count(*) AS BIGINT) AS n_lm
+        |FROM dd GROUP BY node ORDER BY node""".stripMargin,
+    // depth-bounded landmark Brandes: forward sigma by 8 unrolled
+    // level-synchronous rounds gated on the converged BFS distances
+    // (the distance guard IS the visited set — no anti-join), then
+    // 8 unrolled backward dependency rounds, every division an
+    // integer floor in a fixed order. HUGEINT sums CAST to BIGINT
+    // raise loud on overflow — never silently unequal.
+    "graph_betweenness_keys" ->
+      ("""WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+        |lm AS MATERIALIZED (SELECT node AS lm FROM nodes
+        |  ORDER BY md5('bw:' || CAST(node AS VARCHAR)), node LIMIT 8),
+        |bf(it, lm, node, h) AS (
+        |  SELECT 0, lm, lm, CAST(0 AS BIGINT) FROM lm
+        |  UNION ALL
+        |  SELECT it + 1, lm, node, min(h) FROM (
+        |    SELECT bf.it AS it, bf.lm AS lm, bf.node AS node, bf.h
+        |    FROM bf WHERE bf.it < 60
+        |    UNION ALL
+        |    SELECT bf.it, bf.lm, e.b, bf.h + 1
+        |    FROM bf JOIN e ON bf.node = e.a WHERE bf.it < 60
+        |  ) GROUP BY 1, 2, 3),
+        |dd AS MATERIALIZED (
+        |  SELECT lm, node, h FROM bf WHERE it = 60 AND h <= 8),
+        |s0 AS MATERIALIZED (
+        |  SELECT lm, lm AS node, CAST(1 AS BIGINT) AS sigma FROM lm),
+        |""" +
+        (0 until 8).map { k =>
+          s"""s${k + 1} AS MATERIALIZED (
+             |  SELECT sv.lm, e.b AS node,
+             |    CAST(sum(sv.sigma) AS BIGINT) AS sigma
+             |  FROM s$k sv JOIN e ON sv.node = e.a
+             |  JOIN dd d ON d.lm = sv.lm AND d.node = e.b
+             |    AND d.h = ${k + 1}
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n") +
+        """,
+        |d8 AS MATERIALIZED (
+        |  SELECT lm, node, CAST(0 AS BIGINT) AS del FROM s8),
+        |""" +
+        (7 to 0 by -1).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT sv.lm, sv.node,
+             |    CAST(coalesce(sum((sv.sigma * 1000000 // x.sigma_w)
+             |      * (1000000 + x.del) // 1000000), 0) AS BIGINT)
+             |      AS del
+             |  FROM s$k sv LEFT JOIN (
+             |    SELECT sw.lm, e.a AS pred, sw.sigma AS sigma_w,
+             |      dn.del
+             |    FROM s${k + 1} sw
+             |    JOIN d${k + 1} dn
+             |      ON dn.lm = sw.lm AND dn.node = sw.node
+             |    JOIN e ON e.b = sw.node) x
+             |    ON x.lm = sv.lm AND x.pred = sv.node
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n") +
+        """,
+        |alld AS (""" +
+        (0 to 8).map(k => s"SELECT * FROM d$k")
+          .mkString("\n|  UNION ALL ") +
+        """),
+        |btw AS (SELECT node, CAST(sum(del) AS BIGINT) AS btw_ppm
+        |  FROM alld WHERE lm <> node GROUP BY 1)
+        |SELECT CASE WHEN n.node % 2 = 0 THEN 'cust' ELSE 'supp' END
+        |    AS node_type,
+        |  n.node AS node, coalesce(b.btw_ppm, 0) AS btw_ppm
+        |FROM nodes n LEFT JOIN btw b ON n.node = b.node
+        |ORDER BY node""").stripMargin,
+    // hop-distance histogram off the same 'bw:' landmark BFS — the
+    // ANF / effective-diameter neighborhood-function estimate
+    "graph_hop_histogram" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+        |lm AS MATERIALIZED (SELECT node AS lm FROM nodes
+        |  ORDER BY md5('bw:' || CAST(node AS VARCHAR)), node LIMIT 8),
+        |bf(it, lm, node, h) AS (
+        |  SELECT 0, lm, lm, CAST(0 AS BIGINT) FROM lm
+        |  UNION ALL
+        |  SELECT it + 1, lm, node, min(h) FROM (
+        |    SELECT bf.it AS it, bf.lm AS lm, bf.node AS node, bf.h
+        |    FROM bf WHERE bf.it < 60
+        |    UNION ALL
+        |    SELECT bf.it, bf.lm, e.b, bf.h + 1
+        |    FROM bf JOIN e ON bf.node = e.a WHERE bf.it < 60
+        |  ) GROUP BY 1, 2, 3),
+        |dd AS (SELECT lm, node, h FROM bf WHERE it = 60)
+        |SELECT h, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+        |FROM dd GROUP BY h ORDER BY h""".stripMargin,
+    // degree-mixing matrix: buckets by binary digit count (exact
+    // floor(log2)+1 — no floating log whose power-of-two boundaries
+    // drift), per-cell arc counts + raw BIGINT degree sums
+    "graph_degree_mixing" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+        |    CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT c AS a, s AS b FROM p WHERE n >= 2
+        |  UNION ALL
+        |  SELECT s AS a, c AS b FROM p WHERE nr >= 2),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1)
+        |SELECT
+        |  CAST(length(format('{:b}', da.deg)) AS BIGINT)
+        |    AS src_bucket,
+        |  CAST(length(format('{:b}', db.deg)) AS BIGINT)
+        |    AS dst_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_arcs,
+        |  CAST(sum(da.deg) AS BIGINT) AS sum_src_deg,
+        |  CAST(sum(db.deg) AS BIGINT) AS sum_dst_deg
+        |FROM e JOIN deg da ON e.a = da.node
+        |JOIN deg db ON e.b = db.node
+        |GROUP BY 1, 2 ORDER BY src_bucket, dst_bucket""".stripMargin,
     // canonical survivor per near-dup cluster: most tokens wins,
     // ties to the smallest doc_id — same cluster CTE as dedup_cluster
     "dedup_canonical" ->

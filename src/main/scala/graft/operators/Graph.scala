@@ -2013,4 +2013,234 @@ object Graph {
           n_tri * 2000000 div (deg * (deg - 1)) END""")
           .cast("long").as("cc_ppm"))
   }
+
+  /** Family-shared landmark distance frame over the KEY-LEVEL
+    * repeat-business graph: (lm, node, h) for 8 md5-chosen 'bw:'
+    * pivots — ONE multi-source BFS keyed (landmark, node), the same
+    * fixed-point loop as [[harmonicKeysTrade]]'s distributed path
+    * (one arc⋈dist join + per-(lm,node) min per round, O(landmarks·
+    * reached) rows, never all-sources). FrameCache'd so the whole
+    * landmark family ([[eccentricityKeysTrade]],
+    * [[betweennessKeysTrade]]) pays the BFS once per (dataset,
+    * params) — the r12 cross-query sharing contract. maxIter is the
+    * engine↔oracle parity bound: the oracle sweeps a fixed 60
+    * rounds; the engine throws past it (loud, never silently
+    * unequal). */
+  private def landmarkDistKeys(lineitem: DataFrame, orders: DataFrame,
+                               minTrades: Int, minReturns: Int,
+                               landmarks: Int, maxIter: Int)
+      : DataFrame = FrameCache.cached(lineitem.sparkSession,
+    s"lbfs:${FrameCache.planKey(lineitem, orders)}:" +
+      s"$minTrades:$minReturns:$landmarks:$maxIter") {
+    val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b").localCheckpoint()
+    val nodes = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node"))).distinct()
+    val lms = nodes
+      .orderBy(md5(concat(lit("bw:"), col("node").cast("string"))),
+        col("node"))
+      .limit(landmarks)
+      .select(col("node").as("lm"))
+      .localCheckpoint()
+    var dist = lms.select(col("lm"), col("lm").as("node"))
+      .withColumn("h", lit(0L)).localCheckpoint()
+    var improved = 1L
+    var i = 0
+    while (improved > 0 && i < maxIter + 1) {
+      val relaxed = edges.join(dist, edges("a") === dist("node"))
+        .select(col("lm"), col("b").as("node"), (col("h") + 1L).as("h"))
+        .unionByName(dist)
+        .groupBy("lm", "node").agg(min("h").as("h"))
+        .localCheckpoint()
+      improved = relaxed.as("x")
+        .join(dist.as("y"), Seq("lm", "node"), "left_outer")
+        .filter(col("y.h").isNull || col("x.h") < col("y.h")).count()
+      dist = relaxed
+      i += 1
+    }
+    if (improved > 0)
+      throw new IllegalStateException(
+        s"landmarkDistKeys did not converge in $maxIter rounds — " +
+          "raise maxIter (and the oracle's sweep bound)")
+    dist
+  }
+
+  /** KEY-LEVEL landmark eccentricity lower bounds: for every node
+    * reached by any of the 8 'bw:' pivots, ecc_lb = max over pivots
+    * of d(pivot → node) — the standard BFS-landmark eccentricity
+    * bound (each pivot's distance to v is a witness path, so the
+    * max over pivots never exceeds the true in-eccentricity of v's
+    * sources view; at billion-node scale exact all-pairs diameter
+    * is off the table and pivot bounds ARE the published estimator).
+    * One groupBy over the FrameCache-shared (lm, node, h) frame —
+    * the corpus is touched only by [[repeatKeyEdges]]' collapse,
+    * and the BFS itself is shared with [[betweennessKeysTrade]].
+    * n_lm counts the pivots that reach the node (pivots count
+    * themselves at h = 0). */
+  def eccentricityKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                            minTrades: Int = 2, minReturns: Int = 2,
+                            landmarks: Int = 8, maxIter: Int = 60)
+      : DataFrame = {
+    landmarkDistKeys(lineitem, orders, minTrades, minReturns,
+      landmarks, maxIter)
+      .groupBy("node")
+      .agg(max("h").as("ecc_lb"), count(lit(1)).as("n_lm"))
+      .select(
+        when(col("node") % 2 === 0, "cust").otherwise("supp")
+          .as("node_type"),
+        col("node"), col("ecc_lb"), col("n_lm"))
+  }
+
+  /** Hop-distance histogram from the landmark probes — the
+    * neighborhood-function estimate (the ANF / effective-diameter
+    * ingredient, Palmer–Gibbons–Faloutsos KDD'02: N(h) ≈ how many
+    * (source, node) pairs sit within h hops, estimated from sampled
+    * sources; the h where the cumulative curve flattens IS the
+    * effective diameter): per-hop (landmark, node) pair counts +
+    * distinct reached nodes over the FrameCache-shared BFS frame —
+    * one groupBy, zero additional corpus touches, third rider on
+    * the 'bw:' pivot family. */
+  def hopHistogramKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                            minTrades: Int = 2, minReturns: Int = 2,
+                            landmarks: Int = 8, maxIter: Int = 60)
+      : DataFrame = {
+    landmarkDistKeys(lineitem, orders, minTrades, minReturns,
+      landmarks, maxIter)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("node").as("n_nodes"))
+  }
+
+  /** KEY-LEVEL landmark betweenness (depth-bounded Brandes): the
+    * canonical shortest-path centrality, in the only form that
+    * survives a billion-node graph — pivot sampling (8 md5-chosen
+    * 'bw:' sources) × a fixed 8-hop horizon (Brandes–Pich pivot
+    * approximation; contributions beyond the horizon are zero BY
+    * DESIGN, so engine and oracle bound the same universe).
+    *
+    * Forward: σ(w) = Σ σ(v) over in-neighbors at h(w)−1 — 8
+    * level-synchronous rounds, each ONE arc⋈frontier join guarded
+    * by the FrameCache-shared landmark distance frame (h = k+1
+    * semi-join — no visited-set anti-join needed, the distance
+    * frame IS the BFS DAG certificate). Backward: Brandes'
+    * dependency δ(v) = Σ_{v→w on DAG} ⌊σv·10⁶/σw⌋·(10⁶+δw) div 10⁶
+    * accumulated level-by-level from the horizon down — every
+    * division an integer floor in a fixed order, bit-identical on
+    * any engine (the ppm contract of [[pageRankKeysTrade]]).
+    * btw_ppm(v) = Σ over pivots s ≠ v of δ_s(v), scale 10⁶ = one
+    * fully-dependent reachable node.
+    *
+    * Every exchanged frame is O(landmarks · level-width); the
+    * corpus is touched once ([[repeatKeyEdges]], memoized). Integer
+    * honesty guards: σ ≤ 9·10¹² and δ ≤ 9·10¹² asserted per round
+    * on DECIMAL(38,0) sums BEFORE narrowing to long — σ·10⁶ and
+    * (10⁶+δ)·r_ppm then provably fit int64 (σv ≤ σw on a DAG arc,
+    * so r_ppm ≤ 10⁶) — past the cap the engine fails loud, never
+    * silently wraps (the DuckDB oracle's HUGEINT sums raise on
+    * their own). */
+  def betweennessKeysTrade(lineitem: DataFrame, orders: DataFrame,
+                           minTrades: Int = 2, minReturns: Int = 2,
+                           landmarks: Int = 8, horizon: Int = 8,
+                           maxIter: Int = 60): DataFrame = {
+    val cap = 9000000000000L // 9e12: σ·10⁶ and r_ppm·(10⁶+δ) < 2⁶³
+    val spark = lineitem.sparkSession
+    val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b").localCheckpoint()
+    val nodes = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node"))).distinct()
+    val dd = landmarkDistKeys(lineitem, orders, minTrades, minReturns,
+        landmarks, maxIter)
+      .filter(col("h") <= horizon).localCheckpoint()
+    def guarded(df: DataFrame, what: String): DataFrame = {
+      val m = df.agg(max(col(what))).collect()(0)
+      if (!m.isNullAt(0) &&
+          m.getDecimal(0).compareTo(new java.math.BigDecimal(cap)) > 0)
+        throw new IllegalStateException(
+          s"betweennessKeysTrade $what exceeds $cap — integer-exact " +
+            "ppm accumulation would overflow; shrink horizon/landmarks")
+      df.withColumn(what, col(what).cast("long")).localCheckpoint()
+    }
+    // forward: per-level σ frames, level k+1 gated by the distance
+    // frame (DAG arcs only — no anti-join against the visited set)
+    val byLevel = scala.collection.mutable.ArrayBuffer(
+      dd.filter(col("h") === 0)
+        .select(col("lm"), col("node"), lit(1L).as("sigma"))
+        .localCheckpoint())
+    for (k <- 0 until horizon) {
+      val nxt = byLevel(k).join(edges,
+          byLevel(k)("node") === edges("a"))
+        .select(col("lm"), col("b").as("node"), col("sigma"))
+        .join(dd.filter(col("h") === (k + 1)).select("lm", "node"),
+          Seq("lm", "node"), "left_semi")
+        .groupBy("lm", "node")
+        .agg(sum(col("sigma").cast("decimal(38,0)")).as("sigma"))
+      byLevel += guarded(nxt, "sigma")
+    }
+    // backward: δ from the horizon down; δ at the deepest level is 0
+    var del = byLevel(horizon)
+      .select(col("lm"), col("node"), lit(0L).as("del"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer(del)
+    for (k <- (horizon - 1) to 0 by -1) {
+      val contribSrc = byLevel(k + 1).join(del, Seq("lm", "node"))
+        .join(edges, col("node") === edges("b"))
+        .select(col("lm"), edges("a").as("node"),
+          col("sigma").as("sigma_w"), col("del").as("del_w"))
+      val cur = byLevel(k).join(contribSrc, Seq("lm", "node"), "left")
+        .select(col("lm"), col("node"),
+          coalesce(
+            expr("((sigma * 1000000 div sigma_w) * (1000000 + del_w))" +
+              " div 1000000"),
+            lit(0L)).as("c"))
+        .groupBy("lm", "node")
+        .agg(sum(col("c").cast("decimal(38,0)")).as("del"))
+      del = guarded(cur, "del")
+      acc += del
+    }
+    val allDel =
+      acc.reduce(_ unionByName _).filter(col("lm") =!= col("node"))
+        .groupBy("node").agg(sum("del").as("btw_ppm"))
+    nodes.join(allDel, Seq("node"), "left")
+      .select(
+        when(col("node") % 2 === 0, "cust").otherwise("supp")
+          .as("node_type"),
+        col("node"),
+        coalesce(col("btw_ppm"), lit(0L)).as("btw_ppm"))
+  }
+
+  /** Degree-mixing matrix over the KEY-LEVEL repeat-business graph —
+    * the integer-exact assortativity structure: every arc binned by
+    * ⌊log₂ deg⌋+1 of each endpoint's TOTAL degree (bucket = binary
+    * digit count, exact on any engine — no floating log2 whose
+    * power-of-two boundaries drift by an ulp), with per-cell arc
+    * counts and raw degree sums. The diagonal-mass-vs-off-diagonal
+    * shape IS degree assortativity (Newman's mixing matrix e_jk);
+    * the scalar r needs a sqrt no integer contract can express, so
+    * the matrix and its BIGINT moments are the gated artifact and r
+    * is one driver-side division away for whoever wants the summary.
+    * Cost: the memoized [[repeatKeyEdges]] collapse + one small
+    * degree aggregate joined twice (broadcast both times — the
+    * degree frame is O(edge-bearing nodes)) + one 2-key groupBy:
+    * every exchanged frame is O(arcs) and the cell count is
+    * ≤ log²(max degree) ≈ a few hundred rows at ANY scale. */
+  def degreeMixingTrade(lineitem: DataFrame, orders: DataFrame,
+                        minTrades: Int = 2, minReturns: Int = 2)
+      : DataFrame = {
+    val arcs = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
+      .select("a", "b")
+    val deg = arcs.select(col("a").as("node"))
+      .unionByName(arcs.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    arcs
+      .join(deg.select(col("node").as("a"), col("deg").as("src_deg")),
+        "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("dst_deg")),
+        "b")
+      .groupBy(
+        length(bin(col("src_deg"))).cast("long").as("src_bucket"),
+        length(bin(col("dst_deg"))).cast("long").as("dst_bucket"))
+      .agg(count(lit(1)).as("n_arcs"),
+        sum("src_deg").as("sum_src_deg"),
+        sum("dst_deg").as("sum_dst_deg"))
+  }
 }

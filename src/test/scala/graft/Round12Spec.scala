@@ -316,4 +316,151 @@ class Round12Spec extends AnyFunSuite {
     assert(out.columns.toSeq ==
       Seq("community", "n_nodes", "in_w", "tot_w", "q_contrib_ppm"))
   }
+
+  // ---------------- landmark family (r12 continuation) ----------------
+
+  /** The fixture's repeat-business arc set, derived BY HAND from the
+    * pair list (fwd c→s at n≥2, return s→c at nr≥2; cust = 2c,
+    * supp = 2s+1) — the independent ground truth the reference
+    * implementations below walk. */
+  private val fixtureArcs: Seq[(Long, Long)] = Seq(
+    (2L, 3L), (3L, 2L),     // c1↔s1
+    (2L, 5L),               // c1→s2
+    (4L, 5L), (5L, 4L),     // c2↔s2
+    (6L, 7L),               // c3→s3
+    (8L, 7L), (7L, 8L),     // c4↔s3
+    (8L, 9L),               // c4→s4
+    (6L, 9L), (9L, 6L),     // c3↔s4
+    (10L, 11L),             // c5→s5
+    (12L, 11L))             // c6→s5
+
+  private def mdhex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference multi-pivot BFS (dist per (pivot, node)) — plain
+    * driver Scala, no Spark. */
+  private def refLandmarkDists(arcs: Seq[(Long, Long)], k: Int)
+      : (Seq[Long], Map[(Long, Long), Long]) = {
+    val adj = arcs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = (arcs.map(_._1) ++ arcs.map(_._2)).distinct
+    val pivots = nodes.sortBy(n => (mdhex(s"bw:$n"), n)).take(k)
+    val dist = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    pivots.foreach { p =>
+      dist((p, p)) = 0L
+      var frontier = List(p)
+      while (frontier.nonEmpty)
+        frontier = frontier.flatMap(v =>
+          adj.getOrElse(v, Nil).filterNot(w => dist.contains((p, w)))
+            .map { w => dist((p, w)) = dist((p, v)) + 1L; w })
+    }
+    (pivots, dist.toMap)
+  }
+
+  test("eccentricityKeysTrade matches an independent driver BFS") {
+    val (lineitem, orders) = fixture
+    FrameCache.invalidateAll(spark)
+    val (_, dist) = refLandmarkDists(fixtureArcs, 8)
+    val want = dist.toSeq.groupBy(_._1._2).map { case (node, ds) =>
+      node -> (ds.map(_._2).max, ds.size.toLong)
+    }
+    val got = Graph.eccentricityKeysTrade(lineitem, orders)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+  }
+
+  /** Reference depth-bounded Brandes with the EXACT integer-ppm
+    * floor order the engine and oracle use. */
+  private def refBetweenness(arcs: Seq[(Long, Long)], k: Int,
+                             horizon: Int): Map[Long, Long] = {
+    val (pivots, dist) = refLandmarkDists(arcs, k)
+    val nodes = (arcs.map(_._1) ++ arcs.map(_._2)).distinct
+    val btw = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    pivots.foreach { p =>
+      val d = dist.collect { case ((`p`, n), h) if h <= horizon =>
+        n -> h }.toMap
+      val sigma = scala.collection.mutable.Map(p -> 1L)
+      (1 to horizon).foreach { lvl =>
+        nodes.filter(n => d.get(n).contains(lvl.toLong)).foreach { w =>
+          sigma(w) = arcs.filter(a => a._2 == w &&
+              d.get(a._1).contains(lvl - 1L))
+            .map(a => sigma(a._1)).sum
+        }
+      }
+      val del = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      (horizon - 1 to 0 by -1).foreach { lvl =>
+        nodes.filter(n => d.get(n).contains(lvl.toLong)).foreach { v =>
+          del(v) = arcs.filter(a => a._1 == v &&
+              d.get(a._2).contains(lvl + 1L))
+            .map { a =>
+              val w = a._2
+              (sigma(v) * 1000000L / sigma(w)) *
+                (1000000L + del(w)) / 1000000L
+            }.sum
+        }
+      }
+      del.foreach { case (n, x) => if (n != p) btw(n) += x }
+    }
+    nodes.map(n => n -> btw(n)).toMap
+  }
+
+  test("betweennessKeysTrade matches an independent driver Brandes") {
+    val (lineitem, orders) = fixture
+    FrameCache.invalidateAll(spark)
+    val want = refBetweenness(fixtureArcs, 8, 8)
+    val got = Graph.betweennessKeysTrade(lineitem, orders)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == want)
+    // the centrality is not degenerate on the fixture: the cycle
+    // nodes carry strictly positive dependency
+    assert(got.values.exists(_ > 0L))
+  }
+
+  test("landmark family shares ONE cached BFS frame per (dataset, params)") {
+    val (lineitem, orders) = fixture
+    FrameCache.invalidateAll(spark)
+    Graph.eccentricityKeysTrade(lineitem, orders).collect()
+    val afterFirst = FrameCache.protectedIds
+    Graph.betweennessKeysTrade(lineitem, orders).collect()
+    // betweenness must reuse the eccentricity run's BFS blocks, not
+    // build a second landmark distance frame
+    assert(FrameCache.protectedIds.intersect(afterFirst) == afterFirst,
+      "the shared landmark BFS frame was rebuilt, not reused")
+  }
+
+  test("hopHistogramKeysTrade matches the reference BFS's histogram") {
+    val (lineitem, orders) = fixture
+    FrameCache.invalidateAll(spark)
+    val (_, dist) = refLandmarkDists(fixtureArcs, 8)
+    val want = dist.toSeq.groupBy(_._2).map { case (h, ds) =>
+      h -> (ds.size.toLong, ds.map(_._1._2).distinct.size.toLong)
+    }
+    val got = Graph.hopHistogramKeysTrade(lineitem, orders)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("degreeMixingTrade: hand-checked cells on the fixture") {
+    val (lineitem, orders) = fixture
+    // degrees over fixtureArcs (in+out): 2→3:2? compute by hand in
+    // the reference loop instead — the point is binary-digit-count
+    // bucketing and exact sums
+    val deg = (fixtureArcs.map(_._1) ++ fixtureArcs.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bucket(d: Long): Long = java.lang.Long.toBinaryString(d).length
+    val want = fixtureArcs.groupBy { case (a, b) =>
+      (bucket(deg(a)), bucket(deg(b)))
+    }.map { case (k, as) =>
+      k -> (as.size.toLong, as.map(a => deg(a._1)).sum,
+        as.map(a => deg(a._2)).sum)
+    }
+    val got = Graph.degreeMixingTrade(lineitem, orders)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
 }
