@@ -239,6 +239,8 @@ object SparkEntry {
       Relational.dqFdCheck(s, d).orderBy("fd")),
     "q_null_aware_anti" -> ((s, d) =>
       Relational.qNullAwareAnti(s, d).orderBy("c_mktsegment")),
+    "q_band_join" -> ((s, d) =>
+      Relational.qBandJoin(s, d).orderBy("nation")),
     // result is already the deterministic top-k; tail re-sort only
     "graph_resource_alloc" -> ((s, d) =>
       Graph.resourceAllocation(Tables.lineitem(s, d), Tables.orders(s, d))
@@ -2186,6 +2188,23 @@ object SparkEntry {
              |      GROUP BY $det)""".stripMargin
         }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           ")\nORDER BY fd")),
+    // band self-join: the oracle states the predicate directly
+    // (DuckDB's IEJoin handles it); the engine's bucket replication
+    // finds each qualifying pair exactly once — same pair set
+    "q_band_join" ->
+      """WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |  CAST(s_nationkey AS BIGINT) AS nation,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS bal FROM supplier)
+        |SELECT s1.nation AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(abs(s1.bal - s2.bal)) AS BIGINT) AS sum_gap_cents,
+        |  CAST(max(abs(s1.bal - s2.bal)) AS BIGINT) AS max_gap_cents,
+        |  CAST(min(abs(s1.bal - s2.bal)) AS BIGINT) AS min_gap_cents
+        |FROM s s1 JOIN s s2
+        |  ON s1.nation = s2.nation AND s1.id < s2.id
+        |  AND abs(s1.bal - s2.bal) <= 10000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_null_aware_anti" ->
       """WITH blocked AS (
         | SELECT CASE WHEN o_custkey % 100 = 7 THEN NULL

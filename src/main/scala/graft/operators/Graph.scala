@@ -2031,7 +2031,14 @@ object Graph {
                                landmarks: Int, maxIter: Int)
       : DataFrame = FrameCache.cached(lineitem.sparkSession,
     s"lbfs:${FrameCache.planKey(lineitem, orders)}:" +
-      s"$minTrades:$minReturns:$landmarks:$maxIter") {
+      s"$minTrades:$minReturns:$landmarks:$maxIter",
+    // the BFS loop checkpoints every round; only the converged
+    // frame (the max created id) may be pinned — pinning the loop
+    // intermediates lets the ContextCleaner invalidate the entry
+    // the moment any GC'd intermediate is reaped, silently turning
+    // every family member into a full rebuild (measured: 19.2 s
+    // eccentricity at sf0.1 vs sub-second warm)
+    keepOnlyLast = true) {
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
       .select("a", "b").localCheckpoint()
     val nodes = edges.select(col("a").as("node"))
@@ -2151,14 +2158,18 @@ object Graph {
     val dd = landmarkDistKeys(lineitem, orders, minTrades, minReturns,
         landmarks, maxIter)
       .filter(col("h") <= horizon).localCheckpoint()
+    // checkpoint FIRST, then read the max off the materialized
+    // blocks — check-then-checkpoint would compute every level's
+    // plan twice (once for the guard aggregate, once to persist)
     def guarded(df: DataFrame, what: String): DataFrame = {
-      val m = df.agg(max(col(what))).collect()(0)
+      val ck = df.localCheckpoint()
+      val m = ck.agg(max(col(what))).collect()(0)
       if (!m.isNullAt(0) &&
           m.getDecimal(0).compareTo(new java.math.BigDecimal(cap)) > 0)
         throw new IllegalStateException(
           s"betweennessKeysTrade $what exceeds $cap — integer-exact " +
             "ppm accumulation would overflow; shrink horizon/landmarks")
-      df.withColumn(what, col(what).cast("long")).localCheckpoint()
+      ck.withColumn(what, col(what).cast("long"))
     }
     // forward: per-level σ frames, level k+1 gated by the distance
     // frame (DAG arcs only — no anti-join against the visited set)

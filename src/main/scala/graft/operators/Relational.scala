@@ -1729,4 +1729,51 @@ object Relational {
         coalesce(sum(when(col("matched").isNull, 1L)), lit(0L))
           .cast("long").as("n_not_exists"))
   }
+
+  /** Epsilon-band self-join: supplier pairs in the same nation
+    * whose account balances sit within ±eps of each other (the
+    * peer-group / near-duplicate-balance audit), rolled up per
+    * nation. The SCALE point is the join key: Spark's native plan
+    * for `nation = nation AND abs(bal1 − bal2) ≤ eps` equi-joins on
+    * nation alone — 25 distinct keys, so at 100 TB the whole fact
+    * lands in 25 fat skewed cells and the band predicate runs as a
+    * post-filter over a quadratic blow-up. Banding moves the
+    * predicate INTO the key: each row joins on (nation,
+    * ⌊bal/eps⌋), with the LEFT side replicated to its bucket ±1 —
+    * any pair within eps differs by ≤ 1 bucket, so every
+    * qualifying pair is found EXACTLY once (the right side sits in
+    * its unique home bucket; id < id2 keeps one orientation), no
+    * dedup pass. Key cardinality grows from |nations| to |nations| ×
+    * |balance range / eps| (25 → ~2750 cells here) and per-cell
+    * fan-out is bounded by the band's true selectivity — the plan
+    * is the documented bucket-replication band join (cf. interval
+    * joins in Flink/Trino), 3× replication on one side only.
+    * Balances ride exact cents (LONG); all outputs BIGINT. */
+  def qBandJoin(s: SparkSession, dir: String,
+                epsCents: Long = 10000L): DataFrame = {
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey").cast("long").as("id"),
+      col("s_nationkey").cast("long").as("nation"),
+      // decimal-cast-first cents (the repo money contract): the
+      // decimal cast rounds the double's shortest-decimal rendering
+      // exactly as DuckDB's CAST(x AS DECIMAL(18,2)) does — a plain
+      // double *100 truncation sees 9949.999… and drifts
+      (col("s_acctbal").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("bal"))
+    val home = sup.withColumn("jb",
+      expr(s"floor(bal / $epsCents)").cast("long"))
+    val repl = home.select(col("nation"), col("id"), col("bal"),
+      explode(array(col("jb") - 1, col("jb"), col("jb") + 1)).as("jb"))
+    repl.join(
+        home.select(col("nation"), col("jb"),
+          col("id").as("id2"), col("bal").as("bal2")),
+        Seq("nation", "jb"))
+      .filter(col("id") < col("id2") &&
+        abs(col("bal") - col("bal2")) <= epsCents)
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("bal") - col("bal2"))).as("sum_gap_cents"),
+        max(abs(col("bal") - col("bal2"))).as("max_gap_cents"),
+        min(abs(col("bal") - col("bal2"))).as("min_gap_cents"))
+  }
 }

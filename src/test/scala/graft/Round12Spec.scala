@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, DriverCutoff, FrameCache, Graph}
+import graft.operators.{Dedup, DriverCutoff, FrameCache, Graph, Relational}
 
 /** Round-12 additions: the cross-query FrameCache (family-shared
   * graph frames), the byte-budget driver-cutoff contract, the
@@ -442,6 +442,34 @@ class Round12Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
+  }
+
+  test("qBandJoin: exact pair semantics incl. cross-bucket pairs, " +
+      "each pair found once, banded plan (no fat-key theta join)") {
+    // balances chosen so pairs span bucket boundaries (eps=10000
+    // cents → buckets of 100.00): (1,2) gap 0 same bucket, (1,3)/
+    // (2,3) gap 9999 CROSS-bucket (9950 vs 19949 → buckets 0 and 1),
+    // (3,4) gap 10000 boundary-inclusive, (4,5) gap 10001 excluded,
+    // nation 2 isolated row → no output row for it
+    val rows = Seq(
+      (1L, 1, 99.50), (2L, 1, 99.50), (3L, 1, 199.49),
+      (4L, 1, 299.49), (5L, 1, 399.50), (6L, 2, 50.00))
+    // doubles on purpose — the real table ships double; the cents
+    // conversion must ride the decimal-cast contract
+    val sup = rows.toDF("s_suppkey", "s_nationkey", "s_acctbal")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bandjoin").toString
+    sup.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Relational.qBandJoin(spark, dir)
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // pairs in nation 1: (1,2)=0, (1,3)=9999, (2,3)=9999,
+    // (3,4)=10000 → n=4, sum=29998, max=10000, min=0
+    assert(got == Map(1L -> ((4L, 29998L, 10000L, 0L))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join fell back to a fat-key theta join:\n$plan")
   }
 
   test("degreeMixingTrade: hand-checked cells on the fixture") {
