@@ -401,6 +401,19 @@ object SparkEntry {
       Similarity.knnGraphCapped(embs(s, d)).orderBy("src_id", "rank")),
     "ann_hubness" -> ((s, d) =>
       Similarity.hubnessAuditCapped(embs(s, d)).orderBy("in_degree")),
+    // SPANN-shaped query path: nprobe=4 centroid route + beam
+    // traversal of the within-partition kNN graph — query cost
+    // bounded by beam*degree*hops, independent of corpus size
+    "ann_graph_search" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.graphSearchTopK(e, e.filter(col("vec_id") < 10))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_graph_recall" -> ((s, d) => {
+      val e = embs(s, d)
+      Similarity.graphSearchRecall(e, e.filter(col("vec_id") < 10))
+        .orderBy("query_id")
+    }),
     "emb_outliers" -> ((s, d) =>
       Similarity.embOutliers(embs(s, d)).orderBy("label", "rank_in_label")),
     "ann_truncation" -> ((s, d) => {
@@ -877,6 +890,9 @@ object SparkEntry {
     "graph_clustering_keys" -> ((s, d) =>
       Graph.clusteringKeysTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("cust")),
+    "graph_k_truss" -> ((s, d) =>
+      Graph.kTrussTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("round")),
     "graph_ppr_keys" -> ((s, d) =>
       Graph.pprKeysTrade(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d)).orderBy("node")),
@@ -1448,6 +1464,152 @@ object SparkEntry {
       | SELECT vec_id, centroid_id FROM a1
       | UNION ALL SELECT vec_id, centroid_id FROM a2
       | UNION ALL SELECT vec_id, centroid_id FROM a3)""".stripMargin
+
+  /** The SPANN-shaped graph-search CTE chain (centroid route +
+    * 5 unrolled beam rounds over the capped within-partition kNN
+    * graph), shared by the ann_graph_search and ann_graph_recall
+    * oracles -- ends at `fin` (the final beam, self excluded,
+    * re-ranked). */
+  private val graphSearchCtes: String =
+    cappedAsgSql +
+    """,
+        |mem AS MATERIALIZED (
+        | SELECT a.centroid_id AS cluster_id, a.vec_id, e.embedding
+        | FROM asg a JOIN embeddings e USING (vec_id)),
+        |p AS (
+        | SELECT a.cluster_id, a.vec_id AS src_id, b.vec_id AS dst_id,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(a.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(b.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM mem a JOIN mem b
+        |  ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id),
+        |g AS MATERIALIZED (
+        | SELECT src_id, dst_id FROM (
+        |  SELECT src_id, dst_id, row_number() OVER (PARTITION BY src_id
+        |   ORDER BY cos_sim DESC, dst_id) AS rank FROM p)
+        | WHERE rank <= 5),
+        |qs AS MATERIALIZED (
+        | SELECT vec_id AS query_id, embedding AS q_emb
+        | FROM embeddings WHERE vec_id < 10),
+        |route AS (
+        | SELECT query_id, centroid_id FROM (
+        |  SELECT query_id, centroid_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cs DESC, centroid_id) AS rn
+        |  FROM (
+        |   SELECT q.query_id, c.centroid_id,
+        |    list_sum(list_transform(list_zip(q.q_emb, c.c_emb),
+        |      s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(q.q_emb,
+        |          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |       * list_sum(list_transform(c.c_emb,
+        |          x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cs
+        |   FROM qs q, c0 c)) WHERE rn <= 4),
+        |b0 AS (
+        | SELECT DISTINCT query_id, vec_id FROM (
+        |  SELECT r.query_id, min(m.vec_id) AS vec_id
+        |  FROM route r JOIN mem m ON m.cluster_id = r.centroid_id
+        |  GROUP BY r.query_id, r.centroid_id)),
+        |c1 AS (
+        | SELECT DISTINCT query_id, vec_id FROM (
+        |  SELECT b.query_id, g.dst_id AS vec_id
+        |  FROM b0 b JOIN g ON b.vec_id = g.src_id
+        |  UNION ALL SELECT query_id, vec_id FROM b0)),
+        |s1 AS (
+        | SELECT query_id, vec_id, cos_sim, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        | FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |   list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |     s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(q.q_emb,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        |  FROM c1 c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)),
+        |b1 AS (SELECT query_id, vec_id FROM s1 WHERE rk <= 16),
+        |c2 AS (
+        | SELECT DISTINCT query_id, vec_id FROM (
+        |  SELECT b.query_id, g.dst_id AS vec_id
+        |  FROM b1 b JOIN g ON b.vec_id = g.src_id
+        |  UNION ALL SELECT query_id, vec_id FROM b1)),
+        |s2 AS (
+        | SELECT query_id, vec_id, cos_sim, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        | FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |   list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |     s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(q.q_emb,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        |  FROM c2 c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)),
+        |b2 AS (SELECT query_id, vec_id FROM s2 WHERE rk <= 16),
+        |c3 AS (
+        | SELECT DISTINCT query_id, vec_id FROM (
+        |  SELECT b.query_id, g.dst_id AS vec_id
+        |  FROM b2 b JOIN g ON b.vec_id = g.src_id
+        |  UNION ALL SELECT query_id, vec_id FROM b2)),
+        |s3 AS (
+        | SELECT query_id, vec_id, cos_sim, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        | FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |   list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |     s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(q.q_emb,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        |  FROM c3 c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)),
+        |b3 AS (SELECT query_id, vec_id FROM s3 WHERE rk <= 16),
+        |c4 AS (
+        | SELECT DISTINCT query_id, vec_id FROM (
+        |  SELECT b.query_id, g.dst_id AS vec_id
+        |  FROM b3 b JOIN g ON b.vec_id = g.src_id
+        |  UNION ALL SELECT query_id, vec_id FROM b3)),
+        |s4 AS (
+        | SELECT query_id, vec_id, cos_sim, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        | FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |   list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |     s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(q.q_emb,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        |  FROM c4 c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)),
+        |b4 AS (SELECT query_id, vec_id FROM s4 WHERE rk <= 16),
+        |c5 AS (
+        | SELECT DISTINCT query_id, vec_id FROM (
+        |  SELECT b.query_id, g.dst_id AS vec_id
+        |  FROM b4 b JOIN g ON b.vec_id = g.src_id
+        |  UNION ALL SELECT query_id, vec_id FROM b4)),
+        |s5 AS (
+        | SELECT query_id, vec_id, cos_sim, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        | FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |   list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |     s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |   / sqrt(list_sum(list_transform(q.q_emb,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |      * list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        |  FROM c5 c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id)),
+        |fin AS (
+        | SELECT query_id, vec_id, cos_sim, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+        | FROM s5 WHERE rk <= 16 AND vec_id <> query_id)""".stripMargin
 
   /** One unrolled deferred-acceptance iteration for the capped-LLOYD
     * oracle: the emb_capped_assign CTE chain parameterized by an
@@ -2590,6 +2752,46 @@ object SparkEntry {
         |SELECT CAST(in_degree AS BIGINT) AS in_degree,
         | count(*) AS n_vecs
         |FROM alln GROUP BY 1 ORDER BY in_degree""".stripMargin),
+    // SPANN-shaped graph ANN: route to the 4 nearest centroid
+    // partitions, enter at each one's min-id member, 3 unrolled
+    // beam rounds (top-16 by cos desc, id) over the same capped kNN
+    // graph ann_knn_graph gates, final top-5 with self excluded
+    "ann_graph_search" ->
+      (graphSearchCtes +
+      """
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        | vec_id AS neighbor_id, cos_sim
+        |FROM fin WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // recall@5 of the beam walk vs exact brute force — the audit
+    // that prices the beam/hops budget; overlap of two 10×5 frames
+    "ann_graph_recall" ->
+      (graphSearchCtes +
+      """,
+        |gs AS (SELECT query_id, vec_id AS neighbor_id
+        | FROM fin WHERE rank <= 5),
+        |bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)))
+        |  / sqrt(list_sum(list_transform(q.q_emb,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+        |     * list_sum(list_transform(e.embedding,
+        |        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos_sim
+        | FROM qs q, embeddings e WHERE e.vec_id <> q.query_id),
+        |br AS (SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rank
+        | FROM bs),
+        |ex AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+        |m AS (
+        | SELECT e.query_id, count(*) AS n_match
+        | FROM ex e JOIN gs g
+        |  ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id
+        | GROUP BY 1)
+        |SELECT x.query_id, coalesce(m.n_match, 0) AS n_match,
+        | CAST(coalesce(m.n_match, 0) AS DOUBLE) / x.n_exact AS recall
+        |FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) x
+        |LEFT JOIN m USING (query_id)
+        |ORDER BY query_id""".stripMargin),
     "emb_outliers" ->
       """WITH c AS (
         | SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
@@ -6327,6 +6529,81 @@ object SparkEntry {
         |    // (d.deg * (d.deg - 1)) END AS cc_ppm
         |FROM deg d LEFT JOIN corners c USING (node)
         |ORDER BY cust""".stripMargin,
+    // k-truss peel trace: 3 unrolled support-count/filter rounds
+    // over the same capped projection; the engine's compact-forward
+    // orientation changes only intermediates — the oracle counts
+    // edge support off the plain id-ordered 3-way join
+    "graph_k_truss" ->
+      """WITH bp AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(l_suppkey AS BIGINT) AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |capped AS MATERIALIZED (
+        |  SELECT cust, supp FROM (
+        |    SELECT cust, supp, row_number() OVER (PARTITION BY supp
+        |      ORDER BY md5('tri:' || CAST(supp AS VARCHAR) || ':'
+        |        || CAST(cust AS VARCHAR)), cust) AS rn
+        |    FROM bp) WHERE rn <= 64),
+        |ue0 AS MATERIALIZED (
+        |  SELECT x.cust AS u, y.cust AS v
+        |  FROM capped x JOIN capped y
+        |    ON x.supp = y.supp AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |t1 AS MATERIALIZED (
+        |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |  FROM ue0 e1 JOIN ue0 e2 ON e1.v = e2.u
+        |  JOIN ue0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |s1 AS MATERIALIZED (
+        |  SELECT u, v, count(*) AS sup FROM (
+        |    SELECT n1 AS u, n2 AS v FROM t1
+        |    UNION ALL SELECT n1, n3 FROM t1
+        |    UNION ALL SELECT n2, n3 FROM t1) GROUP BY 1, 2),
+        |ue1 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM ue0 e
+        |  JOIN s1 ON s1.u = e.u AND s1.v = e.v AND s1.sup >= 2),
+        |t2 AS MATERIALIZED (
+        |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |  FROM ue1 e1 JOIN ue1 e2 ON e1.v = e2.u
+        |  JOIN ue1 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |s2 AS MATERIALIZED (
+        |  SELECT u, v, count(*) AS sup FROM (
+        |    SELECT n1 AS u, n2 AS v FROM t2
+        |    UNION ALL SELECT n1, n3 FROM t2
+        |    UNION ALL SELECT n2, n3 FROM t2) GROUP BY 1, 2),
+        |ue2 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM ue1 e
+        |  JOIN s2 ON s2.u = e.u AND s2.v = e.v AND s2.sup >= 2),
+        |t3 AS MATERIALIZED (
+        |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+        |  FROM ue2 e1 JOIN ue2 e2 ON e1.v = e2.u
+        |  JOIN ue2 e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |s3 AS MATERIALIZED (
+        |  SELECT u, v, count(*) AS sup FROM (
+        |    SELECT n1 AS u, n2 AS v FROM t3
+        |    UNION ALL SELECT n1, n3 FROM t3
+        |    UNION ALL SELECT n2, n3 FROM t3) GROUP BY 1, 2),
+        |ue3 AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM ue2 e
+        |  JOIN s3 ON s3.u = e.u AND s3.v = e.v AND s3.sup >= 2)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |  (SELECT count(*) FROM ue1) AS n_edges,
+        |  (SELECT count(DISTINCT nd) FROM (SELECT u AS nd FROM ue1
+        |    UNION ALL SELECT v FROM ue1)) AS n_customers,
+        |  CAST((SELECT coalesce(sum(sup), 0) // 3 FROM s1)
+        |    AS BIGINT) AS n_triangles
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT count(*) FROM ue2),
+        |  (SELECT count(DISTINCT nd) FROM (SELECT u AS nd FROM ue2
+        |    UNION ALL SELECT v FROM ue2)),
+        |  CAST((SELECT coalesce(sum(sup), 0) // 3 FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT),
+        |  (SELECT count(*) FROM ue3),
+        |  (SELECT count(DISTINCT nd) FROM (SELECT u AS nd FROM ue3
+        |    UNION ALL SELECT v FROM ue3)),
+        |  CAST((SELECT coalesce(sum(sup), 0) // 3 FROM s3) AS BIGINT)
+        |ORDER BY round""".stripMargin,
     // personalized PageRank: seed-only teleport mass, 3 unrolled
     // full-outer rounds over the repeat-business arcs
     "graph_ppr_keys" ->

@@ -571,6 +571,67 @@ object Graph {
     trace.reduce(_ unionByName _)
   }
 
+  /** k-truss peeling over the capped co-sourcing projection
+    * ([[coSourceEdges]]) — the EDGE-support sibling of
+    * [[kCoreTrade]]'s node-degree peel: `rounds` synchronous rounds
+    * of "count each edge's triangles, drop edges supporting fewer
+    * than k−2, recount". The k-truss is the standard
+    * stronger-than-k-core cohesion core (every surviving tie is
+    * re-witnessed by ≥ k−2 common partners — the community-defining
+    * condition of Cohen 2008), and the peel trace — one row per
+    * round with surviving edges / customers / input triangles — is
+    * the output, bit-identical on any engine (all counts). The
+    * bipartite purchase graph itself is triangle-free by parity, so
+    * like the triangle/clustering family this runs on the one-mode
+    * projection.
+    *
+    * Scale shape: triangles enumerate per round via the same
+    * compact-forward orientation as [[triangleCorners]] (wedges at
+    * the (deg,id)-smaller apex — per-node fan-out O(√E) by the
+    * arboricity bound, never hub-degree²), each triangle credits
+    * its three member edges through one narrow explode, and the
+    * peel is one (u,v)-keyed semi-shape join on the shrinking
+    * checkpointed edge frame — linear in surviving wedges per
+    * round, only id pairs on the wire. The oracle re-derives the
+    * identical trace from the plain id-ordered 3-way join:
+    * orientation changes only intermediate sizes. */
+  def kTrussTrade(lineitem: DataFrame, orders: DataFrame,
+                  cap: Int = 64, minShared: Int = 2,
+                  k: Int = 4, rounds: Int = 3): DataFrame = {
+    var e = coSourceEdges(lineitem, orders, cap, minShared)
+      .select("u", "v").localCheckpoint()
+    val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      // one row per (triangle, member edge), edges normalized u < v
+      val credits = closedTriangles(e)
+        .select(explode(array(
+          struct(least(col("apex"), col("b")).as("eu"),
+            greatest(col("apex"), col("b")).as("ev")),
+          struct(least(col("apex"), col("c")).as("eu"),
+            greatest(col("apex"), col("c")).as("ev")),
+          struct(least(col("b"), col("c")).as("eu"),
+            greatest(col("b"), col("c")).as("ev")))).as("m"))
+        .select(col("m.eu").as("u"), col("m.ev").as("v"))
+      val support = credits.groupBy("u", "v")
+        .agg(count(lit(1)).as("sup")).localCheckpoint()
+      e = e.join(support.filter(col("sup") >= k - 2)
+        .select("u", "v"), Seq("u", "v")).localCheckpoint()
+      // each triangle credits exactly 3 edges, so Σsup ≡ 0 (mod 3)
+      // and the integer div is exact (never the float `/`)
+      val triAgg = support.agg(
+        expr("CAST(coalesce(sum(sup), 0) div 3 AS BIGINT)")
+          .as("n_triangles"))
+      val nodeAgg = e.select(col("u").as("nd"))
+        .unionAll(e.select(col("v").as("nd")))
+        .agg(countDistinct("nd").as("n_customers"))
+      trace += e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(nodeAgg).crossJoin(triAgg)
+        .select(lit(r.toLong).as("round"), col("n_edges"),
+          col("n_customers"), col("n_triangles"))
+    }
+    trace.reduce(_ unionByName _)
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) over the bipartite
     * trade graph: customers are pure hubs, suppliers pure
     * authorities — `a = Eᵀh; h = E a` Gauss-Seidel rounds with
@@ -1810,12 +1871,39 @@ object Graph {
     * close with one equi-join, credit each triangle's three
     * corners via a narrow explode. Returns (node, n_tri) for every
     * edge-bearing node, 0 included. */
-  private def triangleCorners(und0: DataFrame): DataFrame = {
-    val und = und0.localCheckpoint()
+  private def triangleCorners(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    val corners = closedTriangles(und, Some(deg))
+      .select(explode(array(col("apex"), col("b"), col("c")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.select("node")
+      .join(corners, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Compact-forward triangle enumeration over an undirected
+    * (u < v) edge frame: one row (apex, b, c) per triangle, ids in
+    * ORIENTATION order (apex = (deg,id)-smallest), not id order —
+    * callers normalize as needed. Orient every edge from the
+    * (degree, id)-smaller endpoint, enumerate each wedge at its
+    * unique apex (per-node fan-out O(√E) by the arboricity bound),
+    * close with one equi-join. `degOpt` lets a caller that already
+    * holds the degree frame skip the recount. Callers pass an
+    * already-checkpointed edge frame (coSourceEdges / the peel
+    * loop's round frame) — only `oriented` checkpoints here. */
+  private def closedTriangles(und: DataFrame,
+                              degOpt: Option[DataFrame] = None)
+      : DataFrame = {
+    val deg = degOpt.getOrElse(
+      und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint())
     val oriented = und
       .join(deg.withColumnRenamed("node", "u")
         .withColumnRenamed("deg", "du"), "u")
@@ -1839,14 +1927,8 @@ object Graph {
       .filter(col("bOrd") < col("cOrd"))
       .select(col("src").as("apex"), col("b"), col("c"))
     val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val corners = wedges.join(closing, Seq("b", "c"))
-      .select(explode(array(col("apex"), col("b"), col("c")))
-        .as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
-    deg.select("node")
-      .join(corners, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    wedges.join(closing, Seq("b", "c"))
+      .select(col("apex"), col("b"), col("c"))
   }
 
   /** Per-customer triangle participation in the capped co-sourcing

@@ -884,6 +884,55 @@ object ReactiveStreams {
       }
       .start()
 
+  /** Streaming epsilon-band admission — the serving twin of
+    * [[graft.operators.Relational.qBandJoin]]: each incoming
+    * (nation, balance) record asks "does an existing record sit
+    * within ±eps of me in my nation?" — the numeric near-duplicate
+    * ingest gate (duplicate-invoice / split-transaction screening)
+    * next to the content gates (63zs/63zw) and the semantic gate
+    * (63zz). The band predicate lives IN the join key exactly as in
+    * the batch op: the STREAM row replicates to its ⌊bal/eps⌋
+    * bucket ±1 (3× on the unbounded side only), the static peer
+    * table sits in its unique home bucket, so every within-eps peer
+    * is matched exactly once and the static side never replicates —
+    * key cardinality |nations|×|range/eps| keeps the stream-static
+    * join off the 25-fat-cell nation-only plan at any corpus size.
+    * One watermarked windowed aggregate folds the ≤3 bucket probes
+    * per record into a single verdict row (n peers, min/max gap,
+    * `novel` when none) — state is O(records in flight), the peer
+    * corpus never enters state. Self-ids are excluded so replaying
+    * an already-ingested record reports its band NEIGHBORS, not
+    * itself. */
+  def bandAdmitStream(updates: DataFrame, peers: DataFrame,
+                      epsCents: Long = 10000L,
+                      watermark: String = "2 hours"): DataFrame = {
+    val home = peers.select(col("nation"),
+      expr(s"CAST(floor(bal / $epsCents) AS BIGINT)").as("jb"),
+      col("id").as("peer_id"), col("bal").as("peer_bal"))
+    val hit = col("peer_id").isNotNull &&
+      col("peer_id") =!= col("id") &&
+      abs(col("bal") - col("peer_bal")) <= epsCents
+    updates.withWatermark("ts", watermark)
+      .select(col("ts"), col("id"), col("nation"), col("bal"),
+        explode(expr(
+          s"array(CAST(floor(bal / $epsCents) - 1 AS BIGINT), " +
+          s"CAST(floor(bal / $epsCents) AS BIGINT), " +
+          s"CAST(floor(bal / $epsCents) + 1 AS BIGINT))")).as("jb"))
+      .join(home, Seq("nation", "jb"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("id"),
+        col("nation"), col("bal"))
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_band_peers"),
+        min(when(hit, abs(col("bal") - col("peer_bal"))))
+          .as("min_gap_cents"),
+        max(when(hit, abs(col("bal") - col("peer_bal"))))
+          .as("max_gap_cents"))
+      .select(col("id"), col("nation"), col("bal"),
+        col("n_band_peers"),
+        col("min_gap_cents"), col("max_gap_cents"),
+        (col("n_band_peers") === 0L).as("novel"))
+  }
+
   /** Streaming twin of [[graft.operators.TextAnalysis
     * .unigramSurprisal]]'s SCORING half — the production ingest
     * shape: the unigram model is FROZEN from the static corpus

@@ -491,4 +491,96 @@ class Round12Spec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got == want)
   }
+
+  test("kTrussTrade: K4 + pendant edge — pendant peels round 1, " +
+       "K4 is 4-truss-stable") {
+    // customers 1..4 all share suppliers {10, 11} → projection K4
+    // (every pair shares 2 suppliers); customer 5 shares {12, 13}
+    // with customer 1 only → pendant edge (1,5), zero triangles.
+    val pairs = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (4L, 10L), (4L, 11L),
+      (1L, 12L), (1L, 13L), (5L, 12L), (5L, 13L))
+    val orders = pairs.map(_._1).distinct
+      .map(c => (c * 1000L, c)).toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.map { case (c, s) => (c * 1000L, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    // K4: 6 edges, 4 triangles, every edge in exactly 2 → survives
+    // support ≥ 2 every round; (1,5) has support 0 → gone in r1
+    val got = Graph.kTrussTrade(lineitem, orders, k = 4, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 6L, 4L, 4L), (2L, 6L, 4L, 4L), (3L, 6L, 4L, 4L)))
+  }
+
+  test("bandAdmitStream: verdicts match hand-checked band peers " +
+       "incl. cross-bucket; self excluded; no keyed-state operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // eps = 10000 cents: peers 100/101 share update-1's bucket,
+    // peer 103 (20001) sits one bucket up — the cross-bucket match
+    val peers = Seq((100L, 1L, 10000L), (101L, 1L, 19999L),
+      (102L, 1L, 50000L), (103L, 1L, 20001L))
+      .toDF("id", "nation", "bal")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Long)]
+    val qn = s"band_${System.nanoTime()}"
+    val q = graft.streaming.ReactiveStreams.bandAdmitStream(
+        mem.toDF().toDF("ts", "id", "nation", "bal"), peers)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      mem.addData((t(0), 1L, 1L, 15000L))    // 3 peers: 100,101,103
+      mem.addData((t(1), 2L, 1L, 99999990L)) // novel
+      mem.addData((t(2), 100L, 1L, 10000L))  // replay: self excluded
+      q.processAllAvailable()
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 09:00:00"),
+        9L, 1L, 0L)) // watermark closer
+      q.processAllAvailable()
+      val got = spark.table(qn).collect().map(r => r.getLong(0) ->
+        ((r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          r.getBoolean(6)))).toMap
+      assert(got(1L) === ((3L, 4999L, 5001L, false)))
+      assert(got(2L) === ((0L, -1L, -1L, true)))
+      assert(got(100L) === ((1L, 9999L, 9999L, false)))
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+          .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("FlatMapGroupsWithState"),
+        s"band admission must carry no keyed custom state:\n$exec")
+    } finally q.stop()
+  }
+
+  test("graphSearchTopK: single-partition corpus converges to the " +
+       "brute-force top-k") {
+    import graft.operators.Similarity
+    // 8 vectors → nlist = 1, all assigned to one partition; beam 8
+    // covers every visited node, and 3 hops over a 5-out-degree kNN
+    // graph reach the whole 8-node partition — so the beam's final
+    // top-k must equal exact brute force.
+    val embs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)), (1L, Array(0.9f, 0.2f, 0.1f)),
+      (2L, Array(0.1f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.9f, 0.3f)),
+      (4L, Array(0.2f, 0.1f, 1.0f)), (5L, Array(0.1f, 0.0f, 0.9f)),
+      (6L, Array(0.7f, 0.7f, 0.1f)), (7L, Array(0.1f, 0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val queries = embs.filter(col("vec_id") < 2)
+    val got = Similarity.graphSearchTopK(embs, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val want = Similarity.bruteForceTopK(embs, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // ... and the recall audit prices that convergence at 1.0
+    val rec = Similarity.graphSearchRecall(embs, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2)))
+    assert(rec.length == 2 &&
+      rec.forall { case (_, n, rr) => n == 3L && rr == 1.0 })
+  }
 }
