@@ -241,6 +241,43 @@ object SparkEntry {
       Relational.qNullAwareAnti(s, d).orderBy("c_mktsegment")),
     "q_band_join" -> ((s, d) =>
       Relational.qBandJoin(s, d).orderBy("nation")),
+    // partition-pruned band admission over a frozen per-SF index
+    // (the dedup/emb_admit_indexed fingerprint/marker contract):
+    // peers = suppkey % 10 != 0, wave = the rest; the index dirs are
+    // 64-band blocks and the probe reads only the wave's blocks
+    "q_band_admit_indexed" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(
+        col("s_suppkey").cast("long").as("id"),
+        col("s_nationkey").cast("long").as("nation"),
+        (col("s_acctbal")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("bal"))
+      val peers = sup.filter(col("id") % 10 =!= 0)
+      val wave = sup.filter(col("id") % 10 === 0)
+      val srcFile = new java.io.File(d, "supplier.parquet")
+      def md5hex(sIn: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sIn.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      val fp = md5hex(srcFile.getCanonicalPath + ":" + srcFile.length +
+        ":" + srcFile.lastModified)
+      val idx = s"/root/repo/target/band_gate_idx_p" +
+        md5hex(srcFile.getCanonicalPath)
+      val marker = new java.io.File(idx, "_COMPLETE")
+      val fpFile = new java.io.File(idx, "_FINGERPRINT")
+      def storedFp: Option[String] =
+        if (fpFile.exists())
+          Some(new String(java.nio.file.Files.readAllBytes(
+            fpFile.toPath), "UTF-8").trim)
+        else None
+      if (!marker.exists() || !storedFp.contains(fp)) {
+        if (marker.exists()) marker.delete()
+        Relational.bandWriteIndex(peers, idx)
+        java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
+        marker.createNewFile()
+      }
+      Relational.bandAdmitIndexed(s, idx, wave).orderBy("id")
+    }),
     // result is already the deterministic top-k; tail re-sort only
     "graph_resource_alloc" -> ((s, d) =>
       Graph.resourceAllocation(Tables.lineitem(s, d), Tables.orders(s, d))
@@ -908,6 +945,9 @@ object SparkEntry {
     "graph_degree_mixing" -> ((s, d) =>
       Graph.degreeMixingTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("src_bucket", "dst_bucket")),
+    "graph_degree_drift" -> ((s, d) =>
+      Graph.degreeDriftTrade(Tables.lineitem(s, d),
+        Tables.orders(s, d)).orderBy("month_key")),
     "graph_hop_histogram" -> ((s, d) =>
       Graph.hopHistogramKeysTrade(Tables.lineitem(s, d),
         Tables.orders(s, d)).orderBy("h")),
@@ -2367,6 +2407,31 @@ object SparkEntry {
         |  ON s1.nation = s2.nation AND s1.id < s2.id
         |  AND abs(s1.bal - s2.bal) <= 10000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // indexed band admission: the bucketed index finds EXACTLY the
+    // within-eps same-nation peers, so the oracle states the direct
+    // band predicate — bucketing is the engine's scale mechanism,
+    // not part of the answer
+    "q_band_admit_indexed" ->
+      """WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+        |  CAST(s_nationkey AS BIGINT) AS nation,
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS bal FROM supplier),
+        |peers AS (SELECT * FROM s WHERE id % 10 <> 0),
+        |wave AS (SELECT * FROM s WHERE id % 10 = 0),
+        |v AS (
+        | SELECT w.id, w.nation, w.bal,
+        |  CAST(count(p.id) AS BIGINT) AS n_band_peers,
+        |  CAST(coalesce(min(abs(w.bal - p.bal)), -1) AS BIGINT)
+        |    AS min_gap_cents,
+        |  CAST(coalesce(max(abs(w.bal - p.bal)), -1) AS BIGINT)
+        |    AS max_gap_cents
+        | FROM wave w LEFT JOIN peers p
+        |  ON p.nation = w.nation AND p.id <> w.id
+        |  AND abs(w.bal - p.bal) <= 10000
+        | GROUP BY 1, 2, 3)
+        |SELECT id, nation, bal, n_band_peers, min_gap_cents,
+        | max_gap_cents, n_band_peers = 0 AS novel
+        |FROM v ORDER BY id""".stripMargin,
     "q_null_aware_anti" ->
       """WITH blocked AS (
         | SELECT CASE WHEN o_custkey % 100 = 7 THEN NULL
@@ -6887,6 +6952,42 @@ object SparkEntry {
         |FROM e JOIN deg da ON e.a = da.node
         |JOIN deg db ON e.b = db.node
         |GROUP BY 1, 2 ORDER BY src_bucket, dst_bucket""".stripMargin,
+    // temporal degree drift: month-sliced purchase graph, per-month
+    // telemetry + L1 distance between consecutive months'
+    // bit-length degree histograms (phantom -h rows, no self-join);
+    // first month's drift is NULL (no predecessor)
+    "graph_degree_drift" ->
+      """WITH arcs AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS mk,
+        |    CAST(o_custkey AS BIGINT) AS cust,
+        |    CAST(l_suppkey AS BIGINT) AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |hist AS MATERIALIZED (
+        |  SELECT mk, CAST(length(format('{:b}', deg)) AS BIGINT)
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS h
+        |  FROM (SELECT mk, cust, count(*) AS deg FROM arcs
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1, 2),
+        |l1 AS (
+        | SELECT mk, CAST(sum(abs(s)) AS BIGINT) AS l1_drift FROM (
+        |  SELECT mk, bucket, sum(h) AS s FROM (
+        |   SELECT mk, bucket, h FROM hist
+        |   UNION ALL SELECT mk + 1, bucket, -h FROM hist)
+        |  GROUP BY 1, 2) GROUP BY 1),
+        |stats AS (
+        | SELECT mk, CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(count(DISTINCT cust) AS BIGINT) AS n_customers,
+        |  CAST(count(DISTINCT supp) AS BIGINT) AS n_suppliers
+        | FROM arcs GROUP BY 1)
+        |SELECT s.mk AS month_key, s.n_edges, s.n_customers,
+        | s.n_suppliers,
+        | CASE WHEN s.mk = (SELECT min(mk) FROM arcs) THEN NULL
+        |  ELSE l.l1_drift END AS l1_drift
+        |FROM stats s LEFT JOIN l1 l ON s.mk = l.mk
+        |ORDER BY month_key""".stripMargin,
     // canonical survivor per near-dup cluster: most tokens wins,
     // ties to the smallest doc_id — same cluster CTE as dedup_cluster
     "dedup_canonical" ->

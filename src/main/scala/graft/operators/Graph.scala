@@ -2336,4 +2336,60 @@ object Graph {
         sum("src_deg").as("sum_src_deg"),
         sum("dst_deg").as("sum_dst_deg"))
   }
+
+  /** TEMPORAL degree drift — the graph family's first time axis:
+    * slice the purchase graph by order MONTH (one arc per (month,
+    * cust, supp)), and report per month the active-graph telemetry
+    * (edges, customers, suppliers) plus the L1 distance between the
+    * month's customer-degree histogram and the previous month's —
+    * the month-over-month structural-churn signal behind "did the
+    * market's shape move or just its volume" (a stable L1 with
+    * rising edges = same structure, more of it; an L1 spike = the
+    * degree distribution itself shifted). Histograms bucket by
+    * degree bit-length (the [[degreeMixingTrade]] buckets), so the
+    * report is a few dozen rows per month however large the graph.
+    *
+    * The L1 is computed WITHOUT a month self-join: each histogram
+    * cell (m, b, h) also ships a phantom (m+1, b, −h); summing per
+    * (month, bucket) leaves exactly h_m(b) − h_{m−1}(b), and one
+    * more grouped Σ|·| per month is the distance — two
+    * partial-aggregable groupBys over (month, bucket) cells, never
+    * a histogram-to-histogram join. The first month's drift is NULL
+    * (no predecessor), not the degenerate distance-to-empty. All
+    * counts — bit-identical on any engine. */
+  def degreeDriftTrade(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame = {
+    val arcs = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mk"),
+        col("o_custkey").cast("long").as("cust"),
+        col("l_suppkey").cast("long").as("supp"))
+      .distinct()
+      .localCheckpoint()
+    val hist = arcs.groupBy("mk", "cust")
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("mk"),
+        length(bin(col("deg"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("h"))
+      .localCheckpoint()
+    val l1 = hist.select(col("mk"), col("bucket"), col("h"))
+      .unionByName(hist.select((col("mk") + 1).as("mk"),
+        col("bucket"), (-col("h")).as("h")))
+      .groupBy("mk", "bucket").agg(sum("h").as("s"))
+      .groupBy("mk").agg(sum(abs(col("s"))).as("l1_drift"))
+    val stats = arcs.groupBy("mk").agg(
+      count(lit(1)).as("n_edges"),
+      countDistinct("cust").as("n_customers"),
+      countDistinct("supp").as("n_suppliers"))
+    val m0 = arcs.agg(min("mk")).head().getLong(0)
+    stats.join(l1, Seq("mk"), "left")
+      .select(col("mk").as("month_key"), col("n_edges"),
+        col("n_customers"), col("n_suppliers"),
+        when(col("mk") === m0, lit(null).cast("long"))
+          .otherwise(col("l1_drift")).as("l1_drift"))
+  }
 }

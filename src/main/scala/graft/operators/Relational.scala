@@ -1776,4 +1776,71 @@ object Relational {
         max(abs(col("bal") - col("bal2"))).as("max_gap_cents"),
         min(abs(col("bal") - col("bal2"))).as("min_gap_cents"))
   }
+
+  /** Persist the band-admission index: the peer table keyed by its
+    * balance band and PARTITIONED on disk by `jb_block =
+    * ⌊⌊bal/eps⌋ / blockSize⌋` — each directory covers blockSize
+    * contiguous bands, so an admission wave touching B distinct
+    * bands reads at most ~⌈B/blockSize⌉+1 directories of the peer
+    * corpus, never the corpus ([[bandAdmitIndexed]]). The numeric
+    * twin of the MinHash posting index (Dedup.minhashWriteIndex)
+    * and the IVF index (Similarity.ivfWriteIndex): "build the gate
+    * once, each wave reads only its slice". */
+  def bandWriteIndex(peers: DataFrame, dir: String,
+                     epsCents: Long = 10000L,
+                     blockSize: Int = 64): Unit =
+    peers.select(col("nation"), col("id"), col("bal"),
+        expr(s"CAST(floor(bal / $epsCents) AS BIGINT)").as("jb"))
+      .withColumn("jb_block",
+        expr(s"CAST(floor(jb / $blockSize) AS BIGINT)"))
+      .write.mode("overwrite").partitionBy("jb_block").parquet(dir)
+
+  /** Partition-pruned band admission: each wave record replicates
+    * to its band bucket ±1 (the [[qBandJoin]] contract — any
+    * within-eps peer differs by ≤ 1 bucket and sits in its unique
+    * home bucket, so each qualifying peer is matched exactly once),
+    * the wave's distinct `jb_block`s become a PartitionFilter over
+    * the persisted index (only those directories are read — cost
+    * tracks the wave's band footprint, never the peer corpus), and
+    * one grouped fold per record emits the verdict: peers within
+    * ±eps in the same nation, min/max gap (−1 when none), `novel`.
+    * Self-ids excluded so replaying an ingested record reports its
+    * NEIGHBORS. The raw inferred-int partition attribute is
+    * filtered FIRST, then normalized (a cast above the filter can
+    * block PartitionFilters — the embeddingAdmitIndexed lesson). */
+  def bandAdmitIndexed(spark: SparkSession, dir: String,
+                       wave: DataFrame, epsCents: Long = 10000L,
+                       blockSize: Int = 64): DataFrame = {
+    val w = wave.select(col("id"), col("nation"), col("bal"))
+      .localCheckpoint()
+    val repl = w.select(col("id"), col("nation"), col("bal"),
+        explode(expr(
+          s"array(CAST(floor(bal / $epsCents) - 1 AS BIGINT), " +
+          s"CAST(floor(bal / $epsCents) AS BIGINT), " +
+          s"CAST(floor(bal / $epsCents) + 1 AS BIGINT))")).as("jb"))
+      .localCheckpoint()
+    val blocks = repl
+      .select(expr(s"CAST(floor(jb / $blockSize) AS BIGINT)").as("b"))
+      .distinct().collect().map(_.getLong(0))
+    val hit = col("peer_id").isNotNull &&
+      col("peer_id") =!= col("id") &&
+      abs(col("bal") - col("peer_bal")) <= epsCents
+    val verdicts = spark.read.parquet(dir)
+      .filter(col("jb_block").isin(blocks.map(_.toInt): _*))
+      .select(col("nation"), col("jb").cast("long").as("jb"),
+        col("id").as("peer_id"), col("bal").as("peer_bal"))
+      .join(broadcast(repl), Seq("nation", "jb"))
+      .groupBy(col("id"), col("nation"), col("bal"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("n_band_peers"),
+        coalesce(min(when(hit, abs(col("bal") - col("peer_bal")))),
+          lit(-1L)).as("min_gap_cents"),
+        coalesce(max(when(hit, abs(col("bal") - col("peer_bal")))),
+          lit(-1L)).as("max_gap_cents"))
+    w.join(verdicts, Seq("id", "nation", "bal"), "left")
+      .select(col("id"), col("nation"), col("bal"),
+        coalesce(col("n_band_peers"), lit(0L)).as("n_band_peers"),
+        coalesce(col("min_gap_cents"), lit(-1L)).as("min_gap_cents"),
+        coalesce(col("max_gap_cents"), lit(-1L)).as("max_gap_cents"),
+        (coalesce(col("n_band_peers"), lit(0L)) === 0L).as("novel"))
+  }
 }

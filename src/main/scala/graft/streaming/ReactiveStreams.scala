@@ -933,6 +933,42 @@ object ReactiveStreams {
         (col("n_band_peers") === 0L).as("novel"))
   }
 
+  /** INDEXED streaming band admission — [[bandAdmitStream]]'s
+    * corpus-scan growth killed the same way 63zy killed 63zs's:
+    * each micro-batch is an admission wave routed through the
+    * PARTITION-PRUNED band index
+    * ([[graft.operators.Relational.bandAdmitIndexed]]) via
+    * foreachBatch, so the trigger pays O(wave × touched band
+    * blocks), never O(peer corpus). foreachBatch is the honest
+    * Spark shape: the probe needs a data-dependent PartitionFilter
+    * per wave (the wave's distinct jb_blocks), which no static
+    * streaming plan can express, and it carries no cross-trigger
+    * state. Verdicts stream to `sink` once per trigger, one row per
+    * wave record, identical to the batch probe on the same wave
+    * (spec-asserted across a trigger split). Same trigger-boundary
+    * block cleanup as the other indexed gates. */
+  def bandAdmitIndexedStream(updates: DataFrame, indexDir: String,
+                             sink: DataFrame => Unit,
+                             epsCents: Long = 10000L,
+                             blockSize: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          if (!batch.isEmpty) {
+            val sc = batch.sparkSession.sparkContext
+            val before = sc.getPersistentRDDs.keySet
+            sink(graft.operators.Relational.bandAdmitIndexed(
+              batch.sparkSession, indexDir, batch.toDF(), epsCents,
+              blockSize))
+            val after = sc.getPersistentRDDs
+            after.view.filterKeys(!before.contains(_)).values
+              .foreach(_.unpersist(blocking = false))
+          }
+      }
+      .start()
+
   /** Streaming twin of [[graft.operators.TextAnalysis
     * .unigramSurprisal]]'s SCORING half — the production ingest
     * shape: the unigram model is FROZEN from the static corpus

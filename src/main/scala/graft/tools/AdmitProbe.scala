@@ -25,6 +25,12 @@ object AdmitProbe {
     implicit val sqlCtx = spark.sqlContext
     val waves = if (args.length > 1) args(1).toInt else 5
     val waveSize = if (args.length > 2) args(2).toInt else 100
+    // SPARK_GRAFT_PROBE_SEGMENTS=band (comma list of
+    // minhash,embedding,band) runs a subset — a fresh segment
+    // shouldn't re-pay the whole suite for one number
+    val segments = sys.env.getOrElse("SPARK_GRAFT_PROBE_SEGMENTS",
+      "minhash,embedding,band").split(",").map(_.trim).toSet
+    if (segments("minhash")) {
     val dd = graft.sources.Tables.documents(spark, args(0))
       .select("doc_id", "text")
     val dir = java.nio.file.Files
@@ -133,6 +139,8 @@ object AdmitProbe {
       "\"admitted_total\":%d}")
       .format(waveSize, sTimes.head,
         sSteady.sum / sSteady.length, sSteady.min, sunk.get()))
+    }
+    if (segments("embedding")) {
     // the SEMANTIC (IVF) admission stream: per-trigger cost must
     // track the PROBED posting partitions (the nprobe sweep below —
     // nprobe=nlist is the degenerate full-scan bound), and stay
@@ -190,6 +198,89 @@ object AdmitProbe {
           .format(tag, buildSec, np, waveSize, eTimes.head,
             eSteady.sum / eSteady.length, eSteady.min, admitted.get()))
       }
+    }
+    }
+    if (segments("band")) {
+    // the BAND numeric admission gate: the scan path re-joins the
+    // whole static peer table every trigger (cost tracks the peer
+    // corpus), the indexed path reads only the wave's jb_block
+    // directories (cost tracks the wave's band FOOTPRINT). Waves
+    // are deliberately narrow (one ~$10 band across all nations) so
+    // the footprint is a handful of blocks however big the corpus.
+    val supB = graft.sources.Tables.supplier(spark, args(0)).select(
+      col("s_suppkey").cast("long").as("id"),
+      col("s_nationkey").cast("long").as("nation"),
+      (col("s_acctbal")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("bal"))
+    val epsB = 1000L // $10 bands -> ~1100 bands over the bal range
+    val blockB = 8
+    for ((mult, tag) <- Seq(1 -> "1x", 10 -> "10x")) {
+      val peersB = (0 until mult)
+        .map(i => supB.select((col("id") + lit(i * 10000000L)).as("id"),
+          col("nation"), col("bal")))
+        .reduce(_ unionByName _).localCheckpoint()
+      def bandRows(w: Int, n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map { i =>
+          (5000000L + w * 1000L + i, (i % 25).toLong,
+            500000L + (i % 50).toLong)
+        }
+      // scan path (stream-static join, 63zza)
+      val memS = MemoryStream[(Timestamp, Long, Long, Long)]
+      val qnS = s"band_probe_${System.nanoTime()}"
+      val qS = graft.streaming.ReactiveStreams.bandAdmitStream(
+          memS.toDF().toDF("ts", "id", "nation", "bal"), peersB,
+          epsCents = epsB)
+        .writeStream.format("memory").queryName(qnS)
+        .outputMode("append").start()
+      val sTimesB =
+        try {
+          (0 until waves).map { w =>
+            val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+            memS.addData(bandRows(w, waveSize).map { case (i, n, b) =>
+              (new Timestamp(base + w * 60000L), i, n, b) })
+            val s = System.nanoTime()
+            qS.processAllAvailable()
+            (System.nanoTime() - s) / 1e9
+          }
+        } finally qS.stop()
+      val sStB = sTimesB.drop(1)
+      println(("{\"probe\":\"band_admit_stream_per_trigger\"," +
+        "\"path\":\"scan\",\"index\":\"%s\",\"wave_size\":%d," +
+        "\"first_trigger_sec\":%.3f,\"steady_mean_sec\":%.3f," +
+        "\"steady_min_sec\":%.3f}")
+        .format(tag, waveSize, sTimesB.head,
+          sStB.sum / sStB.length, sStB.min))
+      // indexed path (partition-pruned probe, 63zzb)
+      val dirB = java.nio.file.Files
+        .createTempDirectory(s"band_probe_idx_$tag").toString
+      val tBB = System.nanoTime()
+      graft.operators.Relational.bandWriteIndex(peersB, dirB, epsB,
+        blockB)
+      val buildB = (System.nanoTime() - tBB) / 1e9
+      val memI = MemoryStream[(Long, Long, Long)]
+      val qI = graft.streaming.ReactiveStreams.bandAdmitIndexedStream(
+        memI.toDF().toDF("id", "nation", "bal"), dirB,
+        v => { v.collect(); () }, epsB, blockB)
+      val iTimesB =
+        try {
+          (0 until waves).map { w =>
+            memI.addData(bandRows(w, waveSize): _*)
+            val s = System.nanoTime()
+            qI.processAllAvailable()
+            (System.nanoTime() - s) / 1e9
+          }
+        } finally qI.stop()
+      val iStB = iTimesB.drop(1)
+      println(("{\"probe\":\"band_admit_stream_per_trigger\"," +
+        "\"path\":\"indexed\",\"index\":\"%s\"," +
+        "\"index_build_sec\":%.1f,\"wave_size\":%d," +
+        "\"first_trigger_sec\":%.3f,\"steady_mean_sec\":%.3f," +
+        "\"steady_min_sec\":%.3f}")
+        .format(tag, buildB, waveSize, iTimesB.head,
+          iStB.sum / iStB.length, iStB.min))
+      peersB.unpersist(blocking = false)
+    }
     }
     spark.stop()
   }

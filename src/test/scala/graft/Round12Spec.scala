@@ -555,6 +555,111 @@ class Round12Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("degreeDriftTrade: hand-checked two-month L1; first month NULL") {
+    // month 1: c1->{s1,s2}, c2->{s1}  -> degs {2,1}, hist {2:1, 1:1}
+    // month 2: c1->{s1}, c2->{s1}, c3->{s2} -> degs {1,1,1}, hist {1:3}
+    // L1(m2) = |0-1|(b2) + |3-1|(b1) = 3
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (1L, 1L, d("1995-01-05")), (1L, 2L, d("1995-01-05")),
+      (2L, 1L, d("1995-01-20")),
+      (3L, 1L, d("1995-02-03")), (4L, 1L, d("1995-02-09")),
+      (5L, 2L, d("1995-02-11")))
+    // order keys 10,11: cust 1 month1; 12: cust 2 m1; 13: c1 m2;
+    // 14: c2 m2; 15: c3 m2
+    val orders = Seq(
+      (10L, 1L, d("1995-01-05")), (11L, 2L, d("1995-01-20")),
+      (12L, 1L, d("1995-02-03")), (13L, 2L, d("1995-02-09")),
+      (14L, 3L, d("1995-02-11")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (10L, 1L), (10L, 2L),            // c1 m1 -> s1,s2
+      (11L, 1L),                       // c2 m1 -> s1
+      (12L, 1L), (13L, 1L), (14L, 2L)) // m2: c1->s1, c2->s1, c3->s2
+      .toDF("l_orderkey", "l_suppkey")
+    val got = Graph.degreeDriftTrade(lineitem, orders)
+      .orderBy("month_key").collect()
+    val m1 = got(0); val m2 = got(1)
+    assert(m1.getLong(1) === 3L && m1.getLong(2) === 2L &&
+      m1.getLong(3) === 2L && m1.isNullAt(4))
+    assert(m2.getLong(1) === 3L && m2.getLong(2) === 3L &&
+      m2.getLong(3) === 2L && m2.getLong(4) === 3L)
+  }
+
+  test("bandAdmitIndexed: verdicts equal the hand-checked band " +
+       "peers; the probe scan carries a jb_block PartitionFilter") {
+    import graft.operators.Relational
+    val peers = Seq((100L, 1L, 10000L), (101L, 1L, 19999L),
+      (102L, 1L, 50000L), (103L, 1L, 20001L))
+      .toDF("id", "nation", "bal")
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_idx12").toString
+    Relational.bandWriteIndex(peers, dir)
+    val wave = Seq((1L, 1L, 15000L), (2L, 1L, 99999990L),
+      (100L, 1L, 10000L)).toDF("id", "nation", "bal")
+    val out = Relational.bandAdmitIndexed(spark, dir, wave)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got(1L) === ((3L, 4999L, 5001L, false)))
+    assert(got(2L) === ((0L, -1L, -1L, true)))
+    assert(got(100L) === ((1L, 9999L, 9999L, false)))
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n")
+      .find(l => l.contains("band_idx12") &&
+        l.contains("PartitionFilters"))
+    assert(scanLine.exists(
+      _.matches(""".*PartitionFilters: \[.*jb_block.*\].*""")),
+      s"index scan must prune on jb_block:\n$plan")
+  }
+
+  test("bandAdmitIndexedStream: foreachBatch verdicts across a " +
+       "trigger split equal the batch probe; no block accretion") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Relational
+    val peers = Seq((100L, 1L, 10000L), (101L, 1L, 19999L),
+      (102L, 1L, 50000L), (103L, 1L, 20001L))
+      .toDF("id", "nation", "bal")
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_idx12b").toString
+    Relational.bandWriteIndex(peers, dir)
+    val wave1 = Seq((1L, 1L, 15000L))
+    val wave2 = Seq((2L, 1L, 99999990L), (100L, 1L, 10000L))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mem = MemoryStream[(Long, Long, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Boolean)]
+    val q = graft.streaming.ReactiveStreams.bandAdmitIndexedStream(
+      mem.toDF().toDF("id", "nation", "bal"), dir,
+      v => buf.synchronized {
+        buf ++= v.collect().map(r => (r.getLong(0), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      })
+    try {
+      mem.addData(wave1: _*); q.processAllAvailable()
+      mem.addData(wave2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // leak check FIRST — the batch comparison below checkpoints its
+    // own wave frames, which are not the stream's to clean up
+    val deadline = System.nanoTime() + 10000000000L
+    def leaked(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
+    while (leaked().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty,
+      "per-trigger probe checkpoints must not accrete across triggers")
+    val got = buf.map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val batch = (Relational.bandAdmitIndexed(spark, dir,
+        wave1.toDF("id", "nation", "bal")).collect() ++
+      Relational.bandAdmitIndexed(spark, dir,
+        wave2.toDF("id", "nation", "bal")).collect())
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got === batch)
+    assert(got(1L) === ((3L, 4999L, 5001L, false)))
+  }
+
   test("graphSearchTopK: single-partition corpus converges to the " +
        "brute-force top-k") {
     import graft.operators.Similarity
