@@ -491,6 +491,65 @@ object Kernels {
       cuts.toArray)
   }
 
+  /** Content-defined cut positions by the md5 sliding window — the
+    * auditable twin of [[cdcGearCuts]], bit-identical to the HOF
+    * chain it replaces: a candidate at codepoint position i
+    * (1-based, i ≥ w) fires when the first 28 bits of
+    * md5(substring(text, i−w+1, w)) — SQL's
+    * conv(substr(md5(…), 1, 7), 16, 10) — are ≡ 0 mod `divisor`;
+    * candidates fold left-to-right with the greedy min-size rule
+    * (accept i when i − lastCut ≥ minSize); bounds include the
+    * leading 0 and the trailing codepoint length. One primitive
+    * loop per document over the raw UTF-8 bytes (codepoint
+    * boundaries tracked in a ring buffer, one 8-char md5 per
+    * position, zero string allocation) — replaces the interpreted
+    * transform(sequence(...))/aggregate lambda chain whose
+    * per-position substring + md5-hex + conv measured ~6–13 s at
+    * sf0.1 for the same md5 count. */
+  def cdcMd5Cuts(text: UTF8String, w: Int, divisor: Int, minSize: Int)
+      : ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    cuts += 0
+    var last = 0
+    // ring buffer of the byte offsets of the last w+1 codepoint
+    // boundaries: ring(i % (w+1)) = byte offset where codepoint
+    // i+1 starts (0-based offsets; entry for i = 0 is offset 0)
+    val ring = new Array[Int](w + 1)
+    ring(0) = 0
+    val d = md5Local.get()
+    var i = 0   // codepoints consumed so far (1-based position of last)
+    var off = 0 // current byte offset
+    while (off < nBytes) {
+      val b = bytes(off)
+      val step =
+        if ((b & 0x80) == 0) 1
+        else if ((b & 0xE0) == 0xC0) 2
+        else if ((b & 0xF0) == 0xE0) 3
+        else 4
+      off += step
+      i += 1
+      ring(i % (w + 1)) = off
+      if (i >= w) {
+        val start = ring((i - w) % (w + 1))
+        d.reset()
+        d.update(bytes, start, off - start)
+        val dg = d.digest()
+        // first 7 hex chars of the md5 = top 28 bits of the digest
+        val v = ((dg(0) & 0xFFL) << 20) | ((dg(1) & 0xFFL) << 12) |
+          ((dg(2) & 0xFFL) << 4) | ((dg(3) & 0xF0L) >> 4)
+        if (v % divisor == 0L && i - last >= minSize) {
+          cuts += i
+          last = i
+        }
+      }
+    }
+    if (last != i) cuts += i
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      cuts.toArray)
+  }
+
   private def affineConstants(k: Int): (Array[Long], Array[Long]) = {
     var c = affineCache.get(k)
     if (c == null) {
@@ -904,6 +963,23 @@ case class CdcGearCutsExpr(child: Expression, divisor: Int, minSize: Int)
     copy(child = c)
 }
 
+/** md5 sliding-window CDC cut bounds (array<int>, includes 0 and the
+  * text length) — see [[Kernels.cdcMd5Cuts]]. */
+case class CdcMd5CutsExpr(child: Expression, w: Int, divisor: Int,
+                          minSize: Int)
+    extends UnaryExpression {
+  require(w > 0 && divisor > 0 && minSize > 0,
+    "window, divisor and minSize must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cdcMd5Cuts(input.asInstanceOf[UTF8String], w, divisor, minSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.cdcMd5Cuts($c, $w, $divisor, $minSize)")
+  override protected def withNewChildInternal(c: Expression): CdcMd5CutsExpr =
+    copy(child = c)
+}
+
 /** Merge-based Jaccard of two sorted distinct array<string> columns. */
 case class SortedJaccardExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -1143,6 +1219,10 @@ object GraftFunctions {
   /** Gear rolling-hash CDC cut bounds of a text column. */
   def cdc_gear_cuts(text: Column, divisor: Int, minSize: Int): Column =
     toCol(CdcGearCutsExpr(toExpr(text), divisor, minSize))
+
+  /** md5 sliding-window CDC cut bounds of a text column. */
+  def cdc_md5_cuts(text: Column, w: Int, divisor: Int, minSize: Int): Column =
+    toCol(CdcMd5CutsExpr(toExpr(text), w, divisor, minSize))
 
   /** Merge-based Jaccard of two sorted distinct string arrays. */
   def sorted_jaccard(a: Column, b: Column): Column =

@@ -1469,22 +1469,20 @@ object Dedup {
                 minSize: Int = 16, keep: Seq[String] = Nil)
       : DataFrame = {
     val kept = keep.map(col)
-    val cand =
-      s"""IF(length(text) < $w, array(),
-         |  filter(transform(sequence($w, length(text)),
-         |    i -> IF(CAST(conv(substr(md5(substring(text, i - ${w - 1},
-         |        $w)), 1, 7), 16, 10) AS BIGINT) % $divisor = 0, i, -1)),
-         |    x -> x > 0))""".stripMargin
-    val cuts =
-      s"""aggregate($cand, array(0), (acc, i) ->
-         |  IF(i - element_at(acc, -1) >= $minSize,
-         |     concat(acc, array(i)), acc))""".stripMargin
-    val bounds =
-      s"""IF(element_at($cuts, -1) = length(text), $cuts,
-         |   concat($cuts, array(length(text))))""".stripMargin
+    // Cut bounds via the codegen kernel ([[graft.functions.Kernels
+    // .cdcMd5Cuts]]) — bit-identical to the r1–r12 HOF chain
+    //   filter(transform(sequence(w, length(text)),
+    //     i -> IF(conv(substr(md5(substring(text, i-w+1, w)), 1, 7),
+    //             16, 10) % divisor = 0, i, -1)), x -> x > 0)
+    //   |> aggregate(_, array(0), greedy min-size fold)
+    //   |> append length(text)
+    // whose per-position lambda eval + substring + md5-hex + conv
+    // parse measured 12.9 s at sf0.1 (Round12Spec pins kernel ≡ HOF
+    // parity; the bench re-measured 12.92 → ~1 s with the kernel).
     docs
       .select(Seq(col("doc_id"), col("source"), col("text"),
-        expr(bounds).as("bs")) ++ kept: _*)
+        GraftFunctions.cdc_md5_cuts(col("text"), w, divisor, minSize)
+          .as("bs")) ++ kept: _*)
       // size(bs) < 2 ⇔ empty document (bounds collapses to [0]);
       // without the guard sequence(1, 0) evaluates DESCENDING to
       // [1, 0] and element_at(bs, 0) throws under ANSI indexing —

@@ -688,4 +688,43 @@ class Round12Spec extends AnyFunSuite {
     assert(rec.length == 2 &&
       rec.forall { case (_, n, rr) => n == 3L && rr == 1.0 })
   }
+
+  test("cdcMd5Cuts kernel is bit-identical to the md5-window HOF " +
+       "chain it replaced (incl. multibyte, empty, short, boundary)") {
+    val w = 8; val divisor = 32; val minSize = 16
+    // the r1–r12 HOF formulation, verbatim, as the in-test reference
+    val cand =
+      s"""IF(length(text) < $w, array(),
+         |  filter(transform(sequence($w, length(text)),
+         |    i -> IF(CAST(conv(substr(md5(substring(text, i - ${w - 1},
+         |        $w)), 1, 7), 16, 10) AS BIGINT) % $divisor = 0, i, -1)),
+         |    x -> x > 0))""".stripMargin
+    val cuts =
+      s"""aggregate($cand, array(0), (acc, i) ->
+         |  IF(i - element_at(acc, -1) >= $minSize,
+         |     concat(acc, array(i)), acc))""".stripMargin
+    val boundsSql =
+      s"""IF(element_at($cuts, -1) = length(text), $cuts,
+         |   concat($cuts, array(length(text))))""".stripMargin
+    val rnd = new scala.util.Random(12)
+    val alphabet = "abcdefgh \n\tqxyz0123" + "äßñ中日🙂" // 2/3/4-byte
+    val texts = Seq("", "short", "a" * w, "a" * 500,
+      alphabet * 40, "中" * 300, "🙂ab" * 120) ++
+      (0 until 40).map(_ => (0 until (rnd.nextInt(400) + 1))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      expr(boundsSql).as("ref"),
+      graft.functions.GraftFunctions
+        .cdc_md5_cuts(col("text"), w, divisor, minSize).as("got"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"doc ${r.getLong(0)}: HOF ${r.getSeq[Int](1)} vs " +
+          s"kernel ${r.getSeq[Int](2)}")
+    }
+    // at least one multi-cut doc so the greedy fold is exercised
+    assert(both.exists(_.getSeq[Int](1).length > 3))
+  }
 }
