@@ -2110,10 +2110,11 @@ object Graph {
     * unequal). */
   private def landmarkDistKeys(lineitem: DataFrame, orders: DataFrame,
                                minTrades: Int, minReturns: Int,
-                               landmarks: Int, maxIter: Int)
+                               landmarks: Int, maxIter: Int,
+                               driverCutoff: Long = DriverCutoff.pairRows)
       : DataFrame = FrameCache.cached(lineitem.sparkSession,
     s"lbfs:${FrameCache.planKey(lineitem, orders)}:" +
-      s"$minTrades:$minReturns:$landmarks:$maxIter",
+      s"$minTrades:$minReturns:$landmarks:$maxIter:$driverCutoff",
     // the BFS loop checkpoints every round; only the converged
     // frame (the max created id) may be pinned — pinning the loop
     // intermediates lets the ContextCleaner invalidate the entry
@@ -2131,27 +2132,69 @@ object Graph {
       .limit(landmarks)
       .select(col("node").as("lm"))
       .localCheckpoint()
-    var dist = lms.select(col("lm"), col("lm").as("node"))
-      .withColumn("h", lit(0L)).localCheckpoint()
-    var improved = 1L
-    var i = 0
-    while (improved > 0 && i < maxIter + 1) {
-      val relaxed = edges.join(dist, edges("a") === dist("node"))
-        .select(col("lm"), col("b").as("node"), (col("h") + 1L).as("h"))
-        .unionByName(dist)
-        .groupBy("lm", "node").agg(min("h").as("h"))
-        .localCheckpoint()
-      improved = relaxed.as("x")
-        .join(dist.as("y"), Seq("lm", "node"), "left_outer")
-        .filter(col("y.h").isNull || col("x.h") < col("y.h")).count()
-      dist = relaxed
-      i += 1
+    if (edges.count() <= driverCutoff) {
+      // size-adaptive driver BFS (the [[harmonicKeysTrade]] fast
+      // path, [[DriverCutoff]] byte budget): the sf0.1 BFS runs 47
+      // distributed rounds × 2 driver jobs on KB-scale frontiers —
+      // pure per-job fixed cost. Value-equal to the loop below by
+      // construction (min-hop BFS is unique); Round12Spec pins the
+      // family byte-equal across the cutoff.
+      import scala.collection.mutable
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      edges.collect().foreach { r =>
+        adj.getOrElseUpdate(r.getLong(0),
+          mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
+      }
+      val none = mutable.ArrayBuffer.empty[Long]
+      val rows = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var maxHop = 0L
+      lms.collect().map(_.getLong(0)).foreach { lm =>
+        val hop = mutable.LongMap.empty[Long]
+        hop(lm) = 0L
+        var frontier = List(lm)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap { v =>
+            adj.getOrElse(v, none).filterNot(hop.contains).map { w =>
+              hop(w) = hop(v) + 1L; w
+            }
+          }
+        }
+        hop.foreach { case (n, h) =>
+          rows += ((lm, n, h))
+          if (h > maxHop) maxHop = h
+        }
+      }
+      if (maxHop > maxIter)
+        throw new IllegalStateException(
+          s"landmarkDistKeys did not converge in $maxIter rounds — " +
+            "raise maxIter (and the oracle's sweep bound)")
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      spark.sparkContext.parallelize(rows.sortBy(r => (r._1, r._2)).toSeq, 32)
+        .toDF("lm", "node", "h").localCheckpoint()
+    } else {
+      var dist = lms.select(col("lm"), col("lm").as("node"))
+        .withColumn("h", lit(0L)).localCheckpoint()
+      var improved = 1L
+      var i = 0
+      while (improved > 0 && i < maxIter + 1) {
+        val relaxed = edges.join(dist, edges("a") === dist("node"))
+          .select(col("lm"), col("b").as("node"), (col("h") + 1L).as("h"))
+          .unionByName(dist)
+          .groupBy("lm", "node").agg(min("h").as("h"))
+          .localCheckpoint()
+        improved = relaxed.as("x")
+          .join(dist.as("y"), Seq("lm", "node"), "left_outer")
+          .filter(col("y.h").isNull || col("x.h") < col("y.h")).count()
+        dist = relaxed
+        i += 1
+      }
+      if (improved > 0)
+        throw new IllegalStateException(
+          s"landmarkDistKeys did not converge in $maxIter rounds — " +
+            "raise maxIter (and the oracle's sweep bound)")
+      dist
     }
-    if (improved > 0)
-      throw new IllegalStateException(
-        s"landmarkDistKeys did not converge in $maxIter rounds — " +
-          "raise maxIter (and the oracle's sweep bound)")
-    dist
   }
 
   /** KEY-LEVEL landmark eccentricity lower bounds: for every node
@@ -2168,10 +2211,11 @@ object Graph {
     * themselves at h = 0). */
   def eccentricityKeysTrade(lineitem: DataFrame, orders: DataFrame,
                             minTrades: Int = 2, minReturns: Int = 2,
-                            landmarks: Int = 8, maxIter: Int = 60)
+                            landmarks: Int = 8, maxIter: Int = 60,
+                            driverCutoff: Long = DriverCutoff.pairRows)
       : DataFrame = {
     landmarkDistKeys(lineitem, orders, minTrades, minReturns,
-      landmarks, maxIter)
+      landmarks, maxIter, driverCutoff)
       .groupBy("node")
       .agg(max("h").as("ecc_lb"), count(lit(1)).as("n_lm"))
       .select(
@@ -2191,10 +2235,11 @@ object Graph {
     * the 'bw:' pivot family. */
   def hopHistogramKeysTrade(lineitem: DataFrame, orders: DataFrame,
                             minTrades: Int = 2, minReturns: Int = 2,
-                            landmarks: Int = 8, maxIter: Int = 60)
+                            landmarks: Int = 8, maxIter: Int = 60,
+                            driverCutoff: Long = DriverCutoff.pairRows)
       : DataFrame = {
     landmarkDistKeys(lineitem, orders, minTrades, minReturns,
-      landmarks, maxIter)
+      landmarks, maxIter, driverCutoff)
       .groupBy("h")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct("node").as("n_nodes"))
@@ -2230,15 +2275,22 @@ object Graph {
   def betweennessKeysTrade(lineitem: DataFrame, orders: DataFrame,
                            minTrades: Int = 2, minReturns: Int = 2,
                            landmarks: Int = 8, horizon: Int = 8,
-                           maxIter: Int = 60): DataFrame = {
+                           maxIter: Int = 60,
+                           driverCutoff: Long = DriverCutoff.pairRows)
+      : DataFrame = {
     val cap = 9000000000000L // 9e12: σ·10⁶ and r_ppm·(10⁶+δ) < 2⁶³
     val spark = lineitem.sparkSession
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
       .select("a", "b").localCheckpoint()
+    if (edges.count() <= driverCutoff)
+      return betweennessDriver(spark, edges,
+        landmarkDistKeys(lineitem, orders, minTrades, minReturns,
+          landmarks, maxIter, driverCutoff),
+        horizon, cap)
     val nodes = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
     val dd = landmarkDistKeys(lineitem, orders, minTrades, minReturns,
-        landmarks, maxIter)
+        landmarks, maxIter, driverCutoff)
       .filter(col("h") <= horizon).localCheckpoint()
     // checkpoint FIRST, then read the max off the materialized
     // blocks — check-then-checkpoint would compute every level's
@@ -2299,6 +2351,88 @@ object Graph {
           .as("node_type"),
         col("node"),
         coalesce(col("btw_ppm"), lit(0L)).as("btw_ppm"))
+  }
+
+  /** Size-adaptive driver twin of [[betweennessKeysTrade]]'s
+    * distributed loops ([[DriverCutoff]] byte budget — the
+    * harmonic/SSSP/SCC fast-path pattern): same depth-bounded
+    * Brandes, same integer-floor ppm arithmetic, same σ/δ ≤ cap
+    * guards on exact (BigInt ≙ DECIMAL(38,0)) per-level sums before
+    * narrowing to long — value-equal by construction, pinned
+    * byte-equal across the cutoff by Round12Spec. Motivation
+    * (measured, sf0.1): the 17 level-synchronous rounds ran
+    * KB-scale frames through ~2 driver jobs each (4.8 s isolated,
+    * per-job fixed cost — the data never exceeded a few thousand
+    * rows); the driver twin computes the same levels in
+    * milliseconds once the memoized arc collapse is in hand. */
+  private def betweennessDriver(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame,
+                                ddFrame: DataFrame, horizon: Int,
+                                cap: Long): DataFrame = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val nodeSet = mutable.SortedSet.empty[Long]
+    edges.collect().foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
+      nodeSet += a; nodeSet += b
+    }
+    val none = mutable.ArrayBuffer.empty[Long]
+    // (lm, node, h ≤ horizon) off the FrameCache-shared BFS frame
+    val hops = mutable.LongMap.empty[mutable.LongMap[Long]]
+    ddFrame.filter(col("h") <= horizon).collect().foreach { r =>
+      hops.getOrElseUpdate(r.getLong(0), mutable.LongMap.empty[Long])
+        .update(r.getLong(1), r.getLong(2))
+    }
+    val overflow = new IllegalStateException(
+      s"betweennessKeysTrade exceeds $cap — integer-exact ppm " +
+        "accumulation would overflow; shrink horizon/landmarks")
+    val btw = mutable.LongMap.empty[Long].withDefaultValue(0L)
+    hops.foreach { case (lm, hop) =>
+      val byLevel = Array.fill(horizon + 1)(
+        mutable.ArrayBuffer.empty[Long])
+      hop.foreach { case (n, h) => byLevel(h.toInt) += n }
+      // forward: σ summed exactly per level (BigInt ≙ the
+      // distributed DECIMAL(38,0) sums), guarded, then narrowed
+      val sigma = mutable.LongMap.empty[Long]
+      sigma(lm) = 1L
+      for (k <- 0 until horizon) {
+        val nxt = mutable.LongMap.empty[BigInt]
+        byLevel(k).foreach { v =>
+          adj.getOrElse(v, none).foreach { w =>
+            if (hop.getOrElse(w, -1L) == k + 1L)
+              nxt(w) = nxt.getOrElse(w, BigInt(0)) + BigInt(sigma(v))
+          }
+        }
+        nxt.foreach { case (w, s) =>
+          if (s > cap) throw overflow
+          sigma(w) = s.toLong
+        }
+      }
+      // backward: δ from the horizon down, exact sums, guarded
+      val del = mutable.LongMap.empty[Long]
+      byLevel(horizon).foreach(n => del(n) = 0L)
+      for (k <- (horizon - 1) to 0 by -1) {
+        byLevel(k).foreach { v =>
+          var d = BigInt(0)
+          adj.getOrElse(v, none).foreach { w =>
+            if (hop.getOrElse(w, -1L) == k + 1L) {
+              val c = ((sigma(v) * 1000000L / sigma(w)) *
+                (1000000L + del(w))) / 1000000L
+              d += BigInt(c)
+            }
+          }
+          if (d > cap) throw overflow
+          del(v) = d.toLong
+        }
+      }
+      del.foreach { case (n, d) => if (n != lm) btw(n) += d }
+    }
+    import spark.implicits._
+    val out = nodeSet.toSeq.map(n =>
+      (if (n % 2 == 0) "cust" else "supp", n, btw(n)))
+    spark.sparkContext.parallelize(out, 32)
+      .toDF("node_type", "node", "btw_ppm")
   }
 
   /** Degree-mixing matrix over the KEY-LEVEL repeat-business graph —

@@ -125,6 +125,30 @@ class Round12Spec extends AnyFunSuite {
       "driver and distributed paths must emit byte-equal labelings")
   }
 
+  test("cutoff boundary: landmark family (betweenness/eccentricity/" +
+       "hop histogram) byte-equal across paths") {
+    val (li, ord) = fixture
+    def bw(cut: Long) =
+      Graph.betweennessKeysTrade(li, ord, driverCutoff = cut)
+        .orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def ecc(cut: Long) =
+      Graph.eccentricityKeysTrade(li, ord, driverCutoff = cut)
+        .orderBy("node").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    def hh(cut: Long) =
+      Graph.hopHistogramKeysTrade(li, ord, driverCutoff = cut)
+        .orderBy("h").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    FrameCache.invalidateAll(spark) // distinct lbfs keys per cutoff
+    assert(bw(0L) == bw(DriverCutoff.pairRows),
+      "driver Brandes and the distributed level loops must agree")
+    assert(ecc(0L) == ecc(DriverCutoff.pairRows))
+    assert(hh(0L) == hh(DriverCutoff.pairRows))
+    FrameCache.invalidateAll(spark)
+  }
+
   test("cutoff boundary: keyed SSSP byte-equal across paths") {
     val (li, ord) = fixture
     def run(cut: Long) =
