@@ -209,22 +209,61 @@ object Graph {
     * (node) or (node, hop) ids only. */
   def bfsTrade(lineitem: DataFrame, orders: DataFrame,
                supplier: DataFrame, nation: DataFrame,
-               maxHops: Int = 4): DataFrame = {
-    // even ids = customers, odd = suppliers: one namespace, no structs
-    val e0 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"),
-        (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+               maxHops: Int = 4,
+               driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
+    // even ids = customers, odd = suppliers: one namespace, no
+    // structs. The distinct pair collapse is the FrameCache-shared
+    // [[bipartitePairs]] (identical distinct set — the namespace map
+    // is a bijection), so bfs/hits/k-core pay the corpus fact join
+    // once per dataset instead of once each.
+    val pairs = bipartitePairs(lineitem, orders)
+    val e0 = pairs.select((col("cust") * 2).as("a"),
+      (col("supp") * 2 + 1).as("b"))
     val srcNation = nation.orderBy("n_name", "n_nationkey").limit(1)
       .select("n_nationkey")
-    var dist = supplier
+    val seeds = supplier
       .join(broadcast(srcNation), col("s_nationkey") === col("n_nationkey"))
       .select((col("s_suppkey") * 2 + 1).as("node"))
       .distinct()
+    // symmetrized frame = 2 × 16-byte rows per pair in the budget
+    if (pairs.count() * 2 <= driverCutoff) {
+      // size-adaptive driver BFS ([[DriverCutoff]]; the landmark/
+      // harmonic fast-path pattern): the 4 distributed hops ran ~3
+      // driver jobs each over KB frontiers at sf0.1 (2.3 s of pure
+      // per-job fixed cost). Value-equal by construction (hop sets
+      // of an unweighted BFS are unique); Round12Spec pins the
+      // boundary byte-equal.
+      import scala.collection.mutable
+      val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+      e0.collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty[Long]) += b
+        adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty[Long]) += a
+      }
+      val none = mutable.ArrayBuffer.empty[Long]
+      val hop = mutable.LongMap.empty[Long]
+      seeds.collect().foreach(r => hop(r.getLong(0)) = 0L)
+      var frontier = hop.keys.toList
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap { v =>
+          adj.getOrElse(v, none).filterNot(hop.contains).map { w =>
+            hop(w) = h.toLong; w
+          }
+        }.distinct
+      }
+      val byHop = hop.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (h, ns) =>
+          (h, ns.count(_._1 % 2 == 0).toLong,
+            ns.count(_._1 % 2 == 1).toLong)
+        }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(byHop, 32)
+        .toDF("hop", "n_customers", "n_suppliers")
+    }
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var dist = seeds
       .withColumn("hop", lit(0L))
       .localCheckpoint()
     var frontier = dist.select("node")
@@ -552,8 +591,37 @@ object Graph {
     * edges per round, and only (cust, supp) id pairs ever cross an
     * exchange. */
   def kCoreTrade(lineitem: DataFrame, orders: DataFrame,
-                 k: Int = 20, rounds: Int = 4): DataFrame = {
+                 k: Int = 20, rounds: Int = 4,
+                 driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
     var e = bipartitePairs(lineitem, orders)
+    if (e.count() <= driverCutoff) {
+      // size-adaptive driver peel ([[DriverCutoff]]): each of the 4
+      // distributed rounds paid a checkpoint job + trace aggregates
+      // over a KB-scale shrinking frame at sf0.1 — semi-synchronous
+      // peeling is a pair-list filter the driver runs in
+      // microseconds once the memoized pair collapse is in hand.
+      // Value-equal by construction (the round trace is determined
+      // by the peel rule); Round12Spec pins the boundary byte-equal.
+      import scala.collection.mutable
+      var pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val trace = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      for (r <- 1 to rounds) {
+        val dc = mutable.LongMap.empty[Int].withDefaultValue(0)
+        val ds = mutable.LongMap.empty[Int].withDefaultValue(0)
+        pairs.foreach { case (c, s) => dc(c) += 1; ds(s) += 1 }
+        pairs = pairs.filter { case (c, s) => dc(c) >= k && ds(s) >= k }
+        val nc = mutable.LongMap.empty[Unit]
+        val ns = mutable.LongMap.empty[Unit]
+        pairs.foreach { case (c, s) => nc(c) = (); ns(s) = () }
+        trace += ((r.toLong, nc.size.toLong, ns.size.toLong,
+          pairs.length.toLong))
+      }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(trace.toSeq, 32)
+        .toDF("round", "n_customers", "n_suppliers", "n_edges")
+    }
     val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val keepC = e.groupBy("cust").agg(count(lit(1)).as("dc"))
@@ -597,9 +665,47 @@ object Graph {
     * orientation changes only intermediate sizes. */
   def kTrussTrade(lineitem: DataFrame, orders: DataFrame,
                   cap: Int = 64, minShared: Int = 2,
-                  k: Int = 4, rounds: Int = 3): DataFrame = {
-    var e = coSourceEdges(lineitem, orders, cap, minShared)
-      .select("u", "v").localCheckpoint()
+                  k: Int = 4, rounds: Int = 3,
+                  driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
+    val eSrc = coSourceEdges(lineitem, orders, cap, minShared)
+      .select("u", "v")
+    if (eSrc.count() <= driverCutoff) {
+      // size-adaptive driver peel ([[DriverCutoff]]): per-edge
+      // support on a u<v edge set is |N(u) ∩ N(v)| — exactly what
+      // the distributed round's triangle-credit explode counts
+      // (each closed triangle credits its three member edges once),
+      // so the trace is value-equal by construction; Round12Spec
+      // pins the boundary byte-equal. The 3 distributed rounds paid
+      // 2 checkpoint jobs + 3 aggregates each over the KB-scale
+      // projection at sf0.1.
+      import scala.collection.mutable
+      var edges = eSrc.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val trace = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      for (r <- 1 to rounds) {
+        val adj = mutable.LongMap.empty[mutable.Set[Long]]
+        edges.foreach { case (u, v) =>
+          adj.getOrElseUpdate(u, mutable.Set.empty[Long]) += v
+          adj.getOrElseUpdate(v, mutable.Set.empty[Long]) += u
+        }
+        val sup = edges.map { case (u, v) =>
+          ((u, v), (adj(u) & adj(v)).size.toLong) }.toMap
+        val nTri = sup.values.sum / 3
+        // the distributed peel inner-joins the support frame, which
+        // only carries sup ≥ 1 edges — so the effective threshold is
+        // max(k−2, 1) even for k ≤ 2
+        edges = edges.filter(e => sup(e) >= k - 2 && sup(e) >= 1)
+        val nNodes = edges.flatMap(e => Seq(e._1, e._2))
+          .distinct.size.toLong
+        trace += ((r.toLong, edges.size.toLong, nNodes, nTri))
+      }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(trace.toSeq, 32)
+        .toDF("round", "n_edges", "n_customers", "n_triangles")
+    }
+    var e = eSrc.localCheckpoint()
     val trace = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       // one row per (triangle, member edge), edges normalized u < v
@@ -650,9 +756,55 @@ object Graph {
     * score frame against the edges plus a partial-aggregable sum —
     * linear in edges per round, ids and scores only on the wire. */
   def hitsTrade(lineitem: DataFrame, orders: DataFrame,
-                iters: Int = 3, k: Int = 20): DataFrame = {
+                iters: Int = 3, k: Int = 20,
+                driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
     val S = 1000000000000L
     val e = bipartitePairs(lineitem, orders)
+    if (e.count() <= driverCutoff) {
+      // size-adaptive driver twin ([[DriverCutoff]]): the 3
+      // Gauss-Seidel rounds each paid 2 checkpoint jobs + 2
+      // broadcast-total subqueries over one-row-per-node frames
+      // (2.5 s of fixed cost at sf0.1). Identical arithmetic: raw
+      // sums in BigInt (≙ the DECIMAL(38,0) column), normalize =
+      // raw·1e12 div tot as exact integer floor, ties to the
+      // smaller id. Round12Spec pins the boundary byte-equal.
+      import scala.collection.mutable
+      val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      if (edges.isEmpty)
+        return Seq.empty[(String, Long, Long)]
+          .toDF("role", "node", "score")
+      val hubM = mutable.LongMap.empty[Long]
+      val authM = mutable.LongMap.empty[Long]
+      edges.foreach { case (c, _) => hubM(c) = S }
+      edges.foreach { case (_, s) => authM(s) = S }
+      // per-node raw sums stay in Long: scores are ≤ 1e12 and the
+      // edge count is ≤ DriverCutoff.pairRows (8.39M), so any raw
+      // sum and the grand total are ≤ 8.39e18 < 2⁶³−1 — the Long
+      // accumulation is exact, matching the DECIMAL(38,0) column;
+      // only the per-node normalize raw·1e12 needs BigInt headroom
+      for (_ <- 0 until iters) {
+        val ar = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        var tot = 0L
+        edges.foreach { case (c, s) =>
+          ar(s) += hubM(c); tot += hubM(c) }
+        ar.foreach { case (s, raw) =>
+          authM(s) = (BigInt(raw) * S / tot).toLong }
+        val hr = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        var tot2 = 0L
+        edges.foreach { case (c, s) =>
+          hr(c) += authM(s); tot2 += authM(s) }
+        hr.foreach { case (c, raw) =>
+          hubM(c) = (BigInt(raw) * S / tot2).toLong }
+      }
+      val topA = authM.toSeq.sortBy { case (s, a) => (-a, s) }.take(k)
+        .map { case (s, a) => ("authority", s, a) }
+      val topH = hubM.toSeq.sortBy { case (c, h) => (-h, c) }.take(k)
+        .map { case (c, h) => ("hub", c, h) }
+      return spark.sparkContext.parallelize(topA ++ topH, 32)
+        .toDF("role", "node", "score")
+    }
     var hub = e.select("cust").distinct().withColumn("h", lit(S))
     var auth = e.select("supp").distinct().withColumn("a", lit(S))
     for (_ <- 0 until iters) {

@@ -149,6 +149,38 @@ class Round12Spec extends AnyFunSuite {
     FrameCache.invalidateAll(spark)
   }
 
+  test("cutoff boundary: bfs/hits/k-core/k-truss byte-equal across " +
+       "paths") {
+    // the richer truss fixture: K4 projection + pendant edge
+    val pairs = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (4L, 10L), (4L, 11L),
+      (1L, 12L), (1L, 13L), (5L, 12L), (5L, 13L))
+    val ord = pairs.map(_._1).distinct
+      .map(c => (c * 1000L, c)).toDF("o_orderkey", "o_custkey")
+    val li = pairs.map { case (c, s) => (c * 1000L, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    val sup = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+    def rows(df: DataFrame, sort: String*) =
+      df.orderBy(sort.map(col): _*).collect().map(_.toSeq).toSeq
+    FrameCache.invalidateAll(spark)
+    val bfs0 = rows(Graph.bfsTrade(li, ord, sup, nat,
+      driverCutoff = 0L), "hop")
+    val hits0 = rows(Graph.hitsTrade(li, ord, driverCutoff = 0L),
+      "role", "node")
+    val core0 = rows(Graph.kCoreTrade(li, ord, k = 2,
+      driverCutoff = 0L), "round")
+    val truss0 = rows(Graph.kTrussTrade(li, ord, k = 4,
+      driverCutoff = 0L), "round")
+    assert(rows(Graph.bfsTrade(li, ord, sup, nat), "hop") == bfs0)
+    assert(rows(Graph.hitsTrade(li, ord), "role", "node") == hits0)
+    assert(rows(Graph.kCoreTrade(li, ord, k = 2), "round") == core0)
+    assert(rows(Graph.kTrussTrade(li, ord, k = 4), "round") == truss0)
+    FrameCache.invalidateAll(spark)
+  }
+
   test("cutoff boundary: keyed SSSP byte-equal across paths") {
     val (li, ord) = fixture
     def run(cut: Long) =
