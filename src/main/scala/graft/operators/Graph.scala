@@ -504,9 +504,29 @@ object Graph {
     * [[graft.operators.TextAnalysis.ngramJaccardCapped]]). The
     * global top-k is TakeOrderedAndProject (per-partition heaps +
     * driver merge of k rows), never a global sort. */
+  /** Capped pair fan-out Σ min(deg, cap)·(min(deg, cap)−1)/2 of the
+    * LP family — one cheap aggregate over the memoized pair frame.
+    * Decides whether the τ̂ certificate can possibly pay for itself:
+    * the prune's value is proportional to the fan-out it can cut,
+    * while its cost (sampled self-join + two driver collects) is
+    * fixed. Below [[DriverCutoff.pairRows]] enumerated pairs the
+    * whole fan-out is seconds of work and the certificate is pure
+    * overhead — skip it, which by the documented lossless-bound
+    * argument leaves the gated result bit-identical (τ̂ = 0 ⇒ the
+    * unpruned plan verbatim). Measured at sf0.1 (2.0M fan-out): the
+    * certificate jobs were ~40% of each LP key's wall clock. */
+  private def lpFanOut(pairs: DataFrame, cap: Int): Long =
+    pairs.groupBy("supp")
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1)")), lit(0L)).as("f"))
+      .collect()(0).getLong(0) / 2
+
   def commonNeighbors(lineitem: DataFrame, orders: DataFrame,
-                      cap: Int = 64, k: Int = 50): DataFrame = {
+                      cap: Int = 64, k: Int = 50,
+                      certificateFloor: Long = DriverCutoff.pairRows)
+      : DataFrame = {
     val edges = bipartitePairs(lineitem, orders)
+    val smallFan = lpFanOut(edges, cap) <= certificateFloor
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
@@ -543,18 +563,20 @@ object Graph {
     // lossless by the bound argument; τ̂ = 0 (no prune) when the
     // sample yields < k pairs, so the gate-SF output is the
     // unpruned plan verbatim.
-    val sampled = withDeg.filter(
-      expr("CAST(conv(substr(md5(concat('cns:', CAST(cust AS STRING)))," +
-        " 1, 15), 16, 10) AS BIGINT) % 8 = 0"))
-    val tauRows = sampled.as("x")
-      .join(sampled.as("y"),
-        col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
-      .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"),
-        col("x.deg").as("deg1"), col("y.deg").as("deg2"))
-      .agg(count(lit(1)).as("c_ex"))
-      .select(expr("c_ex * 1000000 div (deg1 + deg2 - c_ex)").as("lb"))
-      .orderBy(col("lb").desc).limit(k).collect()
-    val tau = if (tauRows.length < k) 0L else tauRows.last.getLong(0)
+    val tau = if (smallFan) 0L else {
+      val sampled = withDeg.filter(
+        expr("CAST(conv(substr(md5(concat('cns:', CAST(cust AS STRING)))," +
+          " 1, 15), 16, 10) AS BIGINT) % 8 = 0"))
+      val tauRows = sampled.as("x")
+        .join(sampled.as("y"),
+          col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+        .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"),
+          col("x.deg").as("deg1"), col("y.deg").as("deg2"))
+        .agg(count(lit(1)).as("c_ex"))
+        .select(expr("c_ex * 1000000 div (deg1 + deg2 - c_ex)").as("lb"))
+        .orderBy(col("lb").desc).limit(k).collect()
+      if (tauRows.length < k) 0L else tauRows.last.getLong(0)
+    }
     val pairs = withDeg.as("x")
       .join(withDeg.as("y"),
         col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
@@ -850,10 +872,13 @@ object Graph {
     * fan-out (the measured deg-before lesson at :312), and the
     * top-k is TakeOrderedAndProject — never a global sort. */
   def resourceAllocation(lineitem: DataFrame, orders: DataFrame,
-                         cap: Int = 64, k: Int = 50): DataFrame =
+                         cap: Int = 64, k: Int = 50,
+                         certificateFloor: Long = DriverCutoff.pairRows)
+      : DataFrame =
     witnessWeightedTopK(lineitem, orders, cap, k,
       capSalt = "ra:", sampleSalt = "ras:",
-      weightSql = "1000000 div sdeg", scoreName = "ra_ppm")
+      weightSql = "1000000 div sdeg", scoreName = "ra_ppm",
+      certificateFloor = certificateFloor)
 
   /** Adamic–Adar link prediction: AA(c1,c2) = Σ_{s ∈ common}
     * 1/log deg(s) — the witness-weighted index between raw common
@@ -868,11 +893,14 @@ object Graph {
     * customer-sampled lossless τ̂ prune, same plan shape as RA —
     * one shared generator, different witness weight. */
   def adamicAdar(lineitem: DataFrame, orders: DataFrame,
-                 cap: Int = 64, k: Int = 50): DataFrame =
+                 cap: Int = 64, k: Int = 50,
+                 certificateFloor: Long = DriverCutoff.pairRows)
+      : DataFrame =
     witnessWeightedTopK(lineitem, orders, cap, k,
       capSalt = "aa:", sampleSalt = "aas:",
       weightSql = "1000000 div (length(bin(sdeg)) - 1)",
-      scoreName = "aa_ppm", minSdeg = 2)
+      scoreName = "aa_ppm", minSdeg = 2,
+      certificateFloor = certificateFloor)
 
   /** The shared witness-weighted link-prediction generator behind
     * [[resourceAllocation]] and [[adamicAdar]]: capped adjacency,
@@ -882,9 +910,15 @@ object Graph {
   private def witnessWeightedTopK(lineitem: DataFrame, orders: DataFrame,
                                   cap: Int, k: Int, capSalt: String,
                                   sampleSalt: String, weightSql: String,
-                                  scoreName: String, minSdeg: Int = 1)
+                                  scoreName: String, minSdeg: Int = 1,
+                                  certificateFloor: Long =
+                                    DriverCutoff.pairRows)
       : DataFrame = {
     val edges = bipartitePairs(lineitem, orders)
+    // small fan-out ⇒ the τ̂ certificate cannot pay for its own jobs;
+    // skipping it is lossless (τ̂ = 0 ⇒ unpruned plan verbatim) —
+    // see [[lpFanOut]]
+    val smallFan = lpFanOut(edges, cap) <= certificateFloor
     val capped = edges
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("supp")
@@ -912,17 +946,19 @@ object Graph {
     // join is skipped entirely and the plan is the unpruned original
     // — the τ̂ pass itself stays, priced at the 1/64 sample.
     // Lossless either way; τ̂ = 0 when the sample yields < k pairs.
-    val sampled = withW.filter(
-      expr(s"CAST(conv(substr(md5(concat('$sampleSalt', " +
-        "CAST(cust AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8 = 0"))
-    val tauRows = sampled.as("x")
-      .join(sampled.as("y"),
-        col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
-      .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"))
-      .agg(sum(col("x.w")).as("s_ex"))
-      .select(col("s_ex").cast("long").as("s_ex"))
-      .orderBy(col("s_ex").desc).limit(k).collect()
-    val tau = if (tauRows.length < k) 0L else tauRows.last.getLong(0)
+    val tau = if (smallFan) 0L else {
+      val sampled = withW.filter(
+        expr(s"CAST(conv(substr(md5(concat('$sampleSalt', " +
+          "CAST(cust AS STRING))), 1, 15), 16, 10) AS BIGINT) % 8 = 0"))
+      val tauRows = sampled.as("x")
+        .join(sampled.as("y"),
+          col("x.supp") === col("y.supp") && col("x.cust") < col("y.cust"))
+        .groupBy(col("x.cust").as("cust1"), col("y.cust").as("cust2"))
+        .agg(sum(col("x.w")).as("s_ex"))
+        .select(col("s_ex").cast("long").as("s_ex"))
+        .orderBy(col("s_ex").desc).limit(k).collect()
+      if (tauRows.length < k) 0L else tauRows.last.getLong(0)
+    }
     val pruned = if (tau == 0L) withW else {
       val cw = withW.groupBy("cust")
         .agg(sum("w").as("cw"), count(lit(1)).as("cdeg"))

@@ -181,6 +181,41 @@ class Round12Spec extends AnyFunSuite {
     FrameCache.invalidateAll(spark)
   }
 
+  test("certificate floor: link-prediction trio's τ̂ skip is " +
+       "lossless — results equal with the certificate forced on") {
+    // K4 + pendant projection: real common neighbors, distinct
+    // degrees, ties — exercises cap ordering, weights, top-k sort
+    val pairs = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (4L, 10L), (4L, 11L),
+      (1L, 12L), (1L, 13L), (5L, 12L), (5L, 13L))
+    val ord = pairs.map(_._1).distinct
+      .map(c => (c * 1000L, c)).toDF("o_orderkey", "o_custkey")
+    val li = pairs.map { case (c, s) => (c * 1000L, s) }
+      .toDF("l_orderkey", "l_suppkey")
+    def rows(df: DataFrame) =
+      df.collect().map(_.toSeq).toSeq // already top-k ordered
+    FrameCache.invalidateAll(spark)
+    // certificateFloor = 0 forces the τ̂ certificate path even on
+    // this tiny fan-out; default skips it — results must be equal
+    val cn0 = rows(Graph.commonNeighbors(li, ord,
+      certificateFloor = 0L))
+    assert(rows(Graph.commonNeighbors(li, ord)) == cn0,
+      "certificate-skipped top-k must equal the certificated one")
+    val ra0 = rows(Graph.resourceAllocation(li, ord,
+      certificateFloor = 0L))
+    assert(rows(Graph.resourceAllocation(li, ord)) == ra0)
+    val aa0 = rows(Graph.adamicAdar(li, ord, certificateFloor = 0L))
+    assert(rows(Graph.adamicAdar(li, ord)) == aa0)
+    // weight spot checks — the top pair is (1,5): it shares the two
+    // CAPPED-DEGREE-2 suppliers {12, 13}, which RA/AA weight above
+    // the K4's degree-4 witnesses: RA = 2·(1e6 div 2) = 1000000,
+    // AA = 2·(1e6 div ⌊log₂2⌋) = 2000000
+    assert(ra0.head == Seq(1L, 5L, 2L, 1000000L), s"RA ${ra0.head}")
+    assert(aa0.head == Seq(1L, 5L, 2L, 2000000L), s"AA ${aa0.head}")
+    FrameCache.invalidateAll(spark)
+  }
+
   test("cutoff boundary: keyed SSSP byte-equal across paths") {
     val (li, ord) = fixture
     def run(cut: Long) =
