@@ -839,14 +839,35 @@ object Similarity {
     * corpus count read here is one scalar (a partition-predicate-
     * class collect). */
   private[graft] def cappedClusters(embs: DataFrame,
-      targetList: Int, rounds: Int): DataFrame = {
-    val n = embs.agg(count(lit(1))).head().getLong(0)
-    val nlist = math.max(1L, (n + targetList - 1) / targetList).toInt
-    cappedAssign(embs, nlist, rounds)
-      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
-      .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("cluster_id"), col("vec_id"), col("embedding"))
-  }
+      targetList: Int, rounds: Int): DataFrame =
+    FrameCache.cached(embs.sparkSession,
+      s"ccl:${FrameCache.planKey(embs)}:$targetList:$rounds",
+      // cappedAssign's acceptance rounds checkpoint intermediates;
+      // only the final membership frame is the shared artifact
+      keepOnlyLast = true) {
+      val n = embs.agg(count(lit(1))).head().getLong(0)
+      val nlist = math.max(1L, (n + targetList - 1) / targetList).toInt
+      cappedAssign(embs, nlist, rounds)
+        .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+        .join(embs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("cluster_id"), col("vec_id"), col("embedding"))
+        .localCheckpoint()
+    }
+
+  /** The FrameCache-shared capped kNN graph — built once per
+    * (dataset, k, targetList, rounds) and fanned out to
+    * [[knnGraphCapped]], [[hubnessAuditCapped]] and
+    * [[graphSearchTopK]]/[[graphSearchRecall]], which each used to
+    * re-pay the capped assignment + Σ|cluster|² pair scan (the
+    * key-level graph family's repeatKeyEdges contract, r12). */
+  private def knnGraphCappedShared(embs: DataFrame, k: Int,
+                                   targetList: Int, rounds: Int)
+      : DataFrame =
+    FrameCache.cached(embs.sparkSession,
+      s"kng:${FrameCache.planKey(embs)}:$k:$targetList:$rounds") {
+      knnGraphWithin(cappedClusters(embs, targetList, rounds), k)
+        .localCheckpoint()
+    }
 
   /** Exact kNN graph over capacity-capped clusters — the 100 TB form
     * of [[knnGraph]]: the grouping key is the deferred-acceptance
@@ -860,7 +881,7 @@ object Similarity {
     * alike (none at 25% slack on the gate corpus — spec-asserted). */
   def knnGraphCapped(embs: DataFrame, k: Int = 5, targetList: Int = 200,
                      rounds: Int = 3): DataFrame =
-    knnGraphWithin(cappedClusters(embs, targetList, rounds), k)
+    knnGraphCappedShared(embs, k, targetList, rounds)
 
   /** [[hubnessAudit]] over the capacity-capped kNN graph
     * ([[knnGraphCapped]]) — same histogram, bounded-cluster cost.
@@ -870,7 +891,7 @@ object Similarity {
                          targetList: Int = 200, rounds: Int = 3)
       : DataFrame = {
     val clustered = cappedClusters(embs, targetList, rounds)
-    val indeg = knnGraphWithin(clustered, k)
+    val indeg = knnGraphCappedShared(embs, k, targetList, rounds)
       .groupBy(col("dst_id").as("vec_id"))
       .agg(count(lit(1)).as("in_degree"))
     clustered.select("vec_id")
@@ -912,9 +933,8 @@ object Similarity {
                       rounds: Int = 3)
       : DataFrame = {
     val clustered = cappedClusters(embs, targetList, rounds)
-      .localCheckpoint()
-    val g = knnGraphWithin(clustered, knnK)
-      .select(col("src_id"), col("dst_id")).localCheckpoint()
+    val g = knnGraphCappedShared(embs, knnK, targetList, rounds)
+      .select(col("src_id"), col("dst_id"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")).localCheckpoint()
     // route: the nprobe nearest of the nlist centroid vectors (the
