@@ -345,7 +345,8 @@ object SparkEntry {
     // these are hash-exact oracle rows, not rows-only (the xxhash64
     // throughput family keeps its exact ScalaTest twins)
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d), auditable = true).orderBy("doc1", "doc2")),
+      Dedup.minhashLshShared(docs(s, d), auditable = true)
+        .orderBy("doc1", "doc2")),
     // maxHamming=3: the largest radius at which chunked simhash
     // keeps sub-quadratic candidate selectivity (see Dedup.simhash)
     "dedup_simhash" -> ((s, d) =>
@@ -383,7 +384,7 @@ object SparkEntry {
       val sigs = Dedup.pairFeatures(dd, auditable = true)
         .select("doc_id", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.minhashLsh(dd, auditable = true)
+      val pairs = Dedup.minhashLshShared(dd, auditable = true)
         .select("doc1", "doc2")
         .unionByName(Dedup.simhashFrom(sigs, maxHamming = 3,
           auditable = true).select("doc1", "doc2"))
@@ -394,12 +395,8 @@ object SparkEntry {
     // clusters over the deterministic exact-Jaccard pair set (the LSH
     // pair sets are hash-dependent, so the gated variant uses the
     // oracle-reproducible edges)
-    "dedup_cluster" -> ((s, d) => {
-      val dd = docs(s, d)
-      Dedup.connectedComponents(
-        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
-        .orderBy("doc_id")
-    }),
+    "dedup_cluster" -> ((s, d) =>
+      Dedup.jaccardClusters(docs(s, d)).orderBy("doc_id")),
     // ---- §2.7 similarity search ----
     "ann_bruteforce" -> ((s, d) => {
       val e = embs(s, d)
@@ -721,8 +718,7 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(docs(s, d)).orderBy("source1", "source2")),
     "dedup_keep_best" -> ((s, d) => {
       val dd = docs(s, d)
-      val labels = Dedup.connectedComponents(
-        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
+      val labels = Dedup.jaccardClusters(dd)
       val quality = dd.select(col("doc_id"),
         size(split(lower(col("text")), " ")).cast("long").as("score"))
       Dedup.keepBest(labels, quality).orderBy("cluster_id")
@@ -1146,12 +1142,9 @@ object SparkEntry {
       TextAnalysis.ocrArtifacts(docs(s, d)).orderBy("doc_id")),
     "pipeline_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(docs(s, d)).orderBy("source")),
-    "dedup_cluster_stats" -> ((s, d) => {
-      val dd = docs(s, d)
-      Dedup.clusterStats(Dedup.connectedComponents(
-        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd))
-        .orderBy("csize")
-    }),
+    "dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusterStats(Dedup.jaccardClusters(docs(s, d)))
+        .orderBy("csize")),
     "text_lang_mix" -> ((s, d) =>
       TextAnalysis.langMix(docs(s, d)).orderBy("doc_id")),
     "dedup_recall_audit" -> ((s, d) =>

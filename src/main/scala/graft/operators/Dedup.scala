@@ -86,6 +86,24 @@ object Dedup {
     minhashLshFrom(shingleFrame(docs), bands, rows, threshold,
       auditable, maxBucket)
 
+  /** FrameCache-shared [[minhashLsh]] pair frame: the default
+    * auditable pair set is re-derived by dedup_minhash_lsh,
+    * dedup_union_cluster and dedup_report, and the threshold-0
+    * candidate set by dedup_threshold_sweep / dedup_est_audit /
+    * dedup_recall_audit — each a full tokenize + band + verify pass.
+    * The OUTPUT pair frame is thin (ids + jaccard); [[minhashLsh]]
+    * itself stays lazy for the PlanSpec no-cartesian gate. */
+  def minhashLshShared(docs: DataFrame, bands: Int = 16, rows: Int = 4,
+                       threshold: Double = 0.5,
+                       auditable: Boolean = false,
+                       maxBucket: Int = 1024): DataFrame =
+    FrameCache.cached(docs.sparkSession,
+      s"mhl:${FrameCache.planKey(docs)}:$bands:$rows:$threshold:" +
+        s"$auditable:$maxBucket") {
+      minhashLsh(docs, bands, rows, threshold, auditable, maxBucket)
+        .localCheckpoint()
+    }
+
   /** [[minhashLsh]] over a pre-derived (doc_id, sh) shingle frame —
     * the shared-scan entry the union composite uses so the corpus is
     * tokenized/shingled ONCE across pair families instead of per
@@ -156,7 +174,7 @@ object Dedup {
     * the corpus; the per-pair component comparison is a 64-element
     * array fold. Output is ≤ 11 rows. */
   def minhashEstAudit(docs: DataFrame, k: Int = 64): DataFrame = {
-    val cand = minhashLsh(docs, threshold = 0.0, auditable = true)
+    val cand = minhashLshShared(docs, threshold = 0.0, auditable = true)
       .select("doc1", "doc2")
     val feats = docs
       .select(col("doc_id"),
@@ -204,7 +222,7 @@ object Dedup {
     * 11-row band frame (the documented bounded-frame window class).
     * Output is exactly 11 rows at any corpus size. */
   def thresholdSweep(docs: DataFrame): DataFrame = {
-    val cand = minhashLsh(docs, threshold = 0.0, auditable = true)
+    val cand = minhashLshShared(docs, threshold = 0.0, auditable = true)
       .select("doc1", "doc2")
     val sets = docs
       .select(col("doc_id"),
@@ -262,19 +280,29 @@ object Dedup {
     * audit's query sample. All-integer ppm; ≤ 6 output rows. */
   def recallAudit(docs: DataFrame, threshold: Double = 0.5,
                   sampleMod: Int = 1): DataFrame = {
-    val sample = docs.filter(expr(
+    // sampleMod = 1 admits every doc — skip the tautological md5
+    // filter so the gated run scans nothing extra AND shares the
+    // threshold-0 candidate frame with sweep/est-audit (same plan
+    // identity). Any other modulus keeps the documented sample.
+    val sample = if (sampleMod == 1) docs else docs.filter(expr(
       s"CAST(conv(substr(md5(CAST(doc_id AS string)), 1, 7), 16, 10) " +
         s"AS BIGINT) % $sampleMod = 0"))
     val sh = sample
       .select(col("doc_id"),
         array_distinct(shingles(toks(col("text")))).as("ds"))
       .filter(size(col("ds")) > 0)
+    // THIN frames checkpointed (8–16 bytes/row — not the fat ds
+    // arrays): counts feeds two joins and posting both self-join
+    // sides, and each use re-paid the tokenize + shingle + per-
+    // shingle md5 scan (measured: 4.06 → 2.42 s at sf0.1 together
+    // with the shared-candidate change)
     val counts = sh.select(col("doc_id"),
-      size(col("ds")).cast("long").as("n_sh"))
+      size(col("ds")).cast("long").as("n_sh")).localCheckpoint()
     val posting = sh
       .select(col("doc_id"), explode(col("ds")).as("s"))
       .select(col("doc_id"), expr(
         "CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .localCheckpoint()
     val thresholdPpm = math.floor(threshold * 1000000).toLong
     val exact = posting.select(col("h"), col("doc_id").as("doc1"))
       .join(posting.select(col("h"), col("doc_id").as("doc2")), Seq("h"))
@@ -288,7 +316,7 @@ object Dedup {
         expr("n_common * 1000000 div (n1 + n2 - n_common)")
           .cast("long").as("j_ppm"))
       .filter(col("j_ppm") >= thresholdPpm)
-    val cand = minhashLsh(sample, threshold = 0.0, auditable = true)
+    val cand = minhashLshShared(sample, threshold = 0.0, auditable = true)
       .select(col("doc1"), col("doc2"), lit(1L).as("found"))
     exact.join(cand, Seq("doc1", "doc2"), "left")
       .groupBy(expr("j_ppm div 100000").cast("long").as("band"))
@@ -720,10 +748,25 @@ object Dedup {
     * is its own survivor): (cluster_id, n_members, canon_tokens,
     * canonical_doc, n_dropped). Text never rides a shuffle — token
     * counts collapse per doc before the cluster join. */
+  /** FrameCache-shared near-dup cluster labels over the exact
+    * 3-gram Jaccard pair set — re-derived by FOUR gated keys
+    * (dedup_cluster / keep_best / cluster_stats / canonical), each
+    * of which used to pay the posting self-join AND the
+    * connected-components pass. One labels frame per (dataset,
+    * threshold); same values by determinism of both inputs. */
+  def jaccardClusters(docs: DataFrame, minJaccard: Double = 0.2)
+      : DataFrame =
+    FrameCache.cached(docs.sparkSession,
+      s"jcl:${FrameCache.planKey(docs)}:$minJaccard",
+      keepOnlyLast = true) {
+      connectedComponents(graft.operators.TextAnalysis
+        .ngramJaccardShared(docs, minJaccard), docs)
+        .localCheckpoint()
+    }
+
   def canonicalSelection(docs: DataFrame,
                          minJaccard: Double = 0.2): DataFrame = {
-    val clusters = connectedComponents(
-      graft.operators.TextAnalysis.ngramJaccard(docs, minJaccard), docs)
+    val clusters = jaccardClusters(docs, minJaccard)
     val toks = docs.select(col("doc_id"),
       size(split(lower(col("text")), " ")).cast("long").as("n_tok"))
     clusters.join(toks, "doc_id")
@@ -742,7 +785,8 @@ object Dedup {
     val dupFps = fp.groupBy("fp").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select("fp")
     val exactIds = fp.join(dupFps, "fp").select("doc_id")
-    val pairs = minhashLsh(docs, threshold = threshold, auditable = true)
+    val pairs = minhashLshShared(docs, threshold = threshold,
+      auditable = true)
     val nearIds = pairs.select(col("doc1").as("doc_id"))
       .unionByName(pairs.select(col("doc2").as("doc_id"))).distinct()
     docs.select(col("doc_id"), col("source"))

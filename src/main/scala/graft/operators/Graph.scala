@@ -81,19 +81,32 @@ object Graph {
     * frame is (src, dst) pairs. Orientation changes only the
     * intermediate size — the emitted triple set is identical, so the
     * oracle re-derives it with the plain id-ordered 3-way join. */
-  def trianglesTrade(lineitem: DataFrame, orders: DataFrame,
-                     customer: DataFrame, supplier: DataFrame): DataFrame = {
-    val raw = lineitem
+  /** FrameCache-shared inter-nation undirected edge frame (u < v,
+    * distinct; ≤ 300 rows at any scale) — [[trianglesTrade]] used to
+    * replay the 4-table fact join for every one of its FOUR uses of
+    * this frame (und/deg/oriented×3 — a 174-Exchange, 2658-line
+    * plan for graph_local_clustering), and [[localClustering]] paid
+    * a fifth. One collapse per (dataset), like [[bipartitePairs]]. */
+  private def nationEdges(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, supplier: DataFrame)
+      : DataFrame = FrameCache.cached(lineitem.sparkSession,
+    s"nue:${FrameCache.planKey(lineitem, orders, customer, supplier)}") {
+    lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
       .select(col("s_nationkey").cast("long").as("a"),
         col("c_nationkey").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val und = raw
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .distinct()
+      .localCheckpoint()
+  }
+
+  def trianglesTrade(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val und = nationEdges(lineitem, orders, customer, supplier)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -147,16 +160,7 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    val und = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .select(col("s_nationkey").cast("long").as("a"),
-        col("c_nationkey").cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("u"),
-        greatest(col("a"), col("b")).as("v"))
-      .distinct()
+    val und = nationEdges(lineitem, orders, customer, supplier)
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

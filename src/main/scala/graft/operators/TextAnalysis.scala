@@ -117,6 +117,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shingles"),
         sum("df").as("sum_df"), sum("tf").as("sum_tf"))
 
+  /** FrameCache-shared [[ngramJaccard]] pair frame — the
+    * 0.2-threshold exact pair set is re-derived by FIVE gated keys
+    * (dedup_cluster / keep_best / cluster_stats / canonical /
+    * edit_verify); the OUTPUT frame is thin (ids + jaccard), unlike
+    * the fat shingle feature frame whose materialization measured 2×
+    * worse at sf10 (see [[graft.operators.Dedup.pairFeatures]]).
+    * [[ngramJaccard]] itself stays lazy so its plan-shape gates
+    * (PlanSpec) keep inspecting the real posting-join plan. */
+  def ngramJaccardShared(docs: DataFrame, minJaccard: Double)
+      : DataFrame =
+    FrameCache.cached(docs.sparkSession,
+      s"ngj:${FrameCache.planKey(docs)}:$minJaccard") {
+      ngramJaccard(docs, minJaccard).localCheckpoint()
+    }
+
   def ngramJaccard(docs: DataFrame, minJaccard: Double = 0.05): DataFrame = {
     require(minJaccard > 0, "minJaccard must be > 0: zero-overlap pairs " +
       "are never generated by the inverted index")
@@ -541,7 +556,7 @@ object TextAnalysis {
     * runs on the candidate set, never the corpus. */
   def editVerify(docs: DataFrame, minJaccard: Double = 0.2,
                  prefixLen: Int = 64): DataFrame = {
-    val pairs = ngramJaccard(docs, minJaccard)
+    val pairs = ngramJaccardShared(docs, minJaccard)
     val pfx = docs.select(col("doc_id"),
       substring(lower(col("text")), 1, prefixLen).as("pfx"))
     pairs
