@@ -1541,6 +1541,9 @@ object Similarity {
   def kcenterSelect(embs: DataFrame, k: Int = 16): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    // measured r12: checkpointing this projection to spare the k
+    // re-scans ran 1.66 → 2.03 s at sf0.1 — the corpus scan is not
+    // the cost, the k sequential argmax jobs are; left lazy
     val corpus = embs.select(col("vec_id"), col("embedding"))
     // headOption, not head: an empty corpus returns the empty
     // selection; a corpus smaller than k returns the partial one

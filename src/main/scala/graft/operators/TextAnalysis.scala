@@ -419,6 +419,15 @@ object TextAnalysis {
     * same estimator-contract adjacency, paying the posting collapse
     * once in source. */
   private def cappedPairFrame(docs: DataFrame, maxDocFreq: Int)
+      : DataFrame = FrameCache.cached(docs.sparkSession,
+    s"cpf:${FrameCache.planKey(docs)}:$maxDocFreq") {
+    cappedPairFrameRaw(docs, maxDocFreq).localCheckpoint()
+  }
+
+  /** The lazy plan under [[cappedPairFrame]] — kept un-checkpointed
+    * so plan-shape tests can still inspect the grouped generator. */
+  private[graft] def cappedPairFrameRaw(docs: DataFrame,
+                                        maxDocFreq: Int)
       : DataFrame = {
     val sh = docs.select(col("doc_id"), col("source"),
       array_distinct(graft.functions.GraftFunctions

@@ -144,9 +144,12 @@ class PlanSpec extends AnyFunSuite {
     // generator over the grouped list — the plan must have NO window
     // sort and NO join on the shingle hash, and the postings must
     // shuffle ONCE (counts branch reuses the (source, h) exchange)
-    val p = plan(TextAnalysis.ngramJaccardCapped(
+    // the raw (un-checkpointed) pair frame: ngramJaccardCapped now
+    // returns a FrameCache-shared checkpoint of exactly this plan,
+    // so the shape gate inspects the plan that actually builds it
+    val p = plan(TextAnalysis.cappedPairFrameRaw(
       Tables.documents(spark, "/root/testdata/sf0.01"),
-      minJaccard = 0.02, maxDocFreq = 10))
+      maxDocFreq = 10))
     assert(!p.contains("Window"), s"unexpected window sort:\n$p")
     val realPostingExchanges = p.linesIterator.count(l =>
       "Exchange hashpartitioning\\(source#\\d+, h#".r
