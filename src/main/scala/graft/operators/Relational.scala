@@ -254,12 +254,20 @@ object Relational {
     * single-pass sort-based form; at very large scale swap for
     * approx_percentile (t-digest) at the caller's accuracy budget. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    // ONE percentile buffer for both quantiles: two scalar
+    // percentile() aggs each maintained their own value→count map
+    // over every fact row; the array form fills one map and reads
+    // both order statistics from it — same interpolation code path,
+    // bit-identical doubles (oracle-gated)
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p95"),
+        col("n"))
 
   /** Incremental top-k maintenance — the mergeable-summary identity
     * a 100 TB serving layer lives on: the stored per-group top-k
