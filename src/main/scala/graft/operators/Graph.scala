@@ -1411,10 +1411,27 @@ object Graph {
                    minTrades: Int = 2, minReturns: Int = 2,
                    maxIter: Int = 200,
                    driverCutoff: Long = DriverCutoff.pairRows): DataFrame =
+    sccKeysShared(lineitem, orders, minTrades, minReturns, maxIter,
+      driverCutoff)
+
+  /** FrameCache-shared [[sccKeysCore]] result: graph_scc_keys and
+    * graph_topo_layers_keys both need the SCC assignment of the same
+    * thresholded arc frame — the decomposition now runs once per
+    * (dataset, params). The arc projection is NOT re-checkpointed
+    * (repeatKeyEdges is already a cached frame; the extra eager
+    * checkpoint here cost one driver job per invocation). */
+  private def sccKeysShared(lineitem: DataFrame, orders: DataFrame,
+                            minTrades: Int, minReturns: Int,
+                            maxIter: Int, driverCutoff: Long)
+      : DataFrame = FrameCache.cached(lineitem.sparkSession,
+    s"sck:${FrameCache.planKey(lineitem, orders)}:" +
+      s"$minTrades:$minReturns:$maxIter:$driverCutoff",
+    keepOnlyLast = true) {
     sccKeysCore(
       repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-        .select("a", "b").localCheckpoint(),
-      lineitem.sparkSession, maxIter, driverCutoff)
+        .select("a", "b"),
+      lineitem.sparkSession, maxIter, driverCutoff).localCheckpoint()
+  }
 
   /** [[sccKeysTrade]]'s core over an already-built arc frame — the
     * composition point [[topoLayersKeysTrade]] uses so the layering
@@ -1636,9 +1653,9 @@ object Graph {
                           driverCutoff: Long = DriverCutoff.pairRows)
       : DataFrame = {
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-      .select("a", "b").localCheckpoint()
-    val scc = sccKeysCore(edges, lineitem.sparkSession, maxIter,
-      driverCutoff).localCheckpoint()
+      .select("a", "b")
+    val scc = sccKeysShared(lineitem, orders, minTrades, minReturns,
+      maxIter, driverCutoff)
     val cond = edges
       .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
       .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
@@ -1743,7 +1760,8 @@ object Graph {
                         driverCutoff: Long = DriverCutoff.pairRows)
       : DataFrame = {
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-      .select("a", "b").localCheckpoint()
+      .select("a", "b") // narrow projection of a cached frame — the
+                        // eager re-checkpoint here cost a job/call
     val nodes = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
     val lms = nodes
@@ -2315,7 +2333,7 @@ object Graph {
     // eccentricity at sf0.1 vs sub-second warm)
     keepOnlyLast = true) {
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-      .select("a", "b").localCheckpoint()
+      .select("a", "b") // cached parent — no eager re-checkpoint
     val nodes = edges.select(col("a").as("node"))
       .unionByName(edges.select(col("b").as("node"))).distinct()
     val lms = nodes
@@ -2473,7 +2491,7 @@ object Graph {
     val cap = 9000000000000L // 9e12: σ·10⁶ and r_ppm·(10⁶+δ) < 2⁶³
     val spark = lineitem.sparkSession
     val edges = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
-      .select("a", "b").localCheckpoint()
+      .select("a", "b") // cached parent — no eager re-checkpoint
     if (edges.count() <= driverCutoff)
       return betweennessDriver(spark, edges,
         landmarkDistKeys(lineitem, orders, minTrades, minReturns,
