@@ -1055,15 +1055,58 @@ object Graph {
   def ssspTrade(lineitem: DataFrame, orders: DataFrame,
                 customer: DataFrame, supplier: DataFrame,
                 nation: DataFrame, src: Long = 0L,
-                maxIter: Int = 30): DataFrame = {
-    val edges = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("esrc"),
-        col("c_nationkey").cast("long").as("edst"))
-      .agg(greatest(lit(1L), expr("1000000 div count(1)")).as("cost"))
-      .localCheckpoint()
+                maxIter: Int = 30,
+                driverCutoff: Long = DriverCutoff.weightedArcRows)
+      : DataFrame = {
+    val edges = weightedNationEdges(lineitem, orders, customer, supplier)
+    if (edges.count() <= driverCutoff) {
+      // size-adaptive driver Bellman–Ford ([[DriverCutoff]]): the
+      // nation arc frame is ≤ V² rows and each distributed round
+      // paid 2 driver jobs; the twin runs the identical SYNCHRONOUS
+      // rounds (round-start distances only), convergence test and
+      // maxIter guard — the min-plus fixpoint is unique, so values
+      // are byte-equal.
+      import scala.collection.mutable
+      val arcs = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val natRows = nation
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val dist = mutable.LongMap.empty[Long] // value ⇔ reached
+      // the distributed frame starts with every NATION node present
+      // (d null) and seeds d = 0 only when src is one of them; its
+      // convergence check inner-joins on node, so only rows PRESENT
+      // at round start can register an improvement (null → value
+      // counts; a node first appearing this round does not)
+      val present = mutable.Set[Long](natRows.map(_._1): _*)
+      if (present(src)) dist(src) = 0L
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter + 1) {
+        val relaxed = dist.clone()
+        arcs.foreach { case (a, b, c) =>
+          dist.get(a).foreach { da =>
+            if (!relaxed.contains(b) || da + c < relaxed(b))
+              relaxed(b) = da + c
+          }
+        }
+        converged = !relaxed.exists { case (n, d) =>
+          present(n) && dist.get(n).forall(_ > d) }
+        relaxed.foreach { case (n, d) => dist(n) = d; present += n }
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"ssspTrade did not converge in $maxIter rounds " +
+            "(negative-cost cycle cannot exist with positive costs; " +
+            "raise maxIter for a graph of larger diameter)")
+      val out = natRows.sortBy(_._1).map { case (n, name) =>
+        (name, n, dist.getOrElse(n, -1L)) }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(out.toSeq, 32)
+        .toDF("n_name", "node", "dist")
+    }
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
     var dist = nodes.select(col("node"),
         when(col("node") === src, 0L).as("d"))
@@ -1121,21 +1164,78 @@ object Graph {
     * family so composites pay the 4-table fact join once. */
   private def tradeEdges(lineitem: DataFrame, orders: DataFrame,
                          customer: DataFrame, supplier: DataFrame)
-      : DataFrame = lineitem
-    .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-    .join(customer, orders("o_custkey") === customer("c_custkey"))
-    .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-    .select(col("s_nationkey").cast("long").as("a"),
-      col("c_nationkey").cast("long").as("b"))
-    .filter(col("a") =!= col("b"))
-    .distinct()
-    .localCheckpoint()
+      : DataFrame = FrameCache.cached(lineitem.sparkSession,
+    s"nte:${FrameCache.planKey(lineitem, orders, customer, supplier)}") {
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** The weighted nation arc frame (esrc, edst, cost = integer trade
+    * friction) shared by [[ssspTrade]] and [[closenessTrade]] — each
+    * used to pay its own 4-table fact collapse. */
+  private def weightedNationEdges(lineitem: DataFrame, orders: DataFrame,
+                                  customer: DataFrame,
+                                  supplier: DataFrame): DataFrame =
+    FrameCache.cached(lineitem.sparkSession,
+      s"wne:${FrameCache.planKey(lineitem, orders, customer, supplier)}") {
+      lineitem
+        .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
+        .groupBy(col("s_nationkey").cast("long").as("esrc"),
+          col("c_nationkey").cast("long").as("edst"))
+        .agg(greatest(lit(1L), expr("1000000 div count(1)")).as("cost"))
+        .localCheckpoint()
+    }
 
   /** [[sccTrade]]'s core over an already-built edge frame — the
     * composition point [[topoLayersTrade]] uses to avoid paying the
     * fact join twice. */
   private def sccFromEdges(edges: DataFrame, nation: DataFrame,
-                           maxIter: Int): DataFrame = {
+                           maxIter: Int,
+                           driverCutoff: Long = DriverCutoff.pairRows)
+      : DataFrame = {
+    if (edges.count() <= driverCutoff) {
+      // size-adaptive driver closure ([[DriverCutoff]]): the nation
+      // graph is ≤ V² ≤ 625 pairs and the squaring loop paid 2
+      // driver jobs per round — the driver twin runs the IDENTICAL
+      // rounds (same squaring recurrence, same convergence test,
+      // same maxIter guard) on an in-memory pair set.
+      import scala.collection.mutable
+      var reach = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter + 1) {
+        val byA = reach.groupBy(_._1)
+        val nxt = reach ++ reach.flatMap { case (a, b) =>
+          byA.getOrElse(b, Nil).map { case (_, c) => (a, c) } }
+        converged = nxt.size == reach.size
+        reach = nxt
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"sccTrade closure did not converge in $maxIter rounds")
+      val sccId = mutable.LongMap.empty[Long]
+      nation.select(col("n_nationkey").cast("long")).collect()
+        .map(_.getLong(0)).foreach { v =>
+          val peers = reach.collect {
+            case (a, b) if a == v && reach.contains((b, a)) => b }
+          sccId(v) = (peers + v).min
+        }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(
+        sccId.toSeq.sortBy(_._1), 32).toDF("node", "scc_id")
+    }
     var reach = edges
     var converged = false
     var i = 0
@@ -1210,9 +1310,50 @@ object Graph {
     * layer — the per-node join back is one broadcast. */
   def topoLayersTrade(lineitem: DataFrame, orders: DataFrame,
                       customer: DataFrame, supplier: DataFrame,
-                      nation: DataFrame, maxIter: Int = 30): DataFrame = {
+                      nation: DataFrame, maxIter: Int = 30,
+                      driverCutoff: Long = DriverCutoff.pairRows)
+      : DataFrame = {
     val edges = tradeEdges(lineitem, orders, customer, supplier)
-    val scc = sccFromEdges(edges, nation, maxIter)
+    if (edges.count() <= driverCutoff) {
+      // size-adaptive driver layering ([[DriverCutoff]]): the
+      // condensation is ≤ V ≤ 25 components here and the max-relax
+      // loop paid 2 driver jobs per depth round; the driver twin
+      // runs the identical synchronous rounds + maxIter guard.
+      import scala.collection.mutable
+      val sccRows = sccFromEdges(edges, nation, maxIter, driverCutoff)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sccOf = sccRows.toMap
+      val condPairs = edges.collect()
+        .map(r => (sccOf(r.getLong(0)), sccOf(r.getLong(1))))
+        .filter { case (sa, sb) => sa != sb }.toSet
+      val layer = mutable.LongMap.empty[Long]
+      sccRows.foreach { case (_, s) => layer(s) = 0L }
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter + 1) {
+        val relaxed = layer.clone()
+        condPairs.foreach { case (sa, sb) =>
+          if (layer(sa) + 1L > relaxed(sb)) relaxed(sb) = layer(sa) + 1L }
+        converged = sccRows.forall { case (_, s) =>
+          relaxed(s) == layer(s) }
+        relaxed.foreach { case (s, l) => layer(s) = l }
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"topoLayersTrade did not converge in $maxIter rounds " +
+            "(the condensation is a DAG; raise maxIter for deeper ones)")
+      val names = nation
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val out = sccRows.sortBy(_._1).map { case (n, s) =>
+        (names(n), n, s, layer(s)) }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(out.toSeq, 32)
+        .toDF("n_name", "node", "scc_id", "layer")
+    }
+    val scc = sccFromEdges(edges, nation, maxIter, driverCutoff)
       .localCheckpoint()
     val cond = edges
       .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
@@ -1267,15 +1408,67 @@ object Graph {
     * n_reachable, not total_dist. */
   def closenessTrade(lineitem: DataFrame, orders: DataFrame,
                      customer: DataFrame, supplier: DataFrame,
-                     nation: DataFrame, maxIter: Int = 30): DataFrame = {
-    val edges = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .groupBy(col("s_nationkey").cast("long").as("esrc"),
-        col("c_nationkey").cast("long").as("edst"))
-      .agg(greatest(lit(1L), expr("1000000 div count(1)")).as("cost"))
-      .localCheckpoint()
+                     nation: DataFrame, maxIter: Int = 30,
+                     driverCutoff: Long = DriverCutoff.weightedArcRows)
+      : DataFrame = {
+    val edges = weightedNationEdges(lineitem, orders, customer, supplier)
+    if (edges.count() <= driverCutoff) {
+      // size-adaptive driver all-sources Bellman–Ford — the
+      // [[ssspTrade]] twin per source over the ≤ V² arc frame, same
+      // synchronous rounds / convergence semantics / maxIter guard.
+      import scala.collection.mutable
+      val arcs = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val natRows = nation
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // dist(src) maps node → d (value ⇔ reached); every (src, node)
+      // NATION pair starts present-with-null per the crossJoin init,
+      // so first-reach of a nation node counts as an improvement,
+      // while a non-nation node first appearing this round does not
+      // (the distributed check inner-joins on the round-start frame)
+      val dist = mutable.LongMap.empty[mutable.LongMap[Long]]
+      val present = mutable.LongMap.empty[mutable.Set[Long]]
+      val natKeys = natRows.map(_._1)
+      natRows.foreach { case (s, _) =>
+        val m = mutable.LongMap.empty[Long]; m(s) = 0L; dist(s) = m
+        present(s) = mutable.Set[Long](natKeys: _*) }
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter + 1) {
+        var improvedExisting = false
+        dist.foreach { case (s, m) =>
+          val pres = present(s)
+          val relaxed = m.clone()
+          arcs.foreach { case (a, b, c) =>
+            m.get(a).foreach { da =>
+              if (!relaxed.contains(b) || da + c < relaxed(b))
+                relaxed(b) = da + c
+            }
+          }
+          if (relaxed.exists { case (n, d) =>
+              pres(n) && m.get(n).forall(_ > d) })
+            improvedExisting = true
+          relaxed.foreach { case (n, d) => m(n) = d; pres += n }
+        }
+        converged = !improvedExisting
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"closenessTrade did not converge in $maxIter rounds")
+      val out = natRows.sortBy(_._1).map { case (s, name) =>
+        // the distributed aggregate counts EVERY reached row of the
+        // (src, node) frame — including nodes relax added beyond the
+        // nation init — so the twin counts the whole map
+        val m = dist(s)
+        (name, s, m.size.toLong, m.values.sum)
+      }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(out.toSeq, 32)
+        .toDF("n_name", "node", "n_reachable", "total_dist")
+    }
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
     var dist = nodes.select(col("node").as("src"))
       .crossJoin(nodes)

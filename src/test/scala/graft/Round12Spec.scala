@@ -216,6 +216,50 @@ class Round12Spec extends AnyFunSuite {
     FrameCache.invalidateAll(spark)
   }
 
+  test("cutoff boundary: nation-level scc/topo/sssp/closeness " +
+       "byte-equal across paths") {
+    // 3-node cycle (A→B→C→A) + pendant D reached from A: one
+    // nontrivial SCC, two condensation layers, asymmetric weighted
+    // distances — all endpoints in the nation dim
+    val flows = Seq( // (suppNation, custNation, lineitems)
+      (0L, 1L, 4), (1L, 2L, 2), (2L, 0L, 1), (0L, 3L, 1))
+    val rows = flows.flatMap { case (sn, cn, n) =>
+      (0 until n).map(i => (sn, cn, sn * 1000 + cn * 100 + i)) }
+    val li = rows.map { case (sn, cn, ok) => (ok, sn * 10 + 1) }
+      .toDF("l_orderkey", "l_suppkey")
+    val ord = rows.map { case (sn, cn, ok) => (ok, cn * 10 + 2) }
+      .toDF("o_orderkey", "o_custkey")
+    val sup = (0L to 3L).map(n => (n * 10 + 1, n))
+      .toDF("s_suppkey", "s_nationkey")
+    val cust = (0L to 3L).map(n => (n * 10 + 2, n))
+      .toDF("c_custkey", "c_nationkey")
+    val nat = Seq((0L, "A"), (1L, "B"), (2L, "C"), (3L, "D"))
+      .toDF("n_nationkey", "n_name")
+    def rowsOf(df: DataFrame) =
+      df.orderBy("node").collect().map(_.toSeq).toSeq
+    FrameCache.invalidateAll(spark)
+    val scc0 = rowsOf(Graph.sccTrade(li, ord, cust, sup, nat))
+    val topo0 = rowsOf(Graph.topoLayersTrade(li, ord, cust, sup, nat,
+      driverCutoff = 0L))
+    val sssp0 = rowsOf(Graph.ssspTrade(li, ord, cust, sup, nat,
+      driverCutoff = 0L))
+    val close0 = rowsOf(Graph.closenessTrade(li, ord, cust, sup, nat,
+      driverCutoff = 0L))
+    assert(rowsOf(Graph.topoLayersTrade(li, ord, cust, sup, nat))
+      == topo0, "topo driver twin must equal the distributed loop")
+    assert(rowsOf(Graph.ssspTrade(li, ord, cust, sup, nat)) == sssp0)
+    assert(rowsOf(Graph.closenessTrade(li, ord, cust, sup, nat))
+      == close0)
+    // scc: A,B,C form one component labeled min id 0; D is its own
+    assert(scc0.map(r => (r(1), r(2))) ==
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L)))
+    // sssp from nation 0: friction = max(1, 1e6 div lineitems)
+    val d = sssp0.map(r => (r(1), r(2))).toMap
+    assert(d(0L) == 0L && d(1L) == 250000L &&
+      d(2L) == 750000L && d(3L) == 1000000L, s"sssp $d")
+    FrameCache.invalidateAll(spark)
+  }
+
   test("cutoff boundary: keyed SSSP byte-equal across paths") {
     val (li, ord) = fixture
     def run(cut: Long) =
