@@ -43,7 +43,13 @@ object FrameCache {
   private final case class Entry(df: DataFrame, rddIds: Set[Int],
                                  ctxId: Int)
   private val entries = mutable.LinkedHashMap.empty[String, Entry]
-  private val maxEntries = 24
+  // r12 widened the shared-frame families (dedup pair/label frames,
+  // ANN clustering, nation/bipartite edge collapses): a full bench
+  // pass now holds ~21 live keys, and silent LRU eviction at 24
+  // would turn sharing back into rebuilds mid-pass. Every retained
+  // frame is a thresholded pair/label/edge frame (KBs–MBs even at
+  // sf10), so doubling the backstop costs nothing material.
+  private val maxEntries = 48
 
   /** Stable identity for "same live SparkContext". */
   private def ctxId(spark: SparkSession): Int =
