@@ -35,4 +35,17 @@ object DriverCutoff {
 
   /** (long, long, long) weighted-arc frames: SSSP's (a, b, cost). */
   val weightedArcRows: Long = rows(24)
+
+  /** TIME crossover (not a memory bound) for FIXED-ROUND driver
+    * twins over the un-thresholded bipartite pair frame (k-core
+    * peel, HITS, BFS): their distributed cost is a fixed handful of
+    * per-round jobs while the driver cost is the collect itself, so
+    * past a few million rows the collect loses even though it fits
+    * the byte budget comfortably. Measured (sf0.1 → sf1, quiet
+    * host): 0.59M pairs — driver 0.6–1.3 s vs distributed 1.7–2.5 s;
+    * 5.5M pairs — driver 5.8–8.1 s vs distributed 4.9–6.7 s. The
+    * crossover sits ≈2M pairs; iterative ops over THRESHOLDED arc
+    * frames (the key-level family, ≤ tens of k rows at sf10) keep
+    * the plain byte budget. */
+  val bipartiteCollectRows: Long = math.min(2000000L, pairRows)
 }

@@ -214,7 +214,8 @@ object Graph {
   def bfsTrade(lineitem: DataFrame, orders: DataFrame,
                supplier: DataFrame, nation: DataFrame,
                maxHops: Int = 4,
-               driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
+               driverCutoff: Long = DriverCutoff.bipartiteCollectRows)
+      : DataFrame = {
     // even ids = customers, odd = suppliers: one namespace, no
     // structs. The distinct pair collapse is the FrameCache-shared
     // [[bipartitePairs]] (identical distinct set — the namespace map
@@ -618,7 +619,8 @@ object Graph {
     * exchange. */
   def kCoreTrade(lineitem: DataFrame, orders: DataFrame,
                  k: Int = 20, rounds: Int = 4,
-                 driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
+                 driverCutoff: Long = DriverCutoff.bipartiteCollectRows)
+      : DataFrame = {
     var e = bipartitePairs(lineitem, orders)
     if (e.count() <= driverCutoff) {
       // size-adaptive driver peel ([[DriverCutoff]]): each of the 4
@@ -783,7 +785,8 @@ object Graph {
     * linear in edges per round, ids and scores only on the wire. */
   def hitsTrade(lineitem: DataFrame, orders: DataFrame,
                 iters: Int = 3, k: Int = 20,
-                driverCutoff: Long = DriverCutoff.pairRows): DataFrame = {
+                driverCutoff: Long = DriverCutoff.bipartiteCollectRows)
+      : DataFrame = {
     val S = 1000000000000L
     val e = bipartitePairs(lineitem, orders)
     if (e.count() <= driverCutoff) {
