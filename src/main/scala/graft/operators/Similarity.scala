@@ -1538,13 +1538,69 @@ object Similarity {
     * sequential passes are the algorithm's DEFINITION (each pick
     * depends on all previous); parallel variants trade the
     * approximation bound away. */
-  def kcenterSelect(embs: DataFrame, k: Int = 16): DataFrame = {
+  def kcenterSelect(embs: DataFrame, k: Int = 16,
+                    driverCutoff: Long = DriverCutoff.budgetBytes)
+      : DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     // measured r12: checkpointing this projection to spare the k
     // re-scans ran 1.66 → 2.03 s at sf0.1 — the corpus scan is not
-    // the cost, the k sequential argmax jobs are; left lazy
+    // the cost, the k sequential argmax driver jobs are; below the
+    // byte budget the whole greedy selection runs driver-side with
+    // the IDENTICAL distance arithmetic (float→double per-dim diff,
+    // ascending-dim accumulation — the same expression the
+    // l2_argmin kernel evaluates), max by (d2 DESC, vec_id) with
+    // java.lang.Double ordering, floor(d2·1e6) radii. Byte-equal;
+    // Round12Spec pins the boundary. Above the budget the k-pass
+    // broadcast-argmax scan runs unchanged (the 100 TB shape).
     val corpus = embs.select(col("vec_id"), col("embedding"))
+    val nRows = corpus.count()
+    val dim = corpus.limit(1).collect().headOption
+      .map(_.getSeq[Float](1).length).getOrElse(0)
+    if (nRows * (8L + 4L * dim) <= driverCutoff) {
+      val vecs = corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val picks =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+      if (vecs.nonEmpty) {
+        val selected = scala.collection.mutable.Set[Long](vecs.head._1)
+        picks += ((1L, vecs.head._1, None))
+        var newest = vecs.head._2
+        val minD2 = Array.fill(vecs.length)(Double.PositiveInfinity)
+        var rank = 2
+        while (rank <= k && selected.size < vecs.length) {
+          var bestIdx = -1
+          var i = 0
+          while (i < vecs.length) {
+            // distance to the NEWEST center only; min with the
+            // stored min-over-previous — same value as the full
+            // min the kernel recomputes (exact double min)
+            val v = vecs(i)._2
+            var d2 = 0.0
+            var j = 0
+            while (j < dim) {
+              val d = v(j).toDouble - newest(j).toDouble
+              d2 += d * d
+              j += 1
+            }
+            if (d2 < minD2(i)) minD2(i) = d2
+            if (!selected.contains(vecs(i)._1) &&
+                (bestIdx < 0 ||
+                  java.lang.Double.compare(minD2(i), minD2(bestIdx)) > 0))
+              bestIdx = i // ties keep the earlier (smaller) vec_id
+            i += 1
+          }
+          val (id, v) = vecs(bestIdx)
+          selected += id
+          picks += ((rank.toLong, id,
+            Some(math.floor(minD2(bestIdx) * 1e6).toLong)))
+          newest = v
+          rank += 1
+        }
+      }
+      return picks.toSeq.toDF("rank", "vec_id", "radius2_scaled")
+    }
     // headOption, not head: an empty corpus returns the empty
     // selection; a corpus smaller than k returns the partial one
     val seedOpt = corpus.orderBy("vec_id").limit(1)

@@ -260,6 +260,25 @@ class Round12Spec extends AnyFunSuite {
     FrameCache.invalidateAll(spark)
   }
 
+  test("cutoff boundary: k-center selection byte-equal across paths") {
+    import graft.operators.Similarity
+    // distinct radii + an exact tie (vectors 5 and 6 are equidistant
+    // reflections) so the (d2 DESC, vec_id ASC) pick order is
+    // exercised, not just the values
+    val embs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(4.0f, 0.0f)),
+      (2L, Array(0.0f, 3.0f)), (3L, Array(1.0f, 1.0f)),
+      (5L, Array(2.0f, 2.5f)), (6L, Array(2.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    def rows(cut: Long) =
+      Similarity.kcenterSelect(embs, k = 5, driverCutoff = cut)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows(0L) == rows(DriverCutoff.budgetBytes),
+      "driver greedy k-center must equal the k-pass argmax scan")
+  }
+
   test("cutoff boundary: keyed SSSP byte-equal across paths") {
     val (li, ord) = fixture
     def run(cut: Long) =
