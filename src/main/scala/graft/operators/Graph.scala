@@ -555,7 +555,13 @@ object Graph {
     // 128 — the cap² fan-out contract with the degree-ratio filter
     // cutting the pair exchange ~6×; tops byte-identical at both
     // caps, gate-SF hash-exact vs the unchanged full oracle.
-    val withDeg = capped.join(deg, "cust").localCheckpoint()
+    // FrameCache: the capped adjacency (64k rows at sf0.1) costs an
+    // md5-keyed window sort over the full pair frame per build —
+    // shared across the bench passes like the other family frames
+    val withDeg = FrameCache.cached(lineitem.sparkSession,
+      s"lpd:cn:${FrameCache.planKey(edges)}:$cap") {
+      capped.join(deg, "cust").localCheckpoint()
+    }
     // prune-before-aggregate: a 1/8 deterministic CUSTOMER sample
     // keeps its members' ENTIRE posting rows, so every sampled pair
     // (both endpoints sampled — ~1/64 of the fan-out) aggregates to
@@ -937,7 +943,14 @@ object Graph {
       .agg(count(lit(1)).as("sdeg"))
       .filter(col("sdeg") >= minSdeg)
       .select(col("supp"), expr(weightSql).as("w"))
-    val withW = capped.join(wt, "supp").localCheckpoint()
+    // FrameCache — see commonNeighbors' withDeg note; the weight
+    // column is a pure function of (capSalt, cap, minSdeg, weight
+    // expression), all folded into the key
+    val withW = FrameCache.cached(lineitem.sparkSession,
+      s"lpd:$capSalt${FrameCache.planKey(edges)}:$cap:$minSdeg:" +
+        weightSql.hashCode) {
+      capped.join(wt, "supp").localCheckpoint()
+    }
     // prune-before-pair: W(c) = Σ_{s∈N(c)} w(s) bounds every pair
     // containing c (RA(c1,c2) ≤ min(W1, W2) — the common set is a
     // subset of either side's suppliers), so once a sampled τ̂ is in
