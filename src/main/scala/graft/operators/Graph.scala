@@ -27,24 +27,56 @@ object Graph {
     * a distribution summing to 1. */
   def pageRankTrade(lineitem: DataFrame, orders: DataFrame,
                     customer: DataFrame, supplier: DataFrame,
-                    nation: DataFrame, iters: Int = 3): DataFrame = {
+                    nation: DataFrame, iters: Int = 3,
+                    driverCutoff: Long = DriverCutoff.weightedArcRows)
+      : DataFrame = {
     val S = 1000000000000L // rank scale
-    // dims unhinted (house broadcast policy): AQE broadcasts customer/
-    // supplier while they fit and falls back to shuffle joins at scale
-    val rawEdges = lineitem
-      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(customer, orders("o_custkey") === customer("c_custkey"))
-      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
-      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    // the arc counts are the FrameCache-shared nation fact collapse
+    // (one build for pagerank + sssp + closeness); fractions derive
+    // lazily from the cached counts
+    val rawEdges = nationArcCounts(lineitem, orders, customer, supplier)
+      .select(col("esrc").as("src"), col("edst").as("dst"), col("w"))
     val outw = rawEdges.groupBy("src").agg(sum("w").as("ow"))
     val edges = rawEdges.join(outw, "src")
       .select(col("src"), col("dst"),
         expr("w * 1000000 div ow").as("frac_ppm"))
-      .localCheckpoint()
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
     val n = nodes.count()
     val base = ((S / n) * 15L) / 100L
+    if (edges.count() <= driverCutoff) {
+      // size-adaptive driver twin ([[DriverCutoff]]): the nation
+      // graph is ≤ V² arcs; all arithmetic is the identical integer
+      // ppm recurrence (commutative BIGINT sums, floor divisions in
+      // the same order), so ranks are byte-equal; Round12Spec pins
+      // the boundary. Above the cutoff the distributed rounds run
+      // unchanged.
+      import scala.collection.mutable
+      val arcs = edges
+        .select(col("src").cast("long"), col("dst").cast("long"),
+          col("frac_ppm").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val natRows = nation
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val pr = mutable.LongMap.empty[Long]
+      natRows.foreach { case (v, _) => pr(v) = S / n }
+      for (_ <- 0 until iters) {
+        val c = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        arcs.foreach { case (s2, d2, f) =>
+          // arcs whose src is outside the rank frame contribute
+          // nothing (the distributed join drops them)
+          pr.get(s2).foreach(p => c(d2) += (p * f) / 1000000L)
+        }
+        natRows.foreach { case (v, _) =>
+          pr(v) = base + (c(v) * 85L) / 100L }
+      }
+      val out = natRows.sortBy(_._1).map { case (v, name) =>
+        (name, pr(v), pr(v).toDouble / 1e12) }
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      return spark.sparkContext.parallelize(out.toSeq, 32)
+        .toDF("n_name", "rank_scaled", "rank_norm")
+    }
     var ranks = nodes.withColumn("pr", lit(S / n))
     for (_ <- 0 until iters) {
       val contrib = edges
@@ -1193,23 +1225,33 @@ object Graph {
       .localCheckpoint()
   }
 
-  /** The weighted nation arc frame (esrc, edst, cost = integer trade
-    * friction) shared by [[ssspTrade]] and [[closenessTrade]] — each
-    * used to pay its own 4-table fact collapse. */
-  private def weightedNationEdges(lineitem: DataFrame, orders: DataFrame,
-                                  customer: DataFrame,
-                                  supplier: DataFrame): DataFrame =
+  /** The nation arc-count frame (esrc, edst, w = supporting
+    * lineitems) — ONE fact collapse shared by [[ssspTrade]] /
+    * [[closenessTrade]] (friction cost = max(1, 10⁶ div w)) and
+    * [[pageRankTrade]] (transition fractions from w), which each
+    * used to pay their own 4-table fact join. */
+  private def nationArcCounts(lineitem: DataFrame, orders: DataFrame,
+                              customer: DataFrame,
+                              supplier: DataFrame): DataFrame =
     FrameCache.cached(lineitem.sparkSession,
-      s"wne:${FrameCache.planKey(lineitem, orders, customer, supplier)}") {
+      s"nac:${FrameCache.planKey(lineitem, orders, customer, supplier)}") {
       lineitem
         .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
         .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
         .groupBy(col("s_nationkey").cast("long").as("esrc"),
           col("c_nationkey").cast("long").as("edst"))
-        .agg(greatest(lit(1L), expr("1000000 div count(1)")).as("cost"))
+        .agg(count(lit(1)).as("w"))
         .localCheckpoint()
     }
+
+  /** Friction-cost projection of [[nationArcCounts]]. */
+  private def weightedNationEdges(lineitem: DataFrame, orders: DataFrame,
+                                  customer: DataFrame,
+                                  supplier: DataFrame): DataFrame =
+    nationArcCounts(lineitem, orders, customer, supplier)
+      .select(col("esrc"), col("edst"),
+        greatest(lit(1L), expr("1000000 div w")).as("cost"))
 
   /** [[sccTrade]]'s core over an already-built edge frame — the
     * composition point [[topoLayersTrade]] uses to avoid paying the

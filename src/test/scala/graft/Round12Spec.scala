@@ -250,6 +250,11 @@ class Round12Spec extends AnyFunSuite {
     assert(rowsOf(Graph.ssspTrade(li, ord, cust, sup, nat)) == sssp0)
     assert(rowsOf(Graph.closenessTrade(li, ord, cust, sup, nat))
       == close0)
+    def prRows(cut: Long) =
+      Graph.pageRankTrade(li, ord, cust, sup, nat, driverCutoff = cut)
+        .orderBy("n_name").collect().map(_.toSeq).toSeq
+    assert(prRows(DriverCutoff.weightedArcRows) == prRows(0L),
+      "pagerank driver twin must equal the distributed ppm rounds")
     // scc: A,B,C form one component labeled min id 0; D is its own
     assert(scc0.map(r => (r(1), r(2))) ==
       Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L)))
