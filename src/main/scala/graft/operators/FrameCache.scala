@@ -123,6 +123,17 @@ object FrameCache {
         entries.put(key, Entry(df, created, ctxId(spark)))
         while (entries.size > maxEntries) {
           val (k, e) = entries.head
+          // loud, not silent: an eviction mid-pass turns sharing back
+          // into rebuilds (and can fail a composite query still
+          // holding the truncated-lineage frame) — the log line makes
+          // that diagnosable instead of a mystery slowdown (r12
+          // ADVICE). Hitting this at all means maxEntries is below
+          // the live working set; raise it.
+          System.err.println(
+            s"[FrameCache] EVICTING '$k' (cache full at $maxEntries " +
+              s"entries while inserting '$key') — a composite query " +
+              "still holding this frame will fail rather than " +
+              "recompute; raise maxEntries if this fires mid-pass")
           entries.remove(k); drop(spark, e)
         }
         df

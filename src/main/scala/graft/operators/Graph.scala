@@ -552,11 +552,22 @@ object Graph {
     * argument leaves the gated result bit-identical (τ̂ = 0 ⇒ the
     * unpruned plan verbatim). Measured at sf0.1 (2.0M fan-out): the
     * certificate jobs were ~40% of each LP key's wall clock. */
+  // the fan-out scalar is a pure function of the pair frame's input
+  // identity (planKey folds the scanned files) and the cap, so the
+  // aggregate+collect pass runs once per (dataset, cap) — each LP key
+  // used to re-pay it per invocation purely to decide to do what it
+  // always does at this scale (r12 ADVICE)
+  private val lpFanOutMemo =
+    scala.collection.mutable.HashMap.empty[String, Long]
   private def lpFanOut(pairs: DataFrame, cap: Int): Long =
-    pairs.groupBy("supp")
-      .agg(least(count(lit(1)), lit(cap.toLong)).as("d"))
-      .agg(coalesce(sum(expr("d * (d - 1)")), lit(0L)).as("f"))
-      .collect()(0).getLong(0) / 2
+    lpFanOutMemo.synchronized {
+      lpFanOutMemo.getOrElseUpdate(
+        s"${FrameCache.planKey(pairs)}:$cap",
+        pairs.groupBy("supp")
+          .agg(least(count(lit(1)), lit(cap.toLong)).as("d"))
+          .agg(coalesce(sum(expr("d * (d - 1)")), lit(0L)).as("f"))
+          .collect()(0).getLong(0) / 2)
+    }
 
   def commonNeighbors(lineitem: DataFrame, orders: DataFrame,
                       cap: Int = 64, k: Int = 50,
@@ -827,7 +838,12 @@ object Graph {
       : DataFrame = {
     val S = 1000000000000L
     val e = bipartitePairs(lineitem, orders)
-    if (e.count() <= driverCutoff) {
+    // the driver twin's Long raw-sum exactness argument (below) holds
+    // only while edges·S < 2⁶³; a caller-supplied driverCutoff past
+    // that bound must fall through to the distributed DECIMAL(38,0)
+    // path instead of silently overflowing (r12 ADVICE)
+    val exactnessCap = Long.MaxValue / S // 9 223 372 edges
+    if (e.count() <= math.min(driverCutoff, exactnessCap)) {
       // size-adaptive driver twin ([[DriverCutoff]]): the 3
       // Gauss-Seidel rounds each paid 2 checkpoint jobs + 2
       // broadcast-total subqueries over one-row-per-node frames
@@ -1381,8 +1397,17 @@ object Graph {
       val sccRows = sccFromEdges(edges, nation, maxIter, driverCutoff)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val sccOf = sccRows.toMap
+      // endpoints absent from the scc frame (no FK integrity) are
+      // DROPPED, mirroring the distributed path's inner join on scc —
+      // Map.apply here would crash where the cluster path silently
+      // drops the arc, diverging across the size cutoff (r12 ADVICE)
       val condPairs = edges.collect()
-        .map(r => (sccOf(r.getLong(0)), sccOf(r.getLong(1))))
+        .flatMap { r =>
+          for {
+            sa <- sccOf.get(r.getLong(0))
+            sb <- sccOf.get(r.getLong(1))
+          } yield (sa, sb)
+        }
         .filter { case (sa, sb) => sa != sb }.toSet
       val layer = mutable.LongMap.empty[Long]
       sccRows.foreach { case (_, s) => layer(s) = 0L }

@@ -159,6 +159,28 @@ class PlanSpec extends AnyFunSuite {
       s"postings materialized too many exchanges:\n$p")
   }
 
+  test("capped ngram jaccard: public API is the shared checkpoint + threshold filter only") {
+    // companion to the raw-frame shape gate above (r12 ADVICE): the
+    // public path must stay "FrameCache'd checkpoint scan + narrow
+    // score/filter" — a join, window, or exchange sneaking in between
+    // the raw pair frame and the public output would evade the raw
+    // gate, so pin the public plan's shape too
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    for (df <- Seq(
+        TextAnalysis.ngramJaccardCapped(docs, maxDocFreq = 10),
+        TextAnalysis.containmentCapped(docs, maxDocFreq = 10))) {
+      val p = plan(df)
+      assert(p.contains("ExistingRDD"),
+        s"public plan no longer scans the shared checkpoint:\n$p")
+      assert(!p.contains("Exchange"),
+        s"unexpected exchange above the shared pair frame:\n$p")
+      assert(!p.contains("Join"),
+        s"unexpected join above the shared pair frame:\n$p")
+      assert(!p.contains("Window"),
+        s"unexpected window above the shared pair frame:\n$p")
+    }
+  }
+
   test("q2: part filter broadcasts below the pair agg; supplier broadcast") {
     val p = plan(Relational.q2MinCostSupplier(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
