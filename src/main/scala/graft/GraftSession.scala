@@ -24,6 +24,17 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Money sums ride the scaled-BIGINT kernel by default since
+      // r13: Kernels.moneyScaled reproduces the DECIMAL cast's exact
+      // rounding per row (Round6Spec pins value AND schema parity vs
+      // the DECIMAL route, incl. the 8.165-class traps), the agg
+      // buffer is a compact long instead of per-row BigDecimal, and
+      // the measured exactness tax drops ~4.7x -> ~1.8x (SURVEY
+      // §5.4: q1 1.0 -> 0.37 s at sf0.1). Session conf — tests and
+      // probes can still flip it off per session, and
+      // SPARK_GRAFT_FAST_MONEY=false A/Bs the DECIMAL route.
+      .config("spark.graft.fastMoneySums",
+        sys.env.getOrElse("SPARK_GRAFT_FAST_MONEY", "true"))
       // 160+ gated queries are ~500 whole-stage-codegen stages; the
       // default 100-entry generated-class cache evicts constantly and
       // every run re-Janino-compiles nearly every stage. Static conf:

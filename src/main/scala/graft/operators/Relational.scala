@@ -112,7 +112,7 @@ object Relational {
         col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
       // o_orderdate is TIMESTAMP_NTZ in the parquet; pin to UTC for epoch math
       .select(col("l_orderkey"),
@@ -174,14 +174,14 @@ object Relational {
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sumExact(s, col("l_quantity"), 2).as("sum_qty"))
 
   /** CUBE aggregate over order dimensions. */
   def qCube(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("o_totalprice"))).as("sum_price"))
+        sumExact(s, col("o_totalprice"), 2).as("sum_price"))
 
   /** Trailing 30-day moving average of order totals per customer: a
     * RANGE frame over epoch-day — value-based bounds, so the frame is
@@ -211,7 +211,7 @@ object Relational {
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sumExact(s, col("l_quantity"), 2).as("sum_qty"))
 
   /** PIVOT: per-customer event... order-priority totals spread into
     * one column per priority (explicit value list so the output
@@ -379,7 +379,7 @@ object Relational {
         (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
   }
 
@@ -407,7 +407,12 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    val volume = dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    // conditional money sums ride sumExact too: when() evaluates in
+    // DOUBLE and the 0.0 arm scales to an exact 0 — term-for-term the
+    // same values the decimal CASE summed (Round6Spec parity kernel)
+    val volumeD = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val natVol = when(col("supp_nation") === shareNation, volumeD)
+      .otherwise(lit(0.0))
     // lineitem⋈orders is fact-fact: shuffle join on the order key
     // (AQE broadcasts at small SF; bucketing co-locates it on a cluster)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -415,13 +420,10 @@ object Relational {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        sum(when(col("supp_nation") === shareNation, volume)
-          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
-          .as("nation_revenue"),
-        sum(volume).cast("double").as("total_revenue"),
-        (sum(when(col("supp_nation") === shareNation, volume)
-          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
-          sum(volume).cast("double")).as("mkt_share"))
+        sumExact(s, natVol, 4).cast("double").as("nation_revenue"),
+        sumExact(s, volumeD, 4).cast("double").as("total_revenue"),
+        (sumExact(s, natVol, 4).cast("double") /
+          sumExact(s, volumeD, 4).cast("double")).as("mkt_share"))
   }
 
   /** TPC-H Q9 shape: profit by supplier nation and year. Cost model
@@ -464,7 +466,7 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("revenue"))
       // sort the DOUBLE representation: the DuckDB oracle orders by the
       // double-cast alias, and two revenues distinct in decimal but
@@ -499,16 +501,16 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .select("l_partkey", "l_extendedprice", "l_discount")
-    val volume = dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+    // see q8MarketShare: conditional sums through the scaled kernel
+    val volumeD = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val promoVol = when(col("p_type") === "PROMO", volumeD)
+      .otherwise(lit(0.0))
     li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", volume)
-          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
-          .as("promo_revenue"),
-        sum(volume).cast("double").as("total_revenue"),
-        (lit(100.0) * sum(when(col("p_type") === "PROMO", volume)
-          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
-          sum(volume).cast("double")).as("promo_pct"))
+        sumExact(s, promoVol, 4).cast("double").as("promo_revenue"),
+        sumExact(s, volumeD, 4).cast("double").as("total_revenue"),
+        (lit(100.0) * sumExact(s, promoVol, 4).cast("double") /
+          sumExact(s, volumeD, 4).cast("double")).as("promo_pct"))
   }
 
   /** TPC-H Q18 shape: large-volume orders (HAVING over a fact
@@ -558,7 +560,7 @@ object Relational {
         (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
           col("l_quantity").between(20, 40)))
       .agg(
-        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
@@ -586,7 +588,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .agg(sumExact(s, col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("total_revenue"))
     val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
     rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
@@ -632,11 +634,11 @@ object Relational {
       .select("l_partkey", "l_quantity", "l_extendedprice")
       .join(parts, col("l_partkey") === col("p_partkey"))
     val avgQty = li.groupBy("p_partkey")
-      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+      .agg((sumExact(s, col("l_quantity"), 2).cast("double") / count(lit(1)))
         .as("avg_qty"))
     li.join(avgQty, Seq("p_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0))
+      .agg((sumExact(s, col("l_extendedprice"), 2).cast("double") / lit(7.0))
         .as("avg_yearly"))
   }
 
@@ -645,7 +647,7 @@ object Relational {
   def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
     val avgBal = cust.filter(col("c_acctbal") > 0)
-      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+      .agg((sumExact(s, col("c_acctbal"), 2).cast("double") / count(lit(1)))
         .as("avg_bal"))
     val ordKeys = Tables.orders(s, dir).select("o_custkey")
     cust.join(broadcast(avgBal))
@@ -653,7 +655,7 @@ object Relational {
       .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_cust"),
-        sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+        sumExact(s, col("c_acctbal"), 2).cast("double").as("total_bal"))
   }
 
   /** TPC-H Q21 shape: suppliers who kept finished orders waiting —
@@ -759,7 +761,7 @@ object Relational {
       .join(broadcast(Tables.part(s, dir).filter(col("p_size") <= 10)
         .select("p_partkey")), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey", "l_partkey")
-      .agg(sum(dec2(col("l_quantity"))).as("sq"))
+      .agg(sumExact(s, col("l_quantity"), 2).as("sq"))
       .filter(col("sq") > minQty)
       .select("l_suppkey")
     Tables.supplier(s, dir).select("s_suppkey", "s_name")
@@ -1175,10 +1177,10 @@ object Relational {
   def qUnpivot(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(sum(dec2(col("l_quantity"))).cast("double").as("qty"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("price"),
-        sum(dec2(col("l_discount"))).cast("double").as("disc"),
-        sum(dec2(col("l_tax"))).cast("double").as("tax"))
+      .agg(sumExact(s, col("l_quantity"), 2).cast("double").as("qty"),
+        sumExact(s, col("l_extendedprice"), 2).cast("double").as("price"),
+        sumExact(s, col("l_discount"), 2).cast("double").as("disc"),
+        sumExact(s, col("l_tax"), 2).cast("double").as("tax"))
       .select(col("l_returnflag"), expr(
         "stack(4, 'quantity', qty, 'extendedprice', price, " +
           "'discount', disc, 'tax', tax) AS (measure, total)"))
@@ -1236,7 +1238,7 @@ object Relational {
     val monthly = Tables.orders(s, dir)
       .groupBy((year(col("o_orderdate")) * 100 +
         month(col("o_orderdate"))).cast("long").as("ym"))
-      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("long")
+      .agg((sumExact(s, col("o_totalprice"), 2) * 100).cast("long")
         .as("rev_cents"))
     monthly
       .withColumn("prev_cents",
