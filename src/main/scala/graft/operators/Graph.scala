@@ -2240,10 +2240,51 @@ object Graph {
     * set, and the iteration frame is (node, pr) BIGINT pairs. */
   def pageRankKeysTrade(lineitem: DataFrame, orders: DataFrame,
                         minTrades: Int = 2, minReturns: Int = 2,
-                        iters: Int = 3): DataFrame = {
+                        iters: Int = 3,
+                        driverCutoff: Long = DriverCutoff.pairRows)
+      : DataFrame = {
     val S = 1000000000000L
     val arcs = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
       .select("a", "b")
+    // size-adaptive driver twin ([[DriverCutoff]], the r12
+    // pageRankTrade pattern at key level): each distributed round is
+    // an arc⋈rank join + groupBy whose AQE stages cost ~20 driver
+    // jobs over KB-scale frames at sf0.1 (profiled: 23 jobs,
+    // 1.10 s wall for 7.6 s of tiny-task time). All arithmetic is
+    // the identical integer-ppm recurrence — commutative BIGINT
+    // sums, floor divisions in the same order — so ranks are
+    // byte-equal; Round13Spec pins the boundary. The Long contrib
+    // sums are exact while arcs·S < 2⁶³ (the hitsTrade exactness
+    // cap); past min(cutoff, cap) the distributed loop runs
+    // UNCHANGED — the 100 TB path.
+    if (arcs.count() <= math.min(driverCutoff, Long.MaxValue / S)) {
+      import scala.collection.mutable
+      val pairs = arcs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      if (pairs.isEmpty)
+        return Seq.empty[(String, Long, Long)]
+          .toDF("node_type", "node", "pr_scaled")
+      val od = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      pairs.foreach { case (a, _) => od(a) += 1L }
+      val seen = mutable.LongMap.empty[Unit]
+      pairs.foreach { case (a, b) => seen(a) = (); seen(b) = () }
+      val nodeArr = seen.keys.toArray
+      val n = nodeArr.length.toLong
+      val base = ((S / n) * 15L) / 100L
+      val pr = mutable.LongMap.empty[Long]
+      nodeArr.foreach(v => pr(v) = S / n)
+      for (_ <- 0 until iters) {
+        val c = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        pairs.foreach { case (a, b) =>
+          c(b) += (pr(a) * (1000000L / od(a))) / 1000000L }
+        nodeArr.foreach(v => pr(v) = base + (c(v) * 85L) / 100L)
+      }
+      val out = nodeArr.sorted.map(v =>
+        (if (v % 2 == 0) "cust" else "supp", v, pr(v)))
+      return spark.sparkContext.parallelize(out.toSeq, 32)
+        .toDF("node_type", "node", "pr_scaled")
+    }
     val nodes = arcs.select(col("a").as("node"))
       .unionByName(arcs.select(col("b").as("node"))).distinct()
       .localCheckpoint()
@@ -2470,7 +2511,9 @@ object Graph {
   def pprKeysTrade(lineitem: DataFrame, orders: DataFrame,
                    customer: DataFrame, nation: DataFrame,
                    minTrades: Int = 2, minReturns: Int = 2,
-                   iters: Int = 3): DataFrame = {
+                   iters: Int = 3,
+                   driverCutoff: Long = DriverCutoff.pairRows)
+      : DataFrame = {
     val S = 1000000000000L
     val arcs = repeatKeyEdges(lineitem, orders, minTrades, minReturns)
       .select("a", "b")
@@ -2478,12 +2521,59 @@ object Graph {
       .unionByName(arcs.select(col("b").as("node"))).distinct()
     val srcNation = nation.orderBy("n_name", "n_nationkey").limit(1)
       .select("n_nationkey")
-    val seeds = customer
+    // the seed intersection stays DISTRIBUTED in both paths (the raw
+    // per-nation customer list scales with the corpus, not with the
+    // thresholded arc frame; the left-semi bounds what the driver
+    // twin collects at ≤ |nodes| ≤ 2·arcs)
+    val seedsLazy = customer
       .join(broadcast(srcNation),
         col("c_nationkey") === col("n_nationkey"))
       .select((col("c_custkey") * 2).cast("long").as("node"))
       .join(nodes, Seq("node"), "left_semi")
-      .localCheckpoint()
+    // size-adaptive driver twin ([[DriverCutoff]], the
+    // pageRankKeysTrade pattern with the seed-teleport recurrence):
+    // profiled at sf0.1 the distributed loop's 33 AQE stage jobs
+    // cost 1.28 s wall. Identical integer-ppm arithmetic —
+    // commutative Long sums (exact below the hitsTrade cap), floor
+    // divisions in the same order, the full-outer seed merge
+    // replicated as "seeds keep their base, reached non-seeds get
+    // contribution only" — byte-equal (Round13Spec pins the
+    // boundary). Above min(cutoff, cap) the distributed loop runs
+    // UNCHANGED.
+    if (arcs.count() <= math.min(driverCutoff, Long.MaxValue / S)) {
+      import scala.collection.mutable
+      val pairs = arcs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seedArr = seedsLazy.collect().map(_.getLong(0))
+      val spark = lineitem.sparkSession
+      import spark.implicits._
+      if (seedArr.isEmpty)
+        return Seq.empty[(String, Long, Long)]
+          .toDF("node_type", "node", "ppr_scaled")
+      val od = mutable.LongMap.empty[Long].withDefaultValue(0L)
+      pairs.foreach { case (a, _) => od(a) += 1L }
+      val nSeeds = seedArr.length.toLong
+      val base = ((S / nSeeds) * 15L) / 100L
+      val isSeed = mutable.LongMap.empty[Unit]
+      seedArr.foreach(v => isSeed(v) = ())
+      var pr = mutable.LongMap.empty[Long]
+      seedArr.foreach(v => pr(v) = S / nSeeds)
+      for (_ <- 0 until iters) {
+        val c = mutable.LongMap.empty[Long].withDefaultValue(0L)
+        pairs.foreach { case (a, b) =>
+          pr.get(a).foreach(p => c(b) += (p * (1000000L / od(a))) / 1000000L)
+        }
+        val next = mutable.LongMap.empty[Long]
+        seedArr.foreach(v => next(v) = base + (c(v) * 85L) / 100L)
+        c.foreach { case (v, cv) =>
+          if (!isSeed.contains(v)) next(v) = (cv * 85L) / 100L }
+        pr = next
+      }
+      val out = pr.toSeq.filter(_._2 > 0L).sortBy(_._1).map { case (v, p) =>
+        (if (v % 2 == 0) "cust" else "supp", v, p) }
+      return spark.sparkContext.parallelize(out, 32)
+        .toDF("node_type", "node", "ppr_scaled")
+    }
+    val seeds = seedsLazy.localCheckpoint()
     val outd = arcs.groupBy("a").agg(count(lit(1)).as("od"))
     val edges = arcs.join(outd, "a")
       .select(col("a").as("src"), col("b").as("dst"),
