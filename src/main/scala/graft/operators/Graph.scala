@@ -3080,21 +3080,31 @@ object Graph {
         col("l_suppkey").cast("long").as("supp"))
       .distinct()
       .localCheckpoint()
-    val hist = arcs.groupBy("mk", "cust")
+    // ONE (mk, cust) degree collapse feeds the histogram AND the
+    // edge/customer stats: n_edges = Σ deg (arcs is distinct), and
+    // n_customers = its row count per mk — the double-countDistinct
+    // Expand over the full arc frame this replaces tripled the
+    // aggregated bytes for numbers the degree frame already holds
+    // (r13; counts identical by construction).
+    // lazy: degc's (mk, cust) exchange is identical in the histogram
+    // and stats consumers — ReusedExchange computes it once; an eager
+    // checkpoint measured slower than the reuse.
+    val degc = arcs.groupBy("mk", "cust")
       .agg(count(lit(1)).as("deg"))
+    val hist = degc
       .groupBy(col("mk"),
         length(bin(col("deg"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("h"))
-      .localCheckpoint()
     val l1 = hist.select(col("mk"), col("bucket"), col("h"))
       .unionByName(hist.select((col("mk") + 1).as("mk"),
         col("bucket"), (-col("h")).as("h")))
       .groupBy("mk", "bucket").agg(sum("h").as("s"))
       .groupBy("mk").agg(sum(abs(col("s"))).as("l1_drift"))
-    val stats = arcs.groupBy("mk").agg(
-      count(lit(1)).as("n_edges"),
-      countDistinct("cust").as("n_customers"),
-      countDistinct("supp").as("n_suppliers"))
+    val stats = degc.groupBy("mk").agg(
+      sum("deg").as("n_edges"),
+      count(lit(1)).as("n_customers"))
+      .join(arcs.groupBy("mk")
+        .agg(countDistinct("supp").as("n_suppliers")), "mk")
     val m0 = arcs.agg(min("mk")).head().getLong(0)
     stats.join(l1, Seq("mk"), "left")
       .select(col("mk").as("month_key"), col("n_edges"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.operators.FrameCache
 import graft.sources.{Sinks, Tables}
 
 /** Relational / OLAP capability over the star schema: the engine
@@ -1306,13 +1307,28 @@ object Relational {
     * C(cap,2) per order (TPC-H baskets hold ≤7 distinct parts; the
     * cap guards adversarial baskets the same way ngramJaccardCapped
     * caps posting lists). */
+  /** The per-order basket collapse shared by [[qBasketPairs]] and
+    * [[qBasketRules]] — a pure function of (dataset, basketCap), and
+    * the dominant cost of BOTH keys (the fact groupBy + collect_set).
+    * FrameCache'd per the r12 family-sharing contract: a deployment
+    * materializes the basket table once and runs pair mining and
+    * rule scoring against it. ~|orders| rows of ≤basketCap ids. */
+  private def basketSets(s: SparkSession, dir: String,
+                         basketCap: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    FrameCache.cached(s,
+      s"bsk:${FrameCache.planKey(li)}:$basketCap") {
+      li.select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
+          .as("items"))
+        .localCheckpoint()
+    }
+  }
+
   def qBasketPairs(s: SparkSession, dir: String, k: Int = 100,
                    basketCap: Int = 64): DataFrame =
-    qBasketPairsFrom(Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
-        .as("items")), k)
+    qBasketPairsFrom(basketSets(s, dir, basketCap), k)
 
   /** [[qBasketPairs]] over a pre-built (l_orderkey, items) basket
     * frame — the shared-scan entry [[qBasketRules]] uses so the
@@ -1340,15 +1356,10 @@ object Relational {
     * overflows BIGINT×1e6 at corpus scale. */
   def qBasketRules(s: SparkSession, dir: String, k: Int = 50,
                    basketCap: Int = 64): DataFrame = {
-    // ONE basket collapse, checkpointed: it feeds the pair top-k,
-    // the item supports AND the basket count (was built twice —
-    // once here, once inside qBasketPairs)
-    val sets = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, basketCap)
-        .as("items"))
-      .localCheckpoint()
+    // ONE basket collapse — the FrameCache-shared [[basketSets]] (it
+    // feeds the pair top-k, the item supports AND the basket count,
+    // and is the same frame qBasketPairs mines)
+    val sets = basketSets(s, dir, basketCap)
     val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
     val itemSupport = sets
       .select(explode(col("items")).as("item"))

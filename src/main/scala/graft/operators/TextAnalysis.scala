@@ -1582,6 +1582,11 @@ object TextAnalysis {
     * count table. */
   def nbClassify(docs: DataFrame, classCol: String = "source")
       : DataFrame = {
+    // r13 measured-and-reverted: deriving the (t, cls) model counts
+    // from the per-doc tf frame (one tokenize + a doc→class join)
+    // ran 1.82 → 2.26 s isolated at sf0.1 — the join over the wide
+    // tf frame costs more than the re-tokenize it saves, with or
+    // without a checkpoint. The 4-subtree shape below stays.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
