@@ -523,13 +523,136 @@ object Similarity {
           col("embedding").as("c_emb")),
       nlist, rounds)
 
+  /** Driver-side replica of [[graft.functions.Kernels.cosine]]:
+    * float→double per element, ascending-dim accumulation, 0.0 for a
+    * zero norm — the identical IEEE sequence, so scores are
+    * byte-equal with the kernel's. */
+  private def cosineDrv(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Driver-side replica of [[graft.functions.Kernels.cosineTopR]]'s
+    * insertion sort — cents MUST arrive id-ascending (the
+    * array_sort(collect_list(struct(id, emb))) order the kernel
+    * sees); strict `>` displacement keeps equal sims in id order,
+    * reproducing row_number() OVER (ORDER BY cos DESC, id). */
+  private def topRDrv(vec: Array[Float],
+                      cents: Array[(Long, Array[Float])],
+                      r: Int): (Array[Long], Array[Double], Int) = {
+    val keep = math.min(r, cents.length)
+    val ids = new Array[Long](keep)
+    val sims = new Array[Double](keep)
+    var filled = 0
+    var i = 0
+    while (i < cents.length) {
+      val (id, cEmb) = cents(i)
+      val sim = cosineDrv(vec, cEmb)
+      if (filled < keep || sim > sims(filled - 1)) {
+        var pos = if (filled < keep) filled else keep - 1
+        while (pos > 0 && sims(pos - 1) < sim) pos -= 1
+        var j = math.min(filled, keep - 1)
+        while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
+        sims(pos) = sim
+        ids(pos) = id
+        if (filled < keep) filled += 1
+      }
+      i += 1
+    }
+    (ids, sims, filled)
+  }
+
+  /** Driver-side deferred acceptance — the identical round semantics
+    * as the distributed [[cappedAssignTo]] loop: in round r every
+    * still-unassigned vector proposes to its r-th preference, each
+    * centroid accepts (cos desc, vec_id asc) up to remaining
+    * capacity. Returns (vec_id, centroid_id, cos_sim, pref_used). */
+  private def assignDrv(vecs: Array[(Long, Array[Float])],
+                        cents: Array[(Long, Array[Float])],
+                        nlist: Int, rounds: Int)
+      : Array[(Long, Long, Double, Long)] = {
+    import scala.collection.mutable
+    val sorted = cents.sortBy(_._1)
+    val prefs = vecs.map { case (id, v) => id -> topRDrv(v, sorted, rounds) }
+    val cap = (vecs.length.toLong * 5L + (4L * nlist - 1L)) / (4L * nlist)
+    val rem = mutable.LongMap.empty[Long].withDefaultValue(cap)
+    val out = mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    var unassigned = prefs
+    for (r <- 1 to rounds) {
+      val byCent = unassigned
+        .filter { case (_, (_, _, filled)) => filled >= r }
+        .map { case (id, (ids, sims, _)) => (ids(r - 1), sims(r - 1), id) }
+        .groupBy(_._1)
+      val takenIds = mutable.LongMap.empty[Unit]
+      byCent.foreach { case (cent, cands) =>
+        val take = cands
+          .sortWith { case ((_, s1, v1), (_, s2, v2)) =>
+            val c = java.lang.Double.compare(s1, s2)
+            if (c != 0) c > 0 else v1 < v2
+          }
+          .take(math.max(0L, rem(cent)).toInt)
+        rem(cent) = rem(cent) - take.length
+        take.foreach { case (c2, s2, v2) =>
+          out += ((v2, c2, s2, r.toLong)); takenIds(v2) = () }
+      }
+      unassigned = unassigned.filterNot(p => takenIds.contains(p._1))
+    }
+    out.toArray
+  }
+
+  /** Byte-budget gate for the embedding driver twins: rows ×
+    * (8 + 4·dim) packed payload against [[DriverCutoff.budgetBytes]]
+    * — the kcenterSelect contract. Returns the collected corpus when
+    * it fits, None above the budget. */
+  private def collectEmbsUnder(embs: DataFrame, budget: Long)
+      : Option[Array[(Long, Array[Float])]] = {
+    val corpus = embs.select(col("vec_id"), col("embedding"))
+    val nRows = corpus.count()
+    val dim = corpus.limit(1).collect().headOption
+      .map(_.getSeq[Float](1).length).getOrElse(0)
+    if (nRows * (8L + 4L * dim) <= budget)
+      Some(corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    else None
+  }
+
   /** [[cappedAssign]] against an EXPLICIT centroid frame
     * (centroid_id, c_emb) — the re-entrant form [[cappedLloyd]]
     * alternates with mean updates. `nlist` stays a parameter (not
     * centroids.count) so the capacity formula is a literal, never a
     * driver-side action. */
   def cappedAssignTo(embs: DataFrame, cents: DataFrame, nlist: Int,
-                     rounds: Int = 3): DataFrame = {
+                     rounds: Int = 3,
+                     driverBudget: Long = DriverCutoff.budgetBytes)
+      : DataFrame = {
+    // size-adaptive driver twin ([[DriverCutoff]]): the distributed
+    // acceptance loop pays ~10 checkpoint/collect jobs per call over
+    // KB-scale frames at sf0.1 (profiled: emb_capped_lloyd = 78 jobs
+    // via two of these calls). Identical arithmetic — the cosine /
+    // top-R replicas above are the kernel's own IEEE sequences, the
+    // acceptance is the same (cos desc, id) order, the capacity the
+    // same integer formula — so the assignment is byte-equal
+    // (Round13Spec pins the boundary). Above the budget the
+    // distributed rounds run UNCHANGED.
+    collectEmbsUnder(embs, driverBudget) match {
+      case Some(vecs) =>
+        val spark = embs.sparkSession
+        import spark.implicits._
+        val centArr = cents
+          .select(col("centroid_id").cast("long"), col("c_emb"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val asg = assignDrv(vecs, centArr, nlist, rounds)
+        return spark.sparkContext.parallelize(asg.toSeq, 32)
+          .toDF("vec_id", "centroid_id", "cos_sim", "pref_used")
+      case None => ()
+    }
     val centsRow = cents.agg(
       array_sort(collect_list(struct(
         col("centroid_id").cast("long").as("centroid_id"), col("c_emb"))))
@@ -607,13 +730,57 @@ object Similarity {
     * at the build SF). Returns the FINAL capped assignment
     * (vec_id, centroid_id, cos_sim, pref_used). */
   def cappedLloyd(embs: DataFrame, nlist: Int = 16, iters: Int = 2,
-                  rounds: Int = 3): DataFrame = {
+                  rounds: Int = 3,
+                  driverBudget: Long = DriverCutoff.budgetBytes)
+      : DataFrame = {
+    // size-adaptive driver twin for the WHOLE alternation (not just
+    // the per-iteration assignment): below the byte budget the
+    // corpus collects once and both halves run in memory — the
+    // assignment via the kernel-replica acceptance ([[assignDrv]]),
+    // the mean update with the identical floor(x·1e6) long sums
+    // (commutative — the distributed partial-agg order never
+    // mattered) and the identical (s.toDouble / n / 1e6).toFloat
+    // reconstruction. Byte-equal (Round13Spec); above the budget the
+    // distributed alternation below runs UNCHANGED.
+    collectEmbsUnder(embs, driverBudget) match {
+      case Some(vecs) =>
+        val spark = embs.sparkSession
+        import spark.implicits._
+        var centArr = vecs.filter(_._1 < nlist)
+          .map { case (id, v) => (id, v) }
+        var asg: Array[(Long, Long, Double, Long)] = null
+        val byId = vecs.toMap
+        for (i <- 1 to iters) {
+          asg = assignDrv(vecs, centArr, nlist, rounds)
+          if (i < iters) {
+            import scala.collection.mutable
+            val sums = mutable.LongMap.empty[(Array[Long], Long)]
+            asg.foreach { case (vid, cent, _, _) =>
+              val v = byId(vid)
+              val (s, n) = sums.getOrElse(cent,
+                (new Array[Long](v.length), 0L))
+              var d = 0
+              while (d < v.length) {
+                s(d) += math.floor(v(d).toDouble * 1e6).toLong
+                d += 1
+              }
+              sums(cent) = (s, n + 1L)
+            }
+            centArr = sums.toArray.map { case (cent, (s, n)) =>
+              (cent, s.map(x => (x.toDouble / n / 1e6).toFloat))
+            }
+          }
+        }
+        return spark.sparkContext.parallelize(asg.toSeq, 32)
+          .toDF("vec_id", "centroid_id", "cos_sim", "pref_used")
+      case None => ()
+    }
     var cents = embs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
       .localCheckpoint()
     var asg: DataFrame = null
     for (i <- 1 to iters) {
-      asg = cappedAssignTo(embs, cents, nlist, rounds)
+      asg = cappedAssignTo(embs, cents, nlist, rounds, driverBudget)
       if (i < iters) {
         cents = asg.select("vec_id", "centroid_id")
           .join(embs.select(col("vec_id"), col("embedding")), "vec_id")

@@ -513,7 +513,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("cappedAssign: each round materializes once — final plan unions checkpoint scans") {
-    val p = plan(Similarity.cappedAssign(Tables.embeddings(spark, sf)))
+    // driverBudget = 0 forces the DISTRIBUTED path (the r13 driver
+    // twin would otherwise return a parallelized result below the
+    // byte budget) — this gate inspects the 100 TB plan shape
+    val embs = Tables.embeddings(spark, sf)
+    val nlist = 16
+    val p = plan(Similarity.cappedAssignTo(embs,
+      embs.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("c_emb")),
+      nlist, driverBudget = 0L))
     // the acceptance rounds are localCheckpointed as they complete, so
     // the result must be a pure union of the materialized round
     // frames: no join, window, or preference recomputation downstream

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DriverCutoff, FrameCache, Graph}
+import graft.operators.{DriverCutoff, FrameCache, Graph, Similarity}
 
 /** Round-13 (optimization round 2) additions: DriverCutoff twins for
   * the keyed PageRank / personalized-PageRank loops — the boundary
@@ -68,5 +68,43 @@ class Round13Spec extends AnyFunSuite {
     val m = driver.map(r => r._2 -> r._3).toMap
     assert(m.contains(11L))
     FrameCache.invalidateAll(spark)
+  }
+
+  test("cutoff boundary: cappedAssign byte-equal across paths " +
+      "(kernel-replica cosine / top-R / acceptance order)") {
+    val embs = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val nlist = 16
+    val cents = embs.filter(org.apache.spark.sql.functions.col("vec_id")
+        .<(nlist))
+      .select(org.apache.spark.sql.functions.col("vec_id")
+          .as("centroid_id"),
+        org.apache.spark.sql.functions.col("embedding").as("c_emb"))
+    def run(budget: Long) = Similarity
+      .cappedAssignTo(embs, cents, nlist, driverBudget = budget)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val driver = run(DriverCutoff.budgetBytes)
+    val distributed = run(0L)
+    assert(driver === distributed,
+      "driver acceptance diverges from the distributed rounds")
+    assert(driver.nonEmpty)
+  }
+
+  test("cutoff boundary: cappedLloyd byte-equal across paths " +
+      "(mean update floor-sums and reconstruction included)") {
+    val embs = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    def run(budget: Long) = Similarity
+      .cappedLloyd(embs, nlist = 16, iters = 2, driverBudget = budget)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val driver = run(DriverCutoff.budgetBytes)
+    val distributed = run(0L)
+    assert(driver === distributed,
+      "driver Lloyd diverges from the distributed alternation")
+    assert(driver.nonEmpty)
   }
 }
