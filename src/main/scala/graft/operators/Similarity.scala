@@ -1097,11 +1097,79 @@ object Similarity {
   def graphSearchTopK(embs: DataFrame, queries: DataFrame, k: Int = 5,
                       knnK: Int = 5, beam: Int = 16, hops: Int = 5,
                       nprobe: Int = 4, targetList: Int = 200,
-                      rounds: Int = 3)
+                      rounds: Int = 3,
+                      driverBudget: Long = DriverCutoff.budgetBytes)
       : DataFrame = {
     val clustered = cappedClusters(embs, targetList, rounds)
     val g = knnGraphCappedShared(embs, knnK, targetList, rounds)
       .select(col("src_id"), col("dst_id"))
+    // size-adaptive driver twin ([[DriverCutoff]]): the 5 beam hops
+    // each paid a join + rank window + checkpoint (profiled: 54–60
+    // driver jobs per ann_graph_search/recall execution at sf0.1) —
+    // over frames the byte budget says fit on the driver whole. The
+    // walk replays EXACTLY: kernel-replica cosine ([[cosineDrv]]),
+    // (cos desc, id asc) ranks, beam ∪ out-neighbors expansion,
+    // final self-drop + top-k reusing the beam's scores. Collected
+    // inputs are the cached cluster membership and kNN arcs (both
+    // O(n)) plus the query panel; above the budget the distributed
+    // hops run UNCHANGED. Byte-equal: Round13Spec pins the boundary.
+    (collectEmbsUnder(embs, driverBudget / 2),
+      collectEmbsUnder(queries.select(col("vec_id"), col("embedding")),
+        driverBudget / 2)) match {
+      case (Some(vecs), Some(qsArr)) =>
+        val spark = embs.sparkSession
+        import spark.implicits._
+        import scala.collection.mutable
+        val byId = vecs.toMap
+        val n = vecs.length.toLong
+        val nlist = math.max(1L, (n + targetList - 1) / targetList)
+        val cents = vecs.filter(_._1 < nlist).sortBy(_._1)
+        val minMember = mutable.LongMap.empty[Long]
+        clustered.select(col("cluster_id"), col("vec_id")).collect()
+          .foreach { r =>
+            val (c, v) = (r.getLong(0), r.getLong(1))
+            minMember.get(c) match {
+              case Some(m) => if (v < m) minMember(c) = v
+              case None => minMember(c) = v
+            }
+          }
+        val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+        g.collect().foreach { r =>
+          adj.getOrElseUpdate(r.getLong(0),
+            mutable.ArrayBuffer.empty[Long]) += r.getLong(1) }
+        val none = mutable.ArrayBuffer.empty[Long]
+        val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        qsArr.foreach { case (qid, qv) =>
+          val routed = cents
+            .map { case (cid, ce) => (cid, cosineDrv(qv, ce)) }
+            .sortWith { case ((i1, c1), (i2, c2)) =>
+              val c = java.lang.Double.compare(c1, c2)
+              if (c != 0) c > 0 else i1 < i2
+            }
+            .take(nprobe)
+          var beamScored: Array[(Long, Double)] = routed
+            .flatMap { case (cid, _) => minMember.get(cid) }
+            .distinct.map(v => (v, 0.0))
+          for (_ <- 1 to hops) {
+            val cand = (beamScored.map(_._1) ++
+              beamScored.map(_._1).flatMap(v =>
+                adj.getOrElse(v, none))).distinct
+            beamScored = cand
+              .map(v => (v, cosineDrv(qv, byId(v))))
+              .sortWith { case ((v1, c1), (v2, c2)) =>
+                val c = java.lang.Double.compare(c1, c2)
+                if (c != 0) c > 0 else v1 < v2
+              }
+              .take(beam)
+          }
+          beamScored.filter(_._1 != qid).take(k)
+            .zipWithIndex.foreach { case ((v, cs), idx) =>
+              out += ((qid, idx + 1L, v, cs)) }
+        }
+        return spark.sparkContext.parallelize(out.toSeq, 32)
+          .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+      case _ => ()
+    }
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")).localCheckpoint()
     // route: the nprobe nearest of the nlist centroid vectors (the
@@ -1636,13 +1704,78 @@ object Similarity {
     * step, no driver loop over data. The k sequential steps are
     * MMR's definition (each pick conditions on all previous). */
   def mmrRerank(embs: DataFrame, queries: DataFrame, pool: Int = 16,
-                k: Int = 5, lambda: Double = 0.5): DataFrame = {
-    val withEmb = bruteForceTopK(embs, queries, pool)
+                k: Int = 5, lambda: Double = 0.5,
+                driverBudget: Long = DriverCutoff.budgetBytes)
+      : DataFrame = {
+    val withEmbLazy = bruteForceTopK(embs, queries, pool)
       .join(embs.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_emb")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("cos_sim")
         .as("rel"), col("c_emb"))
-      .localCheckpoint()
+    // size-adaptive driver GREEDY ([[DriverCutoff]]): candidate
+    // generation stays the distributed brute-force scan in BOTH
+    // paths (that is the corpus-touching contract); the k-step
+    // selection runs over the bounded panel×pool frame, and its k−1
+    // unrolled join+window+checkpoint steps cost ~25 driver jobs at
+    // sf0.1 (profiled: search_mmr 33 jobs). Below the byte budget
+    // the greedy replays driver-side: kernel-replica pairwise
+    // cosines, the same λ·rel − (1−λ)·maxSim IEEE sequence, (score
+    // desc, id asc) picks. Byte-equal (Round13Spec). Above the
+    // budget the unrolled distributed steps run UNCHANGED.
+    val poolBytes = {
+      val nQ = queries.count()
+      val dim = embs.select(col("embedding")).limit(1).collect()
+        .headOption.map(_.getSeq[Float](0).length).getOrElse(0)
+      nQ * pool * (24L + 4L * dim)
+    }
+    if (poolBytes <= driverBudget) {
+      val spark = embs.sparkSession
+      import spark.implicits._
+      import scala.collection.mutable
+      val rowsArr = withEmbLazy.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getSeq[Float](3).toArray))
+      val out = mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      rowsArr.groupBy(_._1).foreach { case (qid, cands0) =>
+        val cands = cands0.map { case (_, id, rel, emb) => (id, rel, emb) }
+        if (cands.nonEmpty) {
+          val firstPick = cands.reduceLeft { (x, y) =>
+            val c = java.lang.Double.compare(x._2, y._2)
+            if (c > 0 || (c == 0 && x._1 < y._1)) x else y
+          }
+          val selected = mutable.ArrayBuffer[(Long, Array[Float])](
+            (firstPick._1, firstPick._3))
+          out += ((qid, 1L, firstPick._1, firstPick._2 * lambda))
+          for (pos <- 2 to k) {
+            val unpicked = cands.filter(c =>
+              !selected.exists(_._1 == c._1))
+            if (unpicked.nonEmpty) {
+              val scored = unpicked.map { case (id, rel, emb) =>
+                // max over the selected set of the pairwise kernel
+                // cosine — commutative double max, same value as the
+                // distributed max_sim aggregate
+                var maxSim = Double.NegativeInfinity
+                selected.foreach { case (_, sEmb) =>
+                  val s = cosineDrv(emb, sEmb)
+                  if (s > maxSim) maxSim = s
+                }
+                (id, rel * lambda - maxSim * (1 - lambda))
+              }
+              val pick = scored.reduceLeft { (x, y) =>
+                val c = java.lang.Double.compare(x._2, y._2)
+                if (c > 0 || (c == 0 && x._1 < y._1)) x else y
+              }
+              val pEmb = cands.find(_._1 == pick._1).get._3
+              selected += ((pick._1, pEmb))
+              out += ((qid, pos.toLong, pick._1, pick._2))
+            }
+          }
+        }
+      }
+      return spark.sparkContext.parallelize(out.toSeq, 32)
+        .toDF("query_id", "pos", "neighbor_id", "mmr_score")
+    }
+    val withEmb = withEmbLazy.localCheckpoint()
     val sims = withEmb.as("a")
       .join(withEmb.as("b"),
         col("a.query_id") === col("b.query_id") &&

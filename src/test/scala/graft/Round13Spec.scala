@@ -107,4 +107,40 @@ class Round13Spec extends AnyFunSuite {
       "driver Lloyd diverges from the distributed alternation")
     assert(driver.nonEmpty)
   }
+
+  test("cutoff boundary: graphSearchTopK byte-equal across paths " +
+      "(route, beam hops, final self-drop rank)") {
+    val embs = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val queries = embs.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
+    def run(budget: Long) = Similarity
+      .graphSearchTopK(embs, queries, k = 3, driverBudget = budget)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val driver = run(DriverCutoff.budgetBytes)
+    val distributed = run(0L)
+    assert(driver === distributed,
+      "driver beam walk diverges from the distributed hops")
+    assert(driver.nonEmpty)
+  }
+
+  test("cutoff boundary: mmrRerank greedy byte-equal across paths " +
+      "(pairwise redundancy, score IEEE order, tie-breaks)") {
+    val embs = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val queries = embs.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
+    def run(budget: Long) = Similarity
+      .mmrRerank(embs, queries, k = 4, driverBudget = budget)
+      .orderBy("query_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val driver = run(DriverCutoff.budgetBytes)
+    val distributed = run(0L)
+    assert(driver === distributed,
+      "driver greedy diverges from the unrolled distributed steps")
+    assert(driver.nonEmpty)
+  }
 }
