@@ -829,10 +829,18 @@ object Dedup {
                          threshold: Double = 0.5, keyLen: Int = 24,
                          parts: Int = 32): DataFrame =
     sortedNeighborhoodFrom(docs
+      // pre-filter on the TOKEN count: a 3-gram set is nonempty iff
+      // the doc has >= 3 tokens (text_shingles emits len-2 windows),
+      // so this is exactly From's size(sh) > 0 gate — but evaluable
+      // without building the shingle arrays, which lets Catalyst
+      // prune `sh` out of the rank branch entirely (r13; the rank
+      // branch used to tokenize+shingle the corpus a second time
+      // just to evaluate the emptiness filter)
+      .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id"),
         array_distinct(shingles(toks(col("text")))).as("sh"),
         substring(lower(trim(col("text"))), 1, keyLen).as("bkey")),
-      window, threshold, parts)
+      window, threshold, parts, assumeFiltered = true)
 
   /** [[sortedNeighborhood]] over a pre-derived (doc_id, sh, bkey)
     * frame — `sh` must be the DISTINCT shingle set (array_intersect
@@ -841,9 +849,17 @@ object Dedup {
     * for the union composite. */
   def sortedNeighborhoodFrom(keyedIn: DataFrame, window: Int = 5,
                              threshold: Double = 0.5,
-                             parts: Int = 32): DataFrame = {
+                             parts: Int = 32,
+                             assumeFiltered: Boolean = false)
+      : DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val keyed = keyedIn.filter(size(col("sh")) > 0)
+    // assumeFiltered: the caller guarantees sh-empty docs are already
+    // excluded (sortedNeighborhood's token-count pre-filter) — the
+    // generic gate would force shingle evaluation in the narrow rank
+    // branch
+    val keyed =
+      if (assumeFiltered) keyedIn
+      else keyedIn.filter(size(col("sh")) > 0)
     val parted = keyed.select(col("doc_id"), col("bkey"))
       .repartitionByRange(parts, col("bkey"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
@@ -1251,7 +1267,21 @@ object Dedup {
     * complement — lag/groupBy windows over the ≤ per-doc-window
     * count of removed rows, no HOF fold, no driver loop. Everything
     * that moves is (doc_id, pos, h) 24-byte rows. */
-  def substringSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+  def substringSpans(docs: DataFrame, w: Int = 8): DataFrame =
+    // FrameCache'd (r13): the span frame is a pure function of
+    // (dataset, w) and BOTH gated consumers — the span output itself
+    // and [[substringSpanStats]]' telemetry rollup — re-paid the
+    // full window/island machinery per key. O(docs + islands) thin
+    // rows; the r12 family-sharing contract.
+    FrameCache.cached(docs.sparkSession,
+      s"sss:${FrameCache.planKey(docs)}:$w") {
+      substringSpansRaw(docs, w).localCheckpoint()
+    }
+
+  /** The lazy plan under [[substringSpans]] — kept un-checkpointed
+    * so plan/spec tests can inspect the real span machinery. */
+  private[graft] def substringSpansRaw(docs: DataFrame, w: Int = 8)
+      : DataFrame = {
     val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n"),
         GraftFunctions.text_shingles(col("t"), w).as("wins"))

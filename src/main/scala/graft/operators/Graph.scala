@@ -1932,12 +1932,20 @@ object Graph {
       .select("a", "b")
     val scc = sccKeysShared(lineitem, orders, minTrades, minReturns,
       maxIter, driverCutoff)
-    val cond = edges
-      .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
-      .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
-      .filter(col("sa") =!= col("sb"))
-      .select("sa", "sb").distinct()
-      .localCheckpoint()
+    // the condensation arc frame is a pure function of (dataset,
+    // params) like the scc frame it derives from — FrameCache'd so
+    // the per-invocation join+distinct+checkpoint jobs run once per
+    // pass (r13); O(#inter-SCC arcs) rows
+    val cond = FrameCache.cached(lineitem.sparkSession,
+      s"tlc:${FrameCache.planKey(lineitem, orders)}:" +
+        s"$minTrades:$minReturns:$maxIter:$driverCutoff") {
+      edges
+        .join(scc.select(col("node").as("a"), col("scc_id").as("sa")), "a")
+        .join(scc.select(col("node").as("b"), col("scc_id").as("sb")), "b")
+        .filter(col("sa") =!= col("sb"))
+        .select("sa", "sb").distinct()
+        .localCheckpoint()
+    }
     val layers =
       if (cond.count() <= driverCutoff) {
         import scala.collection.mutable

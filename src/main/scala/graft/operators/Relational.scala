@@ -1012,7 +1012,7 @@ object Relational {
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
-        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("l_extendedprice"), 2).as("cents"))
     val mid = li.agg(expr("(min(ms) + max(ms)) div 2").as("mid_ms"))
     li.crossJoin(broadcast(mid))
       .groupBy("l_partkey")
@@ -1040,7 +1040,7 @@ object Relational {
     val ord = Tables.orders(s, dir)
       .select(col("o_custkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
-        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("o_totalprice"), 2).as("cents"))
     val mid = ord.agg(expr("(min(ms) + max(ms)) div 2").as("mid_ms"))
     val halves = ord.crossJoin(broadcast(mid))
       .select(col("o_custkey"),
@@ -1086,7 +1086,7 @@ object Relational {
       : DataFrame = {
     val r = Tables.orders(s, dir)
       .select(col("o_custkey"),
-        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("o_totalprice"), 2).as("cents"))
       .groupBy("o_custkey").agg(sum("cents").as("cents"))
     val parted = r
       .repartitionByRange(parts, col("cents").desc, col("o_custkey"))
@@ -1154,7 +1154,7 @@ object Relational {
     val expectedPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
       66946L, 57991L, 51152L, 45757L)
     val counts = lineitem
-      .select((dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .select(graft.functions.GraftFunctions.money_scaled(col("l_extendedprice"), 2).as("cents"))
       .filter(col("cents") > 0)
       .select(substring(col("cents").cast("string"), 1, 1)
         .cast("long").as("digit"))
@@ -1497,7 +1497,7 @@ object Relational {
       .select(col("s_suppkey"), col("n_name"))
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"),
-        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("l_extendedprice"), 2).as("cents"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy("n_name", "s_suppkey")
       .agg(sum("cents").as("rev"))
@@ -1534,7 +1534,7 @@ object Relational {
     val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
     val exp0 = Tables.lineitem(s, dir)
       .select(col("l_suppkey"),
-        (dec2(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("l_extendedprice"), 2).as("cents"))
       .join(Tables.supplier(s, dir)
           .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("n_name")),
@@ -1542,7 +1542,7 @@ object Relational {
       .groupBy("n_name").agg(sum("cents").as("export_cents"))
     val imp0 = Tables.orders(s, dir)
       .select(col("o_custkey"),
-        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("o_totalprice"), 2).as("cents"))
       .join(Tables.customer(s, dir)
           .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
           .select(col("c_custkey"), col("n_name")),
@@ -1584,7 +1584,7 @@ object Relational {
     val big = DecimalType(38, 0)
     val spend = Tables.orders(s, dir)
       .select(col("o_custkey"),
-        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+        graft.functions.GraftFunctions.money_scaled(col("o_totalprice"), 2).as("cents"))
       .join(Tables.customer(s, dir)
           .join(broadcast(Tables.nation(s, dir)),
             col("c_nationkey") === col("n_nationkey"))

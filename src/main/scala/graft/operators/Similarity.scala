@@ -904,8 +904,54 @@ object Similarity {
       .toDF("dim", "loading").select(col("dim"), col("loading"))
   }
 
-  private[operators] def pcaAxis(embs: DataFrame, iters: Int)
+  private[graft] def pcaAxis(embs: DataFrame, iters: Int,
+                             driverBudget: Long = DriverCutoff.budgetBytes)
       : (Array[Double], Array[Double]) = {
+    // size-adaptive driver twin ([[DriverCutoff]]): the distributed
+    // axis build pays 1 + iters sequential scan+collect jobs
+    // (profiled: emb_pca 19 driver jobs at sf0.1). The per-row
+    // contribution kernel is invoked DIRECTLY (same
+    // Kernels.centeredPowerContrib over a GenericArrayData wrapper),
+    // the per-dim reductions are commutative Long sums rendered
+    // through BigDecimal.doubleValue exactly like the DECIMAL(38,0)
+    // column, and the normalization is the identical IEEE sequence —
+    // axis byte-equal (Round13Spec). Above the budget the scans run
+    // UNCHANGED.
+    collectEmbsUnder(embs, driverBudget) match {
+      case Some(vecs) if vecs.nonEmpty =>
+        val dims = vecs(0)._2.length
+        val n = vecs.length.toLong
+        val muSum = new Array[Long](dims)
+        vecs.foreach { case (_, e) =>
+          var d = 0
+          while (d < dims) {
+            muSum(d) += math.floor(e(d).toDouble * 1e6).toLong
+            d += 1
+          }
+        }
+        val mu = muSum.map(s =>
+          new java.math.BigDecimal(s).doubleValue() / n / 1e6)
+        var v = Array.fill(dims)(1.0)
+        val wrapped = vecs.map { case (_, e) =>
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(e) }
+        for (_ <- 1 to iters) {
+          val wSum = new Array[Long](dims)
+          wrapped.foreach { arr =>
+            val c = graft.functions.Kernels
+              .centeredPowerContrib(arr, mu, v)
+            var d = 0
+            while (d < dims) { wSum(d) += c.getLong(d); d += 1 }
+          }
+          val w = wSum.map(s =>
+            new java.math.BigDecimal(s).doubleValue() / 1e6)
+          var ss = 0.0
+          w.foreach(x => ss += x * x)
+          val norm = math.sqrt(ss)
+          v = w.map(_ / norm)
+        }
+        return (mu, v)
+      case _ => ()
+    }
     val big = DecimalType(38, 0)
     val stats = embs
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))

@@ -143,4 +143,17 @@ class Round13Spec extends AnyFunSuite {
       "driver greedy diverges from the unrolled distributed steps")
     assert(driver.nonEmpty)
   }
+
+  test("cutoff boundary: pcaAxis byte-equal across paths " +
+      "(quantized mean, kernel contributions, normalization)") {
+    val embs = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val (muD, vD) = Similarity.pcaAxis(embs, iters = 3,
+      driverBudget = DriverCutoff.budgetBytes)
+    val (muX, vX) = Similarity.pcaAxis(embs, iters = 3,
+      driverBudget = 0L)
+    assert(muD.toSeq === muX.toSeq, "means diverge across the cutoff")
+    assert(vD.toSeq === vX.toSeq, "axis diverges across the cutoff")
+    assert(vD.nonEmpty)
+  }
 }
