@@ -273,11 +273,15 @@ object Sampling {
       size(graft.operators.TextAnalysis.tokens(col("text")))
         .cast("long").as("s"))
     val mm = scored.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    // thin checkpoint (r13): four consumers (ref CDF, its total, the
+    // binning join, the per-half totals) each re-ran the tokenize
+    // scan; the materialized frame is 3 narrow columns per doc
     val halved = scored.crossJoin(broadcast(mm))
       .withColumn("half",
         when(col("doc_id") <= expr("(lo + hi) div 2"), lit("ref"))
           .otherwise(lit("cur")))
       .select("doc_id", "s", "half")
+      .localCheckpoint()
     val refCum = halved.filter(col("half") === "ref")
       .groupBy("s").agg(count(lit(1)).as("cn"))
       .withColumn("cum", sum("cn").over(
